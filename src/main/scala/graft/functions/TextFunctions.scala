@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives. Everything here is built from codegen'd
+  * built-ins (no UDFs) and is deliberately expressible 1:1 in ANSI/DuckDB
+  * SQL so the driver's oracle can replay the exact same computation.
+  *
+  * Reference: tokenization/cleaning behaviors trace to the order-flatten
+  * layer of the reference (extract-app/app.py:37-98) — e.g. digit-strip
+  * (app.py:42) — generalized here for the documents table.
+  */
+object TextFunctions {
+
+  /** Raw single-space split. Keeps empty tokens so that shingle indexing is
+    * bit-identical to DuckDB's string_split. */
+  def rawTokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace tokens with empties dropped (token-count semantics). */
+  def tokens(text: Column): Column = filter(rawTokens(text), t => t =!= "")
+
+  /** Word n-gram shingles over raw tokens, 1-based indexing.
+    * Caller MUST pre-filter size(toks) >= n: Spark's `sequence(1, x)` with
+    * x < 1 would generate a descending range, not an empty one. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+
+  /** Deterministic cross-engine token hash: ascii(first char)*31 + length.
+    * Chosen because `ascii`/`length` exist with identical semantics in both
+    * Spark and DuckDB (md5 would also work but is ~10x the bytes). */
+  def tokenHash(t: Column): Column =
+    (ascii(substring(t, 1, 1)) * 31 + length(t)).cast("long")
+
+  /** Polynomial rolling hash (document fingerprint): fold over token hashes,
+    * acc*131 + h (mod 1e9+7). Max intermediate 1.4e11 << Long.Max. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(transform(toks, tokenHash), lit(0L),
+      (acc, h) => (acc * lit(131L) + h) % lit(1000000007L))
+
+  /** Count of tokens contained in a fixed word set (language-ID / quality
+    * signals). */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+}

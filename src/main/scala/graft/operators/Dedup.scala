@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * All hashing is built on md5 (identical lowercase-hex semantics in Spark
+  * and DuckDB) so every stage is replayable by the SQL oracle — no
+  * engine-private hash functions in the contract surface.
+  *
+  * Scale notes:
+  *  - exact dedupe: one shuffle on the content hash (never on the raw text —
+  *    group keys stay 32 bytes regardless of document size).
+  *  - MinHash/LSH: shingle explode is narrow; the signature build is ONE
+  *    groupBy(doc_id) shuffle carrying k 32-byte mins; the LSH bucket join
+  *    shuffles only (doc_id, band, 32-byte band hash) — never documents.
+  *    Candidate verification (exact Jaccard) runs only on bucket collisions,
+  *    which is the entire point of LSH at 100 TB.
+  *  - SimHash: narrow explode + one groupBy(doc_id) with `bits` integer sums.
+  */
+object Dedup {
+
+  /** Exact dedup, keep lowest id per identical text. Grouping on md5(text)
+    * keeps shuffle rows small; the (astronomically unlikely) md5 collision
+    * is tolerated as is standard for content-hash dedup. */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    Relational.dedupeKeepFirst(
+      docs.withColumn("__h", md5(text)), Seq(col("__h")), Seq(id))
+      .drop("__h")
+
+  /** Distinct word-n-gram shingles: (doc_id, shingle). Docs with fewer than
+    * n tokens produce no shingles (and thus never appear in candidates). */
+  def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), rawTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s"))
+      .distinct()
+
+  /** MinHash signatures: doc_id, h0..h{k-1} where h_i = min over shingles of
+    * md5("i|" ++ shingle). One shuffle (groupBy doc_id). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 12): DataFrame = {
+    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    shingleSet(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: banding the k-wide signature into `bands` rows of
+    * r = k/bands; docs sharing any band hash become a candidate pair.
+    * Output: (a_id, b_id), a_id < b_id, distinct, ordered. */
+  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val sig = minhashSignatures(docs, n, k)
+    val bandRows = (0 until bands).map { b =>
+      val hs = (0 until r).map(j => col(s"h${b * r + j}"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", hs: _*)).as("bh"))
+    }.reduce(_ unionByName _)
+    val a = bandRows.as("a")
+    val bb = bandRows.as("b")
+    a.join(bb,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the
+    * parity of hex digit j of md5(token); tokens vote +1/-1 per bit and the
+    * sign of the sum sets the fingerprint bit. Frequency-weighted (every
+    * token occurrence votes). */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val votes = (0 until bits).map { j =>
+      // hex-digit value parity: conv(hexchar,16,10) % 2  ∈ {0,1} → vote ±1
+      sum(conv(substring(col("h"), j + 1, 1), 16, 10).cast("long") % 2 * 2 - 1)
+        .as(s"v$j")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits)
+      .map(j => when(col(s"v$j") > 0, lit(1L) << j).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.cast("long").as("fingerprint"))
+  }
+
+  /** Exact n-gram Jaccard over all pairs sharing at least one shingle;
+    * emits pairs with similarity >= threshold. The shingle equi-join IS the
+    * blocking step — disjoint docs never meet, so the join output is
+    * |inverted-index postings|², per shingle, not |docs|². */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleSet(docs, n)
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(card.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(card.as("cb"), col("b_id") === col("cb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 3).as("j"))
+      .filter(col("j") >= threshold)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * engine as opaque BINARY columns plus a typed metadata struct, exactly as
+  * a 100 TB multimodal training pipeline would carry them (content stays a
+  * byte blob; all relational logic runs on the metadata).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB: "decoded" properties are derived from
+  * the content hash. Everything around it — binary schema, metadata struct,
+  * per-row batch shape, frame-sampling explode — is real Spark plumbing and
+  * is what gets tested.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as a binary-payload table: content BINARY + typed
+    * metadata (mime, byte length). Stand-in for reading real media blobs. */
+  def asBinaryTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB DECODE — deterministic fake image decode. A real deployment swaps
+    * this body for a codec call (e.g. via mapInArrow over a JNI decoder);
+    * the schema contract (width/height/mean_luma) is the real interface.
+    * Fake: dimensions/luma are hex digits of md5(content). */
+  def decodeImageMeta(bin: DataFrame): DataFrame = {
+    val h = md5(col("content"))
+    bin.withColumn("image",
+      struct(
+        (conv(substring(h, 1, 3), 16, 10).cast("long") % 1920 + 1).as("width"),
+        (conv(substring(h, 4, 3), 16, 10).cast("long") % 1080 + 1).as("height"),
+        (conv(substring(h, 7, 2), 16, 10).cast("long")).as("mean_luma")))
+  }
+
+  /** Frame sampling: emit every `stride`-th "frame" index up to n_frames
+    * (fake n_frames = n_bytes / 64). Pure generate — narrow, no shuffle. */
+  def sampleFrames(bin: DataFrame, stride: Int): DataFrame =
+    decodeImageMeta(bin)
+      .withColumn("n_frames", greatest(col("meta.n_bytes") / 64, lit(1)).cast("long"))
+      .select(col("doc_id"), col("image"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators re-expressing the reference's BigQuery
+  * stored-procedure layer (SURVEY §2.0 Q1-Q20) as pure
+  * DataFrame => DataFrame functions.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dedupe/latest-per-key are a single hash-partition shuffle on the key
+  *    (window over PARTITION BY key); with AQE skew handling enabled a hot
+  *    key splits automatically.
+  *  - upsert is one full-outer shuffle join on the key; at production scale
+  *    the base side would be bucketed on the key so only the delta shuffles.
+  *  - topK uses Spark's TakeOrderedAndProject (per-partition partial top-k,
+  *    then a single reduce) — no global sort materialization.
+  */
+object Relational {
+
+  /** Q1 delete_duplicates (reference DAG_cloudrun_dataflow_sp.py:90-96):
+    * keep the first row per key under `order`. */
+  def dedupeKeepFirst(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(key: _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** Q2 merge_temp_master (DAG:98-104, DOC:8): upsert `updates` into `base`
+    * on `key` — update rows win column-by-column, new keys are inserted.
+    * MERGE-without-Delta = full-outer join + per-column coalesce. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = base.columns
+    val b = base.as("b")
+    val u = updates.as("u")
+    b.join(u, b(key) === u(key), "full_outer")
+      .select(cols.map(c => coalesce(u(c), b(c)).as(c)): _*)
+  }
+
+  /** Q4/Q6-style "latest event per key" derivation
+    * (DAG:114-120 update_delivery_order_work_status). */
+  def latestPerKey(df: DataFrame, key: Seq[Column], ts: Seq[Column]): DataFrame =
+    dedupeKeepFirst(df, key, ts.map(_.desc))
+
+  /** Sort + limit; Spark plans this as TakeOrderedAndProject (no full sort). */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMicros`. Two window passes
+    * over the same (user, time) partitioning — one shuffle total. */
+  def sessionize(events: DataFrame, user: Column, tsMicros: Column,
+                 tieBreak: Column, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(tsMicros, tieBreak)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__ts_us", tsMicros)
+      .withColumn("__new",
+        when(lag(col("__ts_us"), 1).over(w).isNull ||
+             col("__ts_us") - lag(col("__ts_us"), 1).over(w) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(wRun))
+      .drop("__new")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, and document fingerprinting.
+  * All narrow (per-row) transformations — zero shuffle, fully inside
+  * whole-stage codegen, trivially scale-out.
+  */
+object TextAnalysis {
+
+  /** Stopword lexicons for the n-gram language-ID heuristic. Deliberately
+    * tiny and fixed: the oracle replays them verbatim. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "zai", "you", "he"))
+
+  /** Language-ID: argmax of stopword hits; ties break by lexicon order
+    * (foldRight nests the first lexicon outermost, so 'en' wins ties);
+    * 'und' (undetermined) when no lexicon hits at all. */
+  def langId(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("lang_label") +:
+        lexicons.map { case (l, ws) => wordSetCount(ts, ws).as(s"cnt_$l") }): _*)
+    val maxCnt = greatest(lexicons.map { case (l, _) => col(s"cnt_$l") }: _*)
+    val argmax = lexicons.foldRight(lit("und")) { case ((l, _), e) =>
+      when(col(s"cnt_$l") === maxCnt, l).otherwise(e)
+    }
+    val pred = when(maxCnt > 0, argmax).otherwise(lit("und"))
+    scored.select(col("doc_id"), pred.as("pred_lang"), col("lang_label"))
+  }
+
+  /** Quality signals + a composite score in [0,1]:
+    * n_tokens, mean token length, digit ratio, stopword ratio. */
+  def quality(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts).cast("long")
+    val nChar = length(col("text")).cast("double")
+    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
+    val stops = wordSetCount(ts, lexicons.head._2).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(nChar / nTok.cast("double"), 4).as("mean_tok_len"),
+      round(digits / nChar, 4).as("digit_ratio"),
+      round(stops / nTok.cast("double"), 4).as("stopword_ratio"),
+      round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
+        (lit(1.0) - digits / nChar), 4).as("quality_score"))
+  }
+
+  /** Token counting, two ways: whitespace tokens and a BPE-ish regex
+    * (alpha runs | digit runs | single other non-space char). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /** Document fingerprints: full-content md5 + token-level polynomial
+    * rolling hash (order-sensitive, whitespace-insensitive). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("md5_sig"),
+      rollingFingerprint(tokens(col("text"))).as("roll_sig"))
+}
