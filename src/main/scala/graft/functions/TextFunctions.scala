@@ -37,7 +37,7 @@ object TextFunctions {
   /** Polynomial rolling hash (document fingerprint): fold over token hashes,
     * acc*131 + h (mod 1e9+7). Max intermediate 1.4e11 << Long.Max. */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(transform(toks, tokenHash), lit(0L),
+    aggregate(transform(toks, t => tokenHash(t)), lit(0L),
       (acc, h) => (acc * lit(131L) + h) % lit(1000000007L))
 
   /** Count of tokens contained in a fixed word set (language-ID / quality

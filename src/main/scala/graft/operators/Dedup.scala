@@ -82,7 +82,7 @@ object Dedup {
     }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until bits)
-      .map(j => when(col(s"v$j") > 0, lit(1L) << j).otherwise(0L))
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), fp.cast("long").as("fingerprint"))
   }
