@@ -14,6 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Session config required to read the `events` fixture: its `ts` column
+    * is INT64 TIMESTAMP(NANOS), which Spark 4 rejects unless surfaced as a
+    * raw long. [[apply]] then converts ns→µs with integer division —
+    * truncation toward zero for positive epochs, matching how DuckDB (the
+    * oracle) narrows the same column to µs TIMESTAMP. */
+  val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }

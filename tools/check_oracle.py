@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness compare.
+
+Reads each Spark result parquet under OUT_DIR/<name>/, runs the matching
+oracle SQL from OUT_DIR/oracle_sql.json in DuckDB over the sf parquet
+tables, sorts columns by name on both sides, and compares row count,
+schema (column names), and values (exact; floats to 9 significant places).
+
+Usage: check_oracle.py <sf_dir> <out_dir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        s_cols, d_cols = sorted(spark.columns), sorted(duck.columns)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if len(spark) != len(duck):
+            print(f"FAIL {name}: rows spark={len(spark)} duck={len(duck)}")
+            n_fail += 1
+            continue
+        spark = spark[s_cols].sort_values(s_cols, na_position="first").reset_index(drop=True)
+        duck = duck[d_cols].sort_values(d_cols, na_position="first").reset_index(drop=True)
+        bad = None
+        for col in s_cols:
+            sv = [canon(x) for x in spark[col].tolist()]
+            dv = [canon(x) for x in duck[col].tolist()]
+            if sv != dv:
+                i = next(i for i, (a, b) in enumerate(zip(sv, dv)) if a != b)
+                bad = f"col {col} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
+                break
+        if bad:
+            print(f"FAIL {name}: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
