@@ -28,11 +28,15 @@ object TextFunctions {
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
 
-  /** Deterministic cross-engine token hash: ascii(first char)*31 + length.
-    * Chosen because `ascii`/`length` exist with identical semantics in both
-    * Spark and DuckDB (md5 would also work but is ~10x the bytes). */
+  /** Deterministic cross-engine token hash: ascii(first ASCII char)*31 +
+    * length. `ascii`/`length` agree between Spark and DuckDB only on ASCII
+    * input (Spark returns the first UTF-8 BYTE, DuckDB the code point), so
+    * non-printable-ASCII chars are stripped before the ascii() probe; the
+    * length term still covers the full token, keeping distinct non-ASCII
+    * tokens likely-distinct. */
   def tokenHash(t: Column): Column =
-    (ascii(substring(t, 1, 1)) * 31 + length(t)).cast("long")
+    (ascii(substring(regexp_replace(t, "[^ -~]", ""), 1, 1)) * 31 + length(t))
+      .cast("long")
 
   /** Polynomial rolling hash (document fingerprint): fold over token hashes,
     * acc*131 + h (mod 1e9+7). Max intermediate 1.4e11 << Long.Max. */

@@ -87,22 +87,38 @@ object Dedup {
     agg.select(col("doc_id"), fp.cast("long").as("fingerprint"))
   }
 
-  /** Exact n-gram Jaccard over all pairs sharing at least one shingle;
-    * emits pairs with similarity >= threshold. The shingle equi-join IS the
-    * blocking step — disjoint docs never meet, so the join output is
-    * |inverted-index postings|², per shingle, not |docs|². */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  /** Exact n-gram Jaccard over candidate pairs sharing at least one RARE
+    * shingle; emits pairs with similarity >= threshold.
+    *
+    * Candidate generation (blocking) uses only shingles whose document
+    * frequency is <= maxDf: the self-join is quadratic in posting-list
+    * length, so one corpus-scale hot 3-gram would otherwise emit billions
+    * of pairs. Capping df bounds the join output at |shingles|·maxDf².
+    * Verification then computes Jaccard EXACTLY from each candidate's FULL
+    * shingle set (array_intersect/size), so the cap cannot distort scores —
+    * it can only miss pairs whose overlap consists solely of
+    * hotter-than-maxDf shingles, which at threshold>=0.8 requires
+    * pathologically templated text (the standard blocking trade-off). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = 1000): DataFrame = {
     val sh = shingleSet(docs, n)
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(card.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(card.as("cb"), col("b_id") === col("cb.doc_id"))
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"),
+      "s")
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("set"))
+    cand
+      .join(sets.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(sets.as("cb"), col("b_id") === col("cb.doc_id"))
       .select(col("a_id"), col("b_id"),
-        round(col("i").cast("double") / (col("ca.c") + col("cb.c") - col("i")), 3).as("j"))
+        size(array_intersect(col("ca.set"), col("cb.set"))).cast("double").as("i"),
+        size(col("ca.set")).as("na"), size(col("cb.set")).as("nb"))
+      .select(col("a_id"), col("b_id"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
       .filter(col("j") >= threshold)
   }
 }

@@ -27,14 +27,20 @@ object Relational {
       .drop("__rn")
 
   /** Q2 merge_temp_master (DAG:98-104, DOC:8): upsert `updates` into `base`
-    * on `key` — update rows win column-by-column, new keys are inserted.
-    * MERGE-without-Delta = full-outer join + per-column coalesce. */
+    * on `key` — when a key matches, the update row wins WHOLESALE (a NULL in
+    * an update row overwrites a non-null base value, true MERGE semantics);
+    * unmatched update keys are inserted, unmatched base keys kept.
+    * MERGE-without-Delta = full-outer join gated on update-key presence. */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = base.columns
-    val b = base.as("b")
-    val u = updates.as("u")
-    b.join(u, b(key) === u(key), "full_outer")
-      .select(cols.map(c => coalesce(u(c), b(c)).as(c)): _*)
+    // Prefix-rename the update side so the two inputs share no column
+    // names: `base` may itself derive from `updates` (e.g. re-applying a
+    // delta), and same-name attributes would then make Spark's self-join
+    // resolution pick sides silently wrong.
+    val u = updates.select(cols.map(c => updates(c).as(s"__u_$c")): _*)
+    base.join(u, base(key) === col(s"__u_$key"), "full_outer")
+      .select(cols.map(c =>
+        when(col(s"__u_$key").isNotNull, col(s"__u_$c")).otherwise(base(c)).as(c)): _*)
   }
 
   /** Q4/Q6-style "latest event per key" derivation
@@ -60,6 +66,6 @@ object Relational {
              col("__ts_us") - lag(col("__ts_us"), 1).over(w) > gapMicros, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(wRun))
-      .drop("__new")
+      .drop("__new", "__ts_us")
   }
 }

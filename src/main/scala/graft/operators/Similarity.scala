@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -19,6 +18,13 @@ import graft.functions.VectorFunctions._
   *    query, the classic IVF trade (recall < 1.0, tested with a recall
   *    bound, not a hash match).
   *
+  * Skew discipline: NO `row_number() OVER (PARTITION BY q_id)` anywhere —
+  * that would sort each query's entire candidate set in one task. Top-k is a
+  * two-phase aggregation (local top-k per input partition, then a merge of
+  * ≤k·partitions candidates per query), and nearest-centroid is a `max_by`
+  * aggregate — both run with map-side partial aggregation and bounded
+  * per-group state.
+  *
   * Determinism: ordering uses ROUND(cosine, 4) with vec_id tiebreak, so the
   * result is insensitive to last-ulp float drift across engines.
   */
@@ -26,32 +32,53 @@ object Similarity {
 
   private def simCol(a: Column, b: Column): Column = round(cosine(a, b), 4)
 
+  /** Per-query top-k of a scored frame (q_id, n_id, sim) without a global
+    * per-query sort. Phase 1 keeps the best k per (q_id, input partition);
+    * phase 2 merges the ≤ k·numPartitions survivors per query. Sort key is
+    * struct(-sim, n_id): array_sort orders field-lexicographically, giving
+    * sim DESC then n_id ASC. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val cand = struct((-col("sim")).as("negsim"), col("n_id"), col("sim"))
+    val local = scored
+      .withColumn("__p", spark_partition_id())
+      .groupBy(col("q_id"), col("__p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
+    local
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(col("t"))), 1, k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"))
+  }
+
   /** Exact top-k neighbors for each query vector (queries = rows matching
     * `queryPred`), excluding self. Output: q_id, n_id, sim. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("sim", simCol(col("q_emb"), col("n_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), simCol(col("q_emb"), col("n_emb")).as("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF assignment: nearest centroid per vector (centroids = rows matching
     * `centroidPred`, e.g. vec_id % 50 == 0 for a deterministic codebook).
+    * One max_by aggregate per vector — partial-aggregates map-side, carries
+    * the embedding in the value struct so no second corpus join is needed.
     * Output: vec_id, embedding, cluster. */
   def ivfAssign(emb: DataFrame, centroidPred: Column): DataFrame = {
     val cent = emb.filter(centroidPred)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
     emb.join(broadcast(cent))
-      .withColumn("sim", simCol(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        simCol(col("embedding"), col("c_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("embedding")),
+        struct(col("sim"), (-col("c_id")).as("negid"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("cluster"))
   }
 
   /** IVF search, probe=1: each query scans only its own cluster.
@@ -62,12 +89,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
     val c = assigned
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    broadcast(q).join(c, Seq("cluster"))
+    val scored = broadcast(q).join(c, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", simCol(col("q_emb"), col("n_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"))
+      .select(col("q_id"), col("n_id"), simCol(col("q_emb"), col("n_emb")).as("sim"))
+    topKPerQuery(scored, k)
   }
 }

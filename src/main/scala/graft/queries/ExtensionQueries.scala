@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver-contract queries for the training-data-pipeline extensions
+  * (dedup, text analysis, multimodal plumbing, similarity search).
+  *
+  * Eight queries carry full DuckDB oracles — including the MinHash+LSH,
+  * SimHash, and n-gram-Jaccard pipelines, whose SQL is GENERATED from the
+  * same lexicons/parameters the Spark operators use, so the two sides
+  * cannot silently drift. The two kNN queries are rows-only: float cosine
+  * ordering is not bit-stable across engines (they get tolerance-based
+  * ScalaTest coverage instead, per SURVEY §5.2 #5).
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // ---- Spark side ----------------------------------------------------
+
+  def x01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+      .select("doc_id").orderBy("doc_id")
+
+  def x02(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")
+
+  def x03(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")
+
+  def x04(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(s, dir)).orderBy("doc_id")
+
+  def x05(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
+
+  def x06(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleSet(docs(s, dir), n = 3).orderBy("doc_id", "s")
+
+  def x07(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.asBinaryTable(docs(s, dir)), stride = 7)
+      .select("doc_id", "frame_idx").orderBy("doc_id", "frame_idx")
+
+  def x08(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(docs(s, dir), n = 3, k = 12, bands = 4)
+      .orderBy("a_id", "b_id")
+
+  def x09(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), bits = 16).orderBy("doc_id")
+
+  def x10(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+
+  def x11(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 10)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+
+  def x12(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir),
+        centroidPred = col("vec_id") % 50 === 0,
+        queryPred = col("vec_id") % 100 === 0, k = 10)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_exact_dedup"   -> (x01 _),
+    "x02_token_counts"  -> (x02 _),
+    "x03_lang_id"       -> (x03 _),
+    "x04_quality"       -> (x04 _),
+    "x05_fingerprints"  -> (x05 _),
+    "x06_shingles"      -> (x06 _),
+    "x07_frame_sample"  -> (x07 _),
+    "x08_minhash_lsh"   -> (x08 _),
+    "x09_simhash"       -> (x09 _),
+    "x10_ngram_jaccard" -> (x10 _),
+    "x11_knn_brute"     -> (x11 _),
+    "x12_knn_ivf"       -> (x12 _),
+  )
+
+  // ---- DuckDB oracle side --------------------------------------------
+
+  /** Shared shingle CTE (n=3, raw single-space split, DISTINCT per doc) —
+    * mirrors Dedup.shingleSet. DuckDB list slices are 1-based inclusive;
+    * range() is stop-exclusive, so i runs 1 .. len-2 for trigrams. */
+  private val shingleCte: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+      |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+      |       WHERE len(toks) >= 3)""".stripMargin
+
+  /** ascii-safe token hash, identical to TextFunctions.tokenHash. */
+  private def tokenHashSql(t: String): String =
+    s"(ascii(substring(regexp_replace($t, '[^ -~]', '', 'g'), 1, 1))*31 + length($t))::BIGINT"
+
+  private def lexiconFilter(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("x IN (", ", ", ")")
+
+  private val langCounts: String = TextAnalysis.lexicons.map { case (l, ws) =>
+    s"len(list_filter(toks, x -> ${lexiconFilter(ws)})) AS cnt_$l"
+  }.mkString(",\n  ")
+
+  private val langArgmax: String = {
+    val whens = TextAnalysis.lexicons.init.map { case (l, _) =>
+      s"WHEN cnt_$l = mx THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN mx = 0 THEN 'und' $whens ELSE '${TextAnalysis.lexicons.last._1}' END"
+  }
+
+  private val minhashSigCols: String =
+    (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+
+  private val lshBandRows: String = (0 until 4).map { b =>
+    val hs = (0 until 3).map(j => s"h${b * 3 + j}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val simhashVotes: String = (0 until 16).map { j =>
+    s"SUM((strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
+  }.mkString(",\n  ")
+
+  private val simhashBits: String = (0 until 16).map { j =>
+    s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
+  val sql: Map[String, String] = Map(
+    "x01_exact_dedup" ->
+      """SELECT doc_id FROM
+        | (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "x02_token_counts" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "x03_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang AS lang_label,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, lang_label,
+         |  $langCounts FROM t),
+         |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c)
+         |SELECT doc_id, $langArgmax AS pred_lang, lang_label
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "x04_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  length(text)::DOUBLE AS nc,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg,
+         |  len(list_filter(toks, x -> ${lexiconFilter(TextAnalysis.lexicons.head._2)}))::DOUBLE AS st
+         | FROM t)
+         |SELECT doc_id, n_tokens,
+         | ROUND(nc / n_tokens, 4) AS mean_tok_len,
+         | ROUND(dg / nc, 4) AS digit_ratio,
+         | ROUND(st / n_tokens, 4) AS stopword_ratio,
+         | ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "x05_fingerprints" ->
+      s"""SELECT doc_id, md5(text) AS md5_sig,
+         | list_reduce(
+         |   list_prepend(0::BIGINT,
+         |     list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+         |                    t -> ${tokenHashSql("t")})),
+         |   (a, b) -> (a * 131 + b) % 1000000007) AS roll_sig
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x06_shingles" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, s FROM sh ORDER BY doc_id, s""".stripMargin,
+    "x07_frame_sample" ->
+      """SELECT doc_id,
+        | unnest(range(0, greatest(strlen(text) // 64, 1), 7)) AS frame_idx
+        | FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "x08_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $lshBandRows)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "x09_simhash" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),
+         |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+         |v AS (SELECT doc_id,
+         |  $simhashVotes
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, ($simhashBits)::BIGINT AS fingerprint
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "x10_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |rare AS (SELECT sh.* FROM sh JOIN
+         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000) rs USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT cand.a_id, cand.b_id, count(*) AS i
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.a_id
+         |  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.s = sa.s
+         |  GROUP BY cand.a_id, cand.b_id)
+         |SELECT a_id, b_id, j FROM
+         | (SELECT inter.a_id, inter.b_id,
+         |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
+         |  FROM inter
+         |  JOIN card ca ON inter.a_id = ca.doc_id
+         |  JOIN card cb ON inter.b_id = cb.doc_id)
+         |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+    // x11/x12 intentionally absent: float cosine not bit-stable cross-engine.
+  )
+}

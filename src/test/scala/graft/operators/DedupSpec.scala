@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val kept = Dedup.exact(d, col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("shingleSet: docs shorter than n produce no shingles") {
+    val d = docs(1L -> "a b", 2L -> "a b c d")
+    val sh = Dedup.shingleSet(d, 3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.forall(_._1 == 2L))
+    assert(sh.map(_._2).sorted.toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("LSH: identical docs always collide; disjoint docs never do") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words that share nothing at all here")
+    val pairs = Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints; bits bounded") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "unrelated stuff")
+    val fp = Dedup.simhash(d, bits = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("ngramJaccard: identical docs score 1.0; near-dups score in (0,1)") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",
+      3L -> "a b c d e f g x")
+    val j = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0 && j((1L, 3L)) < 1.0)
+  }
+
+  test("ngramJaccard maxDf cap bounds candidates on a hot-shingle corpus") {
+    // 20 docs share ONE hot shingle but are otherwise disjoint: with
+    // maxDf < 20 the hot posting list is excluded from blocking entirely,
+    // so no candidate pairs (and no quadratic join) are generated.
+    val hot = (1L to 20L).map(i => i -> s"hot hot hot u$i v$i w$i")
+    val d = docs(hot: _*)
+    val capped = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0, maxDf = 5)
+    assert(capped.count() == 0)
+    // sanity: without the cap the same corpus yields all C(20,2) pairs
+    val uncapped = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0, maxDf = 1000)
+    assert(uncapped.count() == 190)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = Seq(
+    (1L, "short doc"),
+    (2L, "x " * 200 + "end")  // 403 bytes -> 6 fake frames
+  ).toDF("doc_id", "text")
+
+  test("asBinaryTable: content round-trips and n_bytes is the byte length") {
+    val got = Multimodal.asBinaryTable(d)
+      .select(col("doc_id"), decode(col("content"), "UTF-8").as("back"),
+        col("meta.n_bytes"), col("meta.mime"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "short doc")
+    assert(got(0).getLong(2) == 9L)
+    assert(got(1).getLong(2) == 403L)
+    assert(got(0).getString(3) == "application/octet-stream")
+  }
+
+  test("decodeImageMeta stub: deterministic, bounded dimensions") {
+    val img = Multimodal.decodeImageMeta(Multimodal.asBinaryTable(d))
+      .select("doc_id", "image.width", "image.height", "image.mean_luma")
+      .orderBy("doc_id").collect()
+    val again = Multimodal.decodeImageMeta(Multimodal.asBinaryTable(d))
+      .select("doc_id", "image.width", "image.height", "image.mean_luma")
+      .orderBy("doc_id").collect()
+    assert(img.toSeq == again.toSeq)
+    img.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 1920)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 1080)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 255)
+    }
+  }
+
+  test("sampleFrames: stride-sampled indices, ceil(n_frames/stride) rows") {
+    val frames = Multimodal.sampleFrames(Multimodal.asBinaryTable(d), stride = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .orderBy("doc_id").collect()
+    // doc 1: 9 bytes -> n_frames=1 -> indices [0]      -> 1 row
+    // doc 2: 403 bytes -> n_frames=6 -> [0,2,4]        -> 3 rows
+    assert(frames(0).getLong(1) == 1L && frames(0).getLong(2) == 0L)
+    assert(frames(1).getLong(1) == 3L && frames(1).getLong(2) == 4L)
+  }
+}

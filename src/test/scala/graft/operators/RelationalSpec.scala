@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupeKeepFirst keeps exactly the first row per key under the order") {
+    val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
+    val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "c")))
+    assert(!out.head.schema.fieldNames.contains("__rn"))
+  }
+
+  test("upsert: matched update row wins wholesale, including NULL overwrite") {
+    val base = Seq((1, Option("old"), Option(10)), (2, Option("keep"), Option(20)))
+      .toDF("k", "v", "n")
+    val updates = Seq((1, Option.empty[String], Option(11)), (3, Option("new"), Option(30)))
+      .toDF("k", "v", "n")
+    val out = Relational.upsert(base, updates, "k").orderBy("k").collect()
+    // key 1 matched: update's NULL v overwrites "old" (true MERGE semantics)
+    assert(out(0) == Row(1, null, 11))
+    assert(out(1) == Row(2, "keep", 20))
+    assert(out(2) == Row(3, "new", 30))
+  }
+
+  test("upsert is idempotent: applying the same delta twice equals once") {
+    val base = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val upd = Seq((2, "B"), (3, "c")).toDF("k", "v")
+    val once = Relational.upsert(base, upd, "k")
+    val twice = Relational.upsert(once, upd, "k")
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("sessionize splits on gap and leaks no helper columns") {
+    val df = Seq(
+      ("u1", 0L, 1), ("u1", 100L, 2), ("u1", 5000L, 3), ("u2", 0L, 4)
+    ).toDF("user", "ts_us", "id")
+    val out = Relational.sessionize(df, col("user"), col("ts_us"), col("id"), gapMicros = 1000L)
+    assert(out.columns.toSet == Set("user", "ts_us", "id", "session_id"))
+    val sess = out.orderBy("user", "ts_us").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(3))).toSeq
+    assert(sess == Seq(("u1", 1, 1L), ("u1", 2, 1L), ("u1", 3, 2L), ("u2", 4, 1L)))
+  }
+
+  test("topK plans as TakeOrderedAndProject (no global sort at scale)") {
+    val df = spark.range(1000).toDF("x")
+    val top = Relational.topK(df, Seq(col("x").desc), 5)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
+  }
+}
