@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.explode.ChildTables
+import graft.flatten.OrderFlatten
+import graft.sources.RawReader
+import graft.transform.WorkGraph
+
+/** O1: the reference's linear Airflow DAG (Composer/
+  * DAG_cloudrun_dataflow_sp.py:323-362 — http → 5 Beam jobs → 29 SP calls)
+  * as one Spark driver. Sequencing is Scala statement order; the five
+  * Beam jobs that each re-read the raw JSON become ONE read + five
+  * derivations (SURVEY §4.2 #3), and the SP chain is the WorkGraph
+  * composition, which Catalyst fuses into a handful of jobs.
+  */
+object Main {
+
+  /** Summary counts (the S3 metadata-sidecar semantics, app.py:166-171). */
+  final case class RunReport(orders: Long, corruptFiles: Long, events: Long,
+                             schedules: Long, reschedules: Long, packages: Long)
+
+  /** Default polygon-lab lookup (T3): stands in for the reference's
+    * external polygon service responses (app.py:56-65). */
+  def defaultPolygonLookup(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (13123L, 7L, "URBAN-A"), (13120L, 3L, "URBAN-B"), (13101L, 1L, "URBAN-C")
+    ).toDF("structure_id", "polygon", "segmentation")
+  }
+
+  /** Default route dim (Q10). */
+  def defaultRouteDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((13123L, "RUTA-CENTRO"), (13120L, "RUTA-NORTE"), (13101L, "RUTA-SUR"))
+      .toDF("structure_id", "route_name")
+  }
+
+  /** Full pipeline: raw day-files → master + 4 child temps + work +
+    * visit-order parquet under `outDir`. Returns the run report. */
+  def run(spark: SparkSession, inDir: String, outDir: String): RunReport = {
+    val (good, bad) = RawReader.quarantine(RawReader.readOrders(spark, inDir))
+
+    // One parse of the raw JSON; everything below derives from `flat`.
+    val flat = OrderFlatten.enrichPolygonLab(
+      OrderFlatten.flatten(good), defaultPolygonLookup(spark))
+
+    val tempMaster = WorkGraph.deleteDuplicates(flat)          // Q1
+    val master = tempMaster                                    // Q2 vs empty history
+    // Child tables derive from the PRE-dedupe frame: the reference's Beam
+    // explodes run on the raw day-files (P2-P5), before the SP-layer dedupe.
+    val events = ChildTables.eventsInfo(flat)                  // E1 (+T7)
+    val schedules = ChildTables.scheduleEvents(flat)           // E2
+    val reschedules = ChildTables.rescheduleEvents(flat)       // E3
+    val packages = ChildTables.packages(flat)                  // E4
+
+    var work = WorkGraph.insertWorkTemp(master)                // Q3
+    work = WorkGraph.updateWorkStatus(work, events)            // Q4
+    work = WorkGraph.updateWorkMacroStatus(work)               // Q5
+    work = WorkGraph.updateWorkLob(work, events)               // Q6
+    work = WorkGraph.updateWorkPackages(work, packages)        // Q7
+    work = WorkGraph.updateWorkStructure(work)                 // Q8
+    work = WorkGraph.updateWorkTypeRoute(work)                 // Q9
+    work = WorkGraph.updateWorkRouteName(work, defaultRouteDim(spark)) // Q10
+    work = WorkGraph.updateWorkStatusTlmk(work, events)        // Q11
+    work = WorkGraph.updateWorkTotal(work, master)             // Q12
+    work = WorkGraph.updateWorkPortability(work)               // Q13
+    Seq(1, 2, 3, 0).foreach { n =>                             // Q14+Q15
+      work = WorkGraph.updateWorkVisit(work, events, n)
+    }
+    work = WorkGraph.updateWorkScheduled(work, schedules)      // Q16
+    val visits = WorkGraph.visitOrder(events)                  // Q17
+    work = WorkGraph.finalizeWork(work)                        // Q18
+    val masterFinal = WorkGraph.masterVisitBackfill(master, work) // Q19
+
+    def sink(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    sink(OrderFlatten.toMasterSink(masterFinal), "delivery_order_master") // T6
+    sink(events, "events_info_temp")
+    sink(schedules, "schedule_events_info_temp")
+    sink(reschedules, "reschedule_events_info_temp")
+    sink(packages, "packages_temp")
+    sink(work, "delivery_order_work")
+    sink(visits, "delivery_order_visit_order")
+
+    val report = RunReport(master.count(), bad.count(), events.count(),
+      schedules.count(), reschedules.count(), packages.count())
+    // S3 metadata sidecar (app.py:166-171)
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(s"$outDir/_run_metadata.json"),
+      s"""{"total_ordenes":${report.orders},"fallos":${report.corruptFiles},""" +
+        s""""events":${report.events},"schedules":${report.schedules},""" +
+        s""""reschedules":${report.reschedules},"packages":${report.packages}}""")
+    report
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, inDir, outDir)
+    println(s"[main] $r")
+    spark.stop()
+  }
+}

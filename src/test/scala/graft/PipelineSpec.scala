@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.explode.ChildTables
+import graft.flatten.OrderFlatten
+import graft.sources.RawReader
+import graft.transform.WorkGraph
+
+/** End-to-end tests of the reference-core slice over the JSON fixtures,
+  * mirroring (against the REAL functions, unlike the reference's
+  * test-a-copy suite, tests/test_process_json_file.py:5-14) the behaviors
+  * in SURVEY §5 / FIXTURES §A.1. */
+class PipelineSpec extends SparkSpec {
+
+  private val fixtures = getClass.getResource("/orders").getPath
+  private lazy val raw = RawReader.readOrders(spark, fixtures)
+  private lazy val goodBad = RawReader.quarantine(raw)
+  private lazy val flat = OrderFlatten.enrichPolygonLab(
+    OrderFlatten.flatten(goodBad._1), Main.defaultPolygonLookup(spark))
+
+  test("S5/S7/S8: metadata skipped, 4 orders parsed, corrupt quarantined") {
+    val (good, bad) = goodBad
+    assert(good.count() == 4)
+    assert(bad.count() == 1)
+    assert(bad.collect().head.getString(0).contains("corrupt.json"))
+  }
+
+  test("T1: empty-string→null, defaults, nested projection") {
+    val byId = flat.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap
+    // ORD-1 twice (dup), plus ORD-2, ORD-3
+    val o2 = byId("ORD-2")
+    assert(o2.getAs[String]("code") == "")                    // "" kept: default is '', not null (app.py:73)
+    assert(o2.getAs[Boolean]("recycling") == false)           // null → False default
+    assert(o2.getAs[String]("destination_geo_coding") == null) // "" → null
+    assert(o2.getAs[String]("assigned_courier") == "ACME")
+    val o3 = byId("ORD-3")
+    assert(o3.getAs[String]("created_date") == null)          // T4 invalid → null
+  }
+
+  test("T2: size_box digit-strip") {
+    val sizes = flat.select("delivery_order_id", "size_box").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sizes("ORD-2") == "cajagrande")
+    assert(sizes.filterKeys(_ == "ORD-1").values.forall(_ == "M"))
+  }
+
+  test("T3: polygon enrichment only for the three enriched structure ids") {
+    val lab = flat.select("delivery_order_id", "destination_polygon_lab").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(lab.count(t => t._1 == "ORD-1" && t._2 == "URBAN-A") == 2)
+    assert(lab.filter(_._1 == "ORD-2").forall(_._2 == null)) // 99999 not enriched
+  }
+
+  test("T6: sink serializes arrays to JSON strings, null stays null") {
+    val sink = OrderFlatten.toMasterSink(flat)
+    val o1 = sink.filter(col("code") === "C-001").collect().head
+    val ev = o1.getAs[String]("events_info_json")
+    assert(ev.startsWith("[{") && ev.contains("\"user_name\":\"ana\""))
+    val o2 = sink.filter(col("delivery_order_id") === "ORD-2").collect().head
+    assert(o2.getAs[String]("events_info_json") == null)
+  }
+
+  test("T7: strict timestamp parse — 1-6 fraction digits ok, else null") {
+    val events = ChildTables.eventsInfo(flat)
+    val ts = events.filter(col("delivery_order_id") === "ORD-1" && col("info_user_name") === "tlmk_bot")
+      .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")).collect()
+    assert(ts.map(_.getString(0)).contains("2024-01-16 11:00:00.500")) // ".5" → .500000
+    val bad = events.filter(col("delivery_order_id") === "ORD-3")
+      .select("timestamp").collect()
+    assert(bad.length == 2 && bad.forall(_.isNullAt(0))) // no fraction / garbage → null
+  }
+
+  test("E1-E5: explode counts incl. null-array guard; E3 parses all 6 dates") {
+    assert(ChildTables.eventsInfo(flat).count() == 6)       // 3 + 1 + 0 + 2
+    assert(ChildTables.scheduleEvents(flat).count() == 1)
+    assert(ChildTables.packages(flat).count() == 3)
+    val re = ChildTables.rescheduleEvents(flat).collect().head
+    assert(!re.isNullAt(re.fieldIndex("info_old_packaging_expected")))
+    assert(!re.isNullAt(re.fieldIndex("info_new_b2c_delivery_expected")))
+    assert(re.isNullAt(re.fieldIndex("info_old_b2b_delivery_expected"))) // null in, null out
+  }
+
+  test("Q1-Q19: work graph derivations over the fixture") {
+    val master = WorkGraph.deleteDuplicates(flat)
+    assert(master.count() == 3) // ORD-1 dup collapsed, newest created_date wins
+    assert(master.filter(col("delivery_order_id") === "ORD-1")
+      .collect().head.getAs[String]("code") == "C-001")
+
+    val events = ChildTables.eventsInfo(master)
+    var work = WorkGraph.insertWorkTemp(master)
+    work = WorkGraph.updateWorkStatus(work, events)
+    work = WorkGraph.updateWorkMacroStatus(work)
+    work = WorkGraph.updateWorkLob(work, events)
+    work = WorkGraph.updateWorkPackages(work, ChildTables.packages(master))
+    work = WorkGraph.updateWorkStructure(work)
+    work = WorkGraph.updateWorkTypeRoute(work)
+    work = WorkGraph.updateWorkRouteName(work, Main.defaultRouteDim(spark))
+    work = WorkGraph.updateWorkStatusTlmk(work, events)
+    work = WorkGraph.updateWorkTotal(work, master)
+    work = WorkGraph.updateWorkPortability(work)
+    Seq(1, 2, 3, 0).foreach(n => work = WorkGraph.updateWorkVisit(work, events, n))
+    work = WorkGraph.updateWorkScheduled(work, ChildTables.scheduleEvents(master))
+
+    val byId = work.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap
+    val w1 = byId("ORD-1")
+    assert(w1.getAs[Long]("status") == 5)                  // latest event
+    assert(w1.getAs[String]("macro_status") == "DELIVERED")
+    assert(w1.getAs[Long]("lob") == 2)                     // latest non-null lob
+    assert(w1.getAs[Long]("n_packages") == 2)
+    assert(w1.getAs[Boolean]("any_dc_bulk"))
+    assert(w1.getAs[String]("structure_type") == "URBAN_POLYGON")
+    assert(w1.getAs[String]("route_name") == "RUTA-CENTRO")
+    assert(w1.getAs[String]("status_tlmk") == "TLMK")      // tlmk_bot event
+    assert(w1.getAs[Long]("total_items") == 5)             // 2 + 3
+    assert(w1.getAs[Boolean]("portability"))               // XD-9 present
+    assert(w1.getAs[String]("visit1_user") == "ana")
+    assert(w1.getAs[String]("visitlast_user") == "luis")
+    val w2 = byId("ORD-2")
+    assert(w2.getAs[String]("macro_status") == "NO_EVENTS")
+    assert(w2.getAs[Long]("total_items") == 0)
+    assert(!w2.getAs[Boolean]("portability"))
+    val w3 = byId("ORD-3")
+    assert(w3.getAs[String]("type_route") == "RECYCLING")
+
+    // Q17 + Q19
+    val visits = WorkGraph.visitOrder(events)
+    assert(visits.filter(col("delivery_order_id") === "ORD-1").count() == 3)
+    val backfilled = WorkGraph.masterVisitBackfill(master, work)
+    assert(backfilled.filter(col("delivery_order_id") === "ORD-1")
+      .collect().head.getAs[String]("macro_status") == "DELIVERED")
+  }
+
+  test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
+    val out = Files.createTempDirectory("graft_e2e").toString
+    val report = Main.run(spark, fixtures, out)
+    assert(report.orders == 3 && report.corruptFiles == 1)
+    assert(report.events == 6 && report.packages == 3)
+    Seq("delivery_order_master", "events_info_temp", "schedule_events_info_temp",
+      "reschedule_events_info_temp", "packages_temp", "delivery_order_work",
+      "delivery_order_visit_order").foreach { t =>
+      assert(spark.read.parquet(s"$out/$t").count() >= 0, s"sink $t unreadable")
+    }
+    val meta = Files.readString(Paths.get(s"$out/_run_metadata.json"))
+    assert(meta.contains("\"total_ordenes\":3") && meta.contains("\"fallos\":1"))
+    val master = spark.read.parquet(s"$out/delivery_order_master")
+    assert(master.schema("events_info_json").dataType.typeName == "string")
+  }
+}
