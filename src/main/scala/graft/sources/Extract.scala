@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import scala.util.{Failure, Success, Try}
+
+/** S1-S3: the paged-REST extract stage
+  * (extract-ceo-app-repository/extract-app/app.py:100-171) as a driver-side
+  * connector. Deliberately NOT a DataSourceV2: the upstream API is
+  * inherently sequential-paged per day (page_number cursor, app.py:107), so
+  * there is no partition parallelism to expose to Spark — the engine-side
+  * contract is simply `spark.read` over what this lands (SURVEY §2.0 S1).
+  *
+  * Differences from the reference, by design:
+  *  - days fetch concurrently (a local thread pool): the reference walks
+  *    ~150 days serially in one Flask request (app.py:142-161, DOC:61);
+  *  - HTTP is injected as a function, so tests (and this container, which
+  *    has no egress) run against a stub while production swaps in a real
+  *    client. Retry policy preserved: 3 attempts, then record-and-skip
+  *    (app.py:100-120).
+  */
+object Extract {
+
+  /** One page request: (day, pageNumber) => JSON array string of orders.
+    * Mirrors the POST body {date_type:9, date_from, date_to, page_number,
+    * page_size:100} (app.py:102-108). */
+  type FetchPage = (LocalDate, Int) => PageResult
+  final case class PageResult(ordersJson: Seq[String], total: Int)
+
+  final case class DayResult(day: LocalDate, orders: Int, failed: Boolean)
+
+  val pageSize = 100   // app.py:107
+  val maxRetries = 3   // app.py:100-120
+
+  private def fetchWithRetry(fetch: FetchPage, day: LocalDate, page: Int): Try[PageResult] = {
+    var last: Try[PageResult] = Failure(new IllegalStateException("unattempted"))
+    var attempt = 0
+    while (attempt < maxRetries && last.isFailure) {
+      last = Try(fetch(day, page))
+      attempt += 1
+    }
+    last
+  }
+
+  /** Fetch every page of one day (loop until collected >= total,
+    * app.py:147-161); give-up-and-record on persistent failure. */
+  def fetchDay(fetch: FetchPage, day: LocalDate): (Seq[String], Boolean) = {
+    val collected = Seq.newBuilder[String]
+    var n = 0
+    var page = 1
+    var total = Int.MaxValue
+    while (n < total) {
+      fetchWithRetry(fetch, day, page) match {
+        case Success(r) =>
+          collected ++= r.ordersJson
+          n += r.ordersJson.size
+          total = r.total
+          if (r.ordersJson.isEmpty) total = n // defensive: empty page ends the loop
+          page += 1
+        case Failure(_) => return (collected.result(), true)
+      }
+    }
+    (collected.result(), false)
+  }
+
+  /** Fetch a day range into `outDir/yyyy-MM-dd/yyyy-MM-dd.json` (one JSON
+    * array file per day, app.py:122-133) + a metadata sidecar per day
+    * (app.py:166-171). Days run concurrently. */
+  def run(fetch: FetchPage, from: LocalDate, to: LocalDate, outDir: String,
+          parallelism: Int = 8): Seq[DayResult] = {
+    val days = Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(to)).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = days.map { day =>
+        scala.concurrent.Future {
+          val (orders, failed) = fetchDay(fetch, day)
+          val dir = Paths.get(outDir, day.toString)
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve(s"$day.json"),
+            orders.mkString("[", ",", "]"))
+          Files.writeString(dir.resolve(s"$day.metadata.json"),
+            s"""{"fecha":"$day","total_ordenes":${orders.size},"fallos":${if (failed) 1 else 0}}""")
+          DayResult(day, orders.size, failed)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(10, "min"))
+    } finally pool.shutdown()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY §1.2 "Streams" row): the
+  * reference is strictly daily batch, but the engine exposes the same
+  * event analytics as an incremental pipeline — `readStream` over the
+  * day-partitioned lake, watermarked tumbling windows, and a custom
+  * stateful sessionizer via flatMapGroupsWithState.
+  *
+  * Scale notes: the windowed aggregate is the streaming twin of OQ15
+  * (hourly buckets) — state is bounded by the watermark; the sessionizer
+  * keys state by user_id and expires it with an event-time timeout, so
+  * state size tracks ACTIVE users, not history.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long,
+                              total_value: Double)
+  // public: Spark's state encoder instantiates this from generated Java
+  final case class SessionState(start: Long, last: Long, n: Long, acc: Double)
+
+  /** File-source stream over the events lake (schema fixed — streaming
+    * sources must never infer). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(path)
+
+  /** Watermarked hourly tumbling aggregate — streaming OQ15. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .select(col("w.start").as("h"), col("event_type"), col("c"), col("s"))
+
+  /** Gap-based sessionization with explicit state:
+    * flatMapGroupsWithState keyed by user, event-time timeout = gap.
+    * Emits a session when the gap elapses (or watermark passes). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = gapSeconds * 1000
+          var out = List.empty[SessionOut]
+          var st = state.getOption
+          if (state.hasTimedOut) {
+            out = st.map(s => SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.acc)).toList
+            state.remove()
+          } else {
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.last <= gapMs =>
+                  st = Some(SessionState(s.start, t, s.n + 1, s.acc + e.value))
+                case Some(s) => // gap exceeded: close previous, open new
+                  out ::= SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.acc)
+                  st = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  st = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+          }
+          out.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class EventStreamSpec extends SparkSpec {
+
+  // A µs-precision copy of the events fixture (the raw file is ns, which
+  // streaming's fixed schema can't consume directly).
+  private lazy val eventsPath: String = {
+    val p = Files.createTempDirectory("graft_stream_src").toString
+    Tables(spark, sf(), "events").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("hourlyCounts over a file stream equals the batch OQ15 aggregation") {
+    val q = EventStream.hourlyCounts(EventStream.readEvents(spark, eventsPath))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly")
+      .select("h", "event_type", "c", "s").orderBy("h", "event_type").collect()
+    val batch = Tables(spark, sf(), "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .orderBy("h", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("stateful sessionizer emits watermark-finalized sessions") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, eventsPath)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(events, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sessions = spark.table("sessions").collect()
+    assert(sessions.nonEmpty, "no finalized sessions emitted")
+    sessions.foreach { r =>
+      assert(!r.getTimestamp(2).before(r.getTimestamp(1)), "end < start")
+      assert(r.getLong(3) >= 1)
+    }
+    // sessions must not double-count: per-user event totals bounded by input
+    val perUser = spark.table("sessions").groupBy("user_id")
+      .agg(sum("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inputPerUser = Tables(spark, sf(), "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUser.foreach { case (u, n) => assert(n <= inputPerUser(u)) }
+  }
+}
