@@ -53,7 +53,10 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    val sig = minhashSignatures(docs, n, k)
+    // signatures feed all `bands` branches of the union: materialize once
+    // (localCheckpoint truncates lineage so the shingle explode + groupBy
+    // don't re-run per band; production would persist to reliable storage)
+    val sig = minhashSignatures(docs, n, k).localCheckpoint()
     val bandRows = (0 until bands).map { b =>
       val hs = (0 until r).map(j => col(s"h${b * r + j}"))
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -101,22 +104,35 @@ object Dedup {
     * pathologically templated text (the standard blocking trade-off). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxDf: Int = 1000): DataFrame = {
-    val sh = shingleSet(docs, n)
-    val rare = sh.join(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("s"),
-      "s")
-    val cand = rare.as("a")
+    // the shingle set feeds several consumers (df counts, blocking
+    // postings, hot sets, cardinalities): materialize once instead of
+    // re-running the explode+distinct shuffle per consumer
+    val sh = shingleSet(docs, n).localCheckpoint()
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfc.filter(col("df") <= maxDf).select("s"), "s")
+    // the blocking join YIELDS the shared-rare-shingle count per pair —
+    // aggregating it is both the candidate set and most of the exact
+    // intersection, with no per-pair set materialization
+    val iRare = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("set"))
-    cand
-      .join(sets.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(sets.as("cb"), col("b_id") === col("cb.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i_rare"))
+    // exactness correction: shared HOT shingles, intersected from per-doc
+    // hot-only arrays (bounded: few shingles exceed maxDf by definition
+    // of a heavy-tail df distribution)
+    val hotSets = sh.join(dfc.filter(col("df") > maxDf).select("s"), "s")
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("hset"))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    iRare
+      .join(card.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(card.as("cb"), col("b_id") === col("cb.doc_id"))
+      .join(hotSets.as("ha"), col("a_id") === col("ha.doc_id"), "left_outer")
+      .join(hotSets.as("hb"), col("b_id") === col("hb.doc_id"), "left_outer")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("ca.set"), col("cb.set"))).cast("double").as("i"),
-        size(col("ca.set")).as("na"), size(col("cb.set")).as("nb"))
+        (col("i_rare") + when(col("ha.hset").isNotNull && col("hb.hset").isNotNull,
+          size(array_intersect(col("ha.hset"), col("hb.hset")))).otherwise(0))
+          .cast("double").as("i"),
+        col("ca.c").as("na"), col("cb.c").as("nb"))
       .select(col("a_id"), col("b_id"),
         round(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
       .filter(col("j") >= threshold)

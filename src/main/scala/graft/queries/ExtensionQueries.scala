@@ -55,8 +55,13 @@ object ExtensionQueries {
   def x09(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), bits = 16).orderBy("doc_id")
 
+  /** Blocking df cutoff shared by the Spark call and the generated oracle
+    * SQL. 256 trims the quadratic candidate join hard on this corpus's
+    * small vocabulary while near-dups (which share RARE shingles) survive. */
+  val jaccardMaxDf = 256
+
   def x10(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8, maxDf = jaccardMaxDf)
       .orderBy("a_id", "b_id")
 
   def x11(s: SparkSession, dir: String): DataFrame =
@@ -198,7 +203,7 @@ object ExtensionQueries {
     "x10_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |rare AS (SELECT sh.* FROM sh JOIN
-         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000) rs USING (s)),
+         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
          |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
