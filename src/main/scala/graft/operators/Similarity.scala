@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
+import graft.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (ARRAY<FLOAT>), per the driver's training-data-pipeline mandate.
@@ -30,7 +30,11 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def simCol(a: Column, b: Column): Column = round(cosine(a, b), 4)
+  /** ROUND(graft_cosine, 4): the codegen'd CosineSimilarity expression —
+    * bit-identical to VectorFunctions.cosine but evaluated as a primitive
+    * loop inside whole-stage codegen (registration is idempotent). */
+  private def simCol(df: DataFrame)(a: Column, b: Column): Column =
+    round(GraftFunctions.cosine(df, a, b), 4)
 
   /** Per-query top-k of a scored frame (q_id, n_id, sim) without a global
     * per-query sort. Phase 1 keeps the best k per (q_id, input partition);
@@ -58,7 +62,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), simCol(col("q_emb"), col("n_emb")).as("sim"))
+      .select(col("q_id"), col("n_id"), simCol(emb)(col("q_emb"), col("n_emb")).as("sim"))
     topKPerQuery(scored, k)
   }
 
@@ -72,7 +76,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     emb.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("c_id"),
-        simCol(col("embedding"), col("c_emb")).as("sim"))
+        simCol(emb)(col("embedding"), col("c_emb")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("c_id"), col("embedding")),
@@ -91,7 +95,7 @@ object Similarity {
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
     val scored = broadcast(q).join(c, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), simCol(col("q_emb"), col("n_emb")).as("sim"))
+      .select(col("q_id"), col("n_id"), simCol(emb)(col("q_emb"), col("n_emb")).as("sim"))
     topKPerQuery(scored, k)
   }
 }
