@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
@@ -46,4 +46,37 @@ object Multimodal {
       .withColumn("n_frames", greatest(col("meta.n_bytes") / 64, lit(1)).cast("long"))
       .select(col("doc_id"), col("image"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+
+  /** Output row of the partition-batched decoder. */
+  final case class DecodedFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+                                   features: Array[Float])
+
+  /** Partition-batched decode — the Scala analogue of a `mapInPandas`
+    * feature extractor: one decoder instance per PARTITION (the expensive
+    * codec/model init happens once per task, not per row), rows streamed
+    * through it lazily. The decoder body is a DETERMINISTIC STUB (no
+    * codecs in this container): `features` are derived from content bytes.
+    * The real interface — per-partition init, Iterator→Iterator streaming,
+    * fixed output schema — is exactly what a production decoder plugs into.
+    */
+  def decodeFeaturesBatch(bin: DataFrame, dim: Int = 8): Dataset[DecodedFeatures] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec init" (stub: a reusable buffer)
+        val feat = new Array[Float](dim)
+        rows.map { case (id, bytes) =>
+          java.util.Arrays.fill(feat, 0.0f)
+          var crc = 0L
+          var i = 0
+          while (i < bytes.length) {
+            crc = (crc * 31 + (bytes(i) & 0xff)) % 1000000007L
+            feat(i % dim) += (bytes(i) & 0xff) / 255.0f
+            i += 1
+          }
+          DecodedFeatures(id, bytes.length, crc, feat.clone())
+        }
+      }
+  }
 }

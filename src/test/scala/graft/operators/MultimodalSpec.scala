@@ -47,4 +47,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).getLong(1) == 1L && frames(0).getLong(2) == 0L)
     assert(frames(1).getLong(1) == 3L && frames(1).getLong(2) == 4L)
   }
+
+  test("decodeFeaturesBatch: per-partition streaming decode, deterministic") {
+    val out = Multimodal.decodeFeaturesBatch(Multimodal.asBinaryTable(d), dim = 4)
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 2)
+    assert(out(0).n_bytes == 9 && out(1).n_bytes == 403)
+    assert(out.forall(_.features.length == 4))
+    // deterministic across runs (stub contract)
+    val again = Multimodal.decodeFeaturesBatch(Multimodal.asBinaryTable(d), dim = 4)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+    assert(out(0).features.toSeq == again(0).features.toSeq)
+    // rows keep independent feature vectors (buffer is cloned per row)
+    assert(out(0).features.toSeq != out(1).features.toSeq)
+  }
 }

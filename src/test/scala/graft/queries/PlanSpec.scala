@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the queries must not merely be correct,
+  * they must produce the plans that survive a 100x scale-up — filters and
+  * projections reaching the parquet scan, dimension joins broadcast,
+  * aggregates partial-before-shuffle (the "explain and iterate" bar). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String = {
+    val df = q(spark, sf())
+    df.collect() // finalize AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("OQ01: filter and projection are pushed into the parquet scan") {
+    val p = plan(OracleQueries.oq01)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    // only the 3 selected columns are read — scan-level column pruning
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("OQ03: dimension joins are broadcast, never shuffled") {
+    val p = plan(OracleQueries.oq03)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("OQ07: aggregation is partial (map-side) before the shuffle") {
+    val p = plan(OracleQueries.oq07)
+    assert(p.contains("partial_"), p) // HashAggregate(partial_count, ...)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate,"), p)
+  }
+
+  test("OQ11: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(OracleQueries.oq11)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("OQ05/OQ06: semi/anti joins stay semi/anti at the physical level") {
+    assert(plan(OracleQueries.oq05).contains("LeftSemi"))
+    assert(plan(OracleQueries.oq06).contains("LeftAnti"))
+  }
+}
