@@ -90,6 +90,27 @@ object Dedup {
     agg.select(col("doc_id"), fp.cast("long").as("fingerprint"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
+    * assigned to their nearest centroid (broadcast codebook, no corpus
+    * shuffle) and only WITHIN-cluster pairs are scored — |corpus|²/C join
+    * volume instead of all-pairs, the scale path for near-dup detection
+    * over embeddings. Near-identical vectors co-cluster by construction;
+    * pairs straddling a cluster boundary are missed (recall < 1, the
+    * standard ANN-blocking trade, cf. ngramJaccardPairs' rare-shingle
+    * blocking). Scoring uses the codegen'd graft_cosine.
+    * Output: (a_id, b_id, sim), a_id < b_id, sim >= threshold. */
+  def embeddingNearDupPairs(emb: DataFrame, centroidPred: Column,
+                            threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, centroidPred)
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.GraftFunctions.cosine(emb, col("a_emb"), col("b_emb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact n-gram Jaccard over candidate pairs sharing at least one RARE
     * shingle; emits pairs with similarity >= threshold.
     *

@@ -74,6 +74,15 @@ object ExtensionQueries {
         queryPred = col("vec_id") % 100 === 0, k = 10)
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
 
+  /** Threshold 0.4, not a production 0.9+: the synthetic embeddings are
+    * near-orthogonal random vectors (max within-cluster cosine ≈ 0.48 at
+    * sf0.01), so a realistic near-dup threshold would correctly return
+    * zero rows — 0.4 keeps the rows-only check exercising real output. */
+  def x13(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(emb(s, dir),
+        centroidPred = col("vec_id") % 50 === 0, threshold = 0.4)
+      .orderBy("a_id", "b_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -87,6 +96,7 @@ object ExtensionQueries {
     "x10_ngram_jaccard" -> (x10 _),
     "x11_knn_brute"     -> (x11 _),
     "x12_knn_ivf"       -> (x12 _),
+    "x13_embed_neardup" -> (x13 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------

@@ -65,4 +65,24 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0, maxDf = 1000)
     assert(uncapped.count() == 190)
   }
+
+  test("embeddingNearDupPairs: near-identical vectors found, distant ones not") {
+    import spark.implicits._
+    // two tight pairs near orthogonal axes + their centroids (ids 0, 10)
+    val emb = Seq(
+      0L  -> Seq(1.0f, 0.0f, 0.0f),
+      1L  -> Seq(0.999f, 0.001f, 0.0f),
+      2L  -> Seq(0.998f, 0.002f, 0.0f),
+      10L -> Seq(0.0f, 1.0f, 0.0f),
+      11L -> Seq(0.0f, 0.999f, 0.001f),
+      12L -> Seq(0.0f, 0.0f, 1.0f)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb,
+        centroidPred = col("vec_id") % 10 === 0, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) && pairs.contains((0L, 2L)))
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 < 10 && p._2 >= 10), "cross-axis pair leaked")
+    assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
+  }
 }
