@@ -78,7 +78,13 @@ object Main {
 
     def sink(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name")
-    sink(OrderFlatten.toMasterSink(masterFinal), "delivery_order_master") // T6
+    // T6 + S2: master lands day-partitioned (America/Santiago bucketing,
+    // SURVEY §1.3) so daily reruns overwrite only their own partition and
+    // date-filtered scans prune at the directory level
+    graft.sinks.TableSink.writeDayPartitioned(
+      OrderFlatten.toMasterSink(masterFinal).withColumn("ingest_date",
+        to_date(from_utc_timestamp(col("created_date").cast("timestamp"), "America/Santiago"))),
+      "ingest_date", s"$outDir/delivery_order_master")
     sink(events, "events_info_temp")
     sink(schedules, "schedule_events_info_temp")
     sink(reschedules, "reschedule_events_info_temp")
