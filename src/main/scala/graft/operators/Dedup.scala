@@ -40,11 +40,24 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s"))
       .distinct()
 
-  /** MinHash signatures: doc_id, h0..h{k-1} where h_i = min over shingles of
-    * md5("i|" ++ shingle). One shuffle (groupBy doc_id). */
+  /** Universal-hash family parameters for MinHash: h_i(x) = (a_i·x + b_i)
+    * mod P over x = md5-derived base hash reduced mod P. One md5 per
+    * shingle instead of k — the oracle SQL is GENERATED from these same
+    * constants (ExtensionQueries), so both engines share the family. */
+  val minhashP: Long = 1000000007L
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => ((i * 2654435761L) % minhashP | 1L, (i * 40503L) % minhashP))
+
+  /** MinHash signatures: doc_id, h0..h{k-1} where h_i = min over shingles
+    * of the i-th affine hash of the shingle's base hash. One md5 + one
+    * conv per posting (not k md5s), then ONE groupBy(doc_id) shuffle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 12): DataFrame = {
-    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-    shingleSet(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val base = shingleSet(docs, n).withColumn("h",
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % minhashP)
+    val mins = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % minhashP).as(s"h$i")
+    }
+    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: banding the k-wide signature into `bands` rows of

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions
@@ -83,6 +83,16 @@ object ExtensionQueries {
         centroidPred = col("vec_id") % 50 === 0, threshold = 0.4)
       .orderBy("a_id", "b_id")
 
+  /** Gap-based sessionization (30-min gap) via Relational.sessionize —
+    * the batch twin of the streaming sessionizer. */
+  def x14(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select("user_id", "event_id", "ts")
+    Relational.sessionize(e, col("user_id"), unix_micros(col("ts")),
+        col("event_id"), gapMicros = 30L * 60 * 1000000)
+      .select(col("user_id"), col("event_id"), col("session_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -97,6 +107,7 @@ object ExtensionQueries {
     "x11_knn_brute"     -> (x11 _),
     "x12_knn_ivf"       -> (x12 _),
     "x13_embed_neardup" -> (x13 _),
+    "x14_sessionize"    -> (x14 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -128,8 +139,13 @@ object ExtensionQueries {
     s"CASE WHEN mx = 0 THEN 'und' $whens ELSE '${TextAnalysis.lexicons.last._1}' END"
   }
 
+  /** Affine minhash columns generated from Dedup.minhashParams — the same
+    * (a, b, P) family the Spark operator uses; base hash is the first 15
+    * md5 hex chars parsed as BIGINT, reduced mod P. */
   private val minhashSigCols: String =
-    (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    Dedup.minhashParams(12).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.minhashP}) AS h$i"
+    }.mkString(", ")
 
   private val lshBandRows: String = (0 until 4).map { b =>
     val hs = (0 until 3).map(j => s"h${b * 3 + j}").mkString(" || '|' || ")
@@ -194,7 +210,9 @@ object ExtensionQueries {
         | FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
     "x08_minhash_lsh" ->
       s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id,
+         |  ('0x' || substring(md5(s), 1, 15))::BIGINT % ${Dedup.minhashP} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
          |bands AS (
          |  $lshBandRows)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -229,6 +247,17 @@ object ExtensionQueries {
          |  JOIN card ca ON inter.a_id = ca.doc_id
          |  JOIN card cb ON inter.b_id = cb.doc_id)
          |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin,
-    // x11/x12 intentionally absent: float cosine not bit-stable cross-engine.
+    "x14_sessionize" ->
+      """SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM
+        | (SELECT user_id, event_id,
+        |   SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |        FROM events))
+        | ORDER BY user_id, event_id""".stripMargin,
+    // x11/x12/x13 intentionally absent: float cosine not bit-stable cross-engine.
   )
 }
