@@ -52,4 +52,13 @@ class PropertiesSpec extends SparkSpec {
       assert(keys.toSet == all.map(_._1).toSet)
     }
   }
+
+  test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
+    val l = graft.sources.Tables(spark, sf(), "lineitem")
+    val r = l.select(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
 }
