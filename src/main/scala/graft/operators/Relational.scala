@@ -52,6 +52,24 @@ object Relational {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates
+    * on (key, salt) — a hot key's rows spread over `saltBuckets` reducers —
+    * phase 2 merges the partials per key. `aggs` supplies BOTH phases for
+    * each output column: (partial expression, merge expression over the
+    * partial's alias). Use when ONE key dominates (AQE skew handling
+    * splits map partitions but cannot split a single reduce group). */
+  def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
+                aggs: Seq[(Column, String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(aggs.head._1.as(s"__p_${aggs.head._2}"),
+        aggs.tail.map(a => a._1.as(s"__p_${a._2}")): _*)
+    partial.groupBy(col(key))
+      .agg(aggs.head._3(col(s"__p_${aggs.head._2}")).as(aggs.head._2),
+        aggs.tail.map(a => a._3(col(s"__p_${a._2}")).as(a._2)): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

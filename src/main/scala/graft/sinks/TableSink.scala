@@ -40,4 +40,15 @@ object TableSink {
     * the reference's day bucketing (app.py:125,138; SURVEY §7.4). */
   def santiagoDate(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     to_date(from_utc_timestamp(ts, "America/Santiago"))
+
+  /** Bucketed catalog table: rows hash-partitioned AND sorted by `key`
+    * into `buckets` files per partition. Joins/aggregations between tables
+    * bucketed on the same key with the same bucket count need NO exchange
+    * — this is the production layout for the master/work frames at 100 TB
+    * (SURVEY §7.4 "MERGE without Delta": only the daily delta shuffles). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -53,4 +53,16 @@ class RelationalSpec extends SparkSpec {
     assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     assert(top.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
   }
+
+  test("saltedAgg matches plain groupBy on a skewed key distribution") {
+    val df = ((1 to 1000).map(i => ("hot", i.toDouble)) ++
+      (1 to 10).map(i => ("cold", i.toDouble))).toDF("k", "v")
+    val salted = Relational.saltedAgg(df, "k", saltBuckets = 8, aggs = Seq(
+      (count(lit(1)), "n", (c: org.apache.spark.sql.Column) => sum(c)),
+      (sum(col("v")), "total", (c: org.apache.spark.sql.Column) => sum(c))))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
 }

@@ -40,4 +40,25 @@ class TableSinkSpec extends SparkSpec {
       .select(TableSink.santiagoDate(col("ts").cast("timestamp")).as("d"))
     assert(df.collect().head.getDate(0).toString == "2024-01-14")
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "va")
+    val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("id", "vb")
+    TableSink.writeBucketed(a, "graft_bkt_a", "id", buckets = 4)
+    TableSink.writeBucketed(b, "graft_bkt_b", "id", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE graft_bkt_a")
+      spark.sql("DROP TABLE graft_bkt_b")
+    }
+  }
 }
