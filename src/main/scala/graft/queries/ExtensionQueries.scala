@@ -93,6 +93,18 @@ object ExtensionQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** WorkGraph Q14 (insert_table_temp(n)) exercised on the events fixture:
+    * the 2nd event per user (user_id cast into the work-graph's
+    * delivery_order_id role, event_id as the tiebreak column). */
+  def w01(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(
+      col("user_id").cast("string").as("delivery_order_id"),
+      col("ts").as("timestamp"), col("event_id").as("status"))
+    graft.transform.WorkGraph.nthEvent(e, n = 2)
+      .select(col("delivery_order_id"), col("timestamp"), col("status"))
+      .orderBy("delivery_order_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -108,6 +120,7 @@ object ExtensionQueries {
     "x12_knn_ivf"       -> (x12 _),
     "x13_embed_neardup" -> (x13 _),
     "x14_sessionize"    -> (x14 _),
+    "w01_nth_event"     -> (w01 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -258,6 +271,13 @@ object ExtensionQueries {
         |           ORDER BY epoch_us(ts), event_id) AS prev
         |        FROM events))
         | ORDER BY user_id, event_id""".stripMargin,
+    "w01_nth_event" ->
+      """SELECT CAST(user_id AS VARCHAR) AS delivery_order_id, ts AS timestamp,
+        |  event_id AS status FROM
+        | (SELECT user_id, ts, event_id,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events)
+        | WHERE rn = 2 ORDER BY delivery_order_id""".stripMargin,
     // x11/x12/x13 intentionally absent: float cosine not bit-stable cross-engine.
   )
 }
