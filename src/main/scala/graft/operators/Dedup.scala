@@ -154,19 +154,36 @@ object Dedup {
     // exactness correction: shared HOT shingles, intersected from per-doc
     // hot-only arrays (bounded: few shingles exceed maxDf by definition
     // of a heavy-tail df distribution)
-    val hotSets = sh.join(dfc.filter(col("df") > maxDf).select("s"), "s")
-      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("hset"))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    iRare
+    val hot = sh.join(dfc.filter(col("df") > maxDf).select("s"), "s")
+    val hotSets = hot.groupBy(col("doc_id")).agg(collect_set(col("s")).as("hset"))
+    val card = sh.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("c"))
+    val hotCard = hot.groupBy(col("doc_id")).agg(count(lit(1)).as("hc"))
+    // EXACT upper-bound pruning before the array-verify join:
+    //   J <= min(|A|,|B|) / max(|A|,|B|)          (size-ratio bound)
+    //   i <= i_rare + min(hotA, hotB)  =>  J <= iMax/(|A|+|B|-iMax)
+    // Both are implications of set algebra, so no qualifying pair is lost —
+    // the expensive hot-set intersection runs only on survivors.
+    val bounded = iRare
       .join(card.as("ca"), col("a_id") === col("ca.doc_id"))
       .join(card.as("cb"), col("b_id") === col("cb.doc_id"))
+      .join(hotCard.as("hca"), col("a_id") === col("hca.doc_id"), "left_outer")
+      .join(hotCard.as("hcb"), col("b_id") === col("hcb.doc_id"), "left_outer")
+      .select(col("a_id"), col("b_id"), col("i_rare"),
+        col("ca.c").as("na"), col("cb.c").as("nb"),
+        (col("i_rare") + least(coalesce(col("hca.hc"), lit(0L)),
+          coalesce(col("hcb.hc"), lit(0L)))).cast("double").as("i_max"))
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= threshold)
+      .filter(col("i_max") / (col("na") + col("nb") - col("i_max")) >= threshold)
+    bounded
       .join(hotSets.as("ha"), col("a_id") === col("ha.doc_id"), "left_outer")
       .join(hotSets.as("hb"), col("b_id") === col("hb.doc_id"), "left_outer")
       .select(col("a_id"), col("b_id"),
         (col("i_rare") + when(col("ha.hset").isNotNull && col("hb.hset").isNotNull,
           size(array_intersect(col("ha.hset"), col("hb.hset")))).otherwise(0))
           .cast("double").as("i"),
-        col("ca.c").as("na"), col("cb.c").as("nb"))
+        col("na"), col("nb"))
       .select(col("a_id"), col("b_id"),
         round(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
       .filter(col("j") >= threshold)
