@@ -103,6 +103,19 @@ object Dedup {
     agg.select(col("doc_id"), fp.cast("long").as("fingerprint"))
   }
 
+  /** Greedy near-duplicate removal: given candidate pairs (a_id, b_id)
+    * with a_id < b_id from any detector (LSH, Jaccard, embedding), keep
+    * the lowest-id representative of every duplicate group by dropping all
+    * docs that appear on the b side. One distinct + one anti-join — no
+    * iteration. Greedy vs true connected components: a doc can be dropped
+    * whose own "kept" partner was itself dropped (chained dups) — for
+    * dedup purposes that is still safe (every dropped doc had a kept
+    * near-duplicate at distance <= 2 hops), the standard trade for
+    * avoiding an iterative CC computation at corpus scale. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("b_id")).distinct(),
+      docs("doc_id") === col("b_id"), "left_anti")
+
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
     * assigned to their nearest centroid (broadcast codebook, no corpus
     * shuffle) and only WITHIN-cluster pairs are scored — |corpus|²/C join

@@ -85,4 +85,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 < 10 && p._2 >= 10), "cross-axis pair leaked")
     assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
   }
+
+  test("dropNearDuplicates keeps the lowest-id representative per group") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "the quick brown fox jumps over the lazy dog today",
+      4L -> "completely different words that share nothing at all here")
+    val pairs = Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4)
+    val kept = Dedup.dropNearDuplicates(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
 }
