@@ -47,6 +47,21 @@ object Multimodal {
       .select(col("doc_id"), col("image"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
 
+  /** Resize step (stub geometry, real column contract): scale the decoded
+    * dimensions to fit a bounding box preserving aspect ratio — the
+    * metadata transform a real resizer would apply; pixel work would live
+    * in the batched decoder. Narrow, codegen-friendly. */
+  def resizeMeta(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("image.width"),
+      lit(maxH.toDouble) / col("image.height"),
+      lit(1.0))
+    decoded.withColumn("resized", struct(
+      greatest(floor(col("image.width") * scale), lit(1L)).cast("long").as("width"),
+      greatest(floor(col("image.height") * scale), lit(1L)).cast("long").as("height"),
+      col("image.mean_luma").as("mean_luma")))
+  }
+
   /** Output row of the partition-batched decoder. */
   final case class DecodedFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
                                    features: Array[Float])

@@ -85,6 +85,22 @@ object Similarity {
         col("best.c_id").as("cluster"))
   }
 
+  /** One k-means refinement step over the IVF codebook: re-assign every
+    * vector to its nearest centroid, then average each cluster's members
+    * with the typed CentroidAggregator (map-side partial sums — one
+    * dim-width buffer per cluster per partition crosses the shuffle).
+    * Output: cluster, centroid ARRAY<FLOAT>. */
+  def refineCentroids(emb: DataFrame, centroidPred: Column): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    ivfAssign(emb, centroidPred)
+      .select(col("cluster"), col("embedding")).as[(Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.CentroidAggregator.toColumn.name("centroid"))
+      .toDF("cluster", "centroid")
+  }
+
   /** IVF search, probe=1: each query scans only its own cluster.
     * Output: q_id, n_id, sim. */
   def ivfTopK(emb: DataFrame, centroidPred: Column, queryPred: Column, k: Int): DataFrame = {

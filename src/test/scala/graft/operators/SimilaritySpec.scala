@@ -47,4 +47,28 @@ class SimilaritySpec extends SparkSpec {
     // expected; the bound asserts it beats random-cluster noise.
     assert(recall >= 0.1, s"recall@$k = $recall")
   }
+
+  test("CentroidAggregator + refineCentroids: cluster means, partial-agg safe") {
+    val emb = Seq(
+      0L  -> Seq(1.0f, 0.0f),
+      1L  -> Seq(0.8f, 0.2f),
+      2L  -> Seq(0.6f, 0.0f),
+      10L -> Seq(0.0f, 1.0f),
+      11L -> Seq(0.0f, 0.6f)
+    ).toDF("vec_id", "embedding").repartition(4) // force cross-partition merge
+    val cents = Similarity.refineCentroids(emb, col("vec_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // cluster 0 members: vecs 0,1,2 -> mean (0.8, 0.0667); cluster 10: (0, 0.8)
+    assert(cents(0L).zip(Seq(0.8f, 0.2f / 3)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(cents(10L).zip(Seq(0.0f, 0.8f)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
+  test("resizeMeta scales into the box preserving aspect ratio") {
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImageMeta(Multimodal.asBinaryTable(d))
+      .withColumn("image", struct(lit(1000L).as("width"), lit(500L).as("height"), lit(7L).as("mean_luma")))
+    val r = Multimodal.resizeMeta(decoded, maxW = 100, maxH = 100)
+      .select("resized.width", "resized.height", "resized.mean_luma").collect().head
+    assert(r.getLong(0) == 100 && r.getLong(1) == 50 && r.getLong(2) == 7)
+  }
 }
