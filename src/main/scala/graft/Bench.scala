@@ -24,16 +24,18 @@ object Bench {
     // each query runs once untimed (JIT + codegen compile + file-listing
     // caches) and once timed: the timed pass measures engine cost, not
     // first-run JVM effects, and is stable run-to-run
-    def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       exec(name, fn)
       val t0 = System.nanoTime()
-      exec(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = exec(name, fn)
+      // -1 sentinel: a failed query must not masquerade as a fast one
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -83,7 +83,7 @@ object Main {
     // date-filtered scans prune at the directory level
     graft.sinks.TableSink.writeDayPartitioned(
       OrderFlatten.toMasterSink(masterFinal).withColumn("ingest_date",
-        to_date(from_utc_timestamp(col("created_date").cast("timestamp"), "America/Santiago"))),
+        graft.sinks.TableSink.santiagoDate(col("created_date").cast("timestamp"))),
       "ingest_date", s"$outDir/delivery_order_master")
     sink(events, "events_info_temp")
     sink(schedules, "schedule_events_info_temp")
@@ -92,8 +92,14 @@ object Main {
     sink(work, "delivery_order_work")
     sink(visits, "delivery_order_visit_order")
 
-    val report = RunReport(master.count(), bad.count(), events.count(),
-      schedules.count(), reschedules.count(), packages.count())
+    // Report counts come from the PARQUET JUST WRITTEN (footer metadata,
+    // no recompute) — counting the lineage frames would re-run the dedupe
+    // shuffle and all four explodes a second time purely for the sidecar.
+    def written(name: String): Long = spark.read.parquet(s"$outDir/$name").count()
+    val report = RunReport(written("delivery_order_master"), bad.count(),
+      written("events_info_temp"), written("schedule_events_info_temp"),
+      written("reschedule_events_info_temp"), written("packages_temp"))
+    spark.catalog.clearCache() // release the raw-parse cache (quarantine)
     // S3 metadata sidecar (app.py:166-171)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/_run_metadata.json"),

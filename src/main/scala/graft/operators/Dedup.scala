@@ -46,7 +46,12 @@ object Dedup {
     * constants (ExtensionQueries), so both engines share the family. */
   val minhashP: Long = 1000000007L
   def minhashParams(k: Int): Seq[(Long, Long)] =
-    (1 to k).map(i => ((i * 2654435761L) % minhashP | 1L, (i * 40503L) % minhashP))
+    (1 to k).map { i =>
+      // multiplier must be non-zero MOD P (a ≡ 0 would collapse the whole
+      // dimension to the constant b); oddness is irrelevant mod an odd prime
+      val a = (i * 2654435761L) % minhashP
+      (if (a == 0L) 1L else a, (i * 40503L) % minhashP)
+    }
 
   /** MinHash signatures: doc_id, h0..h{k-1} where h_i = min over shingles
     * of the i-th affine hash of the shingle's base hash. One md5 + one

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB discipline):
   *  - dedupe/latest-per-key are a single hash-partition shuffle on the key
-  *    (window over PARTITION BY key); with AQE skew handling enabled a hot
-  *    key splits automatically.
+  *    (window over PARTITION BY key). A window partition is one task, so
+  *    these are for keys with BOUNDED group sizes (orders have dozens of
+  *    events, not millions); for unbounded/hot keys use saltedAgg or the
+  *    two-phase top-k pattern in Similarity instead.
   *  - upsert is one full-outer shuffle join on the key; at production scale
   *    the base side would be bucketed on the key so only the delta shuffles.
   *  - topK uses Spark's TakeOrderedAndProject (per-partition partial top-k,
@@ -36,11 +38,15 @@ object Relational {
     // Prefix-rename the update side so the two inputs share no column
     // names: `base` may itself derive from `updates` (e.g. re-applying a
     // delta), and same-name attributes would then make Spark's self-join
-    // resolution pick sides silently wrong.
-    val u = updates.select(cols.map(c => updates(c).as(s"__u_$c")): _*)
+    // resolution pick sides silently wrong. The literal __u_present marker
+    // (not the key) gates which side wins: an update row with a NULL key
+    // never joins, but MERGE's not-matched branch still INSERTs it with
+    // its own values rather than a row of nulls.
+    val u = updates.select(
+      (lit(true).as("__u_present") +: cols.map(c => updates(c).as(s"__u_$c"))): _*)
     base.join(u, base(key) === col(s"__u_$key"), "full_outer")
       .select(cols.map(c =>
-        when(col(s"__u_$key").isNotNull, col(s"__u_$c")).otherwise(base(c)).as(c)): _*)
+        when(col("__u_present").isNotNull, col(s"__u_$c")).otherwise(base(c)).as(c)): _*)
   }
 
   /** Q4/Q6-style "latest event per key" derivation

@@ -68,7 +68,9 @@ object Extract {
     * array file per day, app.py:122-133) + a metadata sidecar per day
     * (app.py:166-171). Days run concurrently. */
   def run(fetch: FetchPage, from: LocalDate, to: LocalDate, outDir: String,
-          parallelism: Int = 8): Seq[DayResult] = {
+          parallelism: Int = 8,
+          timeout: scala.concurrent.duration.Duration =
+            scala.concurrent.duration.Duration.Inf): Seq[DayResult] = {
     val days = Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(to)).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -87,8 +89,9 @@ object Extract {
         }
       }
       scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration(10, "min"))
-    } finally pool.shutdown()
+        scala.concurrent.Future.sequence(futures), timeout)
+      // shutdownNow (not shutdown): if the Await above threw, in-flight
+      // fetches must not keep writing files / holding the JVM open
+    } finally pool.shutdownNow()
   }
 }

@@ -35,7 +35,10 @@ object RawReader {
       .option("recursiveFileLookup", true)
       .schema(Schemas.rawOrderWithCorrupt)
       .json(path)
-      .filter(!input_file_name().contains("metadata")) // S5, P1:39-40
+      // S5 (P1:39-40): the reference predicate tests the FILE NAME only —
+      // matching the whole URI would drop every file under a directory
+      // that happens to contain "metadata" in its path
+      .filter(!element_at(split(input_file_name(), "/"), -1).contains("metadata"))
       // materialized at scan time: input_file_name() is empty once the
       // frame is cached (provenance doesn't survive InMemoryRelation)
       .withColumn("source_file", input_file_name())

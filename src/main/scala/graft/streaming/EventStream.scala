@@ -62,12 +62,21 @@ object EventStream {
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               st match {
-                case Some(s) if t - s.last <= gapMs =>
-                  st = Some(SessionState(s.start, t, s.n + 1, s.acc + e.value))
-                case Some(s) => // gap exceeded: close previous, open new
+                case Some(s) if t > s.last + gapMs => // after: close, open new
                   out ::= SessionOut(user, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.last), s.n, s.acc)
                   st = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  // late straggler far BEFORE the open session (out-of-order
+                  // across micro-batches, still inside the watermark): emit
+                  // as its own session — never move the open session's span
+                  // backwards (that would shrink its timeout and could emit
+                  // end < start)
+                  out ::= SessionOut(user, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
+                case Some(s) => // overlaps/extends the span on either side
+                  st = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.acc + e.value))
                 case None =>
                   st = Some(SessionState(t, t, 1, e.value))
               }

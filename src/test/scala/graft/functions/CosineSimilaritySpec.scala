@@ -51,4 +51,12 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(codegen.contains("Found 1 WholeStageCodegen") && codegen.contains("graft_cosine"),
       codegen.take(500))
   }
+
+  test("a null ELEMENT nulls the result, matching HOF propagation") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), NULL), " +
+        "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)))").collect()
+    assert(r.head.isNullAt(0))
+  }
 }

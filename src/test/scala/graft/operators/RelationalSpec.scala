@@ -65,4 +65,12 @@ class RelationalSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
+    val base = Seq((Option(1), "a")).toDF("k", "v")
+    val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")
+    val out = Relational.upsert(base, upd, "k")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1))).toSet
+    assert(out == Set(Some(1) -> "a", Some(2) -> "b", None -> "orphan"))
+  }
 }
