@@ -24,25 +24,28 @@ object Main {
                              schedules: Long, reschedules: Long, packages: Long)
 
   /** Default polygon-lab lookup (T3): stands in for the reference's
-    * external polygon service responses (app.py:56-65). */
+    * external polygon service responses (app.py:56-65). Keyed off
+    * OrderFlatten.enrichedStructureIds — the single source of truth for
+    * which structures enrich. */
   def defaultPolygonLookup(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      (13123L, 7L, "URBAN-A"), (13120L, 3L, "URBAN-B"), (13101L, 1L, "URBAN-C")
-    ).toDF("structure_id", "polygon", "segmentation")
+    OrderFlatten.enrichedStructureIds.zip(Seq((7L, "URBAN-A"), (3L, "URBAN-B"), (1L, "URBAN-C")))
+      .map { case (sid, (poly, seg)) => (sid, poly, seg) }
+      .toDF("structure_id", "polygon", "segmentation")
   }
 
-  /** Default route dim (Q10). */
+  /** Default route dim (Q10), same id source as the polygon lookup. */
   def defaultRouteDim(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((13123L, "RUTA-CENTRO"), (13120L, "RUTA-NORTE"), (13101L, "RUTA-SUR"))
+    OrderFlatten.enrichedStructureIds.zip(Seq("RUTA-CENTRO", "RUTA-NORTE", "RUTA-SUR"))
       .toDF("structure_id", "route_name")
   }
 
   /** Full pipeline: raw day-files → master + 4 child temps + work +
     * visit-order parquet under `outDir`. Returns the run report. */
   def run(spark: SparkSession, inDir: String, outDir: String): RunReport = {
-    val (good, bad) = RawReader.quarantine(RawReader.readOrders(spark, inDir))
+    val raw = RawReader.readOrders(spark, inDir)
+    val (good, bad) = RawReader.quarantine(raw)
 
     // One parse of the raw JSON; everything below derives from `flat`.
     val flat = OrderFlatten.enrichPolygonLab(
@@ -99,7 +102,7 @@ object Main {
     val report = RunReport(written("delivery_order_master"), bad.count(),
       written("events_info_temp"), written("schedule_events_info_temp"),
       written("reschedule_events_info_temp"), written("packages_temp"))
-    spark.catalog.clearCache() // release the raw-parse cache (quarantine)
+    raw.unpersist() // release ONLY the raw-parse cache quarantine created
     // S3 metadata sidecar (app.py:166-171)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/_run_metadata.json"),

@@ -40,7 +40,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // ragged inputs null the result — zip_with pads the shorter side with
+    // nulls, which the HOF fold propagates to null; a prefix-cosine would
+    // instead let a truncated/corrupt vector win a kNN ranking
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       // a null ELEMENT nulls the whole result — same propagation as the
@@ -62,10 +66,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val anyNull = ctx.freshName("anyNull")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $anyNull = ($n != $b.numElements());
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  double xi = (double) $a.getFloat($i);
          |  double yi = (double) $b.getFloat($i);

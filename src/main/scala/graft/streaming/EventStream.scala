@@ -59,6 +59,18 @@ object EventStream {
               new java.sql.Timestamp(s.last), s.n, s.acc)).toList
             state.remove()
           } else {
+            // stragglers (in-watermark events far BEFORE the open session)
+            // accumulate into their own batch-local session so consecutive
+            // late events within gapMs merge instead of emitting one
+            // singleton each; the open session's span never moves backwards
+            // (that would shrink its timeout and could emit end < start)
+            var late: Option[SessionState] = None
+            def flushLate(): Unit = {
+              late.foreach(l => out ::= SessionOut(user,
+                new java.sql.Timestamp(l.start), new java.sql.Timestamp(l.last),
+                l.n, l.acc))
+              late = None
+            }
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               st match {
@@ -67,13 +79,14 @@ object EventStream {
                     new java.sql.Timestamp(s.last), s.n, s.acc)
                   st = Some(SessionState(t, t, 1, e.value))
                 case Some(s) if t < s.start - gapMs =>
-                  // late straggler far BEFORE the open session (out-of-order
-                  // across micro-batches, still inside the watermark): emit
-                  // as its own session — never move the open session's span
-                  // backwards (that would shrink its timeout and could emit
-                  // end < start)
-                  out ::= SessionOut(user, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1, e.value)
+                  late match {
+                    case Some(l) if t <= l.last + gapMs =>
+                      late = Some(SessionState(l.start, math.max(l.last, t),
+                        l.n + 1, l.acc + e.value))
+                    case _ =>
+                      flushLate()
+                      late = Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) => // overlaps/extends the span on either side
                   st = Some(SessionState(math.min(s.start, t),
                     math.max(s.last, t), s.n + 1, s.acc + e.value))
@@ -81,6 +94,7 @@ object EventStream {
                   st = Some(SessionState(t, t, 1, e.value))
               }
             }
+            flushLate()
             st.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)

@@ -41,10 +41,13 @@ object WorkGraph {
   private val oid = "delivery_order_id"
 
   /** Q1 delete_duplicates (DAG:90-96): same order refetched across days —
-    * keep the newest created_date per id. */
+    * keep the newest created_date per id; created_date ties (same-day
+    * double fetch) break on a content hash so the survivor is
+    * deterministic across runs and partitionings. */
   def deleteDuplicates(tempMaster: DataFrame): DataFrame =
     Relational.dedupeKeepFirst(tempMaster, Seq(col(oid)),
-      Seq(col("created_date").desc_nulls_last))
+      Seq(col("created_date").desc_nulls_last,
+        hash(struct(tempMaster.columns.map(col): _*)).asc))
 
   /** Q2 merge_temp_master (DAG:98-104, DOC:8): upsert temp into master. */
   def mergeTempMaster(master: DataFrame, temp: DataFrame): DataFrame =
@@ -84,7 +87,7 @@ object WorkGraph {
   def updateWorkLob(work: DataFrame, events: DataFrame): DataFrame = {
     val latestLob = Relational.latestPerKey(
       events.filter(col("lob").isNotNull).select(col(oid), col("lob"), col("timestamp")),
-      Seq(col(oid)), Seq(col("timestamp")))
+      Seq(col(oid)), Seq(col("timestamp"), col("lob"))) // lob = tiebreak on equal/null ts
       .select(col(oid), col("lob"))
     joinUpdate(work, latestLob, oid)
   }

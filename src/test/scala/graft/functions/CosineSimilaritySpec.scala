@@ -24,14 +24,16 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff == 0, s"$diff of ${both.count()} pairs diverged")
   }
 
-  test("null inputs yield null; mismatched lengths use the common prefix") {
+  test("null inputs and ragged lengths yield null (HOF zip_with parity)") {
     val df = Seq(
       (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0f, 0.0f))),
-      (None, Some(Seq(1.0f, 0.0f)))
+      (None, Some(Seq(1.0f, 0.0f))),
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 0.0f))) // truncated vector: null, not prefix-cosine
     ).toDF("x", "y")
     val got = df.select(GraftFunctions.cosine(df, col("x"), col("y"))).collect()
     assert(got(0).getDouble(0) == 1.0)
     assert(got(1).isNullAt(0))
+    assert(got(2).isNullAt(0))
   }
 
   test("SparkSessionExtensions injector exposes graft_cosine to SQL") {
