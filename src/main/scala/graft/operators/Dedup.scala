@@ -129,13 +129,32 @@ object Dedup {
     * pairs straddling a cluster boundary are missed (recall < 1, the
     * standard ANN-blocking trade, cf. ngramJaccardPairs' rare-shingle
     * blocking). Scoring uses the codegen'd graft_cosine.
+    *
+    * Skew safety: a cluster larger than `maxClusterSize` is split into
+    * ceil(size/max) blocks by `vec_id mod nblocks` and only WITHIN-block
+    * pairs are scored — the same hot-key discipline as ngramJaccardPairs'
+    * maxDf cap. One degenerate cluster (all vectors near one centroid)
+    * costs max·|cluster| pairs instead of |cluster|², at the price of
+    * missing cross-block pairs inside that pathological cluster. The
+    * blocking rule is a pure function of (vec_id, cluster size), so the
+    * SQL oracle replays it exactly. Pass a [[Similarity.kmeansCodebook]]-
+    * style FIXED-SIZE centroid predicate — a codebook proportional to the
+    * corpus makes the assign stage quadratic.
     * Output: (a_id, b_id, sim), a_id < b_id, sim >= threshold. */
   def embeddingNearDupPairs(emb: DataFrame, centroidPred: Column,
-                            threshold: Double): DataFrame = {
-    val assigned = Similarity.ivfAssign(emb, centroidPred)
-    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, Seq("cluster"))
+                            threshold: Double,
+                            maxClusterSize: Int = 4096): DataFrame = {
+    // assignment feeds both the size count and the pair join: materialize
+    // once instead of re-running the broadcast-assign shuffle per consumer
+    val assigned = Similarity.ivfAssign(emb, centroidPred).localCheckpoint()
+    // one row per centroid — broadcast-small by the fixed-codebook contract
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
+    val blocked = assigned.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("__blk", pmod(col("vec_id"),
+        floor((col("csz") + lit(maxClusterSize - 1)) / lit(maxClusterSize)).cast("long")))
+    val a = blocked.select(col("cluster"), col("__blk"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = blocked.select(col("cluster"), col("__blk"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("cluster", "__blk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(graft.GraftFunctions.cosine(emb, col("a_emb"), col("b_emb")), 4).as("sim"))

@@ -66,8 +66,11 @@ object Relational {
     * splits map partitions but cannot split a single reduce group). */
   def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
                 aggs: Seq[(Column, String, Column => Column)]): DataFrame = {
+    // salt = hash of the row's own values (NOT monotonically_increasing_id,
+    // which changes across retries/repartitionings and would make replays
+    // non-deterministic): same input rows => same partials, always
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(aggs.head._1.as(s"__p_${aggs.head._2}"),
         aggs.tail.map(a => a._1.as(s"__p_${a._2}")): _*)

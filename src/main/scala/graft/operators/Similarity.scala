@@ -66,14 +66,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF assignment: nearest centroid per vector (centroids = rows matching
-    * `centroidPred`, e.g. vec_id % 50 == 0 for a deterministic codebook).
+  /** Codebook from a predicate over the corpus itself (e.g. a deterministic
+    * sample `vec_id < 16`): centroids as (c_id, c_emb). A production
+    * codebook is FIXED-SIZE (constant or ~√N), never proportional to the
+    * corpus — the assign stage costs |corpus|·|codebook| dot products. */
+  def centroidsOf(emb: DataFrame, centroidPred: Column): DataFrame =
+    emb.filter(centroidPred)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
+  /** IVF assignment against a predicate-derived codebook (see
+    * [[ivfAssignTo]]). */
+  def ivfAssign(emb: DataFrame, centroidPred: Column): DataFrame =
+    ivfAssignTo(emb, centroidsOf(emb, centroidPred))
+
+  /** IVF assignment: nearest centroid per vector from an explicit codebook
+    * (c_id, c_emb) — the output of [[centroidsOf]] or [[kmeansCodebook]].
     * One max_by aggregate per vector — partial-aggregates map-side, carries
     * the embedding in the value struct so no second corpus join is needed.
+    * Ties on ROUND(sim,4) break to the lowest c_id, so assignment is
+    * deterministic and oracle-replayable.
     * Output: vec_id, embedding, cluster. */
-  def ivfAssign(emb: DataFrame, centroidPred: Column): DataFrame = {
-    val cent = emb.filter(centroidPred)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  def ivfAssignTo(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("c_id"), col("c_emb"))
     emb.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         simCol(emb)(col("embedding"), col("c_emb")).as("sim"))
@@ -90,26 +104,62 @@ object Similarity {
     * with the typed CentroidAggregator (map-side partial sums — one
     * dim-width buffer per cluster per partition crosses the shuffle).
     * Output: cluster, centroid ARRAY<FLOAT>. */
-  def refineCentroids(emb: DataFrame, centroidPred: Column): DataFrame = {
+  def refineCentroids(emb: DataFrame, centroidPred: Column): DataFrame =
+    refineCentroidsFrom(emb, centroidsOf(emb, centroidPred))
+      .toDF("cluster", "centroid")
+
+  /** [[refineCentroids]] against an explicit codebook; keeps the codebook
+    * schema (c_id, c_emb) so steps compose. Clusters that attract no
+    * members drop out of the refined codebook. */
+  def refineCentroidsFrom(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    ivfAssign(emb, centroidPred)
+    ivfAssignTo(emb, centroids)
       .select(col("cluster"), col("embedding")).as[(Long, Array[Float])]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(graft.functions.CentroidAggregator.toColumn.name("centroid"))
-      .toDF("cluster", "centroid")
+      .toDF("c_id", "c_emb")
   }
 
-  /** IVF search, probe=1: each query scans only its own cluster.
+  /** Lloyd-iterated codebook from a deterministic seed sample: `iters`
+    * k-means refinement steps. Each step is one broadcast-assign + one
+    * partial-aggregated shuffle; the codebook (tiny by construction) is
+    * localCheckpoint'd per step so the next assign broadcasts a
+    * materialized table instead of replaying the whole chain. */
+  def kmeansCodebook(emb: DataFrame, seedPred: Column, iters: Int): DataFrame = {
+    var cb = centroidsOf(emb, seedPred)
+    (1 to iters).foreach { _ => cb = refineCentroidsFrom(emb, cb).localCheckpoint() }
+    cb
+  }
+
+  /** IVF search against a predicate-derived codebook (see [[ivfTopKWith]]). */
+  def ivfTopK(emb: DataFrame, centroidPred: Column, queryPred: Column, k: Int,
+              probes: Int = 1): DataFrame =
+    ivfTopKWith(emb, centroidsOf(emb, centroidPred), queryPred, k, probes)
+
+  /** IVF search, probe=`probes`: each query scans only its `probes`
+    * nearest clusters (by the same rounded-cosine + c_id-tiebreak metric
+    * as assignment, so probe-1 is exactly "the query's own cluster").
+    * Probing more clusters trades compute for recall without touching the
+    * corpus assignment — the standard IVF knob.
     * Output: q_id, n_id, sim. */
-  def ivfTopK(emb: DataFrame, centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
-    val assigned = ivfAssign(emb, centroidPred)
-    val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
+  def ivfTopKWith(emb: DataFrame, centroids: DataFrame, queryPred: Column,
+                  k: Int, probes: Int = 1): DataFrame = {
+    val assigned = ivfAssignTo(emb, centroids)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // probe-cluster ranking is queries × codebook — both broadcast-small;
+    // reuses the two-phase top-k so no Window sneaks into the plan
+    val qcScored = broadcast(q).join(broadcast(centroids.select(col("c_id"), col("c_emb"))))
+      .select(col("q_id"), col("c_id").as("n_id"),
+        simCol(emb)(col("q_emb"), col("c_emb")).as("sim"))
+    val probeClusters = topKPerQuery(qcScored, probes)
+      .select(col("q_id"), col("n_id").as("cluster"))
+    val qp = q.join(probeClusters, Seq("q_id"))
     val c = assigned
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
-    val scored = broadcast(q).join(c, Seq("cluster"))
+    val scored = broadcast(qp).join(c, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), simCol(emb)(col("q_emb"), col("n_emb")).as("sim"))
     topKPerQuery(scored, k)

@@ -9,12 +9,13 @@ import graft.sources.Tables
 /** Driver-contract queries for the training-data-pipeline extensions
   * (dedup, text analysis, multimodal plumbing, similarity search).
   *
-  * Eight queries carry full DuckDB oracles — including the MinHash+LSH,
-  * SimHash, and n-gram-Jaccard pipelines, whose SQL is GENERATED from the
-  * same lexicons/parameters the Spark operators use, so the two sides
-  * cannot silently drift. The two kNN queries are rows-only: float cosine
-  * ordering is not bit-stable across engines (they get tolerance-based
-  * ScalaTest coverage instead, per SURVEY §5.2 #5).
+  * Every query carries a full DuckDB oracle. The hash-heavy pipelines
+  * (MinHash+LSH, SimHash, n-gram Jaccard) generate their SQL from the same
+  * lexicons/parameters the Spark operators use; the similarity trio
+  * (x11-x13) generates an explicit sequential-fold cosine whose double
+  * arithmetic is bit-identical to the Spark loop, with all selection on
+  * ROUND(sim,4) + id tiebreaks — so the two sides cannot silently drift
+  * anywhere in the contract surface.
   */
 object ExtensionQueries {
 
@@ -68,19 +69,31 @@ object ExtensionQueries {
     Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 10)
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
 
+  /** Probe count shared by the Spark call and the generated oracle SQL. */
+  val ivfProbes = 2
+
   def x12(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(s, dir),
         centroidPred = col("vec_id") % 50 === 0,
-        queryPred = col("vec_id") % 100 === 0, k = 10)
+        queryPred = col("vec_id") % 100 === 0, k = 10, probes = ivfProbes)
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
 
-  /** Threshold 0.4, not a production 0.9+: the synthetic embeddings are
-    * near-orthogonal random vectors (max within-cluster cosine ≈ 0.48 at
-    * sf0.01), so a realistic near-dup threshold would correctly return
-    * zero rows — 0.4 keeps the rows-only check exercising real output. */
+  /** x13 parameters, shared with the generated oracle SQL. Codebook is
+    * FIXED-SIZE (first 16 vec_ids — corpus-size-independent, unlike a
+    * `% 50` predicate whose centroid count grows with the corpus and makes
+    * the assign stage quadratic); maxCluster 32 < the largest observed
+    * cluster (42 at sf0.01), so the skew-cap blocking path is exercised by
+    * the oracle itself. Threshold 0.35, not a production 0.9+: the
+    * synthetic embeddings are near-orthogonal random vectors, so a
+    * realistic near-dup threshold would correctly return zero rows. */
+  val nearDupCentroids = 16
+  val nearDupMaxCluster = 32
+  val nearDupThreshold = 0.35
+
   def x13(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(emb(s, dir),
-        centroidPred = col("vec_id") % 50 === 0, threshold = 0.4)
+        centroidPred = col("vec_id") < nearDupCentroids,
+        threshold = nearDupThreshold, maxClusterSize = nearDupMaxCluster)
       .orderBy("a_id", "b_id")
 
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
@@ -172,6 +185,21 @@ object ExtensionQueries {
   private val simhashBits: String = (0 until 16).map { j =>
     s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
+
+  /** Sequential-fold dot product over FLOAT[] lists: bit-identical to the
+    * Spark side (VectorFunctions.dot / the codegen'd CosineSimilarity
+    * loop), which accumulates left-to-right in double precision starting
+    * from 0.0. Same IEEE ops in the same order => same bits. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      s"p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
+
+  /** ROUND(cosine, 4) — matches Similarity.simCol exactly: both engines
+    * produce the identical unrounded double (shared fold order), and
+    * ROUND-to-4 behaves identically on it (verified empirically), so sims
+    * compare EXACTLY under the driver's 9-significant-digit canon. */
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
 
   val sql: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -278,6 +306,54 @@ object ExtensionQueries {
         |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events)
         | WHERE rn = 2 ORDER BY delivery_order_id""".stripMargin,
-    // x11/x12/x13 intentionally absent: float cosine not bit-stable cross-engine.
+    // x11-x13: selection and ordering use ROUND(sim,4) with id tiebreaks on
+    // BOTH engines, so top-k membership / threshold filtering cannot be
+    // flipped by float drift — and the drift itself is zero because the
+    // fold order is shared (see cosSql).
+    "x11_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q JOIN embeddings e ON q.q_id <> e.vec_id)
+         |SELECT q_id, n_id, sim FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
+    "x12_knn_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, c_id AS cluster FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM cs)
+         |  WHERE rn = 1),
+         |probe AS (SELECT vec_id AS q_id, c_id AS cluster FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |   FROM cs WHERE vec_id % 100 = 0)
+         |  WHERE rn <= $ivfProbes),
+         |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${cosSql("qe.embedding", "ne.embedding")} AS sim
+         |       FROM probe p JOIN assign a ON p.cluster = a.cluster AND p.q_id <> a.vec_id
+         |       JOIN embeddings qe ON qe.vec_id = p.q_id
+         |       JOIN embeddings ne ON ne.vec_id = a.vec_id)
+         |SELECT q_id, n_id, sim FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+         |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
+    "x13_embed_neardup" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $nearDupCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cluster FROM
+         |  (SELECT vec_id, c_id AS cluster,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM cs)
+         |  WHERE rn = 1),
+         |sizes AS (SELECT cluster, count(*) AS csz FROM assign GROUP BY cluster),
+         |blocked AS (SELECT a.vec_id, a.cluster,
+         |    a.vec_id % ((s.csz + ${nearDupMaxCluster - 1}) // $nearDupMaxCluster) AS blk
+         |  FROM assign a JOIN sizes s USING (cluster)),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM blocked a JOIN blocked b
+         |    ON a.cluster = b.cluster AND a.blk = b.blk AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |SELECT a_id, b_id, sim FROM pairs WHERE sim >= $nearDupThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -86,6 +86,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
   }
 
+  test("embeddingNearDupPairs caps a degenerate hot cluster (bounded candidate count)") {
+    import spark.implicits._
+    // worst case: EVERY vector lands in one cluster (all near one axis) —
+    // the failure mode the cap exists for
+    val emb = (0L until 64L).map(i => i -> Seq(1.0f, i.toFloat * 1e-5f))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(emb, centroidPred = col("vec_id") === 0,
+      threshold = -1.0, maxClusterSize = 8)
+    // 64/8 = 8 blocks of 8 members: 8 * C(8,2) = 224 pairs, not C(64,2) = 2016
+    assert(capped.count() == 8 * 28)
+    val uncapped = Dedup.embeddingNearDupPairs(emb, centroidPred = col("vec_id") === 0,
+      threshold = -1.0)
+    assert(uncapped.count() == 2016)
+  }
+
   test("dropNearDuplicates keeps the lowest-id representative per group") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",

@@ -66,6 +66,20 @@ class RelationalSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("saltedAgg salt is deterministic: identical per-bucket partials across repartitionings") {
+    val df = ((1 to 500).map(i => ("hot", i)) ++ (1 to 5).map(i => ("cold", i)))
+      .toDF("k", "v")
+    // merge phase = sorted list of per-bucket partial counts: stable ONLY if
+    // every row lands in the same bucket regardless of input partitioning
+    def buckets(in: org.apache.spark.sql.DataFrame) =
+      Relational.saltedAgg(in, "k", saltBuckets = 8, aggs = Seq(
+        (count(lit(1)), "parts",
+          (c: org.apache.spark.sql.Column) => sort_array(collect_list(c)))))
+        .orderBy("k").collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(buckets(df) == buckets(df.repartition(13)))
+    assert(buckets(df) == buckets(df.repartition(3, col("v"))))
+  }
+
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
     val base = Seq((Option(1), "a")).toDF("k", "v")
     val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")

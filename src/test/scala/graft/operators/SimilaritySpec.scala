@@ -32,20 +32,52 @@ class SimilaritySpec extends SparkSpec {
     assert(!ivfPlan.contains("Window"))
   }
 
-  test("ivfTopK returns k sorted results per query with tolerable recall") {
+  test("ivfTopK: probing more clusters monotonically raises recall") {
     val emb = Tables(spark, sf(), "embeddings")
     val k = 10
     val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val ivf = Similarity.ivfTopK(emb, col("vec_id") % 50 === 0, col("vec_id") % 100 === 0, k)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val perQuery = ivf.groupBy(_._1)
-    assert(perQuery.values.forall(_.length <= k))
     val bruteSet = brute.toSet
-    val recall = ivf.count(bruteSet.contains).toDouble / brute.length
-    // probe-1 IVF with a vec_id-sampled codebook: recall well below 1.0 is
-    // expected; the bound asserts it beats random-cluster noise.
-    assert(recall >= 0.1, s"recall@$k = $recall")
+    def recall(probes: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, col("vec_id") % 50 === 0,
+          col("vec_id") % 100 === 0, k, probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(ivf.groupBy(_._1).values.forall(_.length <= k))
+      ivf.count(bruteSet.contains).toDouble / brute.length
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    // the fixture is near-orthogonal RANDOM vectors, so IVF recall is
+    // data-bounded at ~probed-fraction (2 of 10 clusters => ~0.2) no matter
+    // how good the codebook is; the clustered-data test below carries the
+    // real recall bar. Here: probe-2 must beat the old near-vacuous 0.1
+    // floor and must not be below probe-1.
+    assert(r2 >= r1, s"probe-2 recall $r2 < probe-1 recall $r1")
+    assert(r2 >= 0.15, s"recall@$k probes=2 = $r2")
+  }
+
+  test("kmeans-refined IVF reaches recall >= 0.7 on genuinely clustered data") {
+    // 4 well-separated clusters in 8 dims, 40 vectors each, deterministic
+    // sin-based jitter — data where an ANN index is actually meaningful
+    // (the parquet fixture's random vectors cap recall at probed-fraction).
+    val vecs = for (c <- 0 until 4; i <- 0 until 40) yield {
+      val id = (c * 40 + i).toLong
+      val v = Array.tabulate(8)(j =>
+        (if (j == c * 2) 1.0f else 0.0f) +
+          0.05f * math.sin(id * 3.7 + j * 1.3).toFloat)
+      id -> v.toSeq
+    }
+    val emb = vecs.toDF("vec_id", "embedding").repartition(4)
+    // one off-center seed per cluster (ids 0/40/80/120); two Lloyd steps
+    // pull each centroid to its cluster mean
+    val codebook = Similarity.kmeansCodebook(emb, col("vec_id") % 40 === 0, iters = 2)
+    val k = 5
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 20 === 0, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Similarity.ivfTopKWith(emb, codebook, col("vec_id") % 20 === 0, k, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = ivf.count(brute.toSet.contains).toDouble / brute.length
+    assert(recall >= 0.7, s"refined probe-1 recall@$k = $recall")
   }
 
   test("CentroidAggregator + refineCentroids: cluster means, partial-agg safe") {
