@@ -175,12 +175,16 @@ object Dedup {
     * pathologically templated text (the standard blocking trade-off). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxDf: Int = 1000): DataFrame = {
-    // the shingle set feeds several consumers (df counts, blocking
-    // postings, hot sets, cardinalities): materialize once instead of
-    // re-running the explode+distinct shuffle per consumer
+    // the shingle set feeds the df count and the df-tagged postings:
+    // materialize once instead of re-running the explode+distinct shuffle
     val sh = shingleSet(docs, n).localCheckpoint()
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfc.filter(col("df") <= maxDf).select("s"), "s")
+    // the df-tag join feeds both the blocking postings and the per-doc
+    // stats; left LAZY deliberately — each consumer pushes its own df
+    // filter/projection into the join (rare gets a df<=maxDf-pruned build
+    // side), which beats materializing the full tagged postings once
+    val tagged = sh.join(dfc, "s")
+    val rare = tagged.filter(col("df") <= maxDf).select(col("doc_id"), col("s"))
     // the blocking join YIELDS the shared-rare-shingle count per pair —
     // aggregating it is both the candidate set and most of the exact
     // intersection, with no per-pair set materialization
@@ -188,37 +192,37 @@ object Dedup {
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("i_rare"))
-    // exactness correction: shared HOT shingles, intersected from per-doc
-    // hot-only arrays (bounded: few shingles exceed maxDf by definition
-    // of a heavy-tail df distribution)
-    val hot = sh.join(dfc.filter(col("df") > maxDf).select("s"), "s")
-    val hotSets = hot.groupBy(col("doc_id")).agg(collect_set(col("s")).as("hset"))
-    val card = sh.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("c"))
-    val hotCard = hot.groupBy(col("doc_id")).agg(count(lit(1)).as("hc"))
-    // EXACT upper-bound pruning before the array-verify join:
+    // per-doc stats in ONE doc_id aggregate: total cardinality, hot count,
+    // and the hot-only shingle array for the exactness correction
+    // (collect_set drops the nulls the `when` emits for rare shingles;
+    // hot sets are bounded: few shingles exceed maxDf by definition of a
+    // heavy-tail df distribution)
+    val docStats = tagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("c"),
+      count(when(col("df") > maxDf, 1)).as("hc"),
+      collect_set(when(col("df") > maxDf, col("s"))).as("hset"))
+    // EXACT upper-bound pruning before computing the hot-set intersection:
     //   J <= min(|A|,|B|) / max(|A|,|B|)          (size-ratio bound)
     //   i <= i_rare + min(hotA, hotB)  =>  J <= iMax/(|A|+|B|-iMax)
     // Both are implications of set algebra, so no qualifying pair is lost —
-    // the expensive hot-set intersection runs only on survivors.
-    val bounded = iRare
-      .join(card.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(card.as("cb"), col("b_id") === col("cb.doc_id"))
-      .join(hotCard.as("hca"), col("a_id") === col("hca.doc_id"), "left_outer")
-      .join(hotCard.as("hcb"), col("b_id") === col("hcb.doc_id"), "left_outer")
+    // the array intersection runs only on survivors. docStats is one row
+    // per document (stats + capped hot array, no raw text): broadcast both
+    // sides so AQE never sort-merge-shuffles the candidate pairs twice.
+    val withStats = iRare
+      .join(broadcast(docStats.as("da")), col("a_id") === col("da.doc_id"))
+      .join(broadcast(docStats.as("db")), col("b_id") === col("db.doc_id"))
       .select(col("a_id"), col("b_id"), col("i_rare"),
-        col("ca.c").as("na"), col("cb.c").as("nb"),
-        (col("i_rare") + least(coalesce(col("hca.hc"), lit(0L)),
-          coalesce(col("hcb.hc"), lit(0L)))).cast("double").as("i_max"))
+        col("da.c").as("na"), col("db.c").as("nb"),
+        (col("i_rare") + least(col("da.hc"), col("db.hc")))
+          .cast("double").as("i_max"),
+        col("da.hset").as("ha"), col("db.hset").as("hb"))
       .filter(least(col("na"), col("nb")).cast("double") /
         greatest(col("na"), col("nb")) >= threshold)
       .filter(col("i_max") / (col("na") + col("nb") - col("i_max")) >= threshold)
-    bounded
-      .join(hotSets.as("ha"), col("a_id") === col("ha.doc_id"), "left_outer")
-      .join(hotSets.as("hb"), col("b_id") === col("hb.doc_id"), "left_outer")
+    withStats
       .select(col("a_id"), col("b_id"),
-        (col("i_rare") + when(col("ha.hset").isNotNull && col("hb.hset").isNotNull,
-          size(array_intersect(col("ha.hset"), col("hb.hset")))).otherwise(0))
+        (col("i_rare") + when(size(col("ha")) > 0 && size(col("hb")) > 0,
+          size(array_intersect(col("ha"), col("hb")))).otherwise(0))
           .cast("double").as("i"),
         col("na"), col("nb"))
       .select(col("a_id"), col("b_id"),
