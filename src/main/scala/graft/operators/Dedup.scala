@@ -74,7 +74,7 @@ object Dedup {
     // signatures feed all `bands` branches of the union: materialize once
     // (localCheckpoint truncates lineage so the shingle explode + groupBy
     // don't re-run per band; production would persist to reliable storage)
-    val sig = minhashSignatures(docs, n, k).localCheckpoint()
+    val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
     val bandRows = (0 until bands).map { b =>
       val hs = (0 until r).map(j => col(s"h${b * r + j}"))
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -146,7 +146,7 @@ object Dedup {
                             maxClusterSize: Int = 4096): DataFrame = {
     // assignment feeds both the size count and the pair join: materialize
     // once instead of re-running the broadcast-assign shuffle per consumer
-    val assigned = Similarity.ivfAssign(emb, centroidPred).localCheckpoint()
+    val assigned = graft.Persist.cut(Similarity.ivfAssign(emb, centroidPred))
     // one row per centroid — broadcast-small by the fixed-codebook contract
     val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
     val blocked = assigned.join(broadcast(sizes), Seq("cluster"))
@@ -177,7 +177,7 @@ object Dedup {
                         maxDf: Int = 1000): DataFrame = {
     // the shingle set feeds the df count and the df-tagged postings:
     // materialize once instead of re-running the explode+distinct shuffle
-    val sh = shingleSet(docs, n).localCheckpoint()
+    val sh = graft.Persist.cut(shingleSet(docs, n))
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // the df-tag join feeds both the blocking postings and the per-doc
     // stats; left LAZY deliberately — each consumer pushes its own df

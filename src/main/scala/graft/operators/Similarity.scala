@@ -129,7 +129,7 @@ object Similarity {
     * materialized table instead of replaying the whole chain. */
   def kmeansCodebook(emb: DataFrame, seedPred: Column, iters: Int): DataFrame = {
     var cb = centroidsOf(emb, seedPred)
-    (1 to iters).foreach { _ => cb = refineCentroidsFrom(emb, cb).localCheckpoint() }
+    (1 to iters).foreach { _ => cb = graft.Persist.cut(refineCentroidsFrom(emb, cb)) }
     cb
   }
 

@@ -33,6 +33,35 @@ object Extract {
   val pageSize = 100   // app.py:107
   val maxRetries = 3   // app.py:100-120
 
+  /** Production [[FetchPage]] over `java.net.http`: POSTs the reference's
+    * page request body (app.py:102-108) to `endpoint` and parses the
+    * `{"items": [...], "total": N}` response (app.py:153-156) with the
+    * Jackson shipped on Spark's classpath. Throws on non-2xx / malformed
+    * JSON so [[fetchWithRetry]]'s 3-attempt record-and-skip policy applies
+    * unchanged — the adapter adds transport only, no new failure policy. */
+  def httpFetchPage(endpoint: java.net.URI,
+                    headers: Map[String, String] = Map.empty,
+                    client: java.net.http.HttpClient =
+                      java.net.http.HttpClient.newHttpClient()): FetchPage = {
+    import java.net.http.{HttpRequest, HttpResponse}
+    (day: LocalDate, page: Int) => {
+      val body =
+        s"""{"date_type":9,"date_from":"$day","date_to":"$day",""" +
+          s""""page_number":$page,"page_size":$pageSize,"postgresql":false}"""
+      val b = HttpRequest.newBuilder(endpoint)
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for $day page $page")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      val items = root.path("items")
+      require(items.isArray, s"response for $day page $page has no items array")
+      PageResult((0 until items.size).map(i => items.get(i).toString),
+        root.path("total").asInt())
+    }
+  }
+
   private def fetchWithRetry(fetch: FetchPage, day: LocalDate, page: Int): Try[PageResult] = {
     var last: Try[PageResult] = Failure(new IllegalStateException("unattempted"))
     var attempt = 0

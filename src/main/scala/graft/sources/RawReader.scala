@@ -52,7 +52,7 @@ object RawReader {
     * (SURVEY §4.2 #3); here it parses ONCE and every downstream
     * derivation (flatten + 4 explodes + quarantine report) reuses it. */
   def quarantine(raw: DataFrame): (DataFrame, DataFrame) = {
-    val cached = raw.cache()
+    val cached = graft.Persist.hot(raw)
     val bad = cached.filter(col("_corrupt_record").isNotNull)
       .select(col("source_file"), col("_corrupt_record"))
     val good = cached.filter(col("_corrupt_record").isNull)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Dedup
+
+class PersistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withMode[A](m: String)(f: => A): A = {
+    spark.conf.set(Persist.modeKey, m)
+    try f finally spark.conf.unset(Persist.modeKey)
+  }
+
+  test("default mode: hot caches in memory, cut truncates lineage locally") {
+    val df = spark.range(100).toDF("x")
+    val h = Persist.hot(df)
+    assert(h.storageLevel.useMemory)
+    h.unpersist()
+    val c = Persist.cut(spark.range(100).toDF("x"))
+    assert(c.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "cut() did not truncate lineage")
+  }
+
+  test("disk mode: both paths persist DISK_ONLY (100 TB memory discipline)") {
+    withMode("disk") {
+      val h = Persist.hot(spark.range(100).toDF("x"))
+      assert(h.storageLevel == StorageLevel.DISK_ONLY)
+      h.unpersist()
+      val c = Persist.cut(spark.range(100).toDF("x"))
+      assert(c.storageLevel == StorageLevel.DISK_ONLY)
+      c.unpersist()
+    }
+  }
+
+  test("disk mode: an operator built on Persist gives identical results") {
+    val docs = (1L to 30L).map(i => (i, s"w$i x$i y$i z${i % 3} common tail words"))
+      .toDF("doc_id", "text")
+    val local = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val disk = withMode("disk") {
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+        .orderBy("a_id", "b_id").collect().toSeq
+    }
+    assert(local == disk && local.nonEmpty)
+  }
+
+  test("reliable mode: cut() checkpoints to the reliable checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    withMode("reliable") {
+      val c = Persist.cut(spark.range(50).toDF("x"))
+      assert(c.agg(sum("x")).collect().head.getLong(0) == 1225L)
+      assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray.isEmpty,
+        "no checkpoint data written")
+    }
+  }
+}

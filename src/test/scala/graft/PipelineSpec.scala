@@ -133,6 +133,55 @@ class PipelineSpec extends SparkSpec {
       .collect().head.getAs[String]("macro_status") == "DELIVERED")
   }
 
+  test("Q2 incremental: day-2 upsert into day-1 master — updates win wholesale, history survives") {
+    val out1 = Files.createTempDirectory("graft_day1").toString
+    Main.run(spark, fixtures, out1)
+    // day 2 re-delivers ORD-3 (valid date, a code, NO events array) and a
+    // brand-new ORD-4
+    val in2 = Files.createTempDirectory("graft_day2in")
+    val d = in2.resolve("2024-01-18")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("2024-01-18.json"),
+      """[{"delivery_order_id": "ORD-3", "code": "C-303", "recycling": false,
+        |  "created_date": "2024-01-18T10:00:00.000000"},
+        | {"delivery_order_id": "ORD-4", "code": "C-404",
+        |  "created_date": "2024-01-18T11:00:00.000000"}]""".stripMargin)
+    val out2 = Files.createTempDirectory("graft_day2").toString
+    Main.run(spark, in2.toString, out2,
+      masterHistoryDir = Some(s"$out1/delivery_order_master"))
+    val m = spark.read.parquet(s"$out2/delivery_order_master")
+    assert(m.count() == 4) // ORD-1/2 history + updated ORD-3 + new ORD-4
+    val by = m.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap
+    assert(by("ORD-1").getAs[String]("code") == "C-001")    // unmatched history intact
+    assert(by("ORD-3").getAs[String]("code") == "C-303")    // matched: update wins...
+    assert(by("ORD-3").getAs[String]("events_info_json") == null) // ...WHOLESALE:
+    // day-1's non-null events array is gone because day-2's row omitted it
+    assert(by("ORD-4").getAs[String]("code") == "C-404")    // insert branch
+  }
+
+  test("O2 streaming: AvailableNow hourly pass lands exactly the finalized windows") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_stream_in").toString
+    Tables(spark, sf(), "events").write.mode("overwrite").parquet(src)
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    Main.runStreamingHourly(spark, src, out)
+    val streamed = spark.read.parquet(s"$out/hourly_counts").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Tables(spark, sf(), "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty, "no finalized windows written")
+    // every streamed window must equal its batch twin exactly
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k diverged") }
+    // append mode withholds only windows the final watermark (max ts - 2h)
+    // hasn't passed: all strictly-older windows must have landed
+    val maxTs = Tables(spark, sf(), "events").agg(max("ts")).collect().head.getTimestamp(0)
+    val wm = maxTs.getTime - 2L * 3600 * 1000
+    val mustHave = batch.keys.filter(_._1.getTime + 3600 * 1000 < wm)
+    mustHave.foreach(k => assert(streamed.contains(k), s"finalized window $k missing"))
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)

@@ -46,4 +46,40 @@ class ExtractSpec extends SparkSpec {
     assert(good.count() == 260)
     assert(bad.count() == 0) // day-3's empty array file parses to zero rows
   }
+
+  test("S1: httpFetchPage drives the full extract against a real local socket") {
+    import com.sun.net.httpserver.HttpServer
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/orders", ex => {
+      val n = requests.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes, java.nio.charset.StandardCharsets.UTF_8)
+      // first hit fails with a 500 so the adapter must surface an error the
+      // 3-retry policy absorbs; the reference request body must round-trip
+      val resp =
+        if (n == 1) """{"error":"boom"}"""
+        else if (body.contains(""""page_number":1"""))
+          """{"items":[{"delivery_order_id":"H-1"},{"delivery_order_id":"H-2"}],"total":3}"""
+        else """{"items":[{"delivery_order_id":"H-3"}],"total":3}"""
+      val code = if (n == 1) 500 else 200
+      assert(body.contains(""""page_size":100""") && body.contains(""""date_type":9"""))
+      val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/orders")
+      val fetch = Extract.httpFetchPage(uri, headers = Map("X-Auth" -> "t"))
+      val out = Files.createTempDirectory("graft_http").toString
+      val day = LocalDate.parse("2024-03-01")
+      val res = Extract.run(fetch, day, day, out)
+      assert(res.map(r => (r.orders, r.failed)) == Seq((3, false)))
+      val landed = Files.readString(Paths.get(out, day.toString, s"$day.json"))
+      assert(landed.contains("H-1") && landed.contains("H-3"))
+      assert(requests.get() == 3) // 1 failed + 2 pages
+    } finally server.stop(0)
+  }
 }
