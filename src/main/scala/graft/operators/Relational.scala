@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   /** Q1 delete_duplicates (reference DAG_cloudrun_dataflow_sp.py:90-96):
-    * keep the first row per key under `order`. */
-  def dedupeKeepFirst(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame =
+    * keep the first `keep` rows per key under `order` (default 1). */
+  def dedupeKeepFirst(df: DataFrame, key: Seq[Column], order: Seq[Column],
+                      keep: Int = 1): DataFrame =
     df.withColumn("__rn", row_number().over(Window.partitionBy(key: _*).orderBy(order: _*)))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= keep)
       .drop("__rn")
 
   /** Q2 merge_temp_master (DAG:98-104, DOC:8): upsert `updates` into `base`

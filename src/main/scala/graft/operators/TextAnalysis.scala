@@ -70,4 +70,26 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text")).as("md5_sig"),
       rollingFingerprint(tokens(col("text"))).as("roll_sig"))
+
+  /** Top-k characteristic terms per document by TF-IDF (keyword
+    * extraction for corpus curation): score = tf · ln(N/df), rounded to 4
+    * decimals with a term tiebreak so ranking is cross-engine stable.
+    *
+    * Scale shape: one (doc_id, term) aggregate, one term aggregate, the
+    * corpus size N broadcast as a 1-row frame, and a per-document
+    * row_number window — per-doc DISTINCT terms are bounded (vocabulary ≪
+    * document length), so the window partition never degenerates (the
+    * bounded-group condition in Relational's scale notes).
+    * Output: doc_id, term, tfidf. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+    Relational.dedupeKeepFirst(scored, Seq(col("doc_id")),
+      Seq(col("tfidf").desc, col("term")), keep = k)
+  }
 }

@@ -96,6 +96,18 @@ object ExtensionQueries {
         threshold = nearDupThreshold, maxClusterSize = nearDupMaxCluster)
       .orderBy("a_id", "b_id")
 
+  /** End-to-end near-dedup: LSH candidate pairs feed the greedy
+    * lowest-id-representative removal — the kept doc_id list. */
+  def x15(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dropNearDuplicates(d, Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Top-3 characteristic terms per document by TF-IDF. */
+  def x16(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3).orderBy("doc_id", "term")
+
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
     * the batch twin of the streaming sessionizer. */
   def x14(s: SparkSession, dir: String): DataFrame = {
@@ -118,6 +130,18 @@ object ExtensionQueries {
       .orderBy("delivery_order_id")
   }
 
+  /** Relational.upsert scored directly on the events fixture: base = each
+    * user's FIRST event, updates = each EVEN user's LAST event — merged
+    * rows must show the update winning wholesale, odd users untouched. */
+  def w02(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select("user_id", "event_id", "ts")
+    val first = Relational.dedupeKeepFirst(e, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+    val last = Relational.dedupeKeepFirst(e, Seq(col("user_id")),
+        Seq(col("ts").desc, col("event_id").desc))
+      .filter(col("user_id") % 2 === 0)
+    Relational.upsert(first, last, "user_id").orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -133,7 +157,10 @@ object ExtensionQueries {
     "x12_knn_ivf"       -> (x12 _),
     "x13_embed_neardup" -> (x13 _),
     "x14_sessionize"    -> (x14 _),
+    "x15_lsh_dedup"     -> (x15 _),
+    "x16_tfidf"         -> (x16 _),
     "w01_nth_event"     -> (w01 _),
+    "w02_upsert_events" -> (w02 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -177,6 +204,15 @@ object ExtensionQueries {
     val hs = (0 until 3).map(j => s"h${b * 3 + j}").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
   }.mkString("\n  UNION ALL ")
+
+  /** Full MinHash-signature + LSH-band CTE chain (shared by x08/x15). */
+  private lazy val lshCtes: String =
+    s"""$shingleCte,
+       |shh AS (SELECT doc_id,
+       |  ('0x' || substring(md5(s), 1, 15))::BIGINT % ${Dedup.minhashP} AS h FROM sh),
+       |sig AS (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $lshBandRows)""".stripMargin
 
   private val simhashVotes: String = (0 until 16).map { j =>
     s"SUM((strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
@@ -250,16 +286,42 @@ object ExtensionQueries {
         | unnest(range(0, greatest(strlen(text) // 64, 1), 7)) AS frame_idx
         | FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
     "x08_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |shh AS (SELECT doc_id,
-         |  ('0x' || substring(md5(s), 1, 15))::BIGINT % ${Dedup.minhashP} AS h FROM sh),
-         |sig AS (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
-         |bands AS (
-         |  $lshBandRows)
+      s"""WITH $lshCtes
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    "x15_lsh_dedup" ->
+      s"""WITH $lshCtes,
+         |drops AS (SELECT DISTINCT b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT b_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+    "x16_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln(n.n / dfq.df), 4) AS tfidf
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf FROM
+        | (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+    "w02_upsert_events" ->
+      """WITH f AS (SELECT user_id, event_id, ts FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |   FROM events) WHERE rn = 1),
+        |l AS (SELECT user_id, event_id, ts FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events) WHERE rn = 1 AND user_id % 2 = 0)
+        |SELECT f.user_id,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.event_id ELSE f.event_id END AS event_id,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.ts ELSE f.ts END AS ts
+        |FROM f LEFT JOIN l ON f.user_id = l.user_id
+        |ORDER BY f.user_id""".stripMargin,
     "x09_simhash" ->
       s"""WITH tok AS (SELECT doc_id,
          |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),

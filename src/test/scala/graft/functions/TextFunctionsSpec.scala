@@ -46,4 +46,24 @@ class TextFunctionsSpec extends SparkSpec {
   test("wordSetCount counts occurrences of set members") {
     assert(one[Long](wordSetCount(tokens(col("t")), Seq("the", "of")), "the cat of the") == 3L)
   }
+
+  test("tfidfTopTerms: rare terms outrank ubiquitous ones; k bounds output") {
+    val docs = Seq(
+      (1L, "shared shared rare1"),
+      (2L, "shared shared rare2"),
+      (3L, "shared unique unique unique")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // "shared" appears in every doc -> idf = ln(1) = 0: it can only trail
+    // (docs here have just 2 distinct terms, so k=2 still includes it)
+    assert(top.filter(_._2 == "shared").forall(_._3 == 0.0))
+    val byDoc = top.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 2))
+    // the TOP term per doc is always the rare one, never the ubiquitous one
+    assert(byDoc.values.forall(_.maxBy(_._3)._2 != "shared"))
+    // doc 3: unique (tf=3, df=1) scores 3*ln(3)
+    val u = top.find(t => t._1 == 3L && t._2 == "unique").get
+    assert(math.abs(u._3 - math.rint(3 * math.log(3) * 10000) / 10000) < 1e-9)
+  }
 }

@@ -16,6 +16,13 @@ class RelationalSpec extends SparkSpec {
     assert(!out.head.schema.fieldNames.contains("__rn"))
   }
 
+  test("dedupeKeepFirst keep=k retains the first k rows per key") {
+    val df = Seq((1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "x", 9)).toDF("k", "v", "ts")
+    val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")), keep = 2)
+      .orderBy("k", "ts").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "a"), (1, "b"), (2, "x")))
+  }
+
   test("upsert: matched update row wins wholesale, including NULL overwrite") {
     val base = Seq((1, Option("old"), Option(10)), (2, Option("keep"), Option(20)))
       .toDF("k", "v", "n")
