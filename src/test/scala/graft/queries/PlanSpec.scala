@@ -42,4 +42,27 @@ class PlanSpec extends SparkSpec {
     assert(plan(OracleQueries.oq05).contains("LeftSemi"))
     assert(plan(OracleQueries.oq06).contains("LeftAnti"))
   }
+
+  test("x12/x13: codebook and cluster-size joins broadcast; corpus never sort-merges") {
+    val p12 = plan(ExtensionQueries.x12)
+    assert(p12.contains("BroadcastHashJoin") || p12.contains("BroadcastNestedLoopJoin"), p12)
+    assert(!p12.contains("SortMergeJoin"), p12)
+    val p13 = plan(ExtensionQueries.x13)
+    // the only shuffles allowed are the assign/size aggregates and the
+    // within-block pair join — centroids and sizes must broadcast
+    assert(p13.contains("BroadcastHashJoin") || p13.contains("BroadcastNestedLoopJoin"), p13)
+  }
+
+  test("x16: tf-idf aggregates are partial before the shuffle; N is broadcast") {
+    val p = plan(ExtensionQueries.x16)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x01: exact dedup shuffles 32-byte hashes, not document text") {
+    val p = plan(ExtensionQueries.x01)
+    // the exchange key is the md5 helper column, derived before the shuffle
+    assert(p.contains("md5"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
