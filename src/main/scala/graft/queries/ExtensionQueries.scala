@@ -69,12 +69,16 @@ object ExtensionQueries {
     Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 10)
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
 
-  /** Probe count shared by the Spark call and the generated oracle SQL. */
+  /** x12 parameters, shared with the generated oracle SQL: probe-2 search
+    * over a FIXED 32-entry codebook (first 32 vec_ids) — like x13, the
+    * codebook must not grow with the corpus or the assign stage turns
+    * quadratic. */
   val ivfProbes = 2
+  val ivfCentroids = 32
 
   def x12(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(s, dir),
-        centroidPred = col("vec_id") % 50 === 0,
+        centroidPred = col("vec_id") < ivfCentroids,
         queryPred = col("vec_id") % 100 === 0, k = 10, probes = ivfProbes)
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
 
@@ -380,7 +384,7 @@ object ExtensionQueries {
          | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
          |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
     "x12_knn_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $ivfCentroids),
          |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
          |       FROM embeddings e CROSS JOIN cent c),
          |assign AS (SELECT vec_id, c_id AS cluster FROM
