@@ -108,6 +108,43 @@ object Dedup {
     agg.select(col("doc_id"), fp.cast("long").as("fingerprint"))
   }
 
+  /** SimHash near-duplicate pairs via multi-index (pigeonhole) blocking:
+    * the `bits`-wide fingerprint is cut into maxHamming+1 equal segments —
+    * any pair within `maxHamming` differing bits must agree EXACTLY on at
+    * least one segment (pigeonhole), so blocking on (segment index,
+    * segment value) finds every qualifying pair while joining only
+    * same-segment buckets, never all pairs (the classic multi-index
+    * simhash scheme for web-scale dedup). Verification is an exact
+    * popcount on the XOR — cheap, codegen'd, oracle-replayable.
+    *
+    * Candidate volume is ~|corpus|²/2^w per band (w = bits/(maxHamming+1)
+    * segment width), so fingerprint WIDTH is the scale lever: 32 bits →
+    * 8-bit keys here (the md5-hex vote source caps bits at 32);
+    * production at corpus scale wants 64-bit fingerprints (two hash
+    * probes per token) giving 16-bit keys, i.e. 65k buckets per band.
+    * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
+  def simhashNearDupPairs(docs: DataFrame, bits: Int = 32,
+                          maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0, s"bits=$bits must split into ${blocks} equal segments")
+    val w = bits / blocks
+    // fingerprints feed all `blocks` banding branches: materialize once
+    val fp = graft.Persist.cut(simhash(docs, bits))
+    val banded = (0 until blocks).map { i =>
+      fp.select(col("doc_id"), col("fingerprint"), lit(i).as("band"),
+        shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1 << w) - 1)).as("key"))
+    }.reduce(_ unionByName _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Greedy near-duplicate removal: given candidate pairs (a_id, b_id)
     * with a_id < b_id from any detector (LSH, Jaccard, embedding), keep
     * the lowest-id representative of every duplicate group by dropping all

@@ -112,6 +112,11 @@ object ExtensionQueries {
   def x16(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3).orderBy("doc_id", "term")
 
+  /** SimHash near-dup pairs, pigeonhole-blocked, exact hamming verify. */
+  def x17(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, dir), bits = 32, maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
     * the batch twin of the streaming sessionizer. */
   def x14(s: SparkSession, dir: String): DataFrame = {
@@ -163,6 +168,7 @@ object ExtensionQueries {
     "x14_sessionize"    -> (x14 _),
     "x15_lsh_dedup"     -> (x15 _),
     "x16_tfidf"         -> (x16 _),
+    "x17_simhash_pairs" -> (x17 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
   )
@@ -209,6 +215,17 @@ object ExtensionQueries {
     s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
   }.mkString("\n  UNION ALL ")
 
+  /** Full SimHash fingerprint CTE chain (shared by x09/x17; `bits` caps
+    * at 32 — one hex digit of the single md5 per bit). */
+  private def simhashCtes(bits: Int): String =
+    s"""tok AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |v AS (SELECT doc_id,
+       |  ${simhashVotes(bits)}
+       | FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, (${simhashBits(bits)})::BIGINT AS fingerprint FROM v)""".stripMargin
+
   /** Full MinHash-signature + LSH-band CTE chain (shared by x08/x15). */
   private lazy val lshCtes: String =
     s"""$shingleCte,
@@ -218,11 +235,11 @@ object ExtensionQueries {
        |bands AS (
        |  $lshBandRows)""".stripMargin
 
-  private val simhashVotes: String = (0 until 16).map { j =>
+  private def simhashVotes(bits: Int): String = (0 until bits).map { j =>
     s"SUM((strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
   }.mkString(",\n  ")
 
-  private val simhashBits: String = (0 until 16).map { j =>
+  private def simhashBits(bits: Int): String = (0 until bits).map { j =>
     s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
@@ -327,14 +344,20 @@ object ExtensionQueries {
         |FROM f LEFT JOIN l ON f.user_id = l.user_id
         |ORDER BY f.user_id""".stripMargin,
     "x09_simhash" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),
-         |h AS (SELECT doc_id, md5(t) AS h FROM tok),
-         |v AS (SELECT doc_id,
-         |  $simhashVotes
-         | FROM h GROUP BY doc_id)
-         |SELECT doc_id, ($simhashBits)::BIGINT AS fingerprint
-         |FROM v ORDER BY doc_id""".stripMargin,
+      s"""WITH ${simhashCtes(16)}
+         |SELECT doc_id, fingerprint FROM fp ORDER BY doc_id""".stripMargin,
+    "x17_simhash_pairs" ->
+      s"""WITH ${simhashCtes(32)},
+         |bands AS (SELECT doc_id, fingerprint, i AS band,
+         |    (fingerprint >> (i * 8)) & 255 AS key
+         |  FROM fp CROSS JOIN range(0, 4) r(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.fingerprint AS fa, b.fingerprint AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, bit_count(xor(fa, fb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
     "x10_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |rare AS (SELECT sh.* FROM sh JOIN

@@ -86,6 +86,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
   }
 
+  test("simhashNearDupPairs: identical docs pair at hamming 0; disjoint docs don't pair") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "alpha beta gamma delta zeta",
+      4L -> "utterly disjoint vocabulary everywhere totally")
+    val pairs = Dedup.simhashNearDupPairs(d, bits = 16, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 0L)               // identical text, identical fingerprint
+    assert(pairs.keys.forall(p => p._2 != 4L))  // unrelated doc never pairs
+    // every emitted pair respects the verify bound
+    assert(pairs.values.forall(_ <= 3L))
+    // pigeonhole exhaustiveness vs brute force: every fingerprint pair
+    // within hamming<=3 is found by the 4-segment blocking
+    val fps = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i, fi) <- fps; (j, fj) <- fps if i < j
+      if java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j)).toSet
+    assert(pairs.keySet == brute)
+  }
+
   test("embeddingNearDupPairs caps a degenerate hot cluster (bounded candidate count)") {
     import spark.implicits._
     // worst case: EVERY vector lands in one cluster (all near one axis) —
