@@ -97,10 +97,16 @@ object Main {
       graft.sinks.TableSink.santiagoDate(col("created_date").cast("timestamp")))
     // Q2 against real history: one full-outer shuffle on the order id (at
     // production scale the history side is bucketed on the key, S9, so
-    // only the daily delta shuffles)
+    // only the daily delta shuffles). History is MATERIALIZED before the
+    // write: the sink below overwrites the master path, and a lazy read of
+    // the same path would either error ("cannot overwrite a path that is
+    // also being read from") or lose months of history. Plain parquet has
+    // no transactional overwrite, so production alternates A/B master dirs
+    // (or uses a transactional table format) — a mid-write crash must
+    // never be able to destroy the only copy.
     val sinkAll = masterHistoryDir match {
       case Some(h) => graft.operators.Relational.upsert(
-        spark.read.parquet(h), sinkDay, "delivery_order_id")
+        Persist.cut(spark.read.parquet(h)), sinkDay, "delivery_order_id")
       case None => sinkDay
     }
     graft.sinks.TableSink.writeDayPartitioned(
@@ -115,8 +121,11 @@ object Main {
     // Report counts come from the PARQUET JUST WRITTEN (footer metadata,
     // no recompute) — counting the lineage frames would re-run the dedupe
     // shuffle and all four explodes a second time purely for the sidecar.
+    // `orders` is DAY-scoped like the reference's per-day sidecar
+    // (app.py:166-171): the work table has exactly one row per today's
+    // order, whereas the merged master includes all of history.
     def written(name: String): Long = spark.read.parquet(s"$outDir/$name").count()
-    val report = RunReport(written("delivery_order_master"), bad.count(),
+    val report = RunReport(written("delivery_order_work"), bad.count(),
       written("events_info_temp"), written("schedule_events_info_temp"),
       written("reschedule_events_info_temp"), written("packages_temp"))
     raw.unpersist() // release ONLY the raw-parse cache quarantine created

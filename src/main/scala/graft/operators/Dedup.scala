@@ -94,6 +94,7 @@ object Dedup {
     * sign of the sum sets the fingerprint bit. Frequency-weighted (every
     * token occurrence votes). */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits <= 32, "one md5 supplies 32 hex-digit votes; wider prints need a second hash")
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", md5(col("t")))
     val votes = (0 until bits).map { j =>
@@ -127,12 +128,15 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"bits=$bits must split into ${blocks} equal segments")
+    require(bits <= 32, "simhash votes come from one md5 (32 hex digits)")
     val w = bits / blocks
     // fingerprints feed all `blocks` banding branches: materialize once
     val fp = graft.Persist.cut(simhash(docs, bits))
     val banded = (0 until blocks).map { i =>
       fp.select(col("doc_id"), col("fingerprint"), lit(i).as("band"),
-        shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1 << w) - 1)).as("key"))
+        // mask in LONG: (1 << 32) wraps to 1 in Int, which would collapse
+        // every fingerprint into key=0 for maxHamming=0
+        shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1L << w) - 1)).as("key"))
     }.reduce(_ unionByName _)
     banded.as("a")
       .join(banded.as("b"),
@@ -168,14 +172,17 @@ object Dedup {
     * blocking). Scoring uses the codegen'd graft_cosine.
     *
     * Skew safety: a cluster larger than `maxClusterSize` is split into
-    * ceil(size/max) blocks by `vec_id mod nblocks` and only WITHIN-block
-    * pairs are scored — the same hot-key discipline as ngramJaccardPairs'
-    * maxDf cap. One degenerate cluster (all vectors near one centroid)
-    * costs max·|cluster| pairs instead of |cluster|², at the price of
-    * missing cross-block pairs inside that pathological cluster. The
-    * blocking rule is a pure function of (vec_id, cluster size), so the
-    * SQL oracle replays it exactly. Pass a [[Similarity.kmeansCodebook]]-
-    * style FIXED-SIZE centroid predicate — a codebook proportional to the
+    * ceil(size/max) blocks by `md5(vec_id) mod nblocks` — md5, not the
+    * raw id, because residue-correlated ids (strided sampling, sharded
+    * allocation) would land on a fraction of the residues and silently
+    * inflate block sizes by the gcd factor — and only WITHIN-block pairs
+    * are scored, the same hot-key discipline as ngramJaccardPairs' maxDf
+    * cap. One degenerate cluster (all vectors near one centroid) costs
+    * ~max·|cluster| pairs instead of |cluster|², at the price of missing
+    * cross-block pairs inside that pathological cluster. The blocking rule
+    * is a pure function of (vec_id, cluster size), so the SQL oracle
+    * replays it exactly. Pass a [[Similarity.kmeansCodebook]]-style
+    * FIXED-SIZE centroid predicate — a codebook proportional to the
     * corpus makes the assign stage quadratic.
     * Output: (a_id, b_id, sim), a_id < b_id, sim >= threshold. */
   def embeddingNearDupPairs(emb: DataFrame, centroidPred: Column,
@@ -187,7 +194,8 @@ object Dedup {
     // one row per centroid — broadcast-small by the fixed-codebook contract
     val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
     val blocked = assigned.join(broadcast(sizes), Seq("cluster"))
-      .withColumn("__blk", pmod(col("vec_id"),
+      .withColumn("__blk", pmod(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"),
         floor((col("csz") + lit(maxClusterSize - 1)) / lit(maxClusterSize)).cast("long")))
     val a = blocked.select(col("cluster"), col("__blk"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = blocked.select(col("cluster"), col("__blk"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
@@ -243,11 +251,18 @@ object Dedup {
     //   i <= i_rare + min(hotA, hotB)  =>  J <= iMax/(|A|+|B|-iMax)
     // Both are implications of set algebra, so no qualifying pair is lost —
     // the array intersection runs only on survivors. docStats is one row
-    // per document (stats + capped hot array, no raw text): broadcast both
-    // sides so AQE never sort-merge-shuffles the candidate pairs twice.
+    // per document: broadcasting it keeps the candidate pairs from being
+    // sort-merge-shuffled twice, which wins as long as the doc count fits
+    // a broadcast table — at corpus scales where it doesn't (billions of
+    // docs), disable via spark.graft.jaccard.broadcastStats=false and let
+    // the planner shuffle-join.
+    val bcast = docs.sparkSession.conf
+      .get("spark.graft.jaccard.broadcastStats", "true").toBoolean
+    def stats(alias: String): DataFrame =
+      if (bcast) broadcast(docStats.as(alias)) else docStats.as(alias)
     val withStats = iRare
-      .join(broadcast(docStats.as("da")), col("a_id") === col("da.doc_id"))
-      .join(broadcast(docStats.as("db")), col("b_id") === col("db.doc_id"))
+      .join(stats("da"), col("a_id") === col("da.doc_id"))
+      .join(stats("db"), col("b_id") === col("db.doc_id"))
       .select(col("a_id"), col("b_id"), col("i_rare"),
         col("da.c").as("na"), col("db.c").as("nb"),
         (col("i_rare") + least(col("da.hc"), col("db.hc")))

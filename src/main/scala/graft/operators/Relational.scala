@@ -66,12 +66,17 @@ object Relational {
     * partial's alias). Use when ONE key dominates (AQE skew handling
     * splits map partitions but cannot split a single reduce group). */
   def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
-                aggs: Seq[(Column, String, Column => Column)]): DataFrame = {
-    // salt = hash of the row's own values (NOT monotonically_increasing_id,
-    // which changes across retries/repartitionings and would make replays
-    // non-deterministic): same input rows => same partials, always
+                aggs: Seq[(Column, String, Column => Column)],
+                salt: Option[Column] = None): DataFrame = {
+    // Default salt = hash of the row's own values (NOT
+    // monotonically_increasing_id, which changes across retries/
+    // repartitionings and would make replays non-deterministic): same
+    // input rows => same partials, always. The trade: IDENTICAL duplicate
+    // rows all hash to one bucket — for duplicate-heavy hot keys pass an
+    // explicit salt (e.g. spark_partition_id()) and give up replay
+    // determinism for spread.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(salt.getOrElse(hash(df.columns.map(col): _*)), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(aggs.head._1.as(s"__p_${aggs.head._2}"),
         aggs.tail.map(a => a._1.as(s"__p_${a._2}")): _*)

@@ -434,7 +434,8 @@ object ExtensionQueries {
          |  WHERE rn = 1),
          |sizes AS (SELECT cluster, count(*) AS csz FROM assign GROUP BY cluster),
          |blocked AS (SELECT a.vec_id, a.cluster,
-         |    a.vec_id % ((s.csz + ${nearDupMaxCluster - 1}) // $nearDupMaxCluster) AS blk
+         |    ('0x' || substring(md5(a.vec_id::VARCHAR), 1, 15))::BIGINT
+         |      % ((s.csz + ${nearDupMaxCluster - 1}) // $nearDupMaxCluster) AS blk
          |  FROM assign a JOIN sizes s USING (cluster)),
          |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    ${cosSql("ea.embedding", "eb.embedding")} AS sim

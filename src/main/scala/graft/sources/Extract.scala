@@ -42,13 +42,20 @@ object Extract {
   def httpFetchPage(endpoint: java.net.URI,
                     headers: Map[String, String] = Map.empty,
                     client: java.net.http.HttpClient =
-                      java.net.http.HttpClient.newHttpClient()): FetchPage = {
+                      // connect timeout: a black-holed endpoint must FAIL so
+                      // the retry/record-and-skip policy can engage, never
+                      // hang the day's Future forever
+                      java.net.http.HttpClient.newBuilder()
+                        .connectTimeout(java.time.Duration.ofSeconds(30)).build(),
+                    requestTimeout: java.time.Duration =
+                      java.time.Duration.ofSeconds(120)): FetchPage = {
     import java.net.http.{HttpRequest, HttpResponse}
     (day: LocalDate, page: Int) => {
       val body =
         s"""{"date_type":9,"date_from":"$day","date_to":"$day",""" +
           s""""page_number":$page,"page_size":$pageSize,"postgresql":false}"""
       val b = HttpRequest.newBuilder(endpoint)
+        .timeout(requestTimeout)
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(body))
       headers.foreach { case (k, v) => b.header(k, v) }
@@ -57,6 +64,9 @@ object Extract {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
       val items = root.path("items")
       require(items.isArray, s"response for $day page $page has no items array")
+      // a missing/non-numeric total would read as 0 and silently truncate
+      // the day after page 1 — fail loud so the retry policy records it
+      require(root.path("total").isNumber, s"response for $day page $page has no numeric total")
       PageResult((0 until items.size).map(i => items.get(i).toString),
         root.path("total").asInt())
     }

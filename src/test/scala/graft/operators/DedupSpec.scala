@@ -116,8 +116,15 @@ class DedupSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val capped = Dedup.embeddingNearDupPairs(emb, centroidPred = col("vec_id") === 0,
       threshold = -1.0, maxClusterSize = 8)
-    // 64/8 = 8 blocks of 8 members: 8 * C(8,2) = 224 pairs, not C(64,2) = 2016
-    assert(capped.count() == 8 * 28)
+    // 64 vectors split over ceil(64/8)=8 md5-scrambled blocks: expected
+    // pair count = sum of C(block size, 2) under the documented block rule
+    val blockSizes = emb.groupBy(pmod(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(8L)).as("b"))
+      .count().collect().map(_.getLong(1))
+    val expected = blockSizes.map(n => n * (n - 1) / 2).sum
+    assert(capped.count() == expected)
+    assert(expected < 2016, "blocking did not reduce the pair count")
     val uncapped = Dedup.embeddingNearDupPairs(emb, centroidPred = col("vec_id") === 0,
       threshold = -1.0)
     assert(uncapped.count() == 2016)
