@@ -157,6 +157,26 @@ object Main {
     q.awaitTermination()
   }
 
+  /** The sessionizer's AvailableNow twin: one incremental pass of the
+    * stateful gap-sessionizer over the events lake, landing finalized
+    * sessions as parquet. Only watermark-closed sessions are emitted
+    * (append mode), so successive runs append each session exactly once. */
+  def runStreamingSessions(spark: SparkSession, eventsDir: String, outDir: String,
+                           gapSeconds: Long = 1800): Unit = {
+    import spark.implicits._
+    val events = graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.EventStream.Event]
+    val q = graft.streaming.EventStream.sessionize(events, gapSeconds)
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/sessions")
+      .option("checkpointLocation", s"$outDir/_checkpoints/sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = SparkSession.builder()

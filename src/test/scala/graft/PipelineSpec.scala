@@ -182,6 +182,24 @@ class PipelineSpec extends SparkSpec {
     mustHave.foreach(k => assert(streamed.contains(k), s"finalized window $k missing"))
   }
 
+  test("O2 streaming: AvailableNow sessionizer lands finalized sessions as parquet") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_sess_in").toString
+    Tables(spark, sf(), "events").write.mode("overwrite").parquet(src)
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    Main.runStreamingSessions(spark, src, out)
+    val sessions = spark.read.parquet(s"$out/sessions")
+    assert(sessions.count() > 0, "no finalized sessions landed")
+    val bad = sessions.filter(col("session_end") < col("session_start")).count()
+    assert(bad == 0, "session with end < start")
+    // no double-counting: per-user session events bounded by input events
+    val perUser = sessions.groupBy("user_id").agg(sum("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inputPerUser = Tables(spark, sf(), "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUser.foreach { case (u, n) => assert(n <= inputPerUser(u)) }
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)

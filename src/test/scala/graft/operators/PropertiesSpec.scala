@@ -53,6 +53,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup is idempotent and subset-preserving for arbitrary corpora") {
+    val gen = Gen.listOf(Gen.oneOf("a b", "a b c", "x", "x y z", "q r"))
+    cases(gen).foreach { texts =>
+      val docs = (texts :+ "a b").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exact(docs, col("doc_id"), col("text"))
+      val twice = Dedup.exact(once, col("doc_id"), col("text"))
+      assert(once.orderBy("doc_id").collect().toSeq ==
+        twice.orderBy("doc_id").collect().toSeq)
+      // kept texts are exactly the distinct input texts
+      assert(once.select("text").distinct().count() == once.count())
+      assert(once.count() == (texts :+ "a b").distinct.length)
+    }
+  }
+
+  test("sessionize: session ids are contiguous from 1 per user, order-preserving") {
+    val gen = Gen.listOf(Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 100L)))
+    cases(gen).foreach { rows =>
+      val all = (rows :+ ((1, 5L))).zipWithIndex
+        .map { case ((u, t), i) => (s"u$u", t * 1000L, i) }
+      val out = Relational.sessionize(all.toDF("user", "ts_us", "id"),
+          col("user"), col("ts_us"), col("id"), gapMicros = 2000L)
+        .orderBy("user", "ts_us", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      out.groupBy(_._1).values.foreach { sess =>
+        val ids = sess.sortBy(_._2).map(_._3)
+        assert(ids.head == 1L)                                  // starts at 1
+        assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 }) // contiguous
+      }
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
     val l = graft.sources.Tables(spark, sf(), "lineitem")
     val r = l.select(
