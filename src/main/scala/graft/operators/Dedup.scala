@@ -67,19 +67,36 @@ object Dedup {
 
   /** LSH candidate pairs: banding the k-wide signature into `bands` rows of
     * r = k/bands; docs sharing any band hash become a candidate pair.
+    *
+    * `maxBucket` (default off) is the hot-bucket cap for corpus scale: the
+    * bucket self-join is quadratic in bucket membership, and a degenerate
+    * bucket (boilerplate/empty documents all sharing a signature) carries
+    * no discriminative signal anyway — buckets over the cap are dropped
+    * wholesale, the same skew discipline as ngramJaccardPairs' maxDf and
+    * embeddingNearDupPairs' cluster cap. Off by default because the
+    * fixture contract (x08/x15 oracles) is uncapped.
     * Output: (a_id, b_id), a_id < b_id, distinct, ordered. */
-  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     // signatures feed all `bands` branches of the union: materialize once
     // (localCheckpoint truncates lineage so the shingle explode + groupBy
     // don't re-run per band; production would persist to reliable storage)
     val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
-    val bandRows = (0 until bands).map { b =>
+    val allBandRows = (0 until bands).map { b =>
       val hs = (0 until r).map(j => col(s"h${b * r + j}"))
       sig.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws("|", hs: _*)).as("bh"))
     }.reduce(_ unionByName _)
+    val bandRows =
+      if (maxBucket == Int.MaxValue) allBandRows
+      else {
+        val keep = allBandRows.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucket).select(col("band"), col("bh"))
+        allBandRows.join(keep, Seq("band", "bh"))
+      }
     val a = bandRows.as("a")
     val bb = bandRows.as("b")
     a.join(bb,

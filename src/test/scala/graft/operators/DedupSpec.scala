@@ -86,6 +86,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
   }
 
+  test("LSH maxBucket drops degenerate hot buckets wholesale") {
+    // 20 identical docs: every band bucket holds all 20 — with the cap at
+    // 5 the quadratic bucket join is skipped entirely
+    val d = docs((1L to 20L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog today"): _*)
+    assert(Dedup.lshCandidatePairs(d, maxBucket = 5).count() == 0)
+    assert(Dedup.lshCandidatePairs(d).count() == 190) // uncapped: C(20,2)
+  }
+
   test("simhashNearDupPairs: identical docs pair at hamming 0; disjoint docs don't pair") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon",
