@@ -138,6 +138,18 @@ object Main {
     report
   }
 
+  /** Shared AvailableNow parquet-sink runner: one incremental pass of
+    * `df` into `outDir/name` with its own checkpoint, blocking until the
+    * pass completes. */
+  private def runAvailableNow(df: DataFrame, outDir: String, name: String): Unit =
+    df.writeStream.format("parquet")
+      .option("path", s"$outDir/$name")
+      .option("checkpointLocation", s"$outDir/_checkpoints/$name")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** O2's streaming twin (optional path): ONE `Trigger.AvailableNow` pass
     * of the watermarked hourly event aggregate over the day-partitioned
     * events lake, landing parquet + checkpoint under `outDir`. Append mode
@@ -145,36 +157,28 @@ object Main {
     * arrive appends exactly the newly-closed hours — incremental daily
     * loads without re-reading history (the reference re-reads 5 months,
     * DOC:61). Blocks until the pass completes. */
-  def runStreamingHourly(spark: SparkSession, eventsDir: String, outDir: String): Unit = {
-    val q = graft.streaming.EventStream.hourlyCounts(
-        graft.streaming.EventStream.readEvents(spark, eventsDir))
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/hourly_counts")
-      .option("checkpointLocation", s"$outDir/_checkpoints/hourly_counts")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+  def runStreamingHourly(spark: SparkSession, eventsDir: String, outDir: String): Unit =
+    runAvailableNow(
+      graft.streaming.EventStream.hourlyCounts(
+        graft.streaming.EventStream.readEvents(spark, eventsDir)),
+      outDir, "hourly_counts")
 
   /** The sessionizer's AvailableNow twin: one incremental pass of the
-    * stateful gap-sessionizer over the events lake, landing finalized
-    * sessions as parquet. Only watermark-closed sessions are emitted
-    * (append mode), so successive runs append each session exactly once. */
+    * stateful gap-sessionizer over the events lake, landing sessions as
+    * parquet. A session is emitted once closed — by a successor event
+    * past the gap, or by the event-time timeout once the watermark
+    * passes; an in-watermark straggler arriving in a LATER pass can land
+    * as its own additional late session for the same user (the standard
+    * append-mode trade — downstream consumers aggregate per user/span,
+    * they must not assume one row per logical session). */
   def runStreamingSessions(spark: SparkSession, eventsDir: String, outDir: String,
                            gapSeconds: Long = 1800): Unit = {
     import spark.implicits._
     val events = graft.streaming.EventStream.readEvents(spark, eventsDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[graft.streaming.EventStream.Event]
-    val q = graft.streaming.EventStream.sessionize(events, gapSeconds)
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/sessions")
-      .option("checkpointLocation", s"$outDir/_checkpoints/sessions")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runAvailableNow(graft.streaming.EventStream.sessionize(events, gapSeconds).toDF(),
+      outDir, "sessions")
   }
 
   def main(args: Array[String]): Unit = {

@@ -86,13 +86,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
   }
 
-  test("LSH maxBucket drops degenerate hot buckets wholesale") {
-    // 20 identical docs: every band bucket holds all 20 — with the cap at
-    // 5 the quadratic bucket join is skipped entirely
-    val d = docs((1L to 20L).map(i =>
-      i -> "the quick brown fox jumps over the lazy dog today"): _*)
-    assert(Dedup.lshCandidatePairs(d, maxBucket = 5).count() == 0)
-    assert(Dedup.lshCandidatePairs(d).count() == 190) // uncapped: C(20,2)
+  test("LSH maxBucket drops hot buckets wholesale but keeps under-cap pairs") {
+    // 20 identical "hot" docs (every band bucket holds all 20) plus one
+    // under-cap identical pair with disjoint vocabulary
+    val hot = (1L to 20L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog today")
+    val cold = Seq(
+      100L -> "entirely separate words appear here nowhere else at all",
+      101L -> "entirely separate words appear here nowhere else at all")
+    val d = docs(hot ++ cold: _*)
+    val capped = Dedup.lshCandidatePairs(d, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((100L, 101L))) // hot buckets gone, cold pair intact
+    assert(Dedup.lshCandidatePairs(d).count() == 190 + 1) // uncapped: C(20,2) + 1
   }
 
   test("simhashNearDupPairs: identical docs pair at hamming 0; disjoint docs don't pair") {
