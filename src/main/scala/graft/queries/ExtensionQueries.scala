@@ -117,6 +117,19 @@ object ExtensionQueries {
     Dedup.simhashNearDupPairs(docs(s, dir), bits = 32, maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  /** The curation pipeline the dedup/text operators exist for, scored
+    * end-to-end: exact-dedup the corpus, then keep English documents
+    * above a quality floor. */
+  val curationMinQuality = 0.5
+
+  def x18(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+    TextAnalysis.langId(deduped).select(col("doc_id"), col("pred_lang"))
+      .join(TextAnalysis.quality(deduped).select(col("doc_id"), col("quality_score")), "doc_id")
+      .filter(col("pred_lang") === "en" && col("quality_score") >= curationMinQuality)
+      .orderBy("doc_id")
+  }
+
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
     * the batch twin of the streaming sessionizer. */
   def x14(s: SparkSession, dir: String): DataFrame = {
@@ -169,6 +182,7 @@ object ExtensionQueries {
     "x15_lsh_dedup"     -> (x15 _),
     "x16_tfidf"         -> (x16 _),
     "x17_simhash_pairs" -> (x17 _),
+    "x18_curation"      -> (x18 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
   )
@@ -331,6 +345,25 @@ object ExtensionQueries {
         |SELECT doc_id, term, tfidf FROM
         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+    "x18_curation" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM
+         |  (SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |   FROM documents) WHERE rn = 1),
+         |t AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM dd),
+         |c AS (SELECT doc_id,
+         |  $langCounts,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  length(text)::DOUBLE AS nc,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
+         | FROM t),
+         |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c),
+         |scored AS (SELECT doc_id, $langArgmax AS pred_lang,
+         |  ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         | FROM m)
+         |SELECT doc_id, pred_lang, quality_score FROM scored
+         |WHERE pred_lang = 'en' AND quality_score >= $curationMinQuality
+         |ORDER BY doc_id""".stripMargin,
     "w02_upsert_events" ->
       """WITH f AS (SELECT user_id, event_id, ts FROM
         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
