@@ -81,6 +81,24 @@ object TextAnalysis {
     * document length), so the window partition never degenerates (the
     * bounded-group condition in Relational's scale notes).
     * Output: doc_id, term, tfidf. */
+  /** Deterministic train/val/test assignment: bucket = md5(doc_id) mod
+    * 100, split by cumulative percentage cut-points. Content-independent
+    * and engine-independent (md5 on the id string, no engine-private
+    * hash), so the same document lands in the same split on every run,
+    * every engine, and every corpus size — the property corpus prep needs
+    * so later re-runs never leak val/test docs into train. Narrow, no
+    * shuffle. Output: doc_id, split. */
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    docs.select(col("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

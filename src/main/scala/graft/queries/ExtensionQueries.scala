@@ -130,6 +130,10 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 90/5/5 train/val/test split assignment. */
+  def x19(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.deterministicSplit(docs(s, dir)).orderBy("doc_id")
+
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
     * the batch twin of the streaming sessionizer. */
   def x14(s: SparkSession, dir: String): DataFrame = {
@@ -183,6 +187,7 @@ object ExtensionQueries {
     "x16_tfidf"         -> (x16 _),
     "x17_simhash_pairs" -> (x17 _),
     "x18_curation"      -> (x18 _),
+    "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
   )
@@ -364,6 +369,13 @@ object ExtensionQueries {
          |SELECT doc_id, pred_lang, quality_score FROM scored
          |WHERE pred_lang = 'en' AND quality_score >= $curationMinQuality
          |ORDER BY doc_id""".stripMargin,
+    "x19_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "w02_upsert_events" ->
       """WITH f AS (SELECT user_id, event_id, ts FROM
         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -66,4 +66,18 @@ class TextFunctionsSpec extends SparkSpec {
     val u = top.find(t => t._1 == 3L && t._2 == "unique").get
     assert(math.abs(u._3 - math.rint(3 * math.log(3) * 10000) / 10000) < 1e-9)
   }
+
+  test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
+    val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = graft.operators.TextAnalysis.deterministicSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.operators.TextAnalysis.deterministicSplit(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)                      // same doc -> same split, always
+    assert(a.size == 1000)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 850 && counts("train") < 950)
+    assert(counts("val") > 20 && counts("val") < 90)
+    assert(counts("test") > 20 && counts("test") < 90)
+  }
 }
