@@ -57,14 +57,21 @@ object Main {
     val (good, bad) = RawReader.quarantine(raw)
 
     // One parse of the raw JSON; everything below derives from `flat`.
-    val flat = OrderFlatten.enrichPolygonLab(
-      OrderFlatten.flatten(good), defaultPolygonLookup(spark))
+    // PERSISTED: the sinks below are SEPARATE actions (events sink, work
+    // sink, master sink, ...) — without a persist each action re-runs the
+    // flatten from the cached raw parse, and `events` re-explodes for its
+    // ~9 consumers (Q4/Q6/Q11/Q14×4/Q17 + its own sink). At 100 TB that is
+    // several redundant corpus flattens/explodes per day — the exact
+    // re-derivation anti-pattern (SURVEY §4.2 #3) this driver exists to
+    // kill. Released after the sinks alongside the raw cache.
+    val flat = Persist.hot(OrderFlatten.enrichPolygonLab(
+      OrderFlatten.flatten(good), defaultPolygonLookup(spark)))
 
     val tempMaster = WorkGraph.deleteDuplicates(flat)          // Q1
     val master = tempMaster                                    // Q2 vs empty history
     // Child tables derive from the PRE-dedupe frame: the reference's Beam
     // explodes run on the raw day-files (P2-P5), before the SP-layer dedupe.
-    val events = ChildTables.eventsInfo(flat)                  // E1 (+T7)
+    val events = Persist.hot(ChildTables.eventsInfo(flat))     // E1 (+T7)
     val schedules = ChildTables.scheduleEvents(flat)           // E2
     val reschedules = ChildTables.rescheduleEvents(flat)       // E3
     val packages = ChildTables.packages(flat)                  // E4
@@ -104,13 +111,14 @@ object Main {
     // no transactional overwrite, so production alternates A/B master dirs
     // (or uses a transactional table format) — a mid-write crash must
     // never be able to destroy the only copy.
-    val sinkAll = masterHistoryDir match {
-      case Some(h) => graft.operators.Relational.upsert(
-        Persist.cut(spark.read.parquet(h)), sinkDay, "delivery_order_id")
+    val history = masterHistoryDir.map(h => Persist.cut(spark.read.parquet(h)))
+    val sinkAll = history match {
+      case Some(hdf) => graft.operators.Relational.upsert(hdf, sinkDay, "delivery_order_id")
       case None => sinkDay
     }
     graft.sinks.TableSink.writeDayPartitioned(
       sinkAll, "ingest_date", s"$outDir/delivery_order_master")
+    history.foreach(_.unpersist()) // snapshot served its one write
     sink(events, "events_info_temp")
     sink(schedules, "schedule_events_info_temp")
     sink(reschedules, "reschedule_events_info_temp")
@@ -128,7 +136,10 @@ object Main {
     val report = RunReport(written("delivery_order_work"), bad.count(),
       written("events_info_temp"), written("schedule_events_info_temp"),
       written("reschedule_events_info_temp"), written("packages_temp"))
-    raw.unpersist() // release ONLY the raw-parse cache quarantine created
+    // release the run's caches (raw parse + flatten + events explode);
+    // unpersist is a harmless no-op under mode=reliable where hot()
+    // returned a checkpoint instead of a cache
+    raw.unpersist(); events.unpersist(); flat.unpersist()
     // S3 metadata sidecar (app.py:166-171)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/_run_metadata.json"),

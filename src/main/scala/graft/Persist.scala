@@ -36,9 +36,19 @@ object Persist {
   }
 
   /** Lineage cut + materialization (iterative refinement, frames feeding
-    * several shuffling consumers). */
+    * several shuffling consumers). EAGER and lineage-SEVERING in every
+    * mode: callers rely on the frame being MATERIALIZED and detached from
+    * its sources on return (e.g. Main.run snapshots master history via cut
+    * before overwriting the very path it was read from — a lazy
+    * persist(DISK_ONLY) would make the overwrite the first action on the
+    * frame and destroy the history it was meant to capture, and even a
+    * materialized persist keeps the parquet relation in the logical plan,
+    * tripping Spark's overwrite-a-read-path check). checkpoint() and
+    * localCheckpoint() are eager by default; the disk branch uses
+    * localCheckpoint at DISK_ONLY — same executor-local spill discipline
+    * as persist(DISK_ONLY), plus the eager cut. */
   def cut(df: DataFrame): DataFrame = mode(df) match {
-    case "disk"     => df.persist(StorageLevel.DISK_ONLY)
+    case "disk"     => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
     case "reliable" => df.checkpoint()
     case _          => df.localCheckpoint()
   }

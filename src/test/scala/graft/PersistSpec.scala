@@ -23,14 +23,21 @@ class PersistSpec extends SparkSpec {
       "cut() did not truncate lineage")
   }
 
-  test("disk mode: both paths persist DISK_ONLY (100 TB memory discipline)") {
+  test("disk mode: hot persists DISK_ONLY; cut is an eager DISK_ONLY lineage cut") {
     withMode("disk") {
       val h = Persist.hot(spark.range(100).toDF("x"))
       assert(h.storageLevel == StorageLevel.DISK_ONLY)
       h.unpersist()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val c = Persist.cut(spark.range(100).toDF("x"))
-      assert(c.storageLevel == StorageLevel.DISK_ONLY)
-      c.unpersist()
+      // lineage severed (the overwrite-a-read-path safety Main.run needs)
+      assert(c.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        "disk cut did not sever lineage")
+      // and the checkpointed blocks live at DISK_ONLY, not in memory
+      val added = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+      assert(added.values.exists(_.getStorageLevel == StorageLevel.DISK_ONLY),
+        "disk cut did not materialize at DISK_ONLY")
     }
   }
 

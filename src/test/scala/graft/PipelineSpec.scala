@@ -159,6 +159,69 @@ class PipelineSpec extends SparkSpec {
     assert(by("ORD-4").getAs[String]("code") == "C-404")    // insert branch
   }
 
+  test("Q2 in-place: disk-mode history snapshot survives overwriting its own path") {
+    // day 1 lands the master in `out`; day 2 merges INTO THE SAME PATH it
+    // reads history from — the production in-place daily run. Under
+    // mode=disk the history snapshot must be eagerly materialized AND
+    // lineage-severed before the overwrite, or the write either errors
+    // (overwrite-a-read-path check) or destroys all history partitions.
+    val out = Files.createTempDirectory("graft_inplace").toString
+    Main.run(spark, fixtures, out)
+    val in2 = Files.createTempDirectory("graft_inplace_day2in")
+    val d = in2.resolve("2024-01-18")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("2024-01-18.json"),
+      """[{"delivery_order_id": "ORD-3", "code": "C-303", "recycling": false,
+        |  "created_date": "2024-01-18T10:00:00.000000"},
+        | {"delivery_order_id": "ORD-4", "code": "C-404",
+        |  "created_date": "2024-01-18T11:00:00.000000"}]""".stripMargin)
+    spark.conf.set(Persist.modeKey, "disk")
+    try Main.run(spark, in2.toString, out,
+      masterHistoryDir = Some(s"$out/delivery_order_master"))
+    finally spark.conf.unset(Persist.modeKey)
+    val m = spark.read.parquet(s"$out/delivery_order_master")
+    assert(m.count() == 4, "in-place overwrite lost history rows")
+    val by = m.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap
+    assert(by("ORD-1").getAs[String]("code") == "C-001") // unmatched history intact
+    assert(by("ORD-3").getAs[String]("code") == "C-303") // day-2 update applied
+    assert(by("ORD-4").getAs[String]("code") == "C-404") // day-2 insert applied
+  }
+
+  test("O1 scale: sink actions reuse the cached flatten/explode (no re-derivation)") {
+    // Main.run's sinks are separate actions; each must read the events
+    // explode (and the flatten feeding it) from cache, not re-derive it —
+    // the SURVEY §4.2 #3 anti-pattern regression guard.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(try qe.executedPlan.toString catch { case _: Throwable => "" })
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Files.createTempDirectory("graft_cachereuse").toString
+      Main.run(spark, fixtures, out)
+      import scala.jdk.CollectionConverters._
+      def cached(p: String) =
+        p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage")
+      def sinkPlan(name: String): Option[String] =
+        plans.asScala.find(_.contains(name))
+      // the listener bus is async — poll for the last sink's plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && sinkPlan("delivery_order_visit_order").isEmpty)
+        Thread.sleep(50)
+      for (s <- Seq("events_info_temp", "delivery_order_work", "delivery_order_visit_order")) {
+        val p = sinkPlan(s)
+        assert(p.nonEmpty, s"no captured plan for sink $s")
+        assert(cached(p.get), s"sink $s re-derived instead of reading the cache:\n${p.get}")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("O2 streaming: AvailableNow hourly pass lands exactly the finalized windows") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_stream_in").toString
