@@ -107,13 +107,23 @@ object Dedup {
   }
 
   /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the
-    * parity of hex digit j of md5(token); tokens vote +1/-1 per bit and the
-    * sign of the sum sets the fingerprint bit. Frequency-weighted (every
-    * token occurrence votes). */
+    * parity of hex digit j of the token's hash; tokens vote +1/-1 per bit
+    * and the sign of the sum sets the fingerprint bit. Frequency-weighted
+    * (every token occurrence votes). Up to 32 bits one md5 supplies the
+    * votes; 33-64 bits append a SECOND independent probe `md5(t || '~')`
+    * for hex digits 33-64 — the production 64-bit shape (16-bit pigeonhole
+    * keys in [[simhashNearDupPairs]]) at the cost of one extra md5 per
+    * token occurrence. Bit 63 is the long's sign bit: 64-bit fingerprints
+    * can be negative, which is fine — banding masks after an arithmetic
+    * shift (identical in Spark and DuckDB) and hamming is popcount-of-XOR,
+    * both sign-agnostic. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    require(bits <= 32, "one md5 supplies 32 hex-digit votes; wider prints need a second hash")
+    require(bits <= 64, "two md5 probes supply at most 64 hex-digit votes")
+    val hexVotes =
+      if (bits <= 32) md5(col("t"))
+      else concat(md5(col("t")), md5(concat(col("t"), lit("~"))))
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", md5(col("t")))
+      .withColumn("h", hexVotes)
     val votes = (0 until bits).map { j =>
       // hex-digit value parity: conv(hexchar,16,10) % 2  ∈ {0,1} → vote ±1
       sum(conv(substring(col("h"), j + 1, 1), 16, 10).cast("long") % 2 * 2 - 1)
@@ -136,16 +146,16 @@ object Dedup {
     * popcount on the XOR — cheap, codegen'd, oracle-replayable.
     *
     * Candidate volume is ~|corpus|²/2^w per band (w = bits/(maxHamming+1)
-    * segment width), so fingerprint WIDTH is the scale lever: 32 bits →
-    * 8-bit keys here (the md5-hex vote source caps bits at 32);
-    * production at corpus scale wants 64-bit fingerprints (two hash
-    * probes per token) giving 16-bit keys, i.e. 65k buckets per band.
+    * segment width), so fingerprint WIDTH is the scale lever: 32-bit
+    * fingerprints give 8-bit keys (256 buckets per band); the production
+    * shape at corpus scale is bits=64 (two md5 probes per token, see
+    * [[simhash]]) giving 16-bit keys — 65k buckets per band, ~256× fewer
+    * candidates per band on a uniform corpus for one extra narrow md5.
     * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
-  def simhashNearDupPairs(docs: DataFrame, bits: Int = 32,
+  def simhashNearDupPairs(docs: DataFrame, bits: Int = 64,
                           maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"bits=$bits must split into ${blocks} equal segments")
-    require(bits <= 32, "simhash votes come from one md5 (32 hex digits)")
     val w = bits / blocks
     // fingerprints feed all `blocks` banding branches: materialize once
     val fp = graft.Persist.cut(simhash(docs, bits))

@@ -112,9 +112,17 @@ object ExtensionQueries {
   def x16(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3).orderBy("doc_id", "term")
 
-  /** SimHash near-dup pairs, pigeonhole-blocked, exact hamming verify. */
+  /** SimHash near-dup pairs, pigeonhole-blocked, exact hamming verify
+    * (32-bit fingerprints, 8-bit block keys — the round-4 pinned shape). */
   def x17(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(docs(s, dir), bits = 32, maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  /** The production SimHash shape: 64-bit fingerprints (two md5 probes per
+    * token) → 16-bit pigeonhole keys, ~256× fewer candidates per band than
+    * x17 on the same corpus. Same maxHamming, same exact verify. */
+  def x20(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, dir), bits = 64, maxHamming = 3)
       .orderBy("a_id", "b_id")
 
   /** The curation pipeline the dedup/text operators exist for, scored
@@ -187,6 +195,7 @@ object ExtensionQueries {
     "x16_tfidf"         -> (x16 _),
     "x17_simhash_pairs" -> (x17 _),
     "x18_curation"      -> (x18 _),
+    "x20_simhash64_pairs" -> (x20 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -234,16 +243,38 @@ object ExtensionQueries {
     s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
   }.mkString("\n  UNION ALL ")
 
-  /** Full SimHash fingerprint CTE chain (shared by x09/x17; `bits` caps
-    * at 32 — one hex digit of the single md5 per bit). */
-  private def simhashCtes(bits: Int): String =
+  /** Full SimHash fingerprint CTE chain (shared by x09/x17/x20): one hex
+    * digit per bit; past 32 bits the vote source is the same second md5
+    * probe the Spark operator appends (Dedup.simhash). */
+  private def simhashCtes(bits: Int): String = {
+    val hexExpr = if (bits <= 32) "md5(t)" else "md5(t) || md5(t || '~')"
     s"""tok AS (SELECT doc_id,
        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),
-       |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |h AS (SELECT doc_id, $hexExpr AS h FROM tok),
        |v AS (SELECT doc_id,
        |  ${simhashVotes(bits)}
        | FROM h GROUP BY doc_id),
        |fp AS (SELECT doc_id, (${simhashBits(bits)})::BIGINT AS fingerprint FROM v)""".stripMargin
+  }
+
+  /** Pigeonhole-blocked near-dup pairs SQL, generated for any
+    * (bits, maxHamming) from the same segment arithmetic the Spark
+    * operator uses (shared by x17 at 32 bits and x20 at 64). */
+  private def simhashPairsSql(bits: Int, maxHamming: Int): String = {
+    val blocks = maxHamming + 1
+    val w = bits / blocks
+    s"""WITH ${simhashCtes(bits)},
+       |bands AS (SELECT doc_id, fingerprint, i AS band,
+       |    (fingerprint >> (i * $w)) & ${(1L << w) - 1} AS key
+       |  FROM fp CROSS JOIN range(0, $blocks) r(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.fingerprint AS fa, b.fingerprint AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, bit_count(xor(fa, fb))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** Full MinHash-signature + LSH-band CTE chain (shared by x08/x15). */
   private lazy val lshCtes: String =
@@ -391,18 +422,8 @@ object ExtensionQueries {
     "x09_simhash" ->
       s"""WITH ${simhashCtes(16)}
          |SELECT doc_id, fingerprint FROM fp ORDER BY doc_id""".stripMargin,
-    "x17_simhash_pairs" ->
-      s"""WITH ${simhashCtes(32)},
-         |bands AS (SELECT doc_id, fingerprint, i AS band,
-         |    (fingerprint >> (i * 8)) & 255 AS key
-         |  FROM fp CROSS JOIN range(0, 4) r(i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    a.fingerprint AS fa, b.fingerprint AS fb
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, bit_count(xor(fa, fb))::BIGINT AS hamming
-         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin,
+    "x17_simhash_pairs" -> simhashPairsSql(bits = 32, maxHamming = 3),
+    "x20_simhash64_pairs" -> simhashPairsSql(bits = 64, maxHamming = 3),
     "x10_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |rare AS (SELECT sh.* FROM sh JOIN

@@ -123,6 +123,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet == brute)
   }
 
+  test("simhash 64-bit: low 32 bits match the 32-bit fingerprint; pairs exhaustive") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "alpha beta gamma delta zeta",
+      4L -> "utterly disjoint vocabulary everywhere totally",
+      5L -> "more unrelated words in another direction entirely now")
+    // the second md5 probe supplies ONLY digits 33-64: the low half of a
+    // 64-bit fingerprint must be bit-identical to the 32-bit fingerprint
+    val fp32 = Dedup.simhash(d, 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp64 = Dedup.simhash(d, 64).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp32.foreach { case (id, f) => assert((fp64(id) & 0xFFFFFFFFL) == f) }
+    // pigeonhole exhaustiveness at 64 bits (16-bit keys) vs brute force
+    val pairs = Dedup.simhashNearDupPairs(d, bits = 64, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val brute = (for {
+      (i, fi) <- fp64.toSeq; (j, fj) <- fp64.toSeq if i < j
+      if java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j) -> java.lang.Long.bitCount(fi ^ fj).toLong).toMap
+    assert(pairs == brute)
+    assert(pairs((1L, 2L)) == 0L) // identical docs still collide at 64 bits
+  }
+
   test("embeddingNearDupPairs caps a degenerate hot cluster (bounded candidate count)") {
     import spark.implicits._
     // worst case: EVERY vector lands in one cluster (all near one axis) —
