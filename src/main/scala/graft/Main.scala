@@ -87,9 +87,7 @@ object Main {
     work = WorkGraph.updateWorkStatusTlmk(work, events)        // Q11
     work = WorkGraph.updateWorkTotal(work, master)             // Q12
     work = WorkGraph.updateWorkPortability(work)               // Q13
-    Seq(1, 2, 3, 0).foreach { n =>                             // Q14+Q15
-      work = WorkGraph.updateWorkVisit(work, events, n)
-    }
+    work = WorkGraph.updateWorkVisits(work, events, Seq(1, 2, 3, 0)) // Q14+Q15 fused
     work = WorkGraph.updateWorkScheduled(work, schedules)      // Q16
     val visits = WorkGraph.visitOrder(events)                  // Q17
     work = WorkGraph.finalizeWork(work)                        // Q18

@@ -119,16 +119,35 @@ object Dedup {
     * both sign-agnostic. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     require(bits <= 64, "two md5 probes supply at most 64 hex-digit votes")
-    val hexVotes =
-      if (bits <= 32) md5(col("t"))
-      else concat(md5(col("t")), md5(concat(col("t"), lit("~"))))
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", hexVotes)
-    val votes = (0 until bits).map { j =>
-      // hex-digit value parity: conv(hexchar,16,10) % 2  ∈ {0,1} → vote ±1
-      sum(conv(substring(col("h"), j + 1, 1), 16, 10).cast("long") % 2 * 2 - 1)
-        .as(s"v$j")
+    // Each probe's 32 hex digits are packed into THREE longs per row
+    // (15+15+2 digits — 15 is the widest hex run that fits a signed long),
+    // so a digit's parity is a shift-and-mask on a long instead of a
+    // per-bit substring: `bits` string ops per token row (the former
+    // conv-per-digit formulation) made the fingerprint stage, not the pair
+    // join, the dominant cost at 64 bits. Unused words prune away at
+    // narrow widths.
+    val probes = if (bits <= 32) 1 else 2
+    val tok0 = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tok = (0 until probes).foldLeft(tok0) { (df, p) =>
+      val h = if (p == 0) md5(col("t")) else md5(concat(col("t"), lit("~")))
+      df.withColumn(s"__h$p", h)
+        .withColumn(s"__w${p}_0", conv(substring(col(s"__h$p"), 1, 15), 16, 10).cast("long"))
+        .withColumn(s"__w${p}_1", conv(substring(col(s"__h$p"), 16, 15), 16, 10).cast("long"))
+        .withColumn(s"__w${p}_2", conv(substring(col(s"__h$p"), 31, 2), 16, 10).cast("long"))
     }
+    // parity of global hex digit j (0-based): low bit of the digit's
+    // nibble inside its packed word (words are big-endian: first digit in
+    // the substring is the most significant place of the conv value)
+    def parity(j: Int): Column = {
+      val p = j / 32
+      val d = j % 32
+      val (w, shift) =
+        if (d < 15) (col(s"__w${p}_0"), 4 * (14 - d))
+        else if (d < 30) (col(s"__w${p}_1"), 4 * (29 - d))
+        else (col(s"__w${p}_2"), 4 * (31 - d))
+      shiftright(w, shift).bitwiseAND(lit(1L))
+    }
+    val votes = (0 until bits).map(j => sum(parity(j) * 2 - 1).as(s"v$j"))
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until bits)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -188,6 +207,53 @@ object Dedup {
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b_id")).distinct(),
       docs("doc_id") === col("b_id"), "left_anti")
+
+  /** Connected-components near-duplicate removal: keep exactly ONE
+    * representative — the minimum doc_id — per connected component of the
+    * candidate-pair graph (the transitive reading of the Q1 dedup
+    * contract, DAG:90-96: one canonical row per entity).
+    *
+    * vs [[dropNearDuplicates]]: greedy keeps every doc that never appears
+    * on a pair's b side, so a doc connected to its component only THROUGH
+    * a dropped doc survives (pairs (1,3),(2,3): greedy keeps {1,2}, CC
+    * keeps {1}). CC pays iteration for cluster-canonical output.
+    *
+    * Implementation is iterative min-label propagation in pure DataFrame
+    * ops: labels start as each node's own id; each round every node adopts
+    * the minimum label among itself and its neighbours (one join + one
+    * aggregate + a Persist.cut lineage break per round). Convergence takes
+    * O(component diameter) rounds — near-dup clusters are shallow (copies
+    * of copies of one source), so the default cap of 10 covers real
+    * corpora; label-minimum propagation also HALVES long chains each round
+    * once small labels start travelling. If the graph has not converged at
+    * `maxIters` (adversarial chain), falls back to the greedy answer —
+    * still a safe dedup (every dropped doc had a kept near-dup within 2
+    * hops), just not cluster-canonical. */
+  def dropNearDuplicatesCC(docs: DataFrame, pairs: DataFrame,
+                           maxIters: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = graft.Persist.cut(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = graft.Persist.cut(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = graft.Persist.cut(
+        labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    if (!converged) dropNearDuplicates(docs, pairs)
+    else docs.join(
+      labels.filter(col("id") =!= col("lbl")).select(col("id").as("__drop")),
+      docs("doc_id") === col("__drop"), "left_anti")
+  }
 
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
     * assigned to their nearest centroid (broadcast codebook, no corpus

@@ -125,6 +125,15 @@ object ExtensionQueries {
     Dedup.simhashNearDupPairs(docs(s, dir), bits = 64, maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  /** LSH near-dedup with CONNECTED-COMPONENTS representatives: one
+    * canonical (minimum) doc_id kept per component of the candidate-pair
+    * graph — the transitive variant of x15's greedy keep-list. */
+  def x21(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dropNearDuplicatesCC(d, Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** The curation pipeline the dedup/text operators exist for, scored
     * end-to-end: exact-dedup the corpus, then keep English documents
     * above a quality floor. */
@@ -196,6 +205,7 @@ object ExtensionQueries {
     "x17_simhash_pairs" -> (x17 _),
     "x18_curation"      -> (x18 _),
     "x20_simhash64_pairs" -> (x20 _),
+    "x21_cc_dedup"      -> (x21 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -369,6 +379,24 @@ object ExtensionQueries {
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT b_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+    // component label via transitive closure (UNION dedups, so the
+    // recursion terminates); a doc is dropped iff some smaller id reaches
+    // it — exactly the converged min-label-propagation fixpoint
+    "x21_cc_dedup" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
          |ORDER BY doc_id""".stripMargin,
     "x16_tfidf" ->
       """WITH tok AS (SELECT doc_id,

@@ -172,6 +172,34 @@ object WorkGraph {
     joinUpdate(work, nth, oid)
   }
 
+  /** Q14+Q15 fused: ALL visit-n column sets in ONE pass over events.
+    * The reference stages each n into a temp table and updates work four
+    * times (insert_table_temp(n) + update_work_visit(n), literal args
+    * 1,2,3,0 — DAG:193-246); folding [[updateWorkVisit]] the same way
+    * builds four windows over the identical (order, timestamp)
+    * partitioning. Here the four ranks collapse into TWO row_numbers —
+    * one asc, one desc, computed in a single shuffle — and one
+    * conditional aggregation per order (row_number is unique, so
+    * max(when(rank = n, v)) IS the n-th row's value), leaving 2 Window
+    * nodes and ONE joinUpdate in the plan instead of 4 + 4. Output is
+    * identical to the fold, column order included. */
+  def updateWorkVisits(work: DataFrame, events: DataFrame, ns: Seq[Int]): DataFrame = {
+    val asc = Window.partitionBy(col(oid)).orderBy(col("timestamp").asc_nulls_last, col("status"))
+    val desc = Window.partitionBy(col(oid)).orderBy(col("timestamp").desc_nulls_last, col("status"))
+    val ranked = events
+      .withColumn("__rn_asc", row_number().over(asc))
+      .withColumn("__rn_desc", row_number().over(desc))
+    val aggs = ns.flatMap { n =>
+      val tag = if (n == 0) "last" else n.toString
+      val cond = if (n == 0) col("__rn_desc") === 1 else col("__rn_asc") === n
+      Seq(max(when(cond, col("timestamp"))).as(s"visit${tag}_ts"),
+          max(when(cond, col("status"))).as(s"visit${tag}_status"),
+          max(when(cond, col("info_user_name"))).as(s"visit${tag}_user"))
+    }
+    val visits = ranked.groupBy(col(oid)).agg(aggs.head, aggs.tail: _*)
+    joinUpdate(work, visits, oid)
+  }
+
   /** Q16 update_..._scheduled (DAG:248-254): first scheduled ts per order. */
   def updateWorkScheduled(work: DataFrame, scheduleEvents: DataFrame): DataFrame = {
     val first = scheduleEvents.groupBy(col(oid)).agg(

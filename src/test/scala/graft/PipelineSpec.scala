@@ -101,7 +101,7 @@ class PipelineSpec extends SparkSpec {
     work = WorkGraph.updateWorkStatusTlmk(work, events)
     work = WorkGraph.updateWorkTotal(work, master)
     work = WorkGraph.updateWorkPortability(work)
-    Seq(1, 2, 3, 0).foreach(n => work = WorkGraph.updateWorkVisit(work, events, n))
+    work = WorkGraph.updateWorkVisits(work, events, Seq(1, 2, 3, 0))
     work = WorkGraph.updateWorkScheduled(work, ChildTables.scheduleEvents(master))
 
     val byId = work.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap

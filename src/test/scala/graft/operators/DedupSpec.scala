@@ -168,6 +168,28 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 2016)
   }
 
+  test("dropNearDuplicatesCC: one representative per component, where greedy keeps two") {
+    import spark.implicits._
+    val d = docs(1L -> "t one", 2L -> "t two", 3L -> "t three", 4L -> "t four", 5L -> "solo")
+    // star-through-bridge: 2 touches the component only via dropped 3
+    val pairs = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val cc = Dedup.dropNearDuplicatesCC(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cc == Seq(1L, 5L), "CC must keep exactly the component minimum + untouched docs")
+    val greedy = Dedup.dropNearDuplicates(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(greedy == Seq(1L, 2L, 5L)) // the documented greedy/CC divergence
+    // iteration cap: unconverged propagation falls back to the greedy answer
+    val chain = docs((1L to 6L).map(i => i -> s"chain $i"): _*)
+    val cpairs = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val capped = Dedup.dropNearDuplicatesCC(chain, cpairs, maxIters = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(capped == Seq(1L)) // greedy fallback: all b-side ids dropped
+    val converged = Dedup.dropNearDuplicatesCC(chain, cpairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(converged == Seq(1L))
+  }
+
   test("dropNearDuplicates keeps the lowest-id representative per group") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",

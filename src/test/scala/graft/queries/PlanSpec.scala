@@ -59,6 +59,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("Q14/Q15 fused: visit chain = 2 Window nodes, output identical to the fold") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables(spark, sf(), "events").select(
+      col("user_id").cast("string").as("delivery_order_id"),
+      col("ts").as("timestamp"), col("event_id").as("status"),
+      col("event_type").as("info_user_name"))
+    val work = e.select(col("delivery_order_id")).distinct()
+    val fused = graft.transform.WorkGraph.updateWorkVisits(work, e, Seq(1, 2, 3, 0))
+    val folded = Seq(1, 2, 3, 0).foldLeft(work)(
+      (w, n) => graft.transform.WorkGraph.updateWorkVisit(w, e, n))
+    // identical rows AND identical column order
+    assert(fused.columns.toSeq == folded.columns.toSeq)
+    assert(fused.orderBy("delivery_order_id").collect().toSeq ==
+      folded.orderBy("delivery_order_id").collect().toSeq)
+    // the whole visit chain rides TWO row_number windows (one asc, one
+    // desc) over ONE (order, timestamp) partitioning — not four
+    val p = fused.queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 2, s"visit chain planned $windows Window nodes:\n$p")
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
