@@ -71,12 +71,26 @@ object Relational {
     // Default salt = hash of the row's own values (NOT
     // monotonically_increasing_id, which changes across retries/
     // repartitionings and would make replays non-deterministic): same
-    // input rows => same partials, always. The trade: IDENTICAL duplicate
-    // rows all hash to one bucket — for duplicate-heavy hot keys pass an
+    // input rows => same partials, always. Only hashABLE columns feed the
+    // hash — Spark's hash() rejects MapType at analysis time, and a map
+    // column must not make the whole frame unsaltable. The trade:
+    // IDENTICAL duplicate rows (or rows differing only in unhashable
+    // columns) share one bucket — for duplicate-heavy hot keys pass an
     // explicit salt (e.g. spark_partition_id()) and give up replay
     // determinism for spread.
+    val defaultSalt = {
+      import org.apache.spark.sql.types._
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType    => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType  => hasMap(a.elementType)
+        case _             => false
+      }
+      val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+      if (hashable.isEmpty) spark_partition_id() else hash(hashable.toSeq: _*)
+    }
     val salted = df.withColumn("__salt",
-      pmod(salt.getOrElse(hash(df.columns.map(col): _*)), lit(saltBuckets)))
+      pmod(salt.getOrElse(defaultSalt), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(aggs.head._1.as(s"__p_${aggs.head._2}"),
         aggs.tail.map(a => a._1.as(s"__p_${a._2}")): _*)

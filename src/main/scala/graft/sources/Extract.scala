@@ -50,6 +50,9 @@ object Extract {
                     requestTimeout: java.time.Duration =
                       java.time.Duration.ofSeconds(120)): FetchPage = {
     import java.net.http.{HttpRequest, HttpResponse}
+    // one mapper per connector, not per page: construction is expensive
+    // and the instance is thread-safe for reads across the day futures
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     (day: LocalDate, page: Int) => {
       val body =
         s"""{"date_type":9,"date_from":"$day","date_to":"$day",""" +
@@ -61,7 +64,7 @@ object Extract {
       headers.foreach { case (k, v) => b.header(k, v) }
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for $day page $page")
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      val root = mapper.readTree(resp.body())
       val items = root.path("items")
       require(items.isArray, s"response for $day page $page has no items array")
       // a missing/non-numeric total would read as 0 and silently truncate

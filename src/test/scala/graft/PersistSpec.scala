@@ -63,4 +63,24 @@ class PersistSpec extends SparkSpec {
         "no checkpoint data written")
     }
   }
+
+  test("reliable mode: a cut frame survives loss of its source (resume-after-failure)") {
+    // The production property the knob exists for: once cut() returns, the
+    // stage is materialized to reliable storage, so a failure that costs
+    // the upstream (executor loss, a source overwritten mid-pipeline)
+    // cannot force a recompute. Simulated by DELETING the source files
+    // after the cut — any lineage re-read would now throw; only the
+    // checkpoint can serve the rows.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_resume").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_resume_src")
+    spark.range(100).toDF("x").write.mode("overwrite").parquet(srcDir.toString)
+    val cut = withMode("reliable") { Persist.cut(spark.read.parquet(srcDir.toString)) }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(srcDir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    assert(cut.agg(sum("x")).collect().head.getLong(0) == 4950L,
+      "checkpointed stage recomputed or lost after source deletion")
+    assert(cut.count() == 100L)
+  }
 }

@@ -87,6 +87,18 @@ class RelationalSpec extends SparkSpec {
     assert(buckets(df) == buckets(df.repartition(3, col("v"))))
   }
 
+  test("saltedAgg default salt tolerates map columns (hash() rejects MapType)") {
+    val df = ((1 to 100).map(i => ("hot", i.toDouble, Map("m" -> i))) ++
+      (1 to 5).map(i => ("cold", i.toDouble, Map("m" -> i)))).toDF("k", "v", "meta")
+    val salted = Relational.saltedAgg(df, "k", saltBuckets = 4, aggs = Seq(
+      (count(lit(1)), "n", (c: org.apache.spark.sql.Column) => sum(c)),
+      (sum(col("v")), "total", (c: org.apache.spark.sql.Column) => sum(c))))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
     val base = Seq((Option(1), "a")).toDF("k", "v")
     val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")
