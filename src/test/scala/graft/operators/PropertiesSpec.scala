@@ -85,6 +85,79 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard candidates stay under the closed-form df bound (hot-shingle fuzz)") {
+    // Adversarial corpora: every doc shares ONE hot trigram (df = corpus
+    // size > maxDf) plus random rare content. The §8.1 bound: candidate
+    // pairs <= sum over RARE shingles of C(df_s, 2) — the hot shingle
+    // contributes ZERO because blocking excludes it.
+    val maxDf = 4
+    val gen = Gen.listOfN(8, Gen.choose(1, 5))
+    cases(gen).zipWithIndex.foreach { case (picks, ci) =>
+      val corpus = picks.zipWithIndex.map { case (p, i) =>
+        // "hot hot hot" in every doc; rare tail varies per doc with some
+        // collisions (docs with equal p in the same case share rare runs)
+        (i.toLong, s"hot hot hot r${ci}_$p s${ci}_$p t${ci}_$p u$i")
+      }.toDF("doc_id", "text")
+      val dfs = Dedup.shingleSet(corpus, 3)
+        .groupBy("s").count().collect().map(_.getLong(1))
+      val bound = dfs.filter(_ <= maxDf).map(d => d * (d - 1) / 2).sum
+      val got = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.0, maxDf = maxDf).count()
+      assert(got <= bound, s"candidates $got exceed closed-form bound $bound")
+      // the hot shingle alone (df = 8 > maxDf) must generate nothing:
+      // pairs exist only where rare runs collide
+      val rareCollisions = picks.groupBy(identity).values.map(_.size)
+        .map(n => n.toLong * (n - 1) / 2).sum
+      assert(got <= rareCollisions,
+        s"hot shingle leaked into blocking: $got pairs vs $rareCollisions rare collisions")
+    }
+  }
+
+  test("LSH maxBucket caps candidate volume at bands*n*(cap-1)/2 (mega-bucket fuzz)") {
+    // Adversarial corpora: one mega-group of identical docs (every band
+    // bucket holds the whole group) plus a few distinct docs. With cap m,
+    // each doc can meet at most m-1 others per band.
+    val (bands, cap) = (4, 3)
+    val gen = Gen.zip(Gen.choose(6, 12), Gen.choose(1, 3))
+    cases(gen).foreach { case (hotN, coldN) =>
+      val corpus = (
+        (1 to hotN).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog today")) ++
+        (1 to coldN).map(i => (100L + i, s"cold words c$i d$i e$i f$i g$i never repeat anywhere"))
+      ).toDF("doc_id", "text")
+      val n = hotN + coldN
+      val capped = Dedup.lshCandidatePairs(corpus, n = 3, k = 12, bands = bands,
+        maxBucket = cap).count()
+      assert(capped <= bands.toLong * n * (cap - 1) / 2,
+        s"capped candidates $capped exceed bands*n*(cap-1)/2")
+      // the mega-bucket (size hotN > cap) is dropped wholesale
+      val uncapped = Dedup.lshCandidatePairs(corpus, n = 3, k = 12, bands = bands).count()
+      assert(uncapped >= hotN.toLong * (hotN - 1) / 2)
+      assert(capped < uncapped)
+    }
+  }
+
+  test("dropNearDuplicatesCC keeps exactly the union-find minima (random graphs)") {
+    val gen = Gen.listOfN(10, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    cases(gen).foreach { rawEdges =>
+      val edges = rawEdges.collect {
+        case (a, b) if a < b => (a, b)
+        case (a, b) if b < a => (b, a)
+      }.distinct
+      val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val pairs = (edges :+ ((1L, 2L))).toDF("a_id", "b_id")
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map((1L to 12L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      (edges :+ ((1L, 2L))).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to 12L).filter(i => find(i) == i).sorted
+      val kept = Dedup.dropNearDuplicatesCC(docs, pairs)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == expected, s"CC kept $kept, union-find says $expected")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
     val l = graft.sources.Tables(spark, sf(), "lineitem")
     val r = l.select(
