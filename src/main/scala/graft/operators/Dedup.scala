@@ -236,6 +236,13 @@ object Dedup {
       fwd.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = graft.Persist.cut(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    // convergence via the label-sum invariant: labels only ever DECREASE,
+    // so the sum is strictly monotone until the fixpoint — one tiny
+    // aggregate per round instead of a prev-vs-next join. Decimal sum:
+    // a corpus-scale sum of 64-bit ids overflows a long.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
@@ -244,8 +251,9 @@ object Dedup {
       val next = graft.Persist.cut(
         labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
           .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }

@@ -22,10 +22,16 @@ object TextAnalysis {
 
   /** Language-ID: argmax of stopword hits; ties break by lexicon order
     * (foldRight nests the first lexicon outermost, so 'en' wins ties);
-    * 'und' (undetermined) when no lexicon hits at all. */
+    * 'und' (undetermined) when no lexicon hits at all.
+    *
+    * The token array is STAGED as a column before the per-lexicon counts:
+    * higher-order functions evaluate interpreted, so an unstaged
+    * `tokens(text)` inlined into every lambda would re-split the text once
+    * per lexicon per row (measured ~3× the whole query's cost). */
   def langId(docs: DataFrame): DataFrame = {
-    val ts = tokens(col("text"))
-    val scored = docs.select(
+    val staged = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("__ts"))
+    val ts = col("__ts")
+    val scored = staged.select(
       (col("doc_id") +: col("lang").as("lang_label") +:
         lexicons.map { case (l, ws) => wordSetCount(ts, ws).as(s"cnt_$l") }): _*)
     val maxCnt = greatest(lexicons.map { case (l, _) => col(s"cnt_$l") }: _*)
@@ -39,12 +45,14 @@ object TextAnalysis {
   /** Quality signals + a composite score in [0,1]:
     * n_tokens, mean token length, digit ratio, stopword ratio. */
   def quality(docs: DataFrame): DataFrame = {
-    val ts = tokens(col("text"))
+    // tokens staged once (see langId's note on interpreted HOF re-splits)
+    val staged = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ts"))
+    val ts = col("__ts")
     val nTok = size(ts).cast("long")
     val nChar = length(col("text")).cast("double")
     val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
     val stops = wordSetCount(ts, lexicons.head._2).cast("double")
-    docs.select(
+    staged.select(
       col("doc_id"),
       nTok.as("n_tokens"),
       round(nChar / nTok.cast("double"), 4).as("mean_tok_len"),
@@ -62,6 +70,72 @@ object TextAnalysis {
       size(tokens(col("text"))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_tokens"))
+
+  /** The curation gate (language + quality) fused into ONE projection:
+    * composing langId ⋈ quality joins two derivations of the same row —
+    * an exchange, and a second pass over the upstream (typically a
+    * dedupe shuffle), for columns computable side by side. Semantics are
+    * identical to the composition (spec-asserted).
+    * Output: doc_id, pred_lang, quality_score. */
+  def curationScores(docs: DataFrame): DataFrame = {
+    // tokens staged once (see langId's note on interpreted HOF re-splits)
+    val staged = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ts"))
+    val ts = col("__ts")
+    val nTok = size(ts).cast("long")
+    val nChar = length(col("text")).cast("double")
+    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
+    val c = staged.select(
+      (col("doc_id") +: nTok.as("__n") +: nChar.as("__c") +: digits.as("__d") +:
+        lexicons.map { case (l, ws) => wordSetCount(ts, ws).as(s"cnt_$l") }): _*)
+    val maxCnt = greatest(lexicons.map { case (l, _) => col(s"cnt_$l") }: _*)
+    val argmax = lexicons.foldRight(lit("und")) { case ((l, _), e) =>
+      when(col(s"cnt_$l") === maxCnt, l).otherwise(e)
+    }
+    c.select(col("doc_id"),
+      when(maxCnt > 0, argmax).otherwise(lit("und")).as("pred_lang"),
+      round(least(col("__n").cast("double") / lit(100.0), lit(1.0)) *
+        (lit(1.0) - col("__d") / col("__c")), 4).as("quality_score"))
+  }
+
+  /** N-gram repetition ratio (a C4/Gopher-style quality signal: templated
+    * or looping text repeats its n-grams): per doc, total n-grams vs
+    * DISTINCT n-grams, ratio = 1 - distinct/total. Entirely narrow —
+    * array ops inside one projection, no explode, no shuffle. Docs with
+    * fewer than n tokens emit nothing (no n-grams to judge).
+    * Output: doc_id, t_grams, d_grams, rep_ratio. */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    // staged projections so the token array, the shingle array, and the
+    // two counts each materialize ONCE per row: an unstaged
+    // `shingles(rawTokens(text), n)` inlines the split into the transform
+    // lambda, re-splitting the text on every element access (interpreted
+    // HOF eval — measured at ~3× the whole query's cost), and referencing
+    // the HOF from several output columns would re-run it per reference
+    docs.select(col("doc_id"), rawTokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("doc_id"), shingles(col("__ts"), n).as("__sh"))
+      .select(col("doc_id"),
+        size(col("__sh")).cast("long").as("t_grams"),
+        size(array_distinct(col("__sh"))).cast("long").as("d_grams"))
+      .select(col("doc_id"), col("t_grams"), col("d_grams"),
+        round(lit(1.0) - col("d_grams").cast("double") / col("t_grams"), 4)
+          .as("rep_ratio"))
+  }
+
+  /** Per-language corpus statistics (curation dashboard: is a language
+    * under-tokenized? did a filter skew the length distribution?): doc
+    * count, mean/median/p95 whitespace-token counts. Uses EXACT
+    * percentile — right for bounded group counts (languages, sources); at
+    * corpus scale swap percentile → approx_percentile, which is
+    * partial-aggregable and bounded-memory, at the cost of the oracle
+    * equality this query pins. Output: lang, n_docs, mean_tokens,
+    * median_tokens, p95_tokens. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).cast("double").as("n"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n")), 4).as("mean_tokens"),
+        round(expr("percentile(n, 0.5)"), 4).as("median_tokens"),
+        round(expr("percentile(n, 0.95)"), 4).as("p95_tokens"))
 
   /** Document fingerprints: full-content md5 + token-level polynomial
     * rolling hash (order-sensitive, whitespace-insensitive). */

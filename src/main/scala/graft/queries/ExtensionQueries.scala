@@ -139,17 +139,22 @@ object ExtensionQueries {
     * above a quality floor. */
   val curationMinQuality = 0.5
 
-  def x18(s: SparkSession, dir: String): DataFrame = {
-    val deduped = Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
-    TextAnalysis.langId(deduped).select(col("doc_id"), col("pred_lang"))
-      .join(TextAnalysis.quality(deduped).select(col("doc_id"), col("quality_score")), "doc_id")
+  def x18(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curationScores(Dedup.exact(docs(s, dir), col("doc_id"), col("text")))
       .filter(col("pred_lang") === "en" && col("quality_score") >= curationMinQuality)
       .orderBy("doc_id")
-  }
 
   /** Deterministic 90/5/5 train/val/test split assignment. */
   def x19(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.deterministicSplit(docs(s, dir)).orderBy("doc_id")
+
+  /** Trigram repetition ratio — the templated-text quality signal. */
+  def x22(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionRatio(docs(s, dir), n = 3).orderBy("doc_id")
+
+  /** Per-language corpus length statistics with exact percentiles. */
+  def x23(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(docs(s, dir)).orderBy("lang")
 
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
     * the batch twin of the streaming sessionizer. */
@@ -206,6 +211,8 @@ object ExtensionQueries {
     "x18_curation"      -> (x18 _),
     "x20_simhash64_pairs" -> (x20 _),
     "x21_cc_dedup"      -> (x21 _),
+    "x22_repetition"    -> (x22 _),
+    "x23_corpus_stats"  -> (x23 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -428,6 +435,26 @@ object ExtensionQueries {
          |SELECT doc_id, pred_lang, quality_score FROM scored
          |WHERE pred_lang = 'en' AND quality_score >= $curationMinQuality
          |ORDER BY doc_id""".stripMargin,
+    "x22_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+        |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+        |       WHERE len(toks) >= 3),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS t_grams,
+        |               count(DISTINCT s)::BIGINT AS d_grams
+        |        FROM sh GROUP BY doc_id)
+        |SELECT doc_id, t_grams, d_grams,
+        |  ROUND(1.0 - d_grams::DOUBLE / t_grams, 4) AS rep_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "x23_corpus_stats" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  ROUND(avg(n), 4) AS mean_tokens,
+        |  ROUND(quantile_cont(n, 0.5), 4) AS median_tokens,
+        |  ROUND(quantile_cont(n, 0.95), 4) AS p95_tokens
+        |FROM (SELECT lang,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS n
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -67,6 +67,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(u._3 - math.rint(3 * math.log(3) * 10000) / 10000) < 1e-9)
   }
 
+  test("curationScores equals the langId ⋈ quality composition") {
+    val docs = Seq(
+      (1L, "the cat of the house is to be in the garden", "en"),
+      (2L, "el la de y que los un perro", "es"),
+      (3L, "numbers 123 456 789 everywhere 000", "en"),
+      (4L, "zz yy xx ww", "de")
+    ).toDF("doc_id", "text", "lang")
+    val fused = graft.operators.TextAnalysis.curationScores(docs)
+      .orderBy("doc_id").collect().toSeq
+    val composed = graft.operators.TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(graft.operators.TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == composed)
+  }
+
+  test("repetitionRatio: looping text scores high, all-distinct scores 0, short docs drop") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // trigrams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (2L, "p q r s t"),        // all distinct -> ratio 0
+      (3L, "x y")               // < 3 tokens -> no row
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionRatio(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(_._1).sorted == Seq(1L, 2L))
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1 == ((1L, 4L, 2L, 0.5)))
+    assert(got.find(_._1 == 2L).get._4 == 0.0)
+  }
+
+  test("corpusStats: exact counts and percentiles per language") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c d e", "en"), (3L, "a", "en"),
+      (4L, "x y z w", "es")
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.corpusStats(docs).orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // en: token counts {3,5,1} -> mean 3, median 3, p95 = 3 + 0.9*(5-3) = 4.8
+    assert(got(0) == (("en", 3L, 3.0, 3.0, 4.8)))
+    assert(got(1) == (("es", 1L, 4.0, 4.0, 4.0)))
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)
