@@ -137,6 +137,28 @@ object TextAnalysis {
         round(expr("percentile(n, 0.5)"), 4).as("median_tokens"),
         round(expr("percentile(n, 0.95)"), 4).as("p95_tokens"))
 
+  /** RE2-safe PII patterns (no backrefs/lookarounds, so the identical
+    * pattern runs under Java regex and RE2-family engines): email
+    * addresses, and 8+-char digit runs with common phone separators. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longNumRe = "[0-9][0-9 ()./-]{6,}[0-9]"
+
+  /** PII redaction (corpus hygiene before training): masks emails and
+    * long numbers with typed placeholders and counts each. Pure
+    * regexp_replace/extract_all — narrow, zero shuffle. Emails redact
+    * FIRST so an address's digits can't half-match the number pattern.
+    * Output: doc_id, clean_text, n_emails, n_numbers. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      regexp_replace(noEmail, longNumRe, "<NUM>").as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(longNumRe), lit(0)))
+        .cast("long").as("n_numbers"))
+  }
+
   /** Document fingerprints: full-content md5 + token-level polynomial
     * rolling hash (order-sensitive, whitespace-insensitive). */
   def fingerprints(docs: DataFrame): DataFrame =

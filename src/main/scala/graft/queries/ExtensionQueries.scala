@@ -156,6 +156,12 @@ object ExtensionQueries {
   def x23(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusStats(docs(s, dir)).orderBy("lang")
 
+  /** PII redaction over the corpus (the fixture is clean, so this pins
+    * pass-through fidelity + zero counts; the redaction behavior itself
+    * is spec-tested on synthetic PII). */
+  def x24(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactPii(docs(s, dir)).orderBy("doc_id")
+
   /** Gap-based sessionization (30-min gap) via Relational.sessionize —
     * the batch twin of the streaming sessionizer. */
   def x14(s: SparkSession, dir: String): DataFrame = {
@@ -213,6 +219,7 @@ object ExtensionQueries {
     "x21_cc_dedup"      -> (x21 _),
     "x22_repetition"    -> (x22 _),
     "x23_corpus_stats"  -> (x23 _),
+    "x24_pii_redact"    -> (x24 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -455,6 +462,15 @@ object ExtensionQueries {
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS n
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x24_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.longNumRe}', '<NUM>', 'g') AS clean_text,
+         |  len(regexp_extract_all(text, '${TextAnalysis.emailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(
+         |    regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.longNumRe}'))::BIGINT AS n_numbers
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -32,6 +32,18 @@ object EventStream {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(path)
 
+  /** Exactly-once event feed: drops re-delivered events (at-least-once
+    * sources redeliver on retry/failover) by event_id — the streaming
+    * twin of Q1's batch dedupe. State is BOUNDED by the watermark:
+    * dropDuplicatesWithinWatermark evicts an id once the watermark
+    * passes it (a later redelivery would be dropped as late anyway),
+    * unlike plain dropDuplicates whose state grows with all history —
+    * the difference between a stream that runs for months and one that
+    * OOMs. Rows emit as first seen (append), not watermark-held. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked hourly tumbling aggregate — streaming OQ15. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

@@ -110,6 +110,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1) == (("es", 1L, 4.0, 4.0, 4.0)))
   }
 
+  test("redactPii masks emails and long numbers, counts each, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or call +56 (2) 2345-6789 now"),
+      (2L, "ticket 12345678 and mail bob@corp.io"),
+      (3L, "no pii here just words and the number 42")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0)._2 == "contact me at <EMAIL> or call +<NUM> now")
+    assert(got(0)._3 == 1L && got(0)._4 == 1L)
+    assert(got(1)._2 == "ticket <NUM> and mail <EMAIL>")
+    assert(got(1)._3 == 1L && got(1)._4 == 1L)
+    // clean text passes through byte-identical, zero counts ("42" is short)
+    assert(got(2) == ((3L, "no pii here just words and the number 42", 0L, 0L)))
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)

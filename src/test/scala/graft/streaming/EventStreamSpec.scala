@@ -34,6 +34,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("dedupEvents: redelivered events collapse to one row per event_id") {
+    // at-least-once delivery: the whole fixture lands TWICE
+    val dupPath = Files.createTempDirectory("graft_dup_src").toString
+    val once = Tables(spark, sf(), "events")
+    once.unionByName(once).write.mode("overwrite").parquet(dupPath)
+    val q = EventStream.dedupEvents(EventStream.readEvents(spark, dupPath))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "duplicate event_id survived")
+    assert(ids.length.toLong == once.select("event_id").distinct().count(),
+      "dedup dropped or missed events vs the batch distinct")
+  }
+
   test("stateful sessionizer emits watermark-finalized sessions") {
     import spark.implicits._
     val events = EventStream.readEvents(spark, eventsPath)
