@@ -80,6 +80,22 @@ class PlanSpec extends SparkSpec {
     assert(windows <= 2, s"visit chain planned $windows Window nodes:\n$p")
   }
 
+  test("x22/x24: repetition ratio and PII redaction plan ZERO exchanges") {
+    import graft.sources.Tables
+    import graft.operators.TextAnalysis
+    for (df <- Seq(TextAnalysis.repetitionRatio(Tables(spark, sf(), "documents")),
+                   TextAnalysis.redactPii(Tables(spark, sf(), "documents")))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"narrow operator shuffled:\n$p")
+    }
+  }
+
+  test("x23: corpus stats aggregate is partial (map-side) before the shuffle") {
+    val p = plan(ExtensionQueries.x23)
+    assert(p.contains("partial_"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
