@@ -234,8 +234,12 @@ object Dedup {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = graft.Persist.cut(fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    // round 1 folded into initialization: with all labels starting as own
+    // ids, the first propagation is just least(id, min neighbor id) — one
+    // aggregate over edges, no join
     var labels = graft.Persist.cut(
-      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("lbl")))
     // convergence via the label-sum invariant: labels only ever DECREASE,
     // so the sum is strictly monotone until the fixpoint — one tiny
     // aggregate per round instead of a prev-vs-next join. Decimal sum:
