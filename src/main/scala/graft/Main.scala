@@ -116,7 +116,10 @@ object Main {
     }
     graft.sinks.TableSink.writeDayPartitioned(
       sinkAll, "ingest_date", s"$outDir/delivery_order_master")
-    history.foreach(_.unpersist()) // snapshot served its one write
+    // the history snapshot is checkpoint-backed (Persist.cut), which has
+    // no eager public release — its blocks are reclaimed by the
+    // ContextCleaner once `history` goes out of scope (immediately for a
+    // daily batch JVM; on GC for a long-lived session looping runs)
     sink(events, "events_info_temp")
     sink(schedules, "schedule_events_info_temp")
     sink(reschedules, "reschedule_events_info_temp")

@@ -240,6 +240,16 @@ object Dedup {
     var labels = graft.Persist.cut(
       edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__mn"))
         .select(col("id"), least(col("id"), col("__mn")).as("lbl")))
+    // no candidates at all (a healthy corpus): nothing to drop — and the
+    // sum-based convergence check below would read sum() of an empty
+    // frame as null
+    if (labels.isEmpty) return docs
+    // Lifecycle note: each round's cut frame is superseded on rebind and
+    // reclaimed by the ContextCleaner once unreferenced (no public eager
+    // release for checkpoint-backed frames). The loop's frames hold ONLY
+    // (id, label) pairs — two longs per GRAPH NODE, never document text —
+    // so even maxIters live rounds are a rounding error next to the
+    // corpus the pairs came from.
     // convergence via the label-sum invariant: labels only ever DECREASE,
     // so the sum is strictly monotone until the fixpoint — one tiny
     // aggregate per round instead of a prev-vs-next join. Decimal sum:

@@ -87,7 +87,11 @@ object Relational {
         case _             => false
       }
       val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
-      if (hashable.isEmpty) spark_partition_id() else hash(hashable.toSeq: _*)
+      // the group key itself is always groupable (and thus hashable), so
+      // this can only trip on a frame that couldn't reach phase 1 anyway —
+      // fail loud rather than silently degrade replay determinism
+      require(hashable.nonEmpty, "saltedAgg default salt needs at least one non-map column; pass an explicit salt")
+      hash(hashable.toSeq: _*)
     }
     val salted = df.withColumn("__salt",
       pmod(salt.getOrElse(defaultSalt), lit(saltBuckets)))

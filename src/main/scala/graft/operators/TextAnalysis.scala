@@ -20,9 +20,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "un", "une", "est"),
     "zh" -> Seq("de", "le", "shi", "bu", "zai", "you", "he"))
 
-  /** Language-ID: argmax of stopword hits; ties break by lexicon order
-    * (foldRight nests the first lexicon outermost, so 'en' wins ties);
-    * 'und' (undetermined) when no lexicon hits at all.
+  /** Argmax language over staged `cnt_<lang>` count columns; ties break by
+    * lexicon order (foldRight nests the first lexicon outermost, so 'en'
+    * wins ties); 'und' (undetermined) when no lexicon hits at all. The
+    * SINGLE definition shared by langId and curationScores — the fused
+    * path must not be able to drift from the composed one. */
+  private def predLangExpr: Column = {
+    val maxCnt = greatest(lexicons.map { case (l, _) => col(s"cnt_$l") }: _*)
+    val argmax = lexicons.foldRight(lit("und")) { case ((l, _), e) =>
+      when(col(s"cnt_$l") === maxCnt, l).otherwise(e)
+    }
+    when(maxCnt > 0, argmax).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1] — shared by quality and
+    * curationScores (same no-drift rule as [[predLangExpr]]). */
+  private def qualityScoreExpr(nTok: Column, nChar: Column, digits: Column): Column =
+    round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
+      (lit(1.0) - digits / nChar), 4)
+
+  /** Language-ID: argmax of stopword hits (see [[predLangExpr]]).
     *
     * The token array is STAGED as a column before the per-lexicon counts:
     * higher-order functions evaluate interpreted, so an unstaged
@@ -34,12 +51,7 @@ object TextAnalysis {
     val scored = staged.select(
       (col("doc_id") +: col("lang").as("lang_label") +:
         lexicons.map { case (l, ws) => wordSetCount(ts, ws).as(s"cnt_$l") }): _*)
-    val maxCnt = greatest(lexicons.map { case (l, _) => col(s"cnt_$l") }: _*)
-    val argmax = lexicons.foldRight(lit("und")) { case ((l, _), e) =>
-      when(col(s"cnt_$l") === maxCnt, l).otherwise(e)
-    }
-    val pred = when(maxCnt > 0, argmax).otherwise(lit("und"))
-    scored.select(col("doc_id"), pred.as("pred_lang"), col("lang_label"))
+    scored.select(col("doc_id"), predLangExpr.as("pred_lang"), col("lang_label"))
   }
 
   /** Quality signals + a composite score in [0,1]:
@@ -58,8 +70,7 @@ object TextAnalysis {
       round(nChar / nTok.cast("double"), 4).as("mean_tok_len"),
       round(digits / nChar, 4).as("digit_ratio"),
       round(stops / nTok.cast("double"), 4).as("stopword_ratio"),
-      round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
-        (lit(1.0) - digits / nChar), 4).as("quality_score"))
+      qualityScoreExpr(nTok, nChar, digits).as("quality_score"))
   }
 
   /** Token counting, two ways: whitespace tokens and a BPE-ish regex
@@ -87,14 +98,9 @@ object TextAnalysis {
     val c = staged.select(
       (col("doc_id") +: nTok.as("__n") +: nChar.as("__c") +: digits.as("__d") +:
         lexicons.map { case (l, ws) => wordSetCount(ts, ws).as(s"cnt_$l") }): _*)
-    val maxCnt = greatest(lexicons.map { case (l, _) => col(s"cnt_$l") }: _*)
-    val argmax = lexicons.foldRight(lit("und")) { case ((l, _), e) =>
-      when(col(s"cnt_$l") === maxCnt, l).otherwise(e)
-    }
     c.select(col("doc_id"),
-      when(maxCnt > 0, argmax).otherwise(lit("und")).as("pred_lang"),
-      round(least(col("__n").cast("double") / lit(100.0), lit(1.0)) *
-        (lit(1.0) - col("__d") / col("__c")), 4).as("quality_score"))
+      predLangExpr.as("pred_lang"),
+      qualityScoreExpr(col("__n"), col("__c"), col("__d")).as("quality_score"))
   }
 
   /** N-gram repetition ratio (a C4/Gopher-style quality signal: templated

@@ -188,6 +188,12 @@ class DedupSpec extends SparkSpec {
     val converged = Dedup.dropNearDuplicatesCC(chain, cpairs)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(converged == Seq(1L))
+    // zero candidates (a healthy corpus) keeps every doc — regression for
+    // the empty-frame null-sum crash
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val all = Dedup.dropNearDuplicatesCC(d, noPairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("dropNearDuplicates keeps the lowest-id representative per group") {
