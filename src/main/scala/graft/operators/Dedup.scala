@@ -110,42 +110,38 @@ object Dedup {
     * parity of hex digit j of the token's hash; tokens vote +1/-1 per bit
     * and the sign of the sum sets the fingerprint bit. Frequency-weighted
     * (every token occurrence votes). Up to 32 bits one md5 supplies the
-    * votes; 33-64 bits append a SECOND independent probe `md5(t || '~')`
-    * for hex digits 33-64 — the production 64-bit shape (16-bit pigeonhole
-    * keys in [[simhashNearDupPairs]]) at the cost of one extra md5 per
-    * token occurrence. Bit 63 is the long's sign bit: 64-bit fingerprints
-    * can be negative, which is fine — banding masks after an arithmetic
-    * shift (identical in Spark and DuckDB) and hamming is popcount-of-XOR,
-    * both sign-agnostic. */
+    * votes (the x09/x17-pinned family); 33-64 bits switch to ONE
+    * sha2-256 — 64 hex digits from a single hash, so the production
+    * 64-bit shape (16-bit pigeonhole keys in [[simhashNearDupPairs]])
+    * costs one hash per token occurrence, same as 32-bit. Bit 63 is the
+    * long's sign bit: 64-bit fingerprints can be negative, which is fine —
+    * banding masks after an arithmetic shift (identical in Spark and
+    * DuckDB) and hamming is popcount-of-XOR, both sign-agnostic. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    require(bits <= 64, "two md5 probes supply at most 64 hex-digit votes")
-    // Each probe's 32 hex digits are packed into THREE longs per row
-    // (15+15+2 digits — 15 is the widest hex run that fits a signed long),
-    // so a digit's parity is a shift-and-mask on a long instead of a
-    // per-bit substring: `bits` string ops per token row (the former
-    // conv-per-digit formulation) made the fingerprint stage, not the pair
-    // join, the dominant cost at 64 bits. Unused words prune away at
-    // narrow widths.
-    val probes = if (bits <= 32) 1 else 2
-    val tok0 = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val tok = (0 until probes).foldLeft(tok0) { (df, p) =>
-      val h = if (p == 0) md5(col("t")) else md5(concat(col("t"), lit("~")))
-      df.withColumn(s"__h$p", h)
-        .withColumn(s"__w${p}_0", conv(substring(col(s"__h$p"), 1, 15), 16, 10).cast("long"))
-        .withColumn(s"__w${p}_1", conv(substring(col(s"__h$p"), 16, 15), 16, 10).cast("long"))
-        .withColumn(s"__w${p}_2", conv(substring(col(s"__h$p"), 31, 2), 16, 10).cast("long"))
-    }
-    // parity of global hex digit j (0-based): low bit of the digit's
-    // nibble inside its packed word (words are big-endian: first digit in
-    // the substring is the most significant place of the conv value)
+    require(bits <= 64, "one sha2-256 supplies at most 64 hex-digit votes")
+    // The hex string is staged as a column, then packed into longs of 15
+    // hex digits each (the widest run that fits a signed long), so a
+    // digit's parity is a shift-and-mask instead of a per-bit substring:
+    // `bits` string ops per token row (the former conv-per-digit
+    // formulation) made the fingerprint stage, not the pair join, the
+    // dominant cost at 64 bits. Unused words prune away at narrow widths.
+    val hexLen = if (bits <= 32) 32 else 64
+    val hexCol = if (bits <= 32) md5(col("t")) else sha2(col("t"), 256)
+    val nWords = (hexLen + 14) / 15
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("__hex", hexCol)
+      .select(col("doc_id") +: (0 until nWords).map { w =>
+        conv(substring(col("__hex"), w * 15 + 1, math.min(15, hexLen - w * 15)), 16, 10)
+          .cast("long").as(s"__w$w")
+      }: _*)
+    // parity of hex digit j (0-based): low bit of the digit's nibble
+    // inside its packed word (words are big-endian: the substring's first
+    // digit sits in the conv value's most significant place)
     def parity(j: Int): Column = {
-      val p = j / 32
-      val d = j % 32
-      val (w, shift) =
-        if (d < 15) (col(s"__w${p}_0"), 4 * (14 - d))
-        else if (d < 30) (col(s"__w${p}_1"), 4 * (29 - d))
-        else (col(s"__w${p}_2"), 4 * (31 - d))
-      shiftright(w, shift).bitwiseAND(lit(1L))
+      val w = j / 15
+      val width = math.min(15, hexLen - w * 15)
+      val shift = 4 * (width - 1 - j % 15)
+      shiftright(col(s"__w$w"), shift).bitwiseAND(lit(1L))
     }
     val votes = (0 until bits).map(j => sum(parity(j) * 2 - 1).as(s"v$j"))
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)

@@ -268,10 +268,10 @@ object ExtensionQueries {
   }.mkString("\n  UNION ALL ")
 
   /** Full SimHash fingerprint CTE chain (shared by x09/x17/x20): one hex
-    * digit per bit; past 32 bits the vote source is the same second md5
-    * probe the Spark operator appends (Dedup.simhash). */
+    * digit per bit; past 32 bits the vote source switches to sha2-256
+    * (64 hex digits from one hash), mirroring Dedup.simhash. */
   private def simhashCtes(bits: Int): String = {
-    val hexExpr = if (bits <= 32) "md5(t)" else "md5(t) || md5(t || '~')"
+    val hexExpr = if (bits <= 32) "md5(t)" else "sha256(t)"
     s"""tok AS (SELECT doc_id,
        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),
        |h AS (SELECT doc_id, $hexExpr AS h FROM tok),

@@ -123,18 +123,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet == brute)
   }
 
-  test("simhash 64-bit: low 32 bits match the 32-bit fingerprint; pairs exhaustive") {
+  test("simhash 64-bit: sha2-family fingerprints use all 64 bits; pairs exhaustive") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon",
       2L -> "alpha beta gamma delta epsilon",
       3L -> "alpha beta gamma delta zeta",
       4L -> "utterly disjoint vocabulary everywhere totally",
       5L -> "more unrelated words in another direction entirely now")
-    // the second md5 probe supplies ONLY digits 33-64: the low half of a
-    // 64-bit fingerprint must be bit-identical to the 32-bit fingerprint
-    val fp32 = Dedup.simhash(d, 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fp64 = Dedup.simhash(d, 64).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    fp32.foreach { case (id, f) => assert((fp64(id) & 0xFFFFFFFFL) == f) }
+    assert(fp64(1L) == fp64(2L)) // identical text, identical fingerprint
+    // the upper half is real signal, not zero-padding (the 64-bit family
+    // is sha2-256 — one hash for all 64 digit votes)
+    assert(fp64.values.exists(v => (v >> 32) != 0L && (v >> 32) != -1L))
     // pigeonhole exhaustiveness at 64 bits (16-bit keys) vs brute force
     val pairs = Dedup.simhashNearDupPairs(d, bits = 64, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
