@@ -175,6 +175,16 @@ object Main {
         graft.streaming.EventStream.readEvents(spark, eventsDir)),
       outDir, "hourly_counts")
 
+  /** Exactly-once landing of the events lake: one AvailableNow pass
+    * through the watermark-bounded dedup — re-delivered event_ids (an
+    * at-least-once upstream's retries) collapse before they reach
+    * downstream consumers, incrementally per pass. */
+  def runStreamingDedup(spark: SparkSession, eventsDir: String, outDir: String): Unit =
+    runAvailableNow(
+      graft.streaming.EventStream.dedupEvents(
+        graft.streaming.EventStream.readEvents(spark, eventsDir)),
+      outDir, "events_deduped")
+
   /** The sessionizer's AvailableNow twin: one incremental pass of the
     * stateful gap-sessionizer over the events lake, landing sessions as
     * parquet. A session is emitted once closed — by a successor event

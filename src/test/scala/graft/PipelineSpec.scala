@@ -245,6 +245,18 @@ class PipelineSpec extends SparkSpec {
     mustHave.foreach(k => assert(streamed.contains(k), s"finalized window $k missing"))
   }
 
+  test("O2 streaming: AvailableNow dedup runner lands exactly the distinct events") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_dedup_in").toString
+    val once = Tables(spark, sf(), "events")
+    once.unionByName(once).write.mode("overwrite").parquet(src) // double delivery
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    Main.runStreamingDedup(spark, src, out)
+    val landed = spark.read.parquet(s"$out/events_deduped")
+    assert(landed.count() == once.select("event_id").distinct().count())
+    assert(landed.select("event_id").distinct().count() == landed.count())
+  }
+
   test("O2 streaming: AvailableNow sessionizer lands finalized sessions as parquet") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_sess_in").toString
