@@ -163,9 +163,9 @@ object Dedup {
     * Candidate volume is ~|corpus|²/2^w per band (w = bits/(maxHamming+1)
     * segment width), so fingerprint WIDTH is the scale lever: 32-bit
     * fingerprints give 8-bit keys (256 buckets per band); the production
-    * shape at corpus scale is bits=64 (two md5 probes per token, see
+    * shape at corpus scale is bits=64 (one sha2-256 per token, see
     * [[simhash]]) giving 16-bit keys — 65k buckets per band, ~256× fewer
-    * candidates per band on a uniform corpus for one extra narrow md5.
+    * candidates per band on a uniform corpus at the same one-hash cost.
     * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
   def simhashNearDupPairs(docs: DataFrame, bits: Int = 64,
                           maxHamming: Int = 3): DataFrame = {

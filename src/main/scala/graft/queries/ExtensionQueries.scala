@@ -118,7 +118,7 @@ object ExtensionQueries {
     Dedup.simhashNearDupPairs(docs(s, dir), bits = 32, maxHamming = 3)
       .orderBy("a_id", "b_id")
 
-  /** The production SimHash shape: 64-bit fingerprints (two md5 probes per
+  /** The production SimHash shape: 64-bit fingerprints (one sha2-256 per
     * token) → 16-bit pigeonhole keys, ~256× fewer candidates per band than
     * x17 on the same corpus. Same maxHamming, same exact verify. */
   def x20(s: SparkSession, dir: String): DataFrame =
