@@ -156,6 +156,14 @@ object ExtensionQueries {
   def x23(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusStats(docs(s, dir)).orderBy("lang")
 
+  /** Sequence packing: 8 shards (bounded fixture), 512-token bins. */
+  val packBudget = 512L
+  val packShards = 8
+
+  def x25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(docs(s, dir), packBudget, packShards)
+      .orderBy("doc_id")
+
   /** PII redaction over the corpus (the fixture is clean, so this pins
     * pass-through fidelity + zero counts; the redaction behavior itself
     * is spec-tested on synthetic PII). */
@@ -220,6 +228,7 @@ object ExtensionQueries {
     "x22_repetition"    -> (x22 _),
     "x23_corpus_stats"  -> (x23 _),
     "x24_pii_redact"    -> (x24 _),
+    "x25_seq_pack"      -> (x25 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -462,6 +471,17 @@ object ExtensionQueries {
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS n
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x25_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $packShards AS shard
+         | FROM documents)
+         |SELECT doc_id, shard,
+         |  (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   // $packBudget)::BIGINT AS bin,
+         |  n_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
     "x24_pii_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),

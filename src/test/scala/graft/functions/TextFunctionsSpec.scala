@@ -110,6 +110,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1) == (("es", 1L, 4.0, 4.0, 4.0)))
   }
 
+  test("packSequences: deterministic greedy bins per shard; oversize doc advances the bin") {
+    val docs = Seq(
+      (1L, Seq.fill(300)("w").mkString(" ")),
+      (2L, Seq.fill(300)("w").mkString(" ")),
+      (3L, Seq.fill(700)("w").mkString(" ")), // > budget: spans past a boundary
+      (4L, Seq.fill(100)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.packSequences(docs, budgetTokens = 512, shards = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // exclusive prefix sums 0, 300, 600, 1300 -> bins 0, 0, 1, 2
+    assert(got.toSeq == Seq((1L, 0L, 300L), (2L, 0L, 300L), (3L, 1L, 700L), (4L, 2L, 100L)))
+    // input partitioning must not change the assignment
+    val re = graft.operators.TextAnalysis.packSequences(docs.repartition(5), 512, 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("redactPii masks emails and long numbers, counts each, leaves clean text alone") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk or call +56 (2) 2345-6789 now"),
