@@ -158,6 +158,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: bins respect the budget minus their last doc (random corpora)") {
+    // greedy exclusive-prefix packing invariant: within a (shard, bin),
+    // every doc except the last fits inside one budget span — so
+    // bin_total - last_doc_tokens < budget, for ANY corpus
+    val budget = 50L
+    val gen = Gen.listOfN(30, Gen.choose(1, 40))
+    cases(gen).foreach { lens =>
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val packed = graft.operators.TextAnalysis.packSequences(docs, budget, shards = 4)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+      packed.groupBy(t => (t._1, t._2)).values.foreach { bin =>
+        val sorted = bin.sortBy(_._3)
+        val withoutLast = sorted.init.map(_._4).sum
+        assert(withoutLast < budget,
+          s"bin ${sorted.head._1}/${sorted.head._2} holds $withoutLast tokens before its last doc")
+      }
+      // bins are contiguous from 0 within each shard (no doc here exceeds
+      // the budget, so the prefix never jumps past a whole bin)
+      packed.groupBy(_._1).values.foreach { shard =>
+        val bins = shard.map(_._2).distinct.sorted.toSeq
+        assert(bins == (0L to bins.max).toSeq, s"bin gap in ${bins.mkString(",")}")
+      }
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
     val l = graft.sources.Tables(spark, sf(), "lineitem")
     val r = l.select(
