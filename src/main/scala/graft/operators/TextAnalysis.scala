@@ -143,6 +143,20 @@ object TextAnalysis {
         round(expr("percentile(n, 0.5)"), 4).as("median_tokens"),
         round(expr("percentile(n, 0.95)"), 4).as("p95_tokens"))
 
+  /** The corpus-scale twin of [[corpusStats]]: approx_percentile buffers a
+    * bounded sketch per group instead of every value, so memory stays flat
+    * however large a language's slice grows. `accuracy` trades sketch size
+    * for error (10000 ≈ 1/10000 rank error). Same output schema; values
+    * are approximate, so no SQL-equality oracle — accuracy is
+    * property-tested against the exact operator instead. */
+  def corpusStatsApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).cast("double").as("n"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n")), 4).as("mean_tokens"),
+        round(percentile_approx(col("n"), lit(0.5), lit(accuracy)), 4).as("median_tokens"),
+        round(percentile_approx(col("n"), lit(0.95), lit(accuracy)), 4).as("p95_tokens"))
+
   /** RE2-safe PII patterns (no backrefs/lookarounds, so the identical
     * pattern runs under Java regex and RE2-family engines): email
     * addresses, and 8+-char digit runs with common phone separators. */

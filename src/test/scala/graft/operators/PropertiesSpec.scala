@@ -185,6 +185,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("corpusStatsApprox tracks the exact percentiles on the documents fixture") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact = byLang(graft.operators.TextAnalysis.corpusStats(docs))
+    val approx = byLang(graft.operators.TextAnalysis.corpusStatsApprox(docs))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (n, mean, med, p95)) =>
+      val (an, amean, amed, ap95) = approx(lang)
+      assert(an == n && amean == mean) // count and mean are exact either way
+      // rank-sketch error: within 5% of the exact quantile values
+      assert(math.abs(amed - med) <= 0.05 * med, s"$lang median $amed vs $med")
+      assert(math.abs(ap95 - p95) <= 0.05 * p95, s"$lang p95 $ap95 vs $p95")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
     val l = graft.sources.Tables(spark, sf(), "lineitem")
     val r = l.select(

@@ -96,6 +96,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("x25: sequence packing shuffles once, on the shard key") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextAnalysis.packSequences(
+      graft.sources.Tables(spark, sf(), "documents"), 512L, 8)
+    df.collect()
+    // AdaptiveSparkPlan prints final AND initial plans — count only the final
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"packing must cost exactly the one shard shuffle:\n$p")
+    assert(p.contains("shard"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
