@@ -317,6 +317,32 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Benchmark decontamination: (corpus doc, benchmark doc) pairs sharing
+    * at least `minShared` distinct word n-grams — the eval-leakage check
+    * every training corpus needs before a benchmark means anything.
+    *
+    * Same blocking discipline as [[ngramJaccardPairs]]: only
+    * corpus-rare shingles (df <= maxDf) join, bounding the match join at
+    * |bench shingles|·maxDf; a templated shingle hot across the corpus
+    * carries no contamination signal anyway. The benchmark side is
+    * BROADCAST — benchmark suites are thousands of documents by
+    * construction, never corpus-sized. Counting shared distinct shingles
+    * (not Jaccard) is the standard decontamination metric: a benchmark
+    * QUESTION quoted inside a long training doc must flag even though
+    * whole-doc similarity is tiny.
+    * Output: (doc_id, bench_id, shared), shared >= minShared. */
+  def contaminationPairs(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                         minShared: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val cs = graft.Persist.cut(shingleSet(docs, n))
+    val dfc = cs.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = cs.join(dfc.filter(col("df") <= maxDf).select(col("s")), "s")
+    val bs = shingleSet(bench, n).select(col("doc_id").as("bench_id"), col("s"))
+    rare.join(broadcast(bs), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard over candidate pairs sharing at least one RARE
     * shingle; emits pairs with similarity >= threshold.
     *

@@ -103,6 +103,41 @@ object Relational {
         aggs.tail.map(a => a._3(col(s"__p_${a._2}")).as(a._2)): _*)
   }
 
+  /** As-of join: for each left row, attach the single LATEST right row of
+    * the same key with rightTs <= leftTs (inclusive) — the
+    * trades-to-quotes / event-attribution operator Spark lacks natively.
+    *
+    * The naive formulation (range join + per-left top-1) explodes
+    * quadratically per key; this is the union-and-carry plan: tag both
+    * sides, ONE shuffle on the key, one ordered window pass carrying the
+    * last-seen right payload forward — O(n log n) per key, no pair
+    * blowup, the standard scale-out as-of shape. At equal timestamps the
+    * right row sorts first, so a left row sees a same-instant right row.
+    *
+    * Right payload columns land suffixed (`rightSuffix`), null where no
+    * right row precedes. The right side must be UNIQUE per
+    * (key, rightTs) — dedupe first (e.g. dedupeKeepFirst) or the carried
+    * row among same-instant duplicates is plan-dependent. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightSuffix: String = "_asof"): DataFrame = {
+    val lPay = left.columns.filterNot(_ == key).toSeq
+    val rPay = right.columns.filterNot(_ == key).toSeq
+    val lSel = col(key) +: col(leftTs).as("__t") +: lit(1).as("__side") +:
+      (lPay.map(col) ++
+        rPay.map(c => lit(null).cast(right.schema(c).dataType).as(s"$c$rightSuffix")))
+    val rSel = col(key) +: col(rightTs).as("__t") +: lit(0).as("__side") +:
+      (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rPay.map(c => col(c).as(s"$c$rightSuffix")))
+    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc_nulls_first, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rPay.foldLeft(u)((df, c) =>
+      df.withColumn(s"$c$rightSuffix", last(col(s"$c$rightSuffix"), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

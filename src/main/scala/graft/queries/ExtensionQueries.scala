@@ -156,6 +156,19 @@ object ExtensionQueries {
   def x23(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusStats(docs(s, dir)).orderBy("lang")
 
+  /** Decontamination sweep: every 50th doc plays the benchmark set;
+    * training docs sharing >= 3 rare trigrams with one get flagged
+    * (self-pairs excluded — the benchmark docs live in the corpus). */
+  val contamMinShared = 3
+
+  def x26(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationPairs(d, d.filter(col("doc_id") % 50 === 0),
+        n = 3, minShared = contamMinShared, maxDf = jaccardMaxDf)
+      .filter(col("doc_id") =!= col("bench_id"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Sequence packing: 8 shards (bounded fixture), 512-token bins. */
   val packBudget = 512L
   val packShards = 8
@@ -204,6 +217,23 @@ object ExtensionQueries {
     Relational.upsert(first, last, "user_id").orderBy("user_id")
   }
 
+  /** As-of attribution on the events fixture: each purchase joins its
+    * user's latest at-or-before view (views deduped to one per instant so
+    * the at-equal-timestamp pick is deterministic on both engines). */
+  def w03(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = Relational.dedupeKeepFirst(
+      e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id")),
+      Seq(col("user_id"), col("view_ts")), Seq(col("view_id").desc))
+    Relational.asOfJoin(purchases, views, "user_id", "ts", "view_ts")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("view_id_asof").as("view_id"), col("view_ts_asof").as("view_ts"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -229,9 +259,11 @@ object ExtensionQueries {
     "x23_corpus_stats"  -> (x23 _),
     "x24_pii_redact"    -> (x24 _),
     "x25_seq_pack"      -> (x25 _),
+    "x26_decontaminate" -> (x26 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
+    "w03_asof_join"     -> (w03 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -471,6 +503,17 @@ object ExtensionQueries {
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS n
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x26_decontaminate" ->
+      s"""WITH $shingleCte,
+         |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN
+         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
+         |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
+         |SELECT rare.doc_id, bs.bench_id, count(*)::BIGINT AS shared
+         |FROM rare JOIN bs USING (s)
+         |WHERE rare.doc_id <> bs.bench_id
+         |GROUP BY rare.doc_id, bs.bench_id
+         |HAVING count(*) >= $contamMinShared
+         |ORDER BY doc_id, bench_id""".stripMargin,
     "x25_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
@@ -545,6 +588,18 @@ object ExtensionQueries {
         |           ORDER BY epoch_us(ts), event_id) AS prev
         |        FROM events))
         | ORDER BY user_id, event_id""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN replays the union-and-carry plan's
+    // semantics exactly: latest right row with view_ts <= ts, inclusive,
+    // nulls where none precedes
+    "w03_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |v0 AS (SELECT user_id, ts AS view_ts, event_id AS view_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, view_ts, view_id FROM v0 WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts, v.view_id, v.view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+        |ORDER BY p.event_id""".stripMargin,
     "w01_nth_event" ->
       """SELECT CAST(user_id AS VARCHAR) AS delivery_order_id, ts AS timestamp,
         |  event_id AS status FROM

@@ -196,6 +196,23 @@ class DedupSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("contaminationPairs flags a quoted benchmark phrase; hot shingles carry no signal") {
+    val bench = docs(100L -> "what is the capital of france exactly")
+    val corpus = docs(
+      // quotes the benchmark phrase inside a longer doc -> 5 shared trigrams
+      1L -> "intro words what is the capital of france exactly outro words",
+      2L -> "entirely unrelated training text with different tokens",
+      // shares ONLY sub-threshold overlap (2 trigrams from "what is the capital")
+      3L -> "what is the capital gains tax rate")
+    val got = Dedup.contaminationPairs(corpus, bench, n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 100L, 5L)))
+    // a corpus-hot shingle is excluded from blocking: 20 docs all share the
+    // benchmark phrase, but with maxDf below 20 nothing can match through it
+    val hot = docs((1L to 20L).map(i => i -> s"what is the capital of france exactly v$i"): _*)
+    assert(Dedup.contaminationPairs(hot, bench, n = 3, minShared = 1, maxDf = 5).count() == 0)
+  }
+
   test("dropNearDuplicates keeps the lowest-id representative per group") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",

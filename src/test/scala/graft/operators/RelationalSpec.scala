@@ -99,6 +99,23 @@ class RelationalSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("asOfJoin: latest at-or-before right row per left row; null when none precedes") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 20L, 3.0), (2L, 9L, 9.0))
+      .toDF("k", "qt", "px")
+    val out = Relational.asOfJoin(trades, quotes, "k", "t", "qt")
+      .orderBy("k", "t").collect()
+    def px(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(r.fieldIndex("px_asof"))) None else Some(r.getDouble(r.fieldIndex("px_asof")))
+    assert(px(out(0)) == Some(2.0)) // equal timestamp is INCLUSIVE
+    assert(out(0).getLong(out(0).fieldIndex("qt_asof")) == 10L)
+    assert(px(out(1)) == Some(3.0)) // latest preceding, not just any
+    assert(px(out(2)) == None)      // k=2 at t=5: quote at 9 is in the future
+    // left row count preserved, left columns intact
+    assert(out.length == 3 && out.map(_.getString(2)).sorted.toSeq == Seq("t1", "t2", "t3"))
+  }
+
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
     val base = Seq((Option(1), "a")).toDF("k", "v")
     val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")
