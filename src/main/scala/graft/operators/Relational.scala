@@ -117,7 +117,10 @@ object Relational {
     * Right payload columns land suffixed (`rightSuffix`), null where no
     * right row precedes. The right side must be UNIQUE per
     * (key, rightTs) — dedupe first (e.g. dedupeKeepFirst) or the carried
-    * row among same-instant duplicates is plan-dependent. */
+    * row among same-instant duplicates is plan-dependent. JOIN null
+    * semantics hold: a null right key matches nothing (it is dropped
+    * before the union — the window partition would otherwise group null
+    * keys together and "match" them, which no SQL join does). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightSuffix: String = "_asof"): DataFrame = {
@@ -129,7 +132,8 @@ object Relational {
     val rSel = col(key) +: col(rightTs).as("__t") +: lit(0).as("__side") +:
       (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rPay.map(c => col(c).as(s"$c$rightSuffix")))
-    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val u = left.select(lSel: _*)
+      .unionByName(right.filter(col(key).isNotNull).select(rSel: _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc_nulls_first, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -114,6 +114,13 @@ class RelationalSpec extends SparkSpec {
     assert(px(out(2)) == None)      // k=2 at t=5: quote at 9 is in the future
     // left row count preserved, left columns intact
     assert(out.length == 3 && out.map(_.getString(2)).sorted.toSeq == Seq("t1", "t2", "t3"))
+    // JOIN null semantics: a null-key quote matches NO left row
+    val nullQuotes = Seq((Option.empty[Long], 1L, 7.0), (Option(2L), 9L, 9.0))
+      .toDF("k", "qt", "px")
+    val out2 = Relational.asOfJoin(trades, nullQuotes, "k", "t", "qt")
+      .orderBy("k", "t").collect()
+    assert(px(out2(0)) == None && px(out2(1)) == None) // k=1 rows see nothing
+    assert(px(out2(2)) == None)                        // k=2 at t=5: quote at 9 is later
   }
 
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
