@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Deterministic engine-independent bucketing: md5 of the value's
+    * string form, first 15 hex digits as a long, mod `m`. THE shared
+    * hash discipline for split assignment, pack sharding, and skew-block
+    * splitting — one definition, so the Spark operators and the generated
+    * oracle SQL (`('0x' || substring(md5(x::VARCHAR), 1, 15))::BIGINT %
+    * m`) cannot drift apart per call site. */
+  def md5Mod(c: Column, m: Column): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), m)
+
   /** Raw single-space split. Keeps empty tokens so that shingle indexing is
     * bit-identical to DuckDB's string_split. */
   def rawTokens(text: Column): Column = split(text, " ")

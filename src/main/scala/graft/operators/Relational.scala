@@ -118,28 +118,34 @@ object Relational {
     * right row precedes. The right side must be UNIQUE per
     * (key, rightTs) — dedupe first (e.g. dedupeKeepFirst) or the carried
     * row among same-instant duplicates is plan-dependent. JOIN null
-    * semantics hold: a null right key matches nothing (it is dropped
-    * before the union — the window partition would otherwise group null
-    * keys together and "match" them, which no SQL join does). */
+    * semantics hold: right rows with a null key OR null timestamp match
+    * nothing (both are dropped before the union — `leftTs >= NULL` is
+    * never true in SQL, and the window partition would otherwise group
+    * null keys together and "match" them, which no join does). The right
+    * payload is carried as ONE struct per row, so a matched right row
+    * arrives WHOLESALE — a legitimately null payload value stays null
+    * instead of being backfilled from an older right row. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightSuffix: String = "_asof"): DataFrame = {
     val lPay = left.columns.filterNot(_ == key).toSeq
     val rPay = right.columns.filterNot(_ == key).toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rPay.map(c => right.schema(right.schema.fieldIndex(c))))
     val lSel = col(key) +: col(leftTs).as("__t") +: lit(1).as("__side") +:
-      (lPay.map(col) ++
-        rPay.map(c => lit(null).cast(right.schema(c).dataType).as(s"$c$rightSuffix")))
+      (lPay.map(col) :+ lit(null).cast(rStructType).as("__r"))
     val rSel = col(key) +: col(rightTs).as("__t") +: lit(0).as("__side") +:
-      (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rPay.map(c => col(c).as(s"$c$rightSuffix")))
-    val u = left.select(lSel: _*)
-      .unionByName(right.filter(col(key).isNotNull).select(rSel: _*))
+      (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rPay.map(col): _*).as("__r"))
+    val u = left.select(lSel: _*).unionByName(
+      right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(rSel: _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc_nulls_first, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rPay.foldLeft(u)((df, c) =>
-      df.withColumn(s"$c$rightSuffix", last(col(s"$c$rightSuffix"), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    u.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((col(key) +: lPay.map(col)) ++
+        rPay.map(c => col("__r").getField(c).as(s"$c$rightSuffix")): _*)
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the

@@ -196,13 +196,43 @@ object TextAnalysis {
     * shuffle. Output: doc_id, split. */
   def deterministicSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = md5Mod(col("doc_id"), lit(100L))
     docs.select(col("doc_id"),
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
+  }
+
+  /** Sequence packing for pretraining: assign documents to fixed
+    * token-budget bins (context windows). Deterministic and distributed:
+    * docs shard by md5(doc_id) mod `shards` (content- and
+    * corpus-size-independent, like [[deterministicSplit]]), and within a
+    * shard are packed in doc_id order by EXCLUSIVE running token total —
+    * bin = floor(prefix_sum / budget). A doc longer than the budget
+    * spans past a bin boundary: the docs BEFORE it in the bin still fit
+    * one budget span, but the oversize doc itself overflows the bin (and
+    * may share it with those predecessors) — callers wanting strict
+    * per-bin caps must length-filter or truncate upstream.
+    *
+    * Scale shape: ONE window per shard partition (never a global
+    * ordering — a corpus-wide running sum would serialize into a single
+    * task); shard count sizes the parallelism and bounds the per-task
+    * row count at |corpus|/shards. Greedy-order packing wastes at most
+    * one doc's tokens per bin boundary vs bin-optimal — the standard
+    * trade for a single-pass distributed pack.
+    * Output: doc_id, shard, bin, n_tokens. */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+                    shards: Int = 1024): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      md5Mod(col("doc_id"), lit(shards.toLong)).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    staged.select(col("doc_id"), col("shard"),
+      floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budgetTokens))
+        .cast("long").as("bin"),
+      col("n_tokens"))
   }
 
   /** Top-k characteristic terms per document by TF-IDF (keyword
@@ -215,38 +245,6 @@ object TextAnalysis {
     * document length), so the window partition never degenerates (the
     * bounded-group condition in Relational's scale notes).
     * Output: doc_id, term, tfidf. */
-  /** Sequence packing for pretraining: assign documents to fixed
-    * token-budget bins (context windows). Deterministic and distributed:
-    * docs shard by md5(doc_id) mod `shards` (content- and
-    * corpus-size-independent, like [[deterministicSplit]]), and within a
-    * shard are packed in doc_id order by EXCLUSIVE running token total —
-    * bin = floor(prefix_sum / budget). A doc longer than the budget
-    * advances the prefix past a bin boundary and so lands alone.
-    *
-    * Scale shape: ONE window per shard partition (never a global
-    * ordering — a corpus-wide running sum would serialize into a single
-    * task); shard count sizes the parallelism and bounds the per-task
-    * row count at |corpus|/shards. Greedy-order packing wastes at most
-    * one doc's tokens per bin boundary vs bin-optimal — the standard
-    * trade for a single-pass distributed pack.
-    * Output: doc_id, shard, bin, n_tokens. */
-  def packSequences(docs: DataFrame, budgetTokens: Long,
-                    shards: Int = 1024): DataFrame = {
-    val shard = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(shards.toLong))
-    val staged = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      shard.as("shard"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    staged.select(col("doc_id"), col("shard"),
-      floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budgetTokens))
-        .cast("long").as("bin"),
-      col("n_tokens"))
-  }
-
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -121,6 +121,19 @@ class RelationalSpec extends SparkSpec {
       .orderBy("k", "t").collect()
     assert(px(out2(0)) == None && px(out2(1)) == None) // k=1 rows see nothing
     assert(px(out2(2)) == None)                        // k=2 at t=5: quote at 9 is later
+    // null-ts quotes are invisible (t >= NULL is never true), and a
+    // matched row arrives WHOLESALE: its null payload value must NOT be
+    // backfilled from an older quote (no column tearing)
+    val q3 = Seq(
+      (Option(1L), Option(5L), Option(1.0)),
+      (Option(1L), Option(10L), Option.empty[Double]), // latest at t>=10, px genuinely null
+      (Option(1L), Option.empty[Long], Option(99.0))   // null ts: matches nothing
+    ).toDF("k", "qt", "px")
+    val out3 = Relational.asOfJoin(trades, q3, "k", "t", "qt")
+      .orderBy("k", "t").collect()
+    def qt(r: org.apache.spark.sql.Row) = r.getLong(r.fieldIndex("qt_asof"))
+    assert(qt(out3(0)) == 10L && px(out3(0)) == None) // wholesale row, null px kept
+    assert(qt(out3(1)) == 10L && px(out3(1)) == None) // 99.0 never leaks in
   }
 
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
