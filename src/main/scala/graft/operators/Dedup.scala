@@ -305,8 +305,7 @@ object Dedup {
     // one row per centroid — broadcast-small by the fixed-codebook contract
     val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
     val blocked = assigned.join(broadcast(sizes), Seq("cluster"))
-      .withColumn("__blk", pmod(
-        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      .withColumn("__blk", md5Mod(col("vec_id"),
         floor((col("csz") + lit(maxClusterSize - 1)) / lit(maxClusterSize)).cast("long")))
     val a = blocked.select(col("cluster"), col("__blk"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = blocked.select(col("cluster"), col("__blk"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
