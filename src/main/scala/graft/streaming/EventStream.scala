@@ -44,6 +44,33 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM interval join — the streaming attribution
+    * query: each purchase pairs with the same user's view events inside
+    * the preceding `windowSeconds`. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can prove when a
+    * buffered row can never match again and EVICT it — state is
+    * watermark + interval bounded, not history-bounded (the condition
+    * every production stream-stream join must meet or state grows
+    * forever). Inner join: a match emits as soon as both rows arrive;
+    * purchases with no view in the window simply never emit (use the
+    * batch [[graft.operators.Relational.asOfJoin]] for last-touch-or-null
+    * attribution). */
+  def attributePurchases(events: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v, expr(
+      s"""p_user = v_user AND
+         |v_ts >= p_ts - INTERVAL $windowSeconds SECONDS AND v_ts <= p_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("p_id"), col("p_ts"),
+        col("v_id"), col("v_ts"), col("value"))
+  }
+
   /** Watermarked hourly tumbling aggregate — streaming OQ15. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

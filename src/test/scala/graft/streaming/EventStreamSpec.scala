@@ -50,6 +50,31 @@ class EventStreamSpec extends SparkSpec {
       "dedup dropped or missed events vs the batch distinct")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventStream.attributePurchases(EventStream.readEvents(spark, eventsPath),
+        windowSeconds = 3600)
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attributed")
+      .orderBy("p_id", "v_id").collect().toSeq
+    val e = Tables(spark, sf(), "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val batch = p.join(v, expr(
+        "p_user = v_user AND v_ts >= p_ts - INTERVAL 3600 SECONDS AND v_ts <= p_ts"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("p_ts"),
+        col("v_id"), col("v_ts"), col("value"))
+      .orderBy("p_id", "v_id").collect().toSeq
+    assert(streamed.nonEmpty, "no attributed purchases emitted")
+    assert(streamed == batch) // inner interval join: stream == batch exactly
+  }
+
   test("stateful sessionizer emits watermark-finalized sessions") {
     import spark.implicits._
     val events = EventStream.readEvents(spark, eventsPath)
