@@ -60,10 +60,11 @@ object Main {
     // PERSISTED: the sinks below are SEPARATE actions (events sink, work
     // sink, master sink, ...) — without a persist each action re-runs the
     // flatten from the cached raw parse, and `events` re-explodes for its
-    // ~9 consumers (Q4/Q6/Q11/Q14×4/Q17 + its own sink). At 100 TB that is
-    // several redundant corpus flattens/explodes per day — the exact
-    // re-derivation anti-pattern (SURVEY §4.2 #3) this driver exists to
-    // kill. Released after the sinks alongside the raw cache.
+    // ~6 consumers (Q4/Q6/Q11, the fused Q14+Q15 pass, Q17, its own
+    // sink). At 100 TB that is several redundant corpus
+    // flattens/explodes per day — the exact re-derivation anti-pattern
+    // (SURVEY §4.2 #3) this driver exists to kill. Released after the
+    // sinks alongside the raw cache.
     val flat = Persist.hot(OrderFlatten.enrichPolygonLab(
       OrderFlatten.flatten(good), defaultPolygonLookup(spark)))
 
@@ -175,10 +176,15 @@ object Main {
         graft.streaming.EventStream.readEvents(spark, eventsDir)),
       outDir, "hourly_counts")
 
-  /** Exactly-once landing of the events lake: one AvailableNow pass
+  /** Deduplicated landing of the events lake: one AvailableNow pass
     * through the watermark-bounded dedup — re-delivered event_ids (an
     * at-least-once upstream's retries) collapse before they reach
-    * downstream consumers, incrementally per pass. */
+    * downstream consumers, incrementally per pass. The watermark caveat
+    * in [[graft.streaming.EventStream.dedupEvents]] applies across
+    * passes too: the checkpoint carries the watermark forward, so a
+    * straggler file whose events predate it by more than the watermark
+    * is dropped, not landed — backfills older than the watermark belong
+    * on the batch path. */
   def runStreamingDedup(spark: SparkSession, eventsDir: String, outDir: String): Unit =
     runAvailableNow(
       graft.streaming.EventStream.dedupEvents(

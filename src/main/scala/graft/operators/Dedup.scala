@@ -214,17 +214,17 @@ object Dedup {
     * a dropped doc survives (pairs (1,3),(2,3): greedy keeps {1,2}, CC
     * keeps {1}). CC pays iteration for cluster-canonical output.
     *
-    * Implementation is iterative min-label propagation in pure DataFrame
-    * ops: labels start as each node's own id; each round every node adopts
-    * the minimum label among itself and its neighbours (one join + one
-    * aggregate + a Persist.cut lineage break per round). Convergence takes
-    * O(component diameter) rounds — near-dup clusters are shallow (copies
-    * of copies of one source), so the default cap of 10 covers real
-    * corpora; label-minimum propagation also HALVES long chains each round
-    * once small labels start travelling. If the graph has not converged at
-    * `maxIters` (adversarial chain), falls back to the greedy answer —
-    * still a safe dedup (every dropped doc had a kept near-dup within 2
-    * hops), just not cluster-canonical. */
+    * Implementation is iterative min-label propagation PLUS pointer
+    * jumping, in pure DataFrame ops: labels start as each node's own id;
+    * each round every node adopts the minimum label among itself and its
+    * neighbours (one join + one aggregate), then adopts its LABEL's label
+    * (path halving — one more join). Neighbor-min alone moves a component
+    * minimum one hop per round (O(diameter)); the jump step compounds
+    * paths so convergence is O(log diameter) — the default cap of 10
+    * covers components with diameter into the hundreds, far beyond real
+    * near-dup chains. If the graph still has not converged at `maxIters`,
+    * falls back to the greedy answer — still a safe dedup (every dropped
+    * doc had a kept near-dup within 2 hops), just not cluster-canonical. */
   def dropNearDuplicatesCC(docs: DataFrame, pairs: DataFrame,
                            maxIters: Int = 10): DataFrame = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -258,9 +258,15 @@ object Dedup {
     while (i < maxIters && !converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val propagated = labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: labels are node ids, so re-resolve each label
+      // through the freshly-propagated table — path halving
+      val p = graft.Persist.cut(propagated)
       val next = graft.Persist.cut(
-        labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
-          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+        p.as("a").join(p.as("b"), col("a.lbl") === col("b.id"), "left_outer")
+          .select(col("a.id").as("id"),
+            least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl")))
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

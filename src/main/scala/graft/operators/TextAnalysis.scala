@@ -39,6 +39,18 @@ object TextAnalysis {
     round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
       (lit(1.0) - digits / nChar), 4)
 
+  /** Shared text-signal staging + definitions for quality and
+    * curationScores — the SINGLE source of the token array and the raw
+    * signals feeding [[qualityScoreExpr]], so the fused and composed
+    * paths read the same inputs by construction. Tokens are staged as a
+    * column (see [[langId]]'s note on interpreted HOF re-splits). */
+  private def stagedText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ts"))
+  private def nTokExpr: Column = size(col("__ts")).cast("long")
+  private def nCharExpr: Column = length(col("text")).cast("double")
+  private def digitsExpr: Column =
+    size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
+
   /** Language-ID: argmax of stopword hits (see [[predLangExpr]]).
     *
     * The token array is STAGED as a column before the per-lexicon counts:
@@ -57,20 +69,14 @@ object TextAnalysis {
   /** Quality signals + a composite score in [0,1]:
     * n_tokens, mean token length, digit ratio, stopword ratio. */
   def quality(docs: DataFrame): DataFrame = {
-    // tokens staged once (see langId's note on interpreted HOF re-splits)
-    val staged = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ts"))
-    val ts = col("__ts")
-    val nTok = size(ts).cast("long")
-    val nChar = length(col("text")).cast("double")
-    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
-    val stops = wordSetCount(ts, lexicons.head._2).cast("double")
-    staged.select(
+    val stops = wordSetCount(col("__ts"), lexicons.head._2).cast("double")
+    stagedText(docs).select(
       col("doc_id"),
-      nTok.as("n_tokens"),
-      round(nChar / nTok.cast("double"), 4).as("mean_tok_len"),
-      round(digits / nChar, 4).as("digit_ratio"),
-      round(stops / nTok.cast("double"), 4).as("stopword_ratio"),
-      qualityScoreExpr(nTok, nChar, digits).as("quality_score"))
+      nTokExpr.as("n_tokens"),
+      round(nCharExpr / nTokExpr.cast("double"), 4).as("mean_tok_len"),
+      round(digitsExpr / nCharExpr, 4).as("digit_ratio"),
+      round(stops / nTokExpr.cast("double"), 4).as("stopword_ratio"),
+      qualityScoreExpr(nTokExpr, nCharExpr, digitsExpr).as("quality_score"))
   }
 
   /** Token counting, two ways: whitespace tokens and a BPE-ish regex
@@ -89,15 +95,9 @@ object TextAnalysis {
     * identical to the composition (spec-asserted).
     * Output: doc_id, pred_lang, quality_score. */
   def curationScores(docs: DataFrame): DataFrame = {
-    // tokens staged once (see langId's note on interpreted HOF re-splits)
-    val staged = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ts"))
-    val ts = col("__ts")
-    val nTok = size(ts).cast("long")
-    val nChar = length(col("text")).cast("double")
-    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
-    val c = staged.select(
-      (col("doc_id") +: nTok.as("__n") +: nChar.as("__c") +: digits.as("__d") +:
-        lexicons.map { case (l, ws) => wordSetCount(ts, ws).as(s"cnt_$l") }): _*)
+    val c = stagedText(docs).select(
+      (col("doc_id") +: nTokExpr.as("__n") +: nCharExpr.as("__c") +: digitsExpr.as("__d") +:
+        lexicons.map { case (l, ws) => wordSetCount(col("__ts"), ws).as(s"cnt_$l") }): _*)
     c.select(col("doc_id"),
       predLangExpr.as("pred_lang"),
       qualityScoreExpr(col("__n"), col("__c"), col("__d")).as("quality_score"))
@@ -135,13 +135,20 @@ object TextAnalysis {
     * partial-aggregable and bounded-memory, at the cost of the oracle
     * equality this query pins. Output: lang, n_docs, mean_tokens,
     * median_tokens, p95_tokens. */
-  def corpusStats(docs: DataFrame): DataFrame =
+  /** One aggregate body for both corpusStats variants — only the quantile
+    * expressions differ, so the tokenization/rounding discipline cannot
+    * drift between the exact and approximate paths. */
+  private def corpusStatsWith(docs: DataFrame,
+                              median: Column, p95: Column): DataFrame =
     docs.select(col("lang"), size(tokens(col("text"))).cast("double").as("n"))
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("n")), 4).as("mean_tokens"),
-        round(expr("percentile(n, 0.5)"), 4).as("median_tokens"),
-        round(expr("percentile(n, 0.95)"), 4).as("p95_tokens"))
+        round(median, 4).as("median_tokens"),
+        round(p95, 4).as("p95_tokens"))
+
+  def corpusStats(docs: DataFrame): DataFrame =
+    corpusStatsWith(docs, expr("percentile(n, 0.5)"), expr("percentile(n, 0.95)"))
 
   /** The corpus-scale twin of [[corpusStats]]: approx_percentile buffers a
     * bounded sketch per group instead of every value, so memory stays flat
@@ -150,12 +157,9 @@ object TextAnalysis {
     * are approximate, so no SQL-equality oracle — accuracy is
     * property-tested against the exact operator instead. */
   def corpusStatsApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
-    docs.select(col("lang"), size(tokens(col("text"))).cast("double").as("n"))
-      .groupBy(col("lang")).agg(
-        count(lit(1)).as("n_docs"),
-        round(avg(col("n")), 4).as("mean_tokens"),
-        round(percentile_approx(col("n"), lit(0.5), lit(accuracy)), 4).as("median_tokens"),
-        round(percentile_approx(col("n"), lit(0.95), lit(accuracy)), 4).as("p95_tokens"))
+    corpusStatsWith(docs,
+      percentile_approx(col("n"), lit(0.5), lit(accuracy)),
+      percentile_approx(col("n"), lit(0.95), lit(accuracy)))
 
   /** RE2-safe PII patterns (no backrefs/lookarounds, so the identical
     * pattern runs under Java regex and RE2-family engines): email
@@ -229,10 +233,14 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    staged.select(col("doc_id"), col("shard"),
-      floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budgetTokens))
-        .cast("long").as("bin"),
-      col("n_tokens"))
+    staged
+      .withColumn("__prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not floor(double /): a prefix past 2^53 would lose
+      // integer precision in double and could round across a bin
+      // boundary, diverging from the oracle's exact `//`
+      .select(col("doc_id"), col("shard"),
+        expr(s"__prefix DIV $budgetTokens").cast("long").as("bin"),
+        col("n_tokens"))
   }
 
   /** Top-k characteristic terms per document by TF-IDF (keyword

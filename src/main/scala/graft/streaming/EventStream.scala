@@ -32,14 +32,19 @@ object EventStream {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(path)
 
-  /** Exactly-once event feed: drops re-delivered events (at-least-once
+  /** Deduplicated event feed: drops re-delivered events (at-least-once
     * sources redeliver on retry/failover) by event_id — the streaming
     * twin of Q1's batch dedupe. State is BOUNDED by the watermark:
     * dropDuplicatesWithinWatermark evicts an id once the watermark
-    * passes it (a later redelivery would be dropped as late anyway),
-    * unlike plain dropDuplicates whose state grows with all history —
-    * the difference between a stream that runs for months and one that
-    * OOMs. Rows emit as first seen (append), not watermark-held. */
+    * passes it, unlike plain dropDuplicates whose state grows with all
+    * history — the difference between a stream that runs for months and
+    * one that OOMs. Rows emit as first seen (append), not
+    * watermark-held. The watermark trade cuts BOTH ways, as with any
+    * watermarked operator: an event arriving with ts older than the
+    * current watermark is dropped even on its FIRST delivery (e.g. a
+    * backfilled upstream partition surfacing in a later pass) — size
+    * `watermark` to cover the source's worst-case delivery lag, and
+    * route older backfills through the batch path. */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
