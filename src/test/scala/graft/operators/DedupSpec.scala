@@ -196,6 +196,25 @@ class DedupSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("dropNearDuplicatesCC: pointer jumping converges a 32-hop chain inside the default cap") {
+    import spark.implicits._
+    // path 1-2-...-33 with every edge oriented even->odd, so b-sides are
+    // exactly the odd nodes: greedy keeps the 16 evens, CC keeps {1}.
+    // Diameter 32 > maxIters 10 — neighbor-min alone moves the component
+    // minimum one hop per round and would hit the cap and fall back to
+    // greedy; path halving compounds distance ~2x per round, so reaching
+    // the converged {1} PROVES the jump step is doing its job.
+    val deep = docs((1L to 33L).map(i => i -> s"deep $i"): _*)
+    val edges = (1L until 33L).map(i =>
+      if (i % 2 == 0) (i, i + 1) else (i + 1, i)).toDF("a_id", "b_id")
+    val greedy = Dedup.dropNearDuplicates(deep, edges)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(greedy == (2L to 32L by 2).toSeq) // the fallback answer, for contrast
+    val cc = Dedup.dropNearDuplicatesCC(deep, edges)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cc == Seq(1L), s"deep chain did not converge to the component minimum: $cc")
+  }
+
   test("contaminationPairs flags a quoted benchmark phrase; hot shingles carry no signal") {
     val bench = docs(100L -> "what is the capital of france exactly")
     val corpus = docs(
