@@ -207,6 +207,37 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Salt + resolution for [[stratifiedSample]]'s uniform draw. The salt
+    * decorrelates the mix draw from [[deterministicSplit]]'s unsalted
+    * bucket (without it, sampling a stratum at fraction f would keep
+    * exactly the lowest f·100 split buckets — every sampled doc lands in
+    * 'train'); the resolution quantizes fractions to 1e-6. Both are baked
+    * into the generated oracle SQL, so engine and oracle cannot drift. */
+  val mixSalt = "#mix"
+  val mixResolution = 1000000L
+
+  /** Deterministic per-stratum downsampling — the data-mixing step of a
+    * pretraining pipeline (rebalance language/source proportions before
+    * tokenization): keep a document iff md5(doc_id || salt) mod 1e6 <
+    * round(fraction(stratum) · 1e6). Content- and corpus-size-independent
+    * like [[deterministicSplit]], so re-runs and other engines keep
+    * exactly the same documents — reproducible mixes, stable ablations.
+    * Strata absent from `fractions` keep `defaultFraction`. Narrow: one
+    * filter, no shuffle, no per-stratum pass — the threshold is a small
+    * when-chain compiled into the predicate. */
+  def stratifiedSample(docs: DataFrame, stratum: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    require((defaultFraction :: fractions.values.toList).forall(f => f >= 0.0 && f <= 1.0),
+      "sampling fractions must lie in [0, 1]")
+    val thr = fractions.foldLeft(lit(math.round(defaultFraction * mixResolution))) {
+      case (acc, (k, f)) =>
+        when(stratum === k, lit(math.round(f * mixResolution))).otherwise(acc)
+    }
+    docs.filter(
+      md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution)) < thr)
+  }
+
   /** Sequence packing for pretraining: assign documents to fixed
     * token-budget bins (context windows). Deterministic and distributed:
     * docs shard by md5(doc_id) mod `shards` (content- and

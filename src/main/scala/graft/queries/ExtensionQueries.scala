@@ -234,6 +234,15 @@ object ExtensionQueries {
       .orderBy("event_id")
   }
 
+  /** Data-mixing rebalance for x27: halve English, keep a fifth of
+    * German, leave other strata untouched. A Seq, not a Map, so the
+    * generated CASE arms render in a stable order. */
+  val mixFractions: Seq[(String, Double)] = Seq("en" -> 0.5, "de" -> 0.2)
+
+  def x27(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(s, dir), col("lang"), mixFractions.toMap)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -260,6 +269,7 @@ object ExtensionQueries {
     "x24_pii_redact"    -> (x24 _),
     "x25_seq_pack"      -> (x25 _),
     "x26_decontaminate" -> (x26 _),
+    "x27_mix_sample"    -> (x27 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -534,6 +544,15 @@ object ExtensionQueries {
          |    regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.longNumRe}'))::BIGINT AS n_numbers
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x27_mix_sample" -> {
+      val arms = mixFractions.map { case (l, f) =>
+        s"WHEN lang = '$l' THEN ${math.round(f * TextAnalysis.mixResolution)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '${TextAnalysis.mixSalt}'), 1, 15))::BIGINT
+         |  % ${TextAnalysis.mixResolution} < CASE $arms ELSE ${TextAnalysis.mixResolution} END
+         |ORDER BY doc_id""".stripMargin
+    },
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -143,6 +143,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) == ((3L, "no pii here just words and the number 42", 0L, 0L)))
   }
 
+  test("stratifiedSample: deterministic per-stratum fractions, salt-decorrelated from split") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 1000L).map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val frac = Map("en" -> 0.5, "de" -> 0.0)
+    val kept = TextAnalysis.stratifiedSample(docs, col("lang"), frac)
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextAnalysis.stratifiedSample(docs.repartition(7), col("lang"), frac)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b) // same doc -> same draw, regardless of partitioning
+    // fraction 0 drops the stratum wholesale; 0.5 keeps about half of the 500 en
+    assert(kept.filter(col("lang") === "de").count() == 0)
+    assert(a.size > 200 && a.size < 300, s"en keep-count off: ${a.size}/500")
+    // strata absent from the map keep the default fraction (1.0)
+    val deOnly = TextAnalysis.stratifiedSample(docs, col("lang"), Map("en" -> 0.0))
+    assert(deOnly.count() == 500 && deOnly.filter(col("lang") === "en").count() == 0)
+    // the SALTED draw is independent of the split buckets: kept docs still
+    // spread across train/val/test (an unsalted draw at 0.5 would keep
+    // exactly buckets 0-49, i.e. 100% train)
+    val splits = TextAnalysis.deterministicSplit(docs)
+      .join(kept.select("doc_id"), "doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("val", 0L) > 0 && splits.getOrElse("test", 0L) > 0,
+      s"sampled docs collapsed into one split: $splits")
+    // out-of-range fractions are rejected
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(docs, col("lang"), Map("en" -> 1.5))
+    }
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)
