@@ -238,6 +238,74 @@ object TextAnalysis {
       md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution)) < thr)
   }
 
+  /** Per-stratum quota cap — [[stratifiedSample]]'s absolute-count twin
+    * ("cap each source at N documents"): keep the `cap` documents with the
+    * smallest salted-md5 draws per stratum, deterministic and exactly
+    * equal to a global ROW_NUMBER-per-stratum selection.
+    *
+    * Scale shape: a naive `Window.partitionBy(stratum)` serializes each
+    * stratum into ONE task — strata are few and huge, the worst window
+    * skew case. Instead: (1) one tiny aggregate counts each stratum;
+    * (2) a NARROW hash-threshold prefilter keeps draws below
+    * ceil(safety · cap/count · resolution) — because the filter keeps a
+    * PREFIX of the per-stratum draw ordering, the true top-cap set is a
+    * subset of the survivors whenever at least min(cap, count) survive;
+    * (3) strata where the prefix undershot (possible only when the draw
+    * distribution is pathologically top-heavy) fall back to their full
+    * row set — verified per stratum, so the result is ALWAYS exact, the
+    * safety factor only tunes how rarely the fallback pays; (4) the exact
+    * row_number window runs over ~safety·cap rows per stratum, not the
+    * corpus. The stratum-count collect is bounded metadata (strata are
+    * languages/sources), the same justified driver-side set as the IVF
+    * codebook. Null strata take `defaultCap`. */
+  def quotaSample(docs: DataFrame, stratum: Column,
+                  caps: Map[String, Long], defaultCap: Long = Long.MaxValue,
+                  safety: Double = 2.0): DataFrame = {
+    require(caps.values.forall(_ >= 0L) && defaultCap >= 0L, "caps must be >= 0")
+    require(safety >= 1.0, "safety must be >= 1 (it scales the exact-prefix margin)")
+    val capExpr = caps.foldLeft(lit(defaultCap)) {
+      case (acc, (k, c)) => when(stratum === k, lit(c)).otherwise(acc)
+    }
+    val staged = docs
+      .withColumn("__st", stratum).withColumn("__cap", capExpr)
+      .withColumn("__draw",
+        md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution)))
+    val thr = staged.groupBy(col("__st")).agg(
+        count(lit(1)).as("__n"), first(col("__cap")).as("__c"))
+      .select(col("__st").as("__tst"), col("__n"), col("__c"),
+        when(col("__c") >= col("__n"), lit(mixResolution))
+          .otherwise(least(lit(mixResolution),
+            ceil(lit(safety * mixResolution) * col("__c") / col("__n")).cast("long")))
+          .as("__thr"))
+    val pre = staged.join(broadcast(thr),
+        staged("__st") <=> col("__tst")).filter(col("__draw") < col("__thr"))
+    // exactness check: a stratum's survivors must cover min(cap, count)
+    // rows or its prefix missed part of the true top-cap set
+    val short = thr.join(
+        pre.groupBy(col("__st").as("__gst")).agg(count(lit(1)).as("__got")),
+        col("__tst") <=> col("__gst"), "left_outer")
+      .filter(coalesce(col("__got"), lit(0L)) < least(col("__c"), col("__n")))
+      .select(col("__tst")).collect().map(_.get(0)).toSeq
+    // null-safe membership: isInCollection is null (not true) for a null
+    // stratum, which would silently skip its fallback
+    val isShort: Column = {
+      val nonNull = short.filterNot(_ == null)
+      val base = if (nonNull.isEmpty) lit(false)
+                 else coalesce(col("__st").isInCollection(nonNull), lit(false))
+      if (short.contains(null)) base || col("__st").isNull else base
+    }
+    val candidates =
+      if (short.isEmpty) pre.select(staged.columns.map(col).toSeq: _*)
+      else pre.filter(!isShort).select(staged.columns.map(col).toSeq: _*)
+        .unionByName(staged.filter(isShort))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__st")).orderBy(col("__draw"), col("doc_id"))
+    candidates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__cap"))
+      .drop("__st", "__cap", "__draw", "__rn")
+  }
+
   /** Sequence packing for pretraining: assign documents to fixed
     * token-budget bins (context windows). Deterministic and distributed:
     * docs shard by md5(doc_id) mod `shards` (content- and

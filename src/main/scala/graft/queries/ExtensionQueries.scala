@@ -243,6 +243,14 @@ object ExtensionQueries {
     TextAnalysis.stratifiedSample(docs(s, dir), col("lang"), mixFractions.toMap)
       .select(col("doc_id"), col("lang")).orderBy("doc_id")
 
+  /** Source-quota caps for x28: English capped at 50 docs, Chinese at 10,
+    * other strata kept wholesale (defaultCap). */
+  val quotaCaps: Seq[(String, Long)] = Seq("en" -> 50L, "zh" -> 10L)
+
+  def x28(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quotaSample(docs(s, dir), col("lang"), quotaCaps.toMap)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -270,6 +278,7 @@ object ExtensionQueries {
     "x25_seq_pack"      -> (x25 _),
     "x26_decontaminate" -> (x26 _),
     "x27_mix_sample"    -> (x27 _),
+    "x28_quota_sample"  -> (x28 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -551,6 +560,17 @@ object ExtensionQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '${TextAnalysis.mixSalt}'), 1, 15))::BIGINT
          |  % ${TextAnalysis.mixResolution} < CASE $arms ELSE ${TextAnalysis.mixResolution} END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "x28_quota_sample" -> {
+      val arms = quotaCaps.map { case (l, c) => s"WHEN lang = '$l' THEN $c" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  ('0x' || substring(md5(doc_id::VARCHAR || '${TextAnalysis.mixSalt}'), 1, 15))::BIGINT
+         |    % ${TextAnalysis.mixResolution} AS draw FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn FROM d)
+         |SELECT doc_id, lang FROM r
+         |WHERE rn <= CASE $arms ELSE ${Long.MaxValue} END
          |ORDER BY doc_id""".stripMargin
     },
     "x19_split" ->

@@ -173,6 +173,46 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("quotaSample: exact per-stratum caps via prefix filter; fallback path stays exact") {
+    import graft.operators.TextAnalysis
+    import graft.operators.TextAnalysis.{mixSalt, mixResolution}
+    val docs = (1L to 1000L).map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.quotaSample(docs, col("lang"), Map("en" -> 100L))
+    assert(got.filter(col("lang") === "en").count() == 100)
+    assert(got.filter(col("lang") === "de").count() == 500) // defaultCap keeps all
+    // exactness: equals the straight full-window answer
+    val draw = md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(draw, col("doc_id"))
+    val expected = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= when(col("lang") === "en", 100L).otherwise(Long.MaxValue))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == expected)
+    val b = TextAnalysis.quotaSample(docs.repartition(7), col("lang"), Map("en" -> 100L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(b == a) // partition-independent
+    // cap 0 removes the stratum entirely
+    assert(TextAnalysis.quotaSample(docs, col("lang"), Map("en" -> 0L))
+      .filter(col("lang") === "en").count() == 0)
+    // force the prefix undershoot: a stratum made of the 10 LARGEST draws
+    // of the corpus has no survivor under a safety=1 cap/n threshold, so
+    // the verified fallback must fire — and still return exactly the cap
+    // smallest draws of that stratum
+    val withDraw = docs.withColumn("d", draw)
+    val topIds = withDraw.orderBy(col("d").desc, col("doc_id")).limit(10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = docs.filter(col("doc_id").isInCollection(topIds))
+      .withColumn("lang", lit("hi"))
+    val hiGot = TextAnalysis.quotaSample(hi, col("lang"), Map("hi" -> 5L), safety = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val hiExpected = withDraw.filter(col("doc_id").isInCollection(topIds))
+      .orderBy(col("d"), col("doc_id")).limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(hiGot == hiExpected)
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)
