@@ -59,6 +59,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x27/x28: mix sampling is shuffle-free; quota metadata joins broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val s = graft.operators.TextAnalysis.stratifiedSample(docs, col("lang"), Map("en" -> 0.5))
+    s.collect()
+    val ps = s.queryExecution.executedPlan.toString
+    assert(!ps.contains("Exchange"), ps) // one narrow filter, zero shuffles
+    val q = graft.operators.TextAnalysis.quotaSample(docs, col("lang"), Map("en" -> 50L))
+    q.collect()
+    val pq = q.queryExecution.executedPlan.toString
+    // the per-stratum threshold frame must broadcast onto the corpus scan;
+    // the only allowed shuffles are the bounded-survivor window and the
+    // tiny stratum-count aggregate inside the broadcast side
+    assert(pq.contains("BroadcastHashJoin"), pq)
+    assert(!pq.contains("SortMergeJoin"), pq)
+  }
+
   test("Q14/Q15 fused: visit chain = 2 Window nodes, output identical to the fold") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables(spark, sf(), "events").select(
