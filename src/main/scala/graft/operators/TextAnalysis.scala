@@ -325,8 +325,16 @@ object TextAnalysis {
     * trade for a single-pass distributed pack.
     * Output: doc_id, shard, bin, n_tokens. */
   def packSequences(docs: DataFrame, budgetTokens: Long,
-                    shards: Int = 1024): DataFrame = {
-    val staged = docs.select(col("doc_id"),
+                    shards: Int = 1024): DataFrame =
+    packAssign(docs, budgetTokens, shards)
+      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+
+  /** The packing assignment with document text retained — ONE definition
+    * of the bin rule, shared by [[packSequences]] (assignment view) and
+    * [[assembleBins]] (assembled view), so the two cannot drift. Catalyst
+    * prunes `text` out of the window shuffle when the caller drops it. */
+  private def packAssign(docs: DataFrame, budgetTokens: Long, shards: Int): DataFrame = {
+    val staged = docs.select(col("doc_id"), col("text"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       md5Mod(col("doc_id"), lit(shards.toLong)).as("shard"))
     val w = org.apache.spark.sql.expressions.Window
@@ -337,10 +345,43 @@ object TextAnalysis {
       // integer DIV, not floor(double /): a prefix past 2^53 would lose
       // integer precision in double and could round across a bin
       // boundary, diverging from the oracle's exact `//`
-      .select(col("doc_id"), col("shard"),
+      .select(col("doc_id"), col("text"), col("shard"),
         expr(s"__prefix DIV $budgetTokens").cast("long").as("bin"),
         col("n_tokens"))
   }
+
+  /** Assemble packed bins into training sequences: each (shard, bin)
+    * group becomes ONE row — its documents concatenated in doc_id order
+    * with `sep` — plus the document count and token total, the row shape
+    * a tokenize-and-train stage consumes. Rides [[packAssign]]'s window
+    * partitioning: the groupBy keys (shard, bin) are determined by shard,
+    * so the aggregate reuses the window's exchange — ONE shuffle total.
+    * collect_list memory is bounded by construction: a bin holds
+    * ~budgetTokens tokens (one context window), so no group outgrows the
+    * budget by more than a single document.
+    * Output: shard, bin, n_docs, bin_tokens, text. */
+  def assembleBins(docs: DataFrame, budgetTokens: Long, shards: Int = 1024,
+                   sep: String = "\n\n"): DataFrame =
+    packAssign(docs, budgetTokens, shards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")), sep).as("text"))
+
+  /** Global term vocabulary: corpus-wide token counts, top `topV` by
+    * (count desc, term asc) — a deterministic tie-break, so the cut line
+    * is reproducible — the input to tokenizer/vocabulary training. Plan
+    * shape: explode → partial count per partition (map-side combine
+    * absorbs hot terms) → one shuffle on term → TakeOrderedAndProject,
+    * never a global sort of the full term table.
+    * Output: term, n. */
+  def vocabulary(docs: DataFrame, topV: Int = 30000): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topV)
 
   /** Top-k characteristic terms per document by TF-IDF (keyword
     * extraction for corpus curation): score = tf · ln(N/df), rounded to 4

@@ -243,6 +243,18 @@ object ExtensionQueries {
     TextAnalysis.stratifiedSample(docs(s, dir), col("lang"), mixFractions.toMap)
       .select(col("doc_id"), col("lang")).orderBy("doc_id")
 
+  /** Vocabulary size for x29 — the synthetic corpus has ~31 distinct
+    * terms, so 20 makes the fixture exercise the cut line and its
+    * deterministic tie-break, not just the counting. */
+  val vocabTopV = 20
+
+  def x29(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(docs(s, dir), vocabTopV)
+
+  def x30(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.assembleBins(docs(s, dir), packBudget, packShards)
+      .orderBy("shard", "bin")
+
   /** Source-quota caps for x28: English capped at 50 docs, Chinese at 10,
     * other strata kept wholesale (defaultCap). */
   val quotaCaps: Seq[(String, Long)] = Seq("en" -> 50L, "zh" -> 10L)
@@ -279,6 +291,8 @@ object ExtensionQueries {
     "x26_decontaminate" -> (x26 _),
     "x27_mix_sample"    -> (x27 _),
     "x28_quota_sample"  -> (x28 _),
+    "x29_vocabulary"    -> (x29 _),
+    "x30_bin_assembly"  -> (x30 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -573,6 +587,27 @@ object ExtensionQueries {
          |WHERE rn <= CASE $arms ELSE ${Long.MaxValue} END
          |ORDER BY doc_id""".stripMargin
     },
+    "x29_vocabulary" ->
+      s"""SELECT term, count(*)::BIGINT AS n FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |WHERE term <> ''
+         |GROUP BY term ORDER BY n DESC, term LIMIT $vocabTopV""".stripMargin,
+    // separator: chr(10)||chr(10) — DuckDB does not interpret backslash
+    // escapes in plain string literals, so '\n\n' would be 4 characters
+    "x30_bin_assembly" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $packShards AS shard
+         | FROM documents),
+         |p AS (SELECT doc_id, text, shard, n_tokens,
+         |  (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   // $packBudget)::BIGINT AS bin
+         | FROM t)
+         |SELECT shard, bin, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS bin_tokens,
+         |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+         |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

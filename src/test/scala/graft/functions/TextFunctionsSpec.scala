@@ -213,6 +213,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hiGot == hiExpected)
   }
 
+  test("vocabulary: counts, deterministic tie-break, topV cut") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b  d"),   // double space: empty token must not count
+      (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, topV = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3, then b:2/c:2 tie broken by term asc, d:1 cut by topV
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("assembleBins: bins concatenate in doc_id order and agree with packSequences") {
+    import graft.operators.TextAnalysis
+    // one shard so the greedy order is the plain doc_id order
+    val docs = Seq(
+      (1L, "w w w"),   // 3 tokens, prefix 0 -> bin 0
+      (2L, "w w"),     // prefix 3  -> bin 0
+      (3L, "w w w w"), // prefix 5  -> bin 1
+      (4L, "w")        // prefix 9  -> bin 2
+    ).toDF("doc_id", "text")
+    val bins = TextAnalysis.assembleBins(docs, budgetTokens = 4L, shards = 1, sep = "|")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(bins == Seq(
+      (0L, 2L, 5L, "w w w|w w"),
+      (1L, 1L, 4L, "w w w w"),
+      (2L, 1L, 1L, "w")))
+    // the assembled view must agree with the assignment view bin-for-bin
+    val assign = TextAnalysis.packSequences(docs, 4L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(assign == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)

@@ -125,6 +125,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shard"), p)
   }
 
+  test("x29/x30: vocab is TakeOrdered over partial counts; bin assembly reuses the shard shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val v = graft.operators.TextAnalysis.vocabulary(docs, 500)
+    v.collect()
+    val pv = v.queryExecution.executedPlan.toString
+    assert(pv.contains("TakeOrderedAndProject"), pv) // never a global term sort
+    assert(pv.contains("partial_"), pv)              // map-side combine absorbs hot terms
+    val a = graft.operators.TextAnalysis.assembleBins(docs, 512L, 8)
+    a.collect()
+    // AdaptiveSparkPlan prints final AND initial plans — count only the final
+    val pa = a.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // (shard, bin) is determined by shard, so the aggregate must ride the
+    // window's shard partitioning: exactly ONE exchange, never a second
+    // on (shard, bin)
+    assert("Exchange hashpartitioning".r.findAllIn(pa).size == 1,
+      s"bin assembly must reuse the shard shuffle:\n$pa")
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
