@@ -202,6 +202,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("quotaSample equals the straight window selection for arbitrary corpora and caps") {
+    import graft.operators.TextAnalysis
+    val gen = for {
+      n     <- Gen.choose(0, 60)
+      langs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      capA  <- Gen.choose(0L, 8L)   // usually under |a| -> prefix path
+      capB  <- Gen.choose(0L, 80L)  // often over |b| -> keep-all path
+    } yield (langs, capA, capB)
+    cases(gen).foreach { case (langs, capA, capB) =>
+      val docs = (langs :+ "a").zipWithIndex
+        .map { case (l, i) => (i.toLong, s"t $i", l) }.toDF("doc_id", "text", "lang")
+      // safety=1.0 gives the thinnest possible prefix margin, maximizing
+      // undershoot pressure so the verified-fallback branch gets exercised
+      // across the generated corpora, not just the fixed fixture
+      val got = TextAnalysis.quotaSample(docs, col("lang"),
+          Map("a" -> capA, "b" -> capB), safety = 1.0)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val draw = graft.functions.TextFunctions.md5Mod(
+        concat(col("doc_id").cast("string"), lit(TextAnalysis.mixSalt)),
+        lit(TextAnalysis.mixResolution))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(draw, col("doc_id"))
+      val expected = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= when(col("lang") === "a", capA)
+          .when(col("lang") === "b", capB).otherwise(Long.MaxValue))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"caps=($capA,$capB) n=${langs.size}")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
     val l = graft.sources.Tables(spark, sf(), "lineitem")
     val r = l.select(
