@@ -164,4 +164,28 @@ object Similarity {
       .select(col("q_id"), col("n_id"), simCol(emb)(col("q_emb"), col("n_emb")).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Int8 scalar quantization (the classic IVF+SQ8 companion): per-vector
+    * symmetric scale = max|x| / 127, q_i = round(x_i / scale) in
+    * [-127, 127] — a 4x storage / shuffle-bandwidth cut for an embedding
+    * table at corpus scale, with reconstruction x' = q * scale off by at
+    * most scale/2 per coordinate (property-tested). Entirely narrow: two
+    * staged projections, no shuffle; the scale is STAGED as a column
+    * before the transform lambda references it (see TextAnalysis.langId's
+    * note — an unstaged reference would recompute the array max per
+    * element). Arithmetic is double end to end: float inputs widen
+    * exactly, so an external replay is bit-identical. All-zero vectors
+    * quantize to all-zero at scale 0 (guarded division).
+    * Output: vec_id, scale (double, ROUND 9), qvec (array<int>). */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / lit(127.0d)).as("__scale"))
+      .select(col("vec_id"),
+        round(col("__scale"), 9).as("scale"),
+        when(col("__scale") === 0.0d,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") / col("__scale"), 0).cast("int"))).as("qvec"))
 }

@@ -255,6 +255,16 @@ object ExtensionQueries {
     TextAnalysis.assembleBins(docs(s, dir), packBudget, packShards)
       .orderBy("shard", "bin")
 
+  /** Int8 quantization contract: the typed array<int> is flattened to a
+    * CSV string for the compare — the contract avoids array-typed result
+    * columns everywhere (cf. exploded shingles), since the driver's
+    * value compare stringifies scalars. */
+  def x31(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(emb(s, dir))
+      .select(col("vec_id"), col("scale"),
+        array_join(col("qvec").cast("array<string>"), ",").as("qvec_csv"))
+      .orderBy("vec_id")
+
   /** Source-quota caps for x28: English capped at 50 docs, Chinese at 10,
     * other strata kept wholesale (defaultCap). */
   val quotaCaps: Seq[(String, Long)] = Seq("en" -> 50L, "zh" -> 10L)
@@ -293,6 +303,7 @@ object ExtensionQueries {
     "x28_quota_sample"  -> (x28 _),
     "x29_vocabulary"    -> (x29 _),
     "x30_bin_assembly"  -> (x30 _),
+    "x31_quantize_int8" -> (x31 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -608,6 +619,15 @@ object ExtensionQueries {
          |  sum(n_tokens)::BIGINT AS bin_tokens,
          |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
          |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "x31_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+        |  FROM embeddings)
+        |SELECT vec_id, round(sc, 9) AS scale,
+        |  array_to_string(CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
+        |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END,
+        |    ',') AS qvec_csv
+        |FROM s ORDER BY vec_id""".stripMargin,
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

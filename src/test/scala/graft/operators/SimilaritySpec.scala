@@ -22,6 +22,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 == 0.0)
   }
 
+  test("quantizeInt8: range, reconstruction bound, zero-vector guard, shuffle-free") {
+    val emb = Seq(
+      1L -> Seq(0.3f, -0.7f, 0.1f),
+      2L -> Seq(0.0f, 0.0f, 0.0f), // all-zero: scale 0, qvec all-zero
+      3L -> Seq(-1.5f, 0.5f, 1.5f)
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb)
+    val rows = q.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSeq
+    // every quantized coordinate is in [-127, 127] and the max|x| hits ±127
+    rows.foreach { case (_, _, qv) => assert(qv.forall(v => v >= -127 && v <= 127)) }
+    assert(rows(0)._3.exists(v => math.abs(v) == 127))
+    assert(rows(1) == ((2L, 0.0, Seq(0, 0, 0))))
+    assert(rows(2)._3 == Seq(-127, 42, 127)) // 0.5/(1.5/127) = 42.33 -> 42
+    // reconstruction: |q*scale - x| <= scale/2 per coordinate
+    val orig = emb.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    rows.zip(orig).foreach { case ((_, scale, qv), xs) =>
+      qv.zip(xs).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-9,
+          s"reconstruction error ${qi * scale - xi} vs scale $scale")
+      }
+    }
+    // narrow: no shuffle in the plan
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("top-k path contains no per-query window sort (skew guarantee)") {
     val emb = Tables(spark, sf(), "embeddings")
     val plan = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 10)
