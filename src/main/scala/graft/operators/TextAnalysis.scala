@@ -216,6 +216,12 @@ object TextAnalysis {
   val mixSalt = "#mix"
   val mixResolution = 1000000L
 
+  /** THE salted uniform draw in [0, mixResolution) — one definition
+    * shared by [[stratifiedSample]] and [[quotaSample]] (and mirrored by
+    * their generated oracles), so the two samplers cannot drift apart. */
+  private def mixDraw: Column =
+    md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution))
+
   /** Deterministic per-stratum downsampling — the data-mixing step of a
     * pretraining pipeline (rebalance language/source proportions before
     * tokenization): keep a document iff md5(doc_id || salt) mod 1e6 <
@@ -234,8 +240,7 @@ object TextAnalysis {
       case (acc, (k, f)) =>
         when(stratum === k, lit(math.round(f * mixResolution))).otherwise(acc)
     }
-    docs.filter(
-      md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution)) < thr)
+    docs.filter(mixDraw < thr)
   }
 
   /** Per-stratum quota cap — [[stratifiedSample]]'s absolute-count twin
@@ -252,12 +257,20 @@ object TextAnalysis {
     * subset of the survivors whenever at least min(cap, count) survive;
     * (3) strata where the prefix undershot (possible only when the draw
     * distribution is pathologically top-heavy) fall back to their full
-    * row set — verified per stratum, so the result is ALWAYS exact, the
-    * safety factor only tunes how rarely the fallback pays; (4) the exact
-    * row_number window runs over ~safety·cap rows per stratum, not the
-    * corpus. The stratum-count collect is bounded metadata (strata are
-    * languages/sources), the same justified driver-side set as the IVF
-    * codebook. Null strata take `defaultCap`. */
+    * row set via LAZY broadcast anti/semi joins on the (tiny) shortfall
+    * frame — so the result is ALWAYS exact, the safety factor only tunes
+    * how rarely the fallback pays; (4) the exact row_number window runs
+    * over ~safety·cap rows per stratum, not the corpus.
+    *
+    * The whole operator is ONE lazy plan — no construction-time jobs, and
+    * every consumer (threshold, shortfall, candidates) reads the same
+    * source snapshot at action time, so a source that changes between
+    * construction and action cannot desynchronize the fallback decision
+    * from the data it guards. The price is re-scanning the narrow staged
+    * projection a few times within the one action (the broadcast
+    * threshold subplan is exchange-reused); cutting it would mean
+    * materializing the corpus. Null strata take `defaultCap` and
+    * null-safe joins carry their fallback. */
   def quotaSample(docs: DataFrame, stratum: Column,
                   caps: Map[String, Long], defaultCap: Long = Long.MaxValue,
                   safety: Double = 2.0): DataFrame = {
@@ -268,8 +281,7 @@ object TextAnalysis {
     }
     val staged = docs
       .withColumn("__st", stratum).withColumn("__cap", capExpr)
-      .withColumn("__draw",
-        md5Mod(concat(col("doc_id").cast("string"), lit(mixSalt)), lit(mixResolution)))
+      .withColumn("__draw", mixDraw)
     val thr = staged.groupBy(col("__st")).agg(
         count(lit(1)).as("__n"), first(col("__cap")).as("__c"))
       .select(col("__st").as("__tst"), col("__n"), col("__c"),
@@ -281,23 +293,18 @@ object TextAnalysis {
         staged("__st") <=> col("__tst")).filter(col("__draw") < col("__thr"))
     // exactness check: a stratum's survivors must cover min(cap, count)
     // rows or its prefix missed part of the true top-cap set
-    val short = thr.join(
-        pre.groupBy(col("__st").as("__gst")).agg(count(lit(1)).as("__got")),
+    // the survivor-count frame is one row per stratum — broadcast-small
+    // by the bounded-strata contract, like thr itself
+    val shortF = thr.join(
+        broadcast(pre.groupBy(col("__st").as("__gst")).agg(count(lit(1)).as("__got"))),
         col("__tst") <=> col("__gst"), "left_outer")
       .filter(coalesce(col("__got"), lit(0L)) < least(col("__c"), col("__n")))
-      .select(col("__tst")).collect().map(_.get(0)).toSeq
-    // null-safe membership: isInCollection is null (not true) for a null
-    // stratum, which would silently skip its fallback
-    val isShort: Column = {
-      val nonNull = short.filterNot(_ == null)
-      val base = if (nonNull.isEmpty) lit(false)
-                 else coalesce(col("__st").isInCollection(nonNull), lit(false))
-      if (short.contains(null)) base || col("__st").isNull else base
-    }
-    val candidates =
-      if (short.isEmpty) pre.select(staged.columns.map(col).toSeq: _*)
-      else pre.filter(!isShort).select(staged.columns.map(col).toSeq: _*)
-        .unionByName(staged.filter(isShort))
+      .select(col("__tst").as("__short"))
+    val stagedCols = staged.columns.map(col).toSeq
+    val candidates = pre.select(stagedCols: _*)
+      .join(broadcast(shortF), col("__st") <=> col("__short"), "left_anti")
+      .unionByName(staged
+        .join(broadcast(shortF), col("__st") <=> col("__short"), "left_semi"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__st")).orderBy(col("__draw"), col("doc_id"))
     candidates
@@ -315,7 +322,12 @@ object TextAnalysis {
     * spans past a bin boundary: the docs BEFORE it in the bin still fit
     * one budget span, but the oversize doc itself overflows the bin (and
     * may share it with those predecessors) — callers wanting strict
-    * per-bin caps must length-filter or truncate upstream.
+    * per-bin caps must length-filter or truncate upstream. Every doc
+    * costs AT LEAST one budget token (its separator/EOS): without the
+    * floor, zero-token docs would never advance the prefix and could
+    * pile into one bin without bound — the memory hazard for
+    * [[assembleBins]]'s collect_list (n_tokens still reports the true
+    * count).
     *
     * Scale shape: ONE window per shard partition (never a global
     * ordering — a corpus-wide running sum would serialize into a single
@@ -341,7 +353,10 @@ object TextAnalysis {
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     staged
-      .withColumn("__prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // cost floor: a zero-token doc still occupies one budget token
+      // (see packSequences' scaladoc — this is what bounds bin size)
+      .withColumn("__prefix",
+        coalesce(sum(greatest(col("n_tokens"), lit(1L))).over(w), lit(0L)))
       // integer DIV, not floor(double /): a prefix past 2^53 would lose
       // integer precision in double and could round across a bin
       // boundary, diverging from the oracle's exact `//`
@@ -356,9 +371,10 @@ object TextAnalysis {
     * a tokenize-and-train stage consumes. Rides [[packAssign]]'s window
     * partitioning: the groupBy keys (shard, bin) are determined by shard,
     * so the aggregate reuses the window's exchange — ONE shuffle total.
-    * collect_list memory is bounded by construction: a bin holds
-    * ~budgetTokens tokens (one context window), so no group outgrows the
-    * budget by more than a single document.
+    * collect_list memory is bounded by construction: every doc costs at
+    * least one budget token (packAssign's cost floor), so a bin holds at
+    * most budgetTokens documents and ~budgetTokens tokens — one context
+    * window — before its final overflowing doc.
     * Output: shard, bin, n_docs, bin_tokens, text. */
   def assembleBins(docs: DataFrame, budgetTokens: Long, shards: Int = 1024,
                    sep: String = "\n\n"): DataFrame =

@@ -315,6 +315,22 @@ object ExtensionQueries {
   /** Shared shingle CTE (n=3, raw single-space split, DISTINCT per doc) —
     * mirrors Dedup.shingleSet. DuckDB list slices are 1-based inclusive;
     * range() is stop-exclusive, so i runs 1 .. len-2 for trigrams. */
+  /** Shared packing CTEs (t = tokens+shard, p = bin assignment) — one
+    * generated definition, so the x25 and x30 oracles replay the SAME
+    * bin rule `TextAnalysis.packAssign` defines (including the
+    * GREATEST(n_tokens, 1) cost floor that bounds bin membership),
+    * mirroring the Spark-side single-definition refactor. */
+  private lazy val packCte: String =
+    s"""t AS (SELECT doc_id, text,
+       |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+       |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $packShards AS shard
+       | FROM documents),
+       |p AS (SELECT doc_id, text, shard, n_tokens,
+       |  (COALESCE(SUM(GREATEST(n_tokens, 1)) OVER (PARTITION BY shard ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |   // $packBudget)::BIGINT AS bin
+       | FROM t)""".stripMargin
+
   private val shingleCte: String =
     """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
@@ -559,16 +575,9 @@ object ExtensionQueries {
          |HAVING count(*) >= $contamMinShared
          |ORDER BY doc_id, bench_id""".stripMargin,
     "x25_seq_pack" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
-         |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $packShards AS shard
-         | FROM documents)
-         |SELECT doc_id, shard,
-         |  (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |   // $packBudget)::BIGINT AS bin,
-         |  n_tokens
-         |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH $packCte
+         |SELECT doc_id, shard, bin, n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
     "x24_pii_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
@@ -606,15 +615,7 @@ object ExtensionQueries {
     // separator: chr(10)||chr(10) — DuckDB does not interpret backslash
     // escapes in plain string literals, so '\n\n' would be 4 characters
     "x30_bin_assembly" ->
-      s"""WITH t AS (SELECT doc_id, text,
-         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
-         |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $packShards AS shard
-         | FROM documents),
-         |p AS (SELECT doc_id, text, shard, n_tokens,
-         |  (COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |   // $packBudget)::BIGINT AS bin
-         | FROM t)
+      s"""WITH $packCte
          |SELECT shard, bin, count(*)::BIGINT AS n_docs,
          |  sum(n_tokens)::BIGINT AS bin_tokens,
          |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text

@@ -247,6 +247,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(assign == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("packSequences: zero-token docs cost one budget token (bin membership bounded)") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 5L).map(i => (i, "")).toDF("doc_id", "text")
+    val bins = TextAnalysis.packSequences(docs, budgetTokens = 2L, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // without the cost floor every empty doc would share bin 0 unboundedly;
+    // floored costs prefix 0,1,2,3,4 -> bins 0,0,1,1,2
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)
