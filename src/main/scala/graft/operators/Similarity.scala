@@ -177,6 +177,17 @@ object Similarity {
     * exactly, so an external replay is bit-identical. All-zero vectors
     * quantize to all-zero at scale 0 (guarded division).
     * Output: vec_id, scale (double, ROUND 9), qvec (array<int>). */
+  /** Reconstruct int8-quantized vectors: x' = q · scale, cast back to
+    * FLOAT so the result plugs into the same search operators as raw
+    * embeddings (graft_cosine takes ARRAY<FLOAT>). Deterministic in any
+    * IEEE engine — int·double products round to float identically — so
+    * quantize → dequantize → search is oracle-replayable end to end.
+    * Output: vec_id, embedding. */
+  def dequantizeInt8(q: DataFrame): DataFrame =
+    q.select(col("vec_id"),
+      transform(col("qvec"),
+        x => (x.cast("double") * col("scale")).cast("float")).as("embedding"))
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), col("embedding"),

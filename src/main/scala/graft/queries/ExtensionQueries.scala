@@ -265,6 +265,14 @@ object ExtensionQueries {
         array_join(col("qvec").cast("array<string>"), ",").as("qvec_csv"))
       .orderBy("vec_id")
 
+  /** Quantized search — the IVF-SQ composition proof: brute-force kNN
+    * over SQ8-reconstructed vectors, same shape as x11 on the raw table. */
+  def x32(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(emb(s, dir))),
+      col("vec_id") % 100 === 0, k = 10)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+
   /** Source-quota caps for x28: English capped at 50 docs, Chinese at 10,
     * other strata kept wholesale (defaultCap). */
   val quotaCaps: Seq[(String, Long)] = Seq("en" -> 50L, "zh" -> 10L)
@@ -304,6 +312,7 @@ object ExtensionQueries {
     "x29_vocabulary"    -> (x29 _),
     "x30_bin_assembly"  -> (x30 _),
     "x31_quantize_int8" -> (x31 _),
+    "x32_knn_quantized" -> (x32 _),
     "x19_split"         -> (x19 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
@@ -432,6 +441,20 @@ object ExtensionQueries {
     * compare EXACTLY under the driver's 9-significant-digit canon. */
   private def cosSql(a: String, b: String): String =
     s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+
+  /** Shared SQ8 CTEs (sq = per-vector scale, qz = quantized vectors) —
+    * one generated definition of `Similarity.quantizeInt8`'s rule for the
+    * x31 and x32 oracles, so quantization and quantized search cannot
+    * drift apart. All arithmetic double, ints exact — bit-identical to
+    * the Spark side. */
+  private val quantCte: String =
+    """sq AS (SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+      |  FROM embeddings),
+      |qz AS (SELECT vec_id, round(sc, 9) AS scale,
+      |  CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
+      |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END AS qvec
+      |  FROM sq)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -621,14 +644,19 @@ object ExtensionQueries {
          |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
          |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "x31_quantize_int8" ->
-      """WITH s AS (SELECT vec_id, embedding,
-        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
-        |  FROM embeddings)
-        |SELECT vec_id, round(sc, 9) AS scale,
-        |  array_to_string(CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
-        |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END,
-        |    ',') AS qvec_csv
-        |FROM s ORDER BY vec_id""".stripMargin,
+      s"""WITH $quantCte
+         |SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
+         |FROM qz ORDER BY vec_id""".stripMargin,
+    "x32_knn_quantized" ->
+      s"""WITH $quantCte,
+         |d AS (SELECT vec_id,
+         |  list_transform(qvec, x -> (x::DOUBLE * scale)::FLOAT) AS embedding FROM qz),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM d WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q JOIN d e ON q.q_id <> e.vec_id)
+         |SELECT q_id, n_id, sim FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -49,6 +49,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("quantized search: SQ8 reconstruction preserves brute-force top-k recall") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val k = 10
+    val pairs = (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.bruteForceTopK(df, col("vec_id") % 100 === 0, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(emb)
+    val quant = pairs(Similarity.dequantizeInt8(Similarity.quantizeInt8(emb)))
+    val recall = (full & quant).size.toDouble / full.size
+    // per-coordinate error <= scale/2 (~0.4% of max|x|) barely moves
+    // rounded cosines; a handful of boundary ties may flip
+    assert(recall >= 0.9, s"SQ8 top-$k recall $recall")
+  }
+
   test("top-k path contains no per-query window sort (skew guarantee)") {
     val emb = Tables(spark, sf(), "embeddings")
     val plan = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 10)
