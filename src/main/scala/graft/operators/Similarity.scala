@@ -166,17 +166,33 @@ object Similarity {
   }
 
   /** Int8 scalar quantization (the classic IVF+SQ8 companion): per-vector
-    * symmetric scale = max|x| / 127, q_i = round(x_i / scale) in
-    * [-127, 127] — a 4x storage / shuffle-bandwidth cut for an embedding
-    * table at corpus scale, with reconstruction x' = q * scale off by at
-    * most scale/2 per coordinate (property-tested). Entirely narrow: two
-    * staged projections, no shuffle; the scale is STAGED as a column
-    * before the transform lambda references it (see TextAnalysis.langId's
-    * note — an unstaged reference would recompute the array max per
-    * element). Arithmetic is double end to end: float inputs widen
-    * exactly, so an external replay is bit-identical. All-zero vectors
-    * quantize to all-zero at scale 0 (guarded division).
-    * Output: vec_id, scale (double, ROUND 9), qvec (array<int>). */
+    * symmetric scale = max|x| / 127 rounded to 9 decimals, q_i =
+    * round(x_i / scale) in [-127, 127] — a 4x storage / shuffle-bandwidth
+    * cut for an embedding table at corpus scale, with reconstruction
+    * x' = q * scale off by at most scale/2 per coordinate
+    * (property-tested). qvec is computed FROM the rounded scale — the
+    * value actually emitted — so the (scale, qvec) pair is always
+    * self-consistent: computing it from the unrounded scale would let a
+    * sub-resolution vector emit (scale = 0, qvec != 0) and dequantize to
+    * zero while breaking the error bound. Vectors with max|x| below
+    * 127 · 5e-10 round to scale 0 and quantize to all-zero — the
+    * documented resolution floor. Entirely narrow: staged projections, no
+    * shuffle; the scale is STAGED as a column before the transform lambda
+    * references it (see TextAnalysis.langId's note — an unstaged
+    * reference would recompute the array max per element). Arithmetic is
+    * double end to end: float inputs widen exactly, so an external replay
+    * is bit-identical. Output: vec_id, scale (double), qvec (array<int>). */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        round(array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / lit(127.0d), 9).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0d,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") / col("scale"), 0).cast("int"))).as("qvec"))
+
   /** Reconstruct int8-quantized vectors: x' = q · scale, cast back to
     * FLOAT so the result plugs into the same search operators as raw
     * embeddings (graft_cosine takes ARRAY<FLOAT>). Deterministic in any
@@ -187,16 +203,4 @@ object Similarity {
     q.select(col("vec_id"),
       transform(col("qvec"),
         x => (x.cast("double") * col("scale")).cast("float")).as("embedding"))
-
-  def quantizeInt8(emb: DataFrame): DataFrame =
-    emb
-      .select(col("vec_id"), col("embedding"),
-        (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-          / lit(127.0d)).as("__scale"))
-      .select(col("vec_id"),
-        round(col("__scale"), 9).as("scale"),
-        when(col("__scale") === 0.0d,
-          transform(col("embedding"), _ => lit(0)))
-          .otherwise(transform(col("embedding"),
-            x => round(x.cast("double") / col("__scale"), 0).cast("int"))).as("qvec"))
 }

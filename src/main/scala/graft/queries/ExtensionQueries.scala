@@ -449,9 +449,9 @@ object ExtensionQueries {
     * the Spark side. */
   private val quantCte: String =
     """sq AS (SELECT vec_id, embedding,
-      |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+      |  round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0, 9) AS sc
       |  FROM embeddings),
-      |qz AS (SELECT vec_id, round(sc, 9) AS scale,
+      |qz AS (SELECT vec_id, sc AS scale,
       |  CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
       |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END AS qvec
       |  FROM sq)""".stripMargin

@@ -26,7 +26,10 @@ class SimilaritySpec extends SparkSpec {
     val emb = Seq(
       1L -> Seq(0.3f, -0.7f, 0.1f),
       2L -> Seq(0.0f, 0.0f, 0.0f), // all-zero: scale 0, qvec all-zero
-      3L -> Seq(-1.5f, 0.5f, 1.5f)
+      3L -> Seq(-1.5f, 0.5f, 1.5f),
+      // sub-resolution: max|x|/127 rounds to 0 at 9 decimals — must emit
+      // the CONSISTENT (scale 0, all-zero qvec) pair, not (0, nonzero)
+      4L -> Seq(1e-8f, -2e-8f, 3e-8f)
     ).toDF("vec_id", "embedding")
     val q = Similarity.quantizeInt8(emb)
     val rows = q.orderBy("vec_id").collect()
@@ -36,9 +39,13 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(0)._3.exists(v => math.abs(v) == 127))
     assert(rows(1) == ((2L, 0.0, Seq(0, 0, 0))))
     assert(rows(2)._3 == Seq(-127, 42, 127)) // 0.5/(1.5/127) = 42.33 -> 42
-    // reconstruction: |q*scale - x| <= scale/2 per coordinate
+    // sub-resolution vector: scale rounds to 0, qvec must be CONSISTENTLY
+    // all-zero (computed from the rounded scale), never (0, nonzero)
+    assert(rows(3) == ((4L, 0.0, Seq(0, 0, 0))))
+    // reconstruction: |q*scale - x| <= scale/2 per coordinate (vacuous for
+    // the sub-resolution row, whose information the floor destroys)
     val orig = emb.orderBy("vec_id").collect().map(_.getSeq[Float](1))
-    rows.zip(orig).foreach { case ((_, scale, qv), xs) =>
+    rows.zip(orig).filter(_._1._2 > 0.0).foreach { case ((_, scale, qv), xs) =>
       qv.zip(xs).foreach { case (qi, xi) =>
         assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-9,
           s"reconstruction error ${qi * scale - xi} vs scale $scale")

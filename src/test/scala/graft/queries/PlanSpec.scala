@@ -114,7 +114,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x25: sequence packing shuffles once, on the shard key") {
-    import org.apache.spark.sql.functions.col
     val df = graft.operators.TextAnalysis.packSequences(
       graft.sources.Tables(spark, sf(), "documents"), 512L, 8)
     df.collect()
@@ -126,7 +125,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x29/x30: vocab is TakeOrdered over partial counts; bin assembly reuses the shard shuffle") {
-    import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf(), "documents")
     val v = graft.operators.TextAnalysis.vocabulary(docs, 500)
     v.collect()
