@@ -18,6 +18,29 @@ class EventStreamSpec extends SparkSpec {
     p
   }
 
+  test("deterministic samplers are streaming-safe: incremental pass = batch decisions") {
+    // THE property the md5-draw discipline buys: an incremental
+    // (streaming) pass over a growing corpus keeps exactly the documents
+    // the batch pass keeps — stateless narrow filters, so they run
+    // unchanged under Structured Streaming with no watermark or state
+    val docsPath = Files.createTempDirectory("graft_stream_docs").toString
+    Tables(spark, sf(), "documents").write.mode("overwrite").parquet(docsPath)
+    val schema = Tables(spark, sf(), "documents").schema
+    val stream = spark.readStream.schema(schema).parquet(docsPath)
+    val frac = Map("en" -> 0.5, "de" -> 0.2)
+    val q = graft.operators.TextAnalysis.stratifiedSample(stream, col("lang"), frac)
+      .select(col("doc_id"))
+      .writeStream.format("memory").queryName("mix_sampled")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("mix_sampled").collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.operators.TextAnalysis
+      .stratifiedSample(Tables(spark, sf(), "documents"), col("lang"), frac)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("hourlyCounts over a file stream equals the batch OQ15 aggregation") {
     val q = EventStream.hourlyCounts(EventStream.readEvents(spark, eventsPath))
       .writeStream.format("memory").queryName("hourly")
