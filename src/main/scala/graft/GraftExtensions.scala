@@ -17,8 +17,10 @@ import graft.functions.expr.CosineSimilarity
   *    sessions built without the extension (tests, Verify/Bench mains).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+  }
 }
 
 object GraftFunctions {
@@ -31,15 +33,47 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
+  /** Spark's native (codegen'd) bloom-membership predicate, surfaced as a
+    * callable function: `graft_bloom_contains(bloom_bytes, xxhash64_value)`.
+    * The expression is internal-only in stock Spark (reserved for the
+    * optimizer's runtime join filters); the engine exposes it because a
+    * driver-built `DataFrameStatFunctions.bloomFilter` sketch is the
+    * documented pre-filter shape for semi-join reduction when the build
+    * side is too large to broadcast (see Dedup.contaminationPairsBloom).
+    * The bloom argument must be a FOLDABLE binary (a literal sketch) —
+    * enforced by the expression's own type check. */
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_bloom_contains(bloom, value) takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+    })
+
   /** Idempotent imperative registration into `spark`'s function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", es => cosineDescriptor._3(es), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", es => bloomContainsDescriptor._3(es), "internal")
+  }
 
   /** Column-level accessor; caller must have registered on the session
     * owning the plan (operators pass a frame so this is automatic). */
   def cosine(df: DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-level bloom membership: true iff `value` (a long, typically
+    * xxhash64 of the probe key) may be in the serialized sketch. False
+    * positives at the sketch's fpp; never false negatives. */
+  def bloomContains(df: DataFrame, bloom: Column, value: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_bloom_contains", bloom, value)
   }
 }

@@ -338,11 +338,62 @@ object Dedup {
     * Output: (doc_id, bench_id, shared), shared >= minShared. */
   def contaminationPairs(docs: DataFrame, bench: DataFrame, n: Int = 3,
                          minShared: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val bs = shingleSet(bench, n).select(col("doc_id").as("bench_id"), col("s"))
+    rareShingles(docs, n, maxDf).join(broadcast(bs), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Corpus shingle postings restricted to rare shingles (df <= maxDf) —
+    * THE shared blocking stage of [[contaminationPairs]] and
+    * [[contaminationPairsBloom]], one definition so the two variants
+    * cannot drift. The shingle set is materialized once (it feeds both
+    * the df count and the postings). */
+  private def rareShingles(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val cs = graft.Persist.cut(shingleSet(docs, n))
     val dfc = cs.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val rare = cs.join(dfc.filter(col("df") <= maxDf).select(col("s")), "s")
-    val bs = shingleSet(bench, n).select(col("doc_id").as("bench_id"), col("s"))
-    rare.join(broadcast(bs), "s")
+    cs.join(dfc.filter(col("df") <= maxDf).select(col("s")), "s")
+  }
+
+  /** [[contaminationPairs]] for benchmark sides too large to BROADCAST
+    * (a full eval-suite union, a held-out corpus slice): same blocking,
+    * same exact output, but the match join runs as a shuffle join over a
+    * corpus side PRE-FILTERED by a bloom sketch of the benchmark
+    * shingles — the few-MB sketch rides the task binary, and corpus
+    * shingles that cannot match (the overwhelming majority) never enter
+    * the exchange. That shuffle-volume cut is the entire point: the
+    * sketch's false positives (rate `fpp`) survive the pre-filter but
+    * are dropped by the exact join, and false negatives don't exist, so
+    * the output is IDENTICAL to [[contaminationPairs]] (spec-asserted,
+    * same oracle contract).
+    *
+    * Mechanics: the sketch is built driver-side over xxhash64(shingle)
+    * with the public `DataFrameStatFunctions.bloomFilter` aggregate (one
+    * construction-time job over the BENCHMARK side only — never the
+    * corpus), serialized, and probed by Spark's native codegen'd
+    * bloom-membership expression on the same xxhash64 — build and probe
+    * share one hash function by construction. `expectedBenchShingles`
+    * sizes the sketch (overshooting costs bytes, undershooting costs
+    * fpp). */
+  def contaminationPairsBloom(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                              minShared: Int = 3, maxDf: Int = 1000,
+                              expectedBenchShingles: Long = 1L << 20,
+                              fpp: Double = 0.01): DataFrame = {
+    // the bench shingles feed the sketch build (an action) and the exact
+    // join: materialize once
+    val bs = graft.Persist.cut(
+      shingleSet(bench, n).select(col("doc_id").as("bench_id"), col("s")))
+    val sketch = bs.select(xxhash64(col("s")).as("h"))
+      .stat.bloomFilter("h", expectedBenchShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      bos.toByteArray
+    }
+    val rare = rareShingles(docs, n, maxDf)
+    rare.filter(graft.GraftFunctions.bloomContains(rare, lit(bytes), xxhash64(col("s"))))
+      .join(bs, "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

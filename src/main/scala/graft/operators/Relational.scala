@@ -148,6 +148,43 @@ object Relational {
         rPay.map(c => col("__r").getField(c).as(s"$c$rightSuffix")): _*)
   }
 
+  /** Time-bucket resample with gap filling: per-key event counts at
+    * `unit` granularity, with ZERO rows materialized for every empty
+    * bucket between each key's first and last event — the regular time
+    * series a dashboard / anomaly detector / training-curve join needs
+    * (a missing bucket and a zero bucket mean different things only
+    * after this operator makes the difference explicit).
+    *
+    * Plan shape: one (key, bucket) aggregate; one per-key min/max
+    * aggregate over ITS OUTPUT (so the span pass reads |keys·buckets|
+    * rows, not the raw events); one sequence() explode generating each
+    * key's bucket spine; one left join back to the counts. The spine is
+    * bounded per key by its own activity span — a key's row count is
+    * span/unit regardless of corpus size, so the explode cannot blow up
+    * on event volume, only on calendar span (choose `unit` accordingly:
+    * hourly spines over years-long spans want unit="day" or an upstream
+    * span filter). Null keys are dropped (JOIN semantics — a null key
+    * matches nothing; DuckDB's USING join agrees).
+    * Output: key, bucket, n_events (0 for gaps). */
+  def resampleCounts(df: DataFrame, key: String, ts: String,
+                     unit: String = "day"): DataFrame = {
+    // sanitized allow-list: `unit` reaches an interval expression, and
+    // month/year intervals are variable-width (calendar arithmetic) —
+    // fixed-width units keep the spine arithmetic engine-independent
+    require(Seq("hour", "day", "week").contains(unit),
+      s"unit must be hour|day|week, got $unit")
+    val counts = df.filter(col(key).isNotNull)
+      .select(col(key), date_trunc(unit, col(ts)).as("bucket"))
+      .groupBy(col(key), col("bucket")).agg(count(lit(1)).as("__n"))
+    val spine = counts.groupBy(col(key))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(key),
+        explode(sequence(col("__lo"), col("__hi"), expr(s"interval 1 $unit")))
+          .as("bucket"))
+    spine.join(counts, Seq(key, "bucket"), "left_outer")
+      .select(col(key), col("bucket"), coalesce(col("__n"), lit(0L)).as("n_events"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

@@ -387,6 +387,81 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("doc_id"), col("text")))),
           s => s.getField("text")), sep).as("text"))
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * between curation and tokenization: each document becomes the chunks
+    * covering token offsets 0, stride, 2·stride, … (every start < the
+    * token count), each `chunkTokens` wide (the final chunks clamp at the
+    * document's end). stride < chunkTokens yields the standard overlap
+    * that keeps boundary-spanning content intact in at least one chunk.
+    *
+    * Entirely narrow — one staged token array, one posexplode over the
+    * start offsets, array slices; no shuffle, row amplification bounded
+    * at ceil(n_tokens/stride) per doc. Deterministic: chunk identity is
+    * a pure function of (doc_id, token sequence), so re-runs and the
+    * oracle reproduce the same chunks. Docs with zero tokens emit
+    * nothing. Output: doc_id, chunk_idx, chunk_tokens, chunk_text. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1, "chunk and stride must be >= 1")
+    require(strideTokens <= chunkTokens,
+      "stride > chunk would skip tokens between consecutive chunks")
+    // tokens staged before the HOFs (the interpreted-lambda re-split
+    // hazard, see langId), and starts generated BEFORE the explode so the
+    // slice runs once per chunk row
+    docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .select(col("doc_id"), col("__ts"),
+        posexplode(sequence(lit(0), size(col("__ts")) - 1, lit(strideTokens))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("__ts")) - col("col")).cast("long")
+          .as("chunk_tokens"),
+        array_join(slice(col("__ts"), col("col") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Salt for [[upsampleStrata]]'s fractional-copy draw — decorrelated
+    * from both the split bucket and the mix draw (same reasoning as
+    * [[mixSalt]]: a shared draw would make "the upsampled extra copies"
+    * exactly "the docs stratifiedSample keeps", coupling decisions that
+    * must be independent). */
+  val epochSalt = "#epoch"
+  private def epochDraw: Column =
+    md5Mod(concat(col("doc_id").cast("string"), lit(epochSalt)), lit(mixResolution))
+
+  /** Deterministic per-stratum UPsampling — the epoch-weighting step of a
+    * pretraining mix ("see wikipedia 2.5 epochs, common-crawl 0.8"):
+    * every document receives floor(weight) copies plus one more iff its
+    * salted draw < frac(weight)·resolution, so a stratum's expected
+    * token mass scales by exactly its weight while every decision stays
+    * a pure function of doc_id — reproducible mixes, cross-engine
+    * replayable, and weights < 1 degrade gracefully into sampling
+    * (floor = 0 + fractional keep), making this the general epoch-weight
+    * operator with [[stratifiedSample]] the fast path for the all-≤1
+    * case. Narrow: one filter + one bounded explode (ceil(weight)
+    * copies max), no shuffle. Strata absent from `weights` take
+    * `defaultWeight`. Output: input columns + copy_id (1-based). */
+  def upsampleStrata(docs: DataFrame, stratum: Column,
+                     weights: Seq[(String, Double)],
+                     defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.map(_._2)).forall(_ >= 0.0),
+      "epoch weights must be >= 0")
+    def baseCopies(w: Double): Long = math.floor(w).toLong
+    def fracThr(w: Double): Long = math.round((w - math.floor(w)) * mixResolution)
+    val base = weights.foldLeft(lit(baseCopies(defaultWeight))) {
+      case (acc, (k, w)) => when(stratum === k, lit(baseCopies(w))).otherwise(acc)
+    }
+    val thr = weights.foldLeft(lit(fracThr(defaultWeight))) {
+      case (acc, (k, w)) => when(stratum === k, lit(fracThr(w))).otherwise(acc)
+    }
+    docs
+      .withColumn("__copies", base + when(epochDraw < thr, lit(1L)).otherwise(lit(0L)))
+      // guard BEFORE the sequence: sequence(1, 0) is a descending range
+      // in Spark, not an empty one
+      .filter(col("__copies") >= 1L)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Global term vocabulary: corpus-wide token counts, top `topV` by
     * (count desc, term asc) — a deterministic tie-break, so the cut line
     * is reproducible — the input to tokenizer/vocabulary training. Plan

@@ -281,6 +281,45 @@ object ExtensionQueries {
     TextAnalysis.quotaSample(docs(s, dir), col("lang"), quotaCaps.toMap)
       .select(col("doc_id"), col("lang")).orderBy("doc_id")
 
+  /** Chunking geometry for x33: 32-token windows at stride 16 — the
+    * fixture's 10-99-token docs then span 1-7 chunks each, exercising
+    * the overlap AND the end-of-doc clamp. */
+  val chunkTokens = 32
+  val chunkStride = 16
+
+  def x33(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(docs(s, dir), chunkTokens, chunkStride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Epoch weights for x34: English seen 2.5 times (2 full copies + a
+    * fractional half), German downsampled to a quarter (the weights<1
+    * degenerate case), everything else exactly once. A Seq so the
+    * generated CASE arms render in a stable order (cf. mixFractions). */
+  val epochWeights: Seq[(String, Double)] = Seq("en" -> 2.5, "de" -> 0.25)
+
+  def x34(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.upsampleStrata(docs(s, dir), col("lang"), epochWeights)
+      .select(col("doc_id"), col("lang"), col("copy_id"))
+      .orderBy("doc_id", "copy_id")
+
+  def x35(s: SparkSession, dir: String): DataFrame =
+    Relational.resampleCounts(
+        Tables(s, dir, "events").select("user_id", "ts"), "user_id", "ts", "day")
+      .orderBy("user_id", "bucket")
+
+  /** The bloom-prefiltered decontamination variant — same parameters and
+    * SAME ORACLE as x26 (the sketch pre-filter is output-invisible by
+    * construction; the contract run proves it). Sketch sized for the
+    * fixture's bench shingle count, 1% fpp. */
+  def x36(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationPairsBloom(d, d.filter(col("doc_id") % 50 === 0),
+        n = 3, minShared = contamMinShared, maxDf = jaccardMaxDf,
+        expectedBenchShingles = 1L << 13)
+      .filter(col("doc_id") =!= col("bench_id"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
@@ -314,6 +353,10 @@ object ExtensionQueries {
     "x31_quantize_int8" -> (x31 _),
     "x32_knn_quantized" -> (x32 _),
     "x19_split"         -> (x19 _),
+    "x33_chunking"      -> (x33 _),
+    "x34_upsample"      -> (x34 _),
+    "x35_resample"      -> (x35 _),
+    "x36_bloom_decontaminate" -> (x36 _),
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
     "w03_asof_join"     -> (w03 _),
@@ -456,6 +499,21 @@ object ExtensionQueries {
       |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END AS qvec
       |  FROM sq)""".stripMargin
 
+  /** ONE decontamination contract shared by x26 (broadcast variant) and
+    * x36 (bloom-prefiltered shuffle variant): the two operators promise
+    * identical output, so they pin identical SQL. */
+  private lazy val contamSql: String =
+    s"""WITH $shingleCte,
+       |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN
+       |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
+       |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
+       |SELECT rare.doc_id, bs.bench_id, count(*)::BIGINT AS shared
+       |FROM rare JOIN bs USING (s)
+       |WHERE rare.doc_id <> bs.bench_id
+       |GROUP BY rare.doc_id, bs.bench_id
+       |HAVING count(*) >= $contamMinShared
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x01_exact_dedup" ->
       """SELECT doc_id FROM
@@ -586,17 +644,46 @@ object ExtensionQueries {
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS n
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
-    "x26_decontaminate" ->
-      s"""WITH $shingleCte,
-         |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN
-         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
-         |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
-         |SELECT rare.doc_id, bs.bench_id, count(*)::BIGINT AS shared
-         |FROM rare JOIN bs USING (s)
-         |WHERE rare.doc_id <> bs.bench_id
-         |GROUP BY rare.doc_id, bs.bench_id
-         |HAVING count(*) >= $contamMinShared
-         |ORDER BY doc_id, bench_id""".stripMargin,
+    "x26_decontaminate" -> contamSql,
+    // the bloom pre-filter is output-invisible (FPs die in the exact
+    // join, FNs don't exist), so x36's contract is LITERALLY x26's —
+    // one shared SQL definition, the strongest possible no-drift claim
+    "x36_bloom_decontaminate" -> contamSql,
+    "x33_chunking" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), $chunkStride)) AS s
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, (s // $chunkStride)::BIGINT AS chunk_idx,
+         |  least($chunkTokens, len(toks) - s)::BIGINT AS chunk_tokens,
+         |  array_to_string(toks[s+1 : s+$chunkTokens], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x34_upsample" -> {
+      def baseArm(w: Double) = math.floor(w).toLong
+      def fracArm(w: Double) = math.round((w - math.floor(w)) * TextAnalysis.mixResolution)
+      val bases = epochWeights.map { case (l, w) =>
+        s"WHEN lang = '$l' THEN ${baseArm(w)}" }.mkString(" ")
+      val fracs = epochWeights.map { case (l, w) =>
+        s"WHEN lang = '$l' THEN ${fracArm(w)}" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  ('0x' || substring(md5(doc_id::VARCHAR || '${TextAnalysis.epochSalt}'), 1, 15))::BIGINT
+         |    % ${TextAnalysis.mixResolution} AS draw FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  (CASE $bases ELSE ${baseArm(1.0)} END
+         |   + CASE WHEN draw < CASE $fracs ELSE ${fracArm(1.0)} END THEN 1 ELSE 0 END)::BIGINT
+         |    AS copies FROM d)
+         |SELECT doc_id, lang, unnest(generate_series(1, copies))::BIGINT AS copy_id
+         |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_id""".stripMargin
+    },
+    "x35_resample" ->
+      """WITH b AS (SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
+        |  count(*)::BIGINT AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT user_id,
+        |  unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+        |  FROM b GROUP BY user_id)
+        |SELECT s.user_id, s.bucket, COALESCE(b.n, 0)::BIGINT AS n_events
+        |FROM s LEFT JOIN b USING (user_id, bucket)
+        |ORDER BY user_id, bucket""".stripMargin,
     "x25_seq_pack" ->
       s"""WITH $packCte
          |SELECT doc_id, shard, bin, n_tokens

@@ -47,6 +47,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Long](wordSetCount(tokens(col("t")), Seq("the", "of")), "the cat of the") == 3L)
   }
 
+  test("chunkDocs: stride windows with end clamp; stride=chunk partitions exactly") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkDocs(docs, chunkTokens = 4, strideTokens = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // doc 1: starts 0,2,4,6,8 — the last two clamp at the doc's end
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"), (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t5 t6 t7 t8"), (1L, 3L, 4L, "t7 t8 t9 t10"),
+      (1L, 4L, 2L, "t9 t10")))
+    // zero-token doc emits nothing; 1-token doc emits its single clamp
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L) == Seq((3L, 0L, 1L, "solo")))
+    // stride == chunk: a partition — concatenating chunks rebuilds the doc
+    val flat = graft.operators.TextAnalysis.chunkDocs(docs, 3, 3)
+      .filter(col("doc_id") === 1L).orderBy("chunk_idx")
+      .collect().map(_.getString(3)).mkString(" ")
+    assert(flat == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+  }
+
+  test("upsampleStrata: integer weights copy exactly; zero weight drops; frac splits") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i <= 60) "a" else if (i <= 120) "b" else "c")).toDF("doc_id", "lang")
+    val out = graft.operators.TextAnalysis.upsampleStrata(
+        docs, col("lang"), Seq("a" -> 3.0, "b" -> 0.0, "c" -> 2.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // weight 3.0: every 'a' doc appears exactly 3 times, copy_id 1..3
+    assert((1L to 60L).forall(i => byDoc(i).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // weight 0.0: stratum 'b' vanishes
+    assert(out.forall(_._2 != "b"))
+    // weight 2.5: every 'c' doc gets 2 or 3 copies; the fractional third
+    // copy lands on roughly half of them (salted-md5 draw, 80 docs)
+    val cCounts = (121L to 200L).map(i => byDoc(i).length)
+    assert(cCounts.forall(n => n == 2 || n == 3))
+    val frac3 = cCounts.count(_ == 3).toDouble / cCounts.length
+    assert(frac3 > 0.3 && frac3 < 0.7, s"fractional-copy rate $frac3 implausible for 0.5")
+    // deterministic: the same call reproduces the identical multiset
+    val again = graft.operators.TextAnalysis.upsampleStrata(
+        docs, col("lang"), Seq("a" -> 3.0, "b" -> 0.0, "c" -> 2.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("tfidfTopTerms: rare terms outrank ubiquitous ones; k bounds output") {
     val docs = Seq(
       (1L, "shared shared rare1"),

@@ -232,6 +232,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contaminationPairs(hot, bench, n = 3, minShared = 1, maxDf = 5).count() == 0)
   }
 
+  test("contaminationPairsBloom is output-identical to contaminationPairs; plan probes the sketch") {
+    val bench = docs(
+      100L -> "what is the capital of france exactly",
+      101L -> "name the largest planet in our solar system")
+    val corpus = docs(
+      1L -> "intro words what is the capital of france exactly outro words",
+      2L -> "entirely unrelated training text with different tokens",
+      3L -> "quiz name the largest planet in our solar system answer jupiter",
+      4L -> "what is the capital gains tax rate")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val exact = rows(Dedup.contaminationPairs(corpus, bench, n = 3, minShared = 3))
+    val bloom = Dedup.contaminationPairsBloom(corpus, bench, n = 3, minShared = 3)
+    assert(rows(bloom) == exact)
+    assert(exact.map(_._2).distinct.sorted == Seq(100L, 101L))
+    // the pre-filter is really in the plan (codegen'd native expression,
+    // not a UDF), and it runs BEFORE the bench join
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+    // a deliberately undersized sketch (fpp ~1 on this corpus) may pass
+    // every shingle through — the exact join must still make the OUTPUT
+    // identical: the sketch can only cost time, never correctness
+    val tiny = Dedup.contaminationPairsBloom(corpus, bench, n = 3, minShared = 3,
+      expectedBenchShingles = 2L, fpp = 0.5)
+    assert(rows(tiny) == exact)
+  }
+
   test("dropNearDuplicates keeps the lowest-id representative per group") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",

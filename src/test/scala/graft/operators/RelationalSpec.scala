@@ -8,6 +8,40 @@ import graft.SparkSpec
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("resampleCounts zero-fills every empty bucket inside each key's span") {
+    val df = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 23:59:59"),
+      (1L, "2024-03-04 05:00:00"),
+      (2L, "2024-03-02 12:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = Relational.resampleCounts(df, "user_id", "ts", "day")
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "2024-03-01 00:00:00.0", 2L),
+      (1L, "2024-03-02 00:00:00.0", 0L),  // gap materialized as zero
+      (1L, "2024-03-03 00:00:00.0", 0L),
+      (1L, "2024-03-04 00:00:00.0", 1L),
+      (2L, "2024-03-02 00:00:00.0", 1L))) // single-event key: one bucket
+  }
+
+  test("resampleCounts: hourly unit, null keys dropped, bad unit rejected") {
+    val df = Seq(
+      (Option(7L), "2024-03-01 10:05:00"), (Option(7L), "2024-03-01 12:30:00"),
+      (Option.empty[Long], "2024-03-01 11:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = Relational.resampleCounts(df, "user_id", "ts", "hour")
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-03-01 10:00:00.0", 1L),
+      ("2024-03-01 11:00:00.0", 0L),  // the null-key event must NOT land here
+      ("2024-03-01 12:00:00.0", 1L)))
+    intercept[IllegalArgumentException] {
+      Relational.resampleCounts(df, "user_id", "ts", "month")
+    }
+  }
+
   test("dedupeKeepFirst keeps exactly the first row per key under the order") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
     val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))
