@@ -209,6 +209,43 @@ object Main {
       outDir, "sessions")
   }
 
+  /** Streaming MERGE into a master snapshot — the streaming twin of the
+    * daily history upsert (Q2): each micro-batch of update rows merges
+    * into the current snapshot under "latest per key wins" (`order`
+    * decides recency), landing via [[graft.sinks.SnapshotStore]]'s A/B
+    * rotation so the snapshot being read is never the one being
+    * rewritten.
+    *
+    * Semantics are keep-latest-per-key over base ∪ batch, NOT
+    * last-batch-wins: a straggler batch carrying an OLDER row for a key
+    * cannot regress the snapshot, so the converged master is independent
+    * of how the files split into micro-batches (spec-asserted equal to
+    * the batch dedupeKeepFirst over the whole lake). foreachBatch is
+    * at-least-once — a retried batch re-merges the same rows, and
+    * keep-latest is idempotent under exactly that retry.
+    *
+    * Scale: one shuffle per batch on the key (the snapshot rewrite is
+    * the price of plain parquet — a transactional format with MERGE
+    * support would rewrite only matched files; at 100 TB the snapshot
+    * would be bucketed on the key, S9, so the union-dedupe co-locates). */
+  def runStreamingMasterMerge(spark: SparkSession, updatesDir: String,
+                              schema: String, masterRoot: String, key: String,
+                              order: Seq[org.apache.spark.sql.Column]): Unit =
+    spark.readStream.schema(schema).parquet(updatesDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val all = graft.sinks.SnapshotStore.read(batch.sparkSession, masterRoot)
+          .map(_.unionByName(batch.toDF)).getOrElse(batch.toDF)
+        graft.sinks.SnapshotStore.swapWrite(
+          graft.operators.Relational.dedupeKeepFirst(
+            all, Seq(col(key)), order), masterRoot)
+        ()
+      }
+      .option("checkpointLocation", s"$masterRoot/_checkpoints/merge")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = SparkSession.builder()

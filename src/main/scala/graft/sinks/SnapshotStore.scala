@@ -1,0 +1,62 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A/B-rotated parquet snapshot with an atomic current-pointer — the
+  * plain-parquet answer to "repeatedly MERGE into a table I'm also
+  * reading" (the in-place-overwrite hazard documented at Main.run's
+  * history merge: parquet has no transactional overwrite, so the only
+  * safe rewrite is write-elsewhere-then-flip).
+  *
+  * Layout under `root`:
+  *   A/ , B/     alternating full snapshots (parquet)
+  *   _current    one-line pointer file naming the live side
+  *
+  * Writers always land on the NON-current side, then flip the pointer
+  * with an atomic rename (FileContext.rename OVERWRITE — atomic on HDFS
+  * and local FS). A crash mid-write leaves the pointer on the old, intact
+  * snapshot; a crash between write and flip loses only the flip (the new
+  * snapshot is orphaned until the next write overwrites that side). At no
+  * point can the ONLY copy be mid-rewrite — the invariant the daily
+  * master merge and the streaming merge sink both need. */
+object SnapshotStore {
+
+  private def fc(spark: SparkSession, root: String): FileContext =
+    FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The live side ("A"/"B"), if a snapshot exists. */
+  def currentSide(spark: SparkSession, root: String): Option[String] = {
+    val f = fc(spark, root)
+    val p = new Path(s"$root/_current")
+    if (!f.util.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** The live snapshot, if one exists. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    currentSide(spark, root).map(s => spark.read.parquet(s"$root/$s"))
+
+  /** Write `df` as the next snapshot and atomically flip the pointer.
+    * The write targets the non-current side, so the current snapshot
+    * stays readable (and consistent) throughout. */
+  def swapWrite(df: DataFrame, root: String): Unit = {
+    val spark = df.sparkSession
+    val next = if (currentSide(spark, root).contains("A")) "B" else "A"
+    df.write.mode("overwrite").parquet(s"$root/$next")
+    val f = fc(spark, root)
+    val tmp = new Path(s"$root/_current.tmp")
+    val dst = new Path(s"$root/_current")
+    val out = f.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+}

@@ -41,6 +41,24 @@ object TableSink {
   def santiagoDate(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     to_date(from_utc_timestamp(ts, "America/Santiago"))
 
+  /** Range-clustered parquet layout for data skipping: rows are
+    * range-partitioned into `files` contiguous, DISJOINT key ranges and
+    * sorted within each — so parquet's per-rowgroup min/max statistics
+    * become tight and a pushed-down range/point predicate skips whole
+    * rowgroups (and, under manifest-tracking table formats, whole files).
+    * The unsorted default interleaves keys across every file, making
+    * every min/max span the whole domain — stats that prune nothing.
+    * This is the scan-side complement to [[writeBucketed]]: bucketing
+    * kills the JOIN exchange, range-clustering kills the FILTER scan.
+    * Cost: one range exchange (sampling pass + shuffle) at write time. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  files: Int): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(files, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed catalog table: rows hash-partitioned AND sorted by `key`
     * into `buckets` files per partition. Joins/aggregations between tables
     * bucketed on the same key with the same bucket count need NO exchange

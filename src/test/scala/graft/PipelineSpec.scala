@@ -275,6 +275,37 @@ class PipelineSpec extends SparkSpec {
     perUser.foreach { case (u, n) => assert(n <= inputPerUser(u)) }
   }
 
+  test("O2 streaming: foreachBatch master merge converges to latest-per-key across passes") {
+    import graft.sources.Tables
+    import graft.sinks.SnapshotStore
+    val src = Files.createTempDirectory("graft_merge_in").toString
+    val root = Files.createTempDirectory("graft_merge_master").toString
+    val ev = Tables(spark, sf(), "events")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    def order = Seq(col("ts").desc, col("event_id").desc)
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relational.dedupeKeepFirst(df, Seq(col("user_id")), order)
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def snap() = SnapshotStore.read(spark, root).get
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // pass 1: even events only
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runStreamingMasterMerge(spark, src, schema, root, "user_id", order)
+    val side1 = SnapshotStore.currentSide(spark, root)
+    assert(side1.nonEmpty)
+    assert(snap() == latest(ev.filter(col("event_id") % 2 === 0)))
+    // pass 2: the odd events arrive (some older than already-merged rows —
+    // a straggler batch must not regress any key)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runStreamingMasterMerge(spark, src, schema, root, "user_id", order)
+    assert(snap() == latest(ev), "converged master != batch latest-per-key over the whole lake")
+    // the rewrite landed on the OTHER side: the read snapshot was never
+    // the write target
+    assert(SnapshotStore.currentSide(spark, root) != side1)
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)

@@ -41,6 +41,40 @@ class TableSinkSpec extends SparkSpec {
     assert(df.collect().head.getDate(0).toString == "2024-01-14")
   }
 
+  test("writeSorted: per-file key ranges are disjoint (stats can prune)") {
+    val out = Files.createTempDirectory("graft_sorted").toString
+    // a deterministic permutation of 0..999 — maximally interleaved input,
+    // so only the range exchange can make file ranges disjoint
+    val df = spark.range(1000).select(pmod(col("id") * 7919, lit(1000)).as("k"))
+    TableSink.writeSorted(df, out, Seq("k"), files = 4)
+    val parts = new java.io.File(out).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(parts.length == 4, s"expected 4 range files, got ${parts.length}")
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("k"), max("k"), count(lit(1)))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    assert(ranges.map(_._3).sum == 1000L)
+    ranges.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) =>
+      assert(hi < lo, s"file ranges overlap: max $hi >= next min $lo")
+    }
+  }
+
+  test("snapshotStore: swapWrite alternates sides and read always sees a full snapshot") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    assert(SnapshotStore.read(spark, root).isEmpty)
+    SnapshotStore.swapWrite(Seq((1L, "v1")).toDF("k", "v"), root)
+    val s1 = SnapshotStore.currentSide(spark, root)
+    assert(s1.contains("A"))
+    SnapshotStore.swapWrite(Seq((1L, "v2"), (2L, "w")).toDF("k", "v"), root)
+    assert(SnapshotStore.currentSide(spark, root).contains("B"))
+    assert(SnapshotStore.read(spark, root).get.count() == 2)
+    // a third write must come back to A (rotation, not accumulation)
+    SnapshotStore.swapWrite(Seq((9L, "z")).toDF("k", "v"), root)
+    assert(SnapshotStore.currentSide(spark, root).contains("A"))
+    assert(SnapshotStore.read(spark, root).get.collect().head.getLong(0) == 9L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
