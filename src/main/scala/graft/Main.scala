@@ -209,6 +209,30 @@ object Main {
       outDir, "sessions")
   }
 
+  /** The crash-safe daily loop: [[run]] with the master history held in a
+    * [[graft.sinks.SnapshotStore]] A/B rotation instead of a
+    * caller-managed directory. Each day reads history from the CURRENT
+    * snapshot side, merges (Q2), writes the day's deliverables under
+    * `outDir` as usual, then promotes the merged master onto the OTHER
+    * side and atomically flips the pointer — so the history being read is
+    * never the path being rewritten, and a crash at ANY point leaves a
+    * complete, pointed-to master (the property the in-place layout only
+    * achieves under eager-materialization discipline; here it holds
+    * structurally). The promotion re-writes the merged master once more
+    * (sequential parquet I/O); a production deployment on a
+    * transactional table format would replace the whole rotation with
+    * MERGE, as documented at the history write in [[run]]. */
+  def runDailySnapshot(spark: SparkSession, inDir: String, outDir: String,
+                       masterRoot: String): RunReport = {
+    val history = graft.sinks.SnapshotStore.currentSide(spark, masterRoot)
+      .map(s => s"$masterRoot/$s")
+    val report = run(spark, inDir, outDir, masterHistoryDir = history)
+    graft.sinks.SnapshotStore.swapWrite(
+      spark.read.parquet(s"$outDir/delivery_order_master"), masterRoot,
+      partitionBy = Seq("ingest_date"))
+    report
+  }
+
   /** Streaming MERGE into a master snapshot — the streaming twin of the
     * daily history upsert (Q2): each micro-batch of update rows merges
     * into the current snapshot under "latest per key wins" (`order`

@@ -387,6 +387,43 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("doc_id"), col("text")))),
           s => s.getField("text")), sep).as("text"))
 
+  /** Unigram language-model scoring (the CCNet-style curation signal:
+    * rank documents by how "corpus-typical" their vocabulary is —
+    * gibberish, boilerplate, and wrong-language text score low): each
+    * document's average log-probability of its tokens under the corpus's
+    * own unigram distribution. Output: doc_id, n_tokens, avg_logp
+    * (<= ~-ln(2) .. -ln(|vocab|·skew); higher = more typical).
+    *
+    * Float discipline (the oracle must hash-match): a plain SUM/AVG of
+    * doubles is partial-aggregation-ORDER-dependent in the last ulps, and
+    * the two engines aggregate in different orders. So each token's
+    * log-prob is rounded to 6 decimals PER ROW (deterministic — same
+    * double, same round, both engines) and summed as DECIMAL(18,6) —
+    * decimal addition is exact and therefore order-independent — before
+    * the final per-doc division and 4-decimal round. Same trick family
+    * as the sequential-fold cosine (x11-x13), solved with decimals
+    * instead of fold order because aggregation here is distributive.
+    *
+    * Scale shape: one (term) count aggregate with map-side partials (hot
+    * terms absorb in the combine, cf. [[vocabulary]]), the scalar total
+    * broadcast as a 1-row frame, one shuffle join of postings to counts,
+    * one (doc_id) aggregate. Self-scoring by construction; to score a
+    * candidate corpus against a REFERENCE LM, pass the reference's
+    * counts/total instead of deriving them — the plan shape is
+    * unchanged. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    tok.join(counts, "term").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / col("tot")), 6)
+          .cast("decimal(18,6)").as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * between curation and tokenization: each document becomes the chunks
     * covering token offsets 0, stride, 2·stride, … (every start < the

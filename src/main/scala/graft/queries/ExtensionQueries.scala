@@ -320,7 +320,11 @@ object ExtensionQueries {
       .orderBy("doc_id", "bench_id")
   }
 
+  def x37(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(s, dir)).orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_unigram_lm"    -> (x37 _),
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
     "x03_lang_id"       -> (x03 _),
@@ -675,6 +679,19 @@ object ExtensionQueries {
          |SELECT doc_id, lang, unnest(generate_series(1, copies))::BIGINT AS copy_id
          |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_id""".stripMargin
     },
+    // per-token ROUND(…,6)::DECIMAL before the sum — decimal addition is
+    // exact, so the aggregate is order-independent on both engines (see
+    // TextAnalysis.unigramLogProb's float-discipline note)
+    "x37_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+        |t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+        |s AS (SELECT doc_id, ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6) AS lp
+        |      FROM tok JOIN c USING (term) CROSS JOIN t)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x35_resample" ->
       """WITH b AS (SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
         |  count(*)::BIGINT AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),

@@ -44,11 +44,16 @@ object SnapshotStore {
 
   /** Write `df` as the next snapshot and atomically flip the pointer.
     * The write targets the non-current side, so the current snapshot
-    * stays readable (and consistent) throughout. */
-  def swapWrite(df: DataFrame, root: String): Unit = {
+    * stays readable (and consistent) throughout. `partitionBy` keeps a
+    * physical partitioning (e.g. the master's day layout) inside each
+    * side. */
+  def swapWrite(df: DataFrame, root: String,
+                partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val next = if (currentSide(spark, root).contains("A")) "B" else "A"
-    df.write.mode("overwrite").parquet(s"$root/$next")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/$next")
     val f = fc(spark, root)
     val tmp = new Path(s"$root/_current.tmp")
     val dst = new Path(s"$root/_current")

@@ -187,6 +187,35 @@ class PipelineSpec extends SparkSpec {
     assert(by("ORD-4").getAs[String]("code") == "C-404") // day-2 insert applied
   }
 
+  test("Q2 snapshot rotation: two daily runs merge through the store, pointer flips") {
+    import graft.sinks.SnapshotStore
+    val root = Files.createTempDirectory("graft_snaproot").toString
+    val out1 = Files.createTempDirectory("graft_snap_day1").toString
+    Main.runDailySnapshot(spark, fixtures, out1, root)
+    assert(SnapshotStore.currentSide(spark, root).contains("A"))
+    assert(SnapshotStore.read(spark, root).get.count() == 3) // day-1 orders
+    val in2 = Files.createTempDirectory("graft_snap_day2in")
+    val d = in2.resolve("2024-01-18")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("2024-01-18.json"),
+      """[{"delivery_order_id": "ORD-3", "code": "C-303", "recycling": false,
+        |  "created_date": "2024-01-18T10:00:00.000000"},
+        | {"delivery_order_id": "ORD-4", "code": "C-404",
+        |  "created_date": "2024-01-18T11:00:00.000000"}]""".stripMargin)
+    val out2 = Files.createTempDirectory("graft_snap_day2").toString
+    Main.runDailySnapshot(spark, in2.toString, out2, root)
+    // history read from side A, merged master promoted onto side B
+    assert(SnapshotStore.currentSide(spark, root).contains("B"))
+    val m = SnapshotStore.read(spark, root).get
+    assert(m.count() == 4)
+    val by = m.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap
+    assert(by("ORD-1").getAs[String]("code") == "C-001") // history intact
+    assert(by("ORD-3").getAs[String]("code") == "C-303") // update won
+    assert(by("ORD-4").getAs[String]("code") == "C-404") // insert landed
+    // the day layout survives the rotation (partitioned promotion)
+    assert(m.schema.fieldNames.contains("ingest_date"))
+  }
+
   test("O1 scale: sink actions reuse the cached flatten/explode (no re-derivation)") {
     // Main.run's sinks are separate actions; each must read the events
     // explode (and the flatten feeding it) from cache, not re-derive it —

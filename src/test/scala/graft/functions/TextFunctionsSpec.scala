@@ -47,6 +47,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Long](wordSetCount(tokens(col("t")), Seq("the", "of")), "the cat of the") == 3L)
   }
 
+  test("unigramLogProb: corpus-typical docs outrank rare-vocab docs; closed-form check") {
+    // counts over the corpus: a=3, b=1, total=4
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lpA = math.log(3.0 / 4)  // -0.2877
+    val lpB = math.log(1.0 / 4)  // -1.3863
+    assert(out(1L)._1 == 2L && out(2L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - lpA) < 1e-3)
+    assert(math.abs(out(2L)._2 - (lpA + lpB) / 2) < 1e-3)
+    // the all-common-token doc is strictly more "typical"
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("chunkDocs: stride windows with end clamp; stride=chunk partitions exactly") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -142,6 +142,38 @@ class PlanSpec extends SparkSpec {
       s"bin assembly must reuse the shard shuffle:\n$pa")
   }
 
+  test("x33/x34: chunking and upsampling plan ZERO exchanges (pure row amplification)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    import graft.operators.TextAnalysis
+    for (df <- Seq(
+        TextAnalysis.chunkDocs(Tables(spark, sf(), "documents"), 32, 16),
+        TextAnalysis.upsampleStrata(Tables(spark, sf(), "documents"),
+          col("lang"), Seq("en" -> 2.5)))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"narrow operator shuffled:\n$p")
+    }
+  }
+
+  test("x35: the resample spine explodes AGGREGATED buckets, never raw events") {
+    val df = ExtensionQueries.x35(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the sequence generator must sit above the min/max aggregate —
+    // i.e. no Generate node reading the parquet scan directly
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, p)
+    assert(p.substring(0, genIdx).contains("HashAggregate") ||
+      p.substring(genIdx).contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // count partials before the shuffle
+  }
+
+  test("x36: the bloom pre-filter sits below the bench join in the plan") {
+    val p = plan(ExtensionQueries.x36)
+    assert(p.contains("might_contain"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
