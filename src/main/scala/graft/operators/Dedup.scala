@@ -76,20 +76,28 @@ object Dedup {
     * embeddingNearDupPairs' cluster cap. Off by default because the
     * fixture contract (x08/x15 oracles) is uncapped.
     * Output: (a_id, b_id), a_id < b_id, distinct, ordered. */
-  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(k % bands == 0, "k must divide into equal bands")
+  /** Banded LSH rows (doc_id, band, bh) from a signature frame — ONE
+    * definition of the banding rule, shared by the full-corpus self-join
+    * ([[lshCandidatePairs]]) and the incremental new-vs-corpus probe
+    * ([[lshCandidatePairsAgainst]]), so the two cannot drift. */
+  private def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    // signatures feed all `bands` branches of the union: materialize once
-    // (localCheckpoint truncates lineage so the shingle explode + groupBy
-    // don't re-run per band; production would persist to reliable storage)
-    val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
-    val allBandRows = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val hs = (0 until r).map(j => col(s"h${b * r + j}"))
       sig.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws("|", hs: _*)).as("bh"))
     }.reduce(_ unionByName _)
-    val bandRows =
+  }
+
+  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    // signatures feed all `bands` branches of the union: materialize once
+    // (localCheckpoint truncates lineage so the shingle explode + groupBy
+    // don't re-run per band; production would persist to reliable storage)
+    val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
+    val allBandRows = bandRows(sig, k, bands)
+    val bucketed =
       if (maxBucket == Int.MaxValue) allBandRows
       else {
         val keep = allBandRows.groupBy(col("band"), col("bh"))
@@ -97,13 +105,65 @@ object Dedup {
           .filter(col("__bc") <= maxBucket).select(col("band"), col("bh"))
         allBandRows.join(keep, Seq("band", "bh"))
       }
-    val a = bandRows.as("a")
-    val bb = bandRows.as("b")
+    val a = bucketed.as("a")
+    val bb = bucketed.as("b")
     a.join(bb,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** INCREMENTAL near-dup candidates: a NEW batch probed against an
+    * EXISTING corpus — the daily-ingestion dedup shape. The corpus side
+    * takes PRECOMPUTED signatures ([[minhashSignatures]], persisted once
+    * and reused every day — at 100 TB, re-shingling the whole corpus per
+    * daily batch is the cost this operator exists to avoid; store the
+    * signature table bucketed on its band hashes and even the probe
+    * shuffle goes away, S9). Only the new batch is shingled; the band
+    * join ships (id, band, 32-byte hash) rows, never text. Emits CROSS
+    * pairs only — dedup WITHIN the new batch is [[lshCandidatePairs]] on
+    * the batch, kept separate so callers can choose (keep the corpus
+    * copy, drop the new one) per pair class.
+    * Output: (new_id, corpus_id), distinct. */
+  def lshCandidatePairsAgainst(newDocs: DataFrame, corpusSigs: DataFrame,
+                               n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val newSigs = graft.Persist.cut(minhashSignatures(newDocs, n, k))
+    bandRows(newSigs, k, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(bandRows(corpusSigs, k, bands)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+  }
+
+  /** Exact duplicated-substring signal at n-token granularity (the third
+    * dedup family next to doc-level exact and near-dup: memorization risk
+    * comes from REPEATED SPANS, not whole-doc similarity — cf. the
+    * exact-substring dedup literature): per document, how many of its
+    * distinct n-gram spans occur in >= minDf documents, and the ratio.
+    * A high dup_ratio doc is assembled from corpus boilerplate even when
+    * no single near-duplicate partner exists. n should be large enough
+    * that sharing a span is evidence, not coincidence (15-50 tokens).
+    *
+    * Scale: one shingle explode (dominant, linear in corpus tokens), one
+    * df aggregate (map-side partials absorb hot spans), one join of
+    * postings to df + one per-doc aggregate. The posting join carries
+    * (doc_id, span) — at production scale hash the span to 16 bytes
+    * first; kept as text here so the oracle replays verbatim.
+    * Output: doc_id, dup_spans, total_spans, dup_ratio (docs with < n
+    * tokens have no spans and are absent). */
+  def duplicatedSpans(docs: DataFrame, n: Int = 15, minDf: Int = 2): DataFrame = {
+    val sh = graft.Persist.cut(shingleSet(docs, n))
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("df") >= minDf, 1)).as("dup_spans"),
+        count(lit(1)).as("total_spans"))
+      .select(col("doc_id"), col("dup_spans"), col("total_spans"),
+        round(col("dup_spans").cast("double") / col("total_spans"), 4).as("dup_ratio"))
   }
 
   /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the

@@ -323,8 +323,31 @@ object ExtensionQueries {
   def x37(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, dir)).orderBy("doc_id")
 
+  /** Incremental dedup probe for x38: every 10th doc plays the "new
+    * daily batch", the rest the existing corpus (whose signatures are
+    * precomputed, as in production). */
+  def x38(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.lshCandidatePairsAgainst(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.minhashSignatures(d.filter(col("doc_id") % 10 =!= 0), n = 3, k = 12),
+        n = 3, k = 12, bands = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Span width for x39: 15-token spans — long enough that a shared span
+    * is evidence of copying, short enough that the fixture's near-dup
+    * cluster (45 docs) still carries nonzero signal. */
+  val dupSpanN = 15
+
+  def x39(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), n = dupSpanN, minDf = 2)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x37_unigram_lm"    -> (x37 _),
+    "x38_incr_dedup"    -> (x38 _),
+    "x39_dup_spans"     -> (x39 _),
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
     "x03_lang_id"       -> (x03 _),
@@ -387,11 +410,12 @@ object ExtensionQueries {
        |   // $packBudget)::BIGINT AS bin
        | FROM t)""".stripMargin
 
-  private val shingleCte: String =
-    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
-      |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
-      |       WHERE len(toks) >= 3)""".stripMargin
+  private def shingleCteN(n: Int): String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS s
+       |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-${n - 2})) AS r(i)
+       |       WHERE len(toks) >= $n)""".stripMargin
+  private val shingleCte: String = shingleCteN(3)
 
   /** ascii-safe token hash, identical to TextFunctions.tokenHash. */
   private def tokenHashSql(t: String): String =
@@ -679,6 +703,24 @@ object ExtensionQueries {
          |SELECT doc_id, lang, unnest(generate_series(1, copies))::BIGINT AS copy_id
          |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_id""".stripMargin
     },
+    // the incremental probe replays the SAME banding CTEs as x08/x15/x21
+    // (signatures are per-doc pure functions, so "sign only the corpus,
+    // then only the batch" equals signing everything and filtering)
+    "x38_incr_dedup" ->
+      s"""WITH $lshCtes
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |ORDER BY new_id, corpus_id""".stripMargin,
+    "x39_dup_spans" ->
+      s"""WITH ${shingleCteN(dupSpanN)},
+         |d AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         |SELECT sh.doc_id,
+         |  count(CASE WHEN d.df >= 2 THEN 1 END)::BIGINT AS dup_spans,
+         |  count(*)::BIGINT AS total_spans,
+         |  ROUND(count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_ratio
+         |FROM sh JOIN d USING (s)
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     // per-token ROUND(…,6)::DECIMAL before the sum — decimal addition is
     // exact, so the aggregate is order-independent on both engines (see
     // TextAnalysis.unigramLogProb's float-discipline note)

@@ -232,6 +232,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contaminationPairs(hot, bench, n = 3, minShared = 1, maxDf = 5).count() == 0)
   }
 
+  test("lshCandidatePairsAgainst: new batch collides with its corpus twin, cross pairs only") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different words that share nothing at all here")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog today", // dup of corpus 1
+      11L -> "the quick brown fox jumps over the lazy dog today", // dup WITHIN batch
+      12L -> "fresh unseen content with its very own novel tokens")
+    val sigs = Dedup.minhashSignatures(corpus, n = 3, k = 12)
+    val got = Dedup.lshCandidatePairsAgainst(batch, sigs, n = 3, k = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // both batch dups hit corpus doc 1; the batch-internal pair (10,11)
+    // is NOT emitted (within-batch dedup is a separate, explicit call)
+    assert(got == Seq((10L, 1L), (11L, 1L)))
+    // consistency with the one-shot detector: probing equals running the
+    // full self-join on corpus ∪ batch and keeping cross pairs
+    val full = Dedup.lshCandidatePairs(corpus.unionByName(batch), n = 3, k = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a < 10 && b >= 10 => (b, a) case (a, b) if b < 10 && a >= 10 => (a, b) }
+      .sorted.toSeq
+    assert(full == got)
+  }
+
+  test("duplicatedSpans: shared n-grams count as duplicated, unique docs score zero") {
+    val d = docs(
+      1L -> "alpha beta gamma delta unique1 tail1",
+      2L -> "alpha beta gamma delta unique2 tail2",
+      3L -> "totally fresh words nothing shared here")
+    val got = Dedup.duplicatedSpans(d, n = 3, minDf = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1/2 share exactly the spans "alpha beta gamma"/"beta gamma delta"
+    // out of 4 distinct trigrams each
+    assert(got(1L) == ((2L, 4L, 0.5)))
+    assert(got(2L) == ((2L, 4L, 0.5)))
+    assert(got(3L) == ((0L, 4L, 0.0)))
+  }
+
   test("contaminationPairsBloom is output-identical to contaminationPairs; plan probes the sketch") {
     val bench = docs(
       100L -> "what is the capital of france exactly",

@@ -185,6 +185,77 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: full coverage, bounded multiplicity, reconstruction (random docs)") {
+    val gen = Gen.listOf(Gen.choose(0, 40))
+    cases(gen).foreach { lens =>
+      val docsDf = (lens :+ 17).zipWithIndex
+        .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val chunk = 8; val stride = 3
+      val rows = TextAnalysis.chunkDocs(docsDf, chunk, stride).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      (lens :+ 17).zipWithIndex.foreach { case (n, i) =>
+        val got = byDoc.getOrElse(i.toLong, Array.empty[(Long, Long, Long, String)])
+        if (n == 0) assert(got.isEmpty)
+        else {
+          // chunk count = number of stride starts below n
+          assert(got.length == (n + stride - 1) / stride)
+          // every token covered at least once; multiplicity <= ceil(chunk/stride)
+          val cover = got.flatMap(_._4.split(" ")).groupBy(identity).view.mapValues(_.length)
+          assert(cover.keySet == (1 to n).map(j => s"t$j").toSet)
+          assert(cover.values.forall(_ <= (chunk + stride - 1) / stride))
+          // reported chunk_tokens is the actual slice length
+          got.foreach { case (_, _, ct, text) => assert(ct == text.split(" ").length) }
+        }
+      }
+    }
+  }
+
+  test("upsampleStrata: copy counts are floor(w) or ceil(w); mass ~ weight (fuzz)") {
+    val gen = Gen.zip(Gen.choose(1, 60), Gen.choose(0.0, 3.0))
+    cases(gen).foreach { case (nDocs, w) =>
+      val docsDf = (1L to nDocs.toLong).map(i => (i, "s")).toDF("doc_id", "lang")
+      val out = TextAnalysis.upsampleStrata(docsDf, col("lang"), Seq("s" -> w))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_id").as("mx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lo = math.floor(w).toLong; val hi = math.ceil(w).toLong
+      out.foreach { case (_, n, mx) =>
+        assert(n >= math.max(lo, 1) && n <= math.max(hi, 1))
+        assert(mx == n, "copy_id must be dense 1..n")
+      }
+      // docs absent from the output are exactly the zero-copy draws
+      val total = out.map(_._2).sum + 0L
+      assert(total >= math.floor(w * nDocs * 0.5).toLong || nDocs < 10,
+        s"total copies $total implausibly low for weight $w over $nDocs docs")
+      assert(total <= math.ceil(w * nDocs * 1.5).toLong + 1,
+        s"total copies $total implausibly high for weight $w over $nDocs docs")
+    }
+  }
+
+  test("resampleCounts: spine is dense per key, counts preserved (random event sets)") {
+    val gen = Gen.listOf(Gen.zip(Gen.choose(1, 4), Gen.choose(0, 2000000)))
+    cases(gen).foreach { evs =>
+      val all = evs :+ ((1, 0))
+      val df = all.zipWithIndex.map { case ((u, off), i) =>
+        (u.toLong, new java.sql.Timestamp(1700000000000L + off * 1000L), i)
+      }.toDF("user_id", "ts", "i")
+      val out = Relational.resampleCounts(df, "user_id", "ts", "hour")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      val byUser = out.groupBy(_._1)
+      // total counts preserved
+      assert(out.map(_._3).sum == all.length)
+      byUser.foreach { case (_, rows) =>
+        val times = rows.map(_._2).sorted
+        // dense hourly spine: consecutive buckets exactly 1h apart
+        times.sliding(2).foreach { case Array(a, b) => assert(b - a == 3600 * 1000L) case _ => }
+        // spine endpoints carry events (min/max buckets are never empty)
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.head._3 > 0 && sorted.last._3 > 0)
+      }
+    }
+  }
+
   test("corpusStatsApprox tracks the exact percentiles on the documents fixture") {
     val docs = graft.sources.Tables(spark, sf(), "documents")
     def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
