@@ -209,6 +209,25 @@ object Main {
       outDir, "sessions")
   }
 
+  /** Incremental curation: the narrow text gate (fused language+quality
+    * scores, x18's operator) as a streaming transform over a documents
+    * lake — new files are scored, filtered, and landed as they arrive,
+    * so corpus curation keeps up with ingestion instead of re-running
+    * over history (same §4.2 #3 discipline as the hourly runner).
+    * Stateless-narrow ops need no watermark and are trivially
+    * streaming-safe; the runner's value is the pinned CONTRACT: per-doc
+    * decisions identical to the batch gate (spec-asserted), because the
+    * operator is deterministic per row. */
+  def runStreamingCuration(spark: SparkSession, docsDir: String, outDir: String,
+                           minQuality: Double = 0.5, lang: String = "en"): Unit =
+    runAvailableNow(
+      graft.operators.TextAnalysis.curationScores(
+        spark.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .parquet(docsDir))
+        .filter(col("pred_lang") === lang && col("quality_score") >= minQuality),
+      outDir, "curated")
+
   /** The crash-safe daily loop: [[run]] with the master history held in a
     * [[graft.sinks.SnapshotStore]] A/B rotation instead of a
     * caller-managed directory. Each day reads history from the CURRENT

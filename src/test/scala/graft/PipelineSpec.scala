@@ -335,6 +335,24 @@ class PipelineSpec extends SparkSpec {
     assert(SnapshotStore.currentSide(spark, root) != side1)
   }
 
+  test("O2 streaming: incremental curation pass decides exactly like the batch gate") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_cur_in").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    // two "arrival waves" so the pass is genuinely incremental
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    val out = Files.createTempDirectory("graft_cur_out").toString
+    Main.runStreamingCuration(spark, src, out)
+    val streamed = spark.read.parquet(s"$out/curated")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.operators.TextAnalysis.curationScores(docs)
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch, "streaming curation diverged from the batch gate")
+    assert(streamed.nonEmpty)
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)
