@@ -150,15 +150,19 @@ object Dedup {
     *
     * Scale: one shingle explode (dominant, linear in corpus tokens), one
     * df aggregate (map-side partials absorb hot spans), one join of
-    * postings to df + one per-doc aggregate. The posting join carries
-    * (doc_id, span) — at production scale hash the span to 16 bytes
-    * first; kept as text here so the oracle replays verbatim.
+    * postings to df + one per-doc aggregate. Spans are HASHED to 32-byte
+    * md5 keys before the aggregate/join — a 15-50-token span is ~100-400
+    * bytes of text, so hashing cuts the shuffle ~10× at corpus scale;
+    * an md5 collision (astronomically unlikely, same tolerance as exact
+    * dedup) could overcount one span pair, and the oracle replays the
+    * identical hashing.
     * Output: doc_id, dup_spans, total_spans, dup_ratio (docs with < n
     * tokens have no spans and are absent). */
   def duplicatedSpans(docs: DataFrame, n: Int = 15, minDf: Int = 2): DataFrame = {
-    val sh = graft.Persist.cut(shingleSet(docs, n))
-    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.join(dfc, "s")
+    val sh = graft.Persist.cut(
+      shingleSet(docs, n).select(col("doc_id"), md5(col("s")).as("h")))
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "h")
       .groupBy(col("doc_id"))
       .agg(count(when(col("df") >= minDf, 1)).as("dup_spans"),
         count(lit(1)).as("total_spans"))
@@ -444,16 +448,22 @@ object Dedup {
     // join: materialize once
     val bs = graft.Persist.cut(
       shingleSet(bench, n).select(col("doc_id").as("bench_id"), col("s")))
-    val sketch = bs.select(xxhash64(col("s")).as("h"))
-      .stat.bloomFilter("h", expectedBenchShingles, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      sketch.writeTo(bos)
-      bos.toByteArray
-    }
     val rare = rareShingles(docs, n, maxDf)
-    rare.filter(graft.GraftFunctions.bloomContains(rare, lit(bytes), xxhash64(col("s"))))
-      .join(bs, "s")
+    // a bench side with NO shingles has no sketch to build (Spark's
+    // sketch aggregate NPEs serializing a zero-row bloom) — and needs
+    // none: the exact join against the empty side is already empty, so
+    // the prefilter is skipped, not faked
+    val pre =
+      if (bs.isEmpty) rare
+      else {
+        val sketch = bs.select(xxhash64(col("s")).as("h"))
+          .stat.bloomFilter("h", expectedBenchShingles, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        sketch.writeTo(bos)
+        rare.filter(graft.GraftFunctions.bloomContains(
+          rare, lit(bos.toByteArray), xxhash64(col("s"))))
+      }
+    pre.join(bs, "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -185,6 +185,23 @@ object Relational {
       .select(col(key), col("bucket"), coalesce(col("__n"), lit(0L)).as("n_events"))
   }
 
+  /** Trailing moving average over an ordered per-key series — the
+    * smoothing pass a monitoring/trend query applies AFTER
+    * [[resampleCounts]] has made empty buckets explicit (a moving average
+    * over a series with silently-missing buckets is simply wrong: the
+    * window would span more wall-clock than it claims). ROWS framing is
+    * exact on a gap-filled series because the spine is dense by
+    * construction. One window over the key partitioning — same
+    * bounded-group discipline as the other windows here; sums of longs
+    * stay exact, so the rounded average is engine-independent. */
+  def movingAvg(df: DataFrame, key: String, order: String, value: String,
+                window: Int, as: String = "ma"): DataFrame = {
+    require(window >= 1, "window must be >= 1 row")
+    val w = Window.partitionBy(col(key)).orderBy(col(order))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn(as, round(avg(col(value)).over(w), 4))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

@@ -344,10 +344,21 @@ object ExtensionQueries {
     Dedup.duplicatedSpans(docs(s, dir), n = dupSpanN, minDf = 2)
       .orderBy("doc_id")
 
+  /** Composition proof for the time-series pair: 7-day trailing moving
+    * average over the GAP-FILLED daily series — the zeros the resample
+    * materializes are exactly what keep the window honest. */
+  def x40(s: SparkSession, dir: String): DataFrame =
+    Relational.movingAvg(
+        Relational.resampleCounts(
+          Tables(s, dir, "events").select("user_id", "ts"), "user_id", "ts", "day"),
+        "user_id", "bucket", "n_events", window = 7, as = "ma7")
+      .orderBy("user_id", "bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x37_unigram_lm"    -> (x37 _),
     "x38_incr_dedup"    -> (x38 _),
     "x39_dup_spans"     -> (x39 _),
+    "x40_moving_avg"    -> (x40 _),
     "x01_exact_dedup"   -> (x01 _),
     "x02_token_counts"  -> (x02 _),
     "x03_lang_id"       -> (x03 _),
@@ -526,6 +537,18 @@ object ExtensionQueries {
       |  CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
       |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END AS qvec
       |  FROM sq)""".stripMargin
+
+  /** ONE gap-filled daily-resample definition shared by x35 (the series
+    * itself) and x40 (its moving average) — the window in x40 rides the
+    * exact spine x35 pins, so the pair cannot drift. */
+  private lazy val resampleCtes: String =
+    """b AS (SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
+      |  count(*)::BIGINT AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT user_id,
+      |  unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+      |  FROM b GROUP BY user_id),
+      |r AS (SELECT s.user_id, s.bucket, COALESCE(b.n, 0)::BIGINT AS n_events
+      |      FROM s LEFT JOIN b USING (user_id, bucket))""".stripMargin
 
   /** ONE decontamination contract shared by x26 (broadcast variant) and
     * x36 (bloom-prefiltered shuffle variant): the two operators promise
@@ -712,15 +735,18 @@ object ExtensionQueries {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
          |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
          |ORDER BY new_id, corpus_id""".stripMargin,
+    // spans hash to md5 keys before the df aggregate, exactly as the
+    // Spark operator shuffles them (32-byte keys, never span text)
     "x39_dup_spans" ->
       s"""WITH ${shingleCteN(dupSpanN)},
-         |d AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
-         |SELECT sh.doc_id,
+         |sp AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |d AS (SELECT h, count(*) AS df FROM sp GROUP BY h)
+         |SELECT sp.doc_id,
          |  count(CASE WHEN d.df >= 2 THEN 1 END)::BIGINT AS dup_spans,
          |  count(*)::BIGINT AS total_spans,
          |  ROUND(count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_ratio
-         |FROM sh JOIN d USING (s)
-         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+         |FROM sp JOIN d USING (h)
+         |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
     // per-token ROUND(…,6)::DECIMAL before the sum — decimal addition is
     // exact, so the aggregate is order-independent on both engines (see
     // TextAnalysis.unigramLogProb's float-discipline note)
@@ -735,14 +761,15 @@ object ExtensionQueries {
         |  ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x35_resample" ->
-      """WITH b AS (SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
-        |  count(*)::BIGINT AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        |s AS (SELECT user_id,
-        |  unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
-        |  FROM b GROUP BY user_id)
-        |SELECT s.user_id, s.bucket, COALESCE(b.n, 0)::BIGINT AS n_events
-        |FROM s LEFT JOIN b USING (user_id, bucket)
-        |ORDER BY user_id, bucket""".stripMargin,
+      s"""WITH $resampleCtes
+         |SELECT user_id, bucket, n_events FROM r
+         |ORDER BY user_id, bucket""".stripMargin,
+    "x40_moving_avg" ->
+      s"""WITH $resampleCtes
+         |SELECT user_id, bucket, n_events,
+         |  ROUND(AVG(n_events) OVER (PARTITION BY user_id ORDER BY bucket
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         |FROM r ORDER BY user_id, bucket""".stripMargin,
     "x25_seq_pack" ->
       s"""WITH $packCte
          |SELECT doc_id, shard, bin, n_tokens

@@ -256,6 +256,53 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("every operator is total on the EMPTY corpus: empty output, no exceptions") {
+    // regression class: aggregates over empty frames yield null (the CC
+    // convergence NPE), sketches build over zero rows, sequences/windows
+    // over nothing — every operator must degrade to empty, never throw
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "ts", "event_id")
+    val sigs = Dedup.minhashSignatures(d, 3, 12)
+    val checks: Seq[(String, () => Long)] = Seq(
+      "exact"       -> (() => Dedup.exact(d, col("doc_id"), col("text")).count()),
+      "lshPairs"    -> (() => Dedup.lshCandidatePairs(d).count()),
+      "lshAgainst"  -> (() => Dedup.lshCandidatePairsAgainst(d, sigs).count()),
+      "ccDedup"     -> (() => Dedup.dropNearDuplicatesCC(d, Dedup.lshCandidatePairs(d)).count()),
+      "simhashPairs" -> (() => Dedup.simhashNearDupPairs(d, bits = 64, maxHamming = 3).count()),
+      "jaccard"     -> (() => Dedup.ngramJaccardPairs(d).count()),
+      "contam"      -> (() => Dedup.contaminationPairs(d, d).count()),
+      "contamBloom" -> (() => Dedup.contaminationPairsBloom(d, d).count()),
+      "dupSpans"    -> (() => Dedup.duplicatedSpans(d).count()),
+      "embNearDup"  -> (() => Dedup.embeddingNearDupPairs(e, col("vec_id") < 4, 0.5).count()),
+      "knnBrute"    -> (() => Similarity.bruteForceTopK(e, col("vec_id") % 2 === 0, 5).count()),
+      "knnIvf"      -> (() => Similarity.ivfTopK(e, col("vec_id") < 4, col("vec_id") % 2 === 0, 5).count()),
+      "quantize"    -> (() => Similarity.quantizeInt8(e).count()),
+      "curation"    -> (() => TextAnalysis.curationScores(d).count()),
+      "chunk"       -> (() => TextAnalysis.chunkDocs(d, 8, 4).count()),
+      "upsample"    -> (() => TextAnalysis.upsampleStrata(d, col("lang"), Seq("en" -> 2.5)).count()),
+      "mixSample"   -> (() => TextAnalysis.stratifiedSample(d, col("lang"), Map("en" -> 0.5)).count()),
+      "quota"       -> (() => TextAnalysis.quotaSample(d, col("lang"), Map("en" -> 5L)).count()),
+      "pack"        -> (() => TextAnalysis.packSequences(d, 512L, 4).count()),
+      "bins"        -> (() => TextAnalysis.assembleBins(d, 512L, 4).count()),
+      "vocab"       -> (() => TextAnalysis.vocabulary(d, 10).count()),
+      "tfidf"       -> (() => TextAnalysis.tfidfTopTerms(d).count()),
+      "unigramLM"   -> (() => TextAnalysis.unigramLogProb(d).count()),
+      "split"       -> (() => TextAnalysis.deterministicSplit(d).count()),
+      "resample"    -> (() => Relational.resampleCounts(ev, "user_id", "ts").count()),
+      "movingAvg"   -> (() => Relational.movingAvg(
+        Relational.resampleCounts(ev, "user_id", "ts"), "user_id", "bucket", "n_events", 7).count()),
+      "asof"        -> (() => Relational.asOfJoin(ev,
+        ev.select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid")),
+        "user_id", "ts", "vts").count()))
+    checks.foreach { case (name, f) =>
+      val n = try f() catch {
+        case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
+      }
+      assert(n == 0, s"$name returned $n rows on an empty corpus")
+    }
+  }
+
   test("corpusStatsApprox tracks the exact percentiles on the documents fixture") {
     val docs = graft.sources.Tables(spark, sf(), "documents")
     def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -42,6 +42,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("movingAvg: trailing ROWS window, exact ramp-in, per-key isolation") {
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (2L, 1L, 5L))
+      .toDF("k", "t", "v")
+    val out = Relational.movingAvg(df, "k", "t", "v", window = 2, as = "ma")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 1L, 10.0), (1L, 2L, 15.0), (1L, 3L, 25.0), (2L, 1L, 5.0)))
+    intercept[IllegalArgumentException] {
+      Relational.movingAvg(df, "k", "t", "v", window = 0)
+    }
+  }
+
   test("dedupeKeepFirst keeps exactly the first row per key under the order") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
     val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))
