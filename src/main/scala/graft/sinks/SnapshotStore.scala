@@ -19,7 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot; a crash between write and flip loses only the flip (the new
   * snapshot is orphaned until the next write overwrites that side). At no
   * point can the ONLY copy be mid-rewrite — the invariant the daily
-  * master merge and the streaming merge sink both need. */
+  * master merge and the streaming merge sink both need.
+  *
+  * Reader contract: a reader holds the side that was current when it
+  * planned its scan, so it survives ONE concurrent swapWrite (which
+  * targets the other side) but not two — long-running readers must
+  * finish within a rotation period, or the deployment should keep N > 2
+  * rotating sides / a retention window (the same reader-vs-compaction
+  * contract transactional table formats solve with snapshot retention). */
 object SnapshotStore {
 
   private def fc(spark: SparkSession, root: String): FileContext =

@@ -41,16 +41,22 @@ class PersistSpec extends SparkSpec {
     }
   }
 
-  test("disk mode: an operator built on Persist gives identical results") {
+  test("disk mode: operators built on Persist give identical results") {
     val docs = (1L to 30L).map(i => (i, s"w$i x$i y$i z${i % 3} common tail words"))
       .toDF("doc_id", "text")
-    val local = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
-      .orderBy("a_id", "b_id").collect().toSeq
-    val disk = withMode("disk") {
-      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
-        .orderBy("a_id", "b_id").collect().toSeq
-    }
-    assert(local == disk && local.nonEmpty)
+    def run[A](f: => Seq[A]): (Seq[A], Seq[A]) = (f, withMode("disk")(f))
+    val (jl, jd) = run(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+      .orderBy("a_id", "b_id").collect().toSeq)
+    assert(jl == jd && jl.nonEmpty)
+    // the round-6 ops route their materialization through Persist too
+    val (sl, sd) = run(Dedup.duplicatedSpans(docs, n = 3, minDf = 2)
+      .orderBy("doc_id").collect().toSeq)
+    assert(sl == sd && sl.nonEmpty)
+    val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") <= 15), 3, 12)
+    val (il, id) = run(Dedup.lshCandidatePairsAgainst(
+        docs.filter(col("doc_id") > 15), sigs)
+      .orderBy("new_id", "corpus_id").collect().toSeq)
+    assert(il == id)
   }
 
   test("reliable mode: cut() checkpoints to the reliable checkpoint dir") {

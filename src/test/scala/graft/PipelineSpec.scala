@@ -332,7 +332,14 @@ class PipelineSpec extends SparkSpec {
     assert(snap() == latest(ev), "converged master != batch latest-per-key over the whole lake")
     // the rewrite landed on the OTHER side: the read snapshot was never
     // the write target
-    assert(SnapshotStore.currentSide(spark, root) != side1)
+    val side2 = SnapshotStore.currentSide(spark, root)
+    assert(side2 != side1)
+    // re-invocation with NOTHING new to process is a no-op: the checkpoint
+    // admits no batch, so the snapshot (and its side) must not move —
+    // the at-least-once retry story depends on this
+    Main.runStreamingMasterMerge(spark, src, schema, root, "user_id", order)
+    assert(SnapshotStore.currentSide(spark, root) == side2)
+    assert(snap() == latest(ev))
   }
 
   test("O2 streaming: incremental curation pass decides exactly like the batch gate") {
