@@ -114,6 +114,44 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs SCORED from the signatures alone: the fraction
+    * of agreeing MinHash components is an unbiased estimate of Jaccard
+    * similarity (the MinHash theorem: P[h_i(A) = h_i(B)] = J(A,B)), so
+    * candidate pairs get a similarity WITHOUT any second pass over the
+    * text — at 100 TB the difference between "join two k·8-byte
+    * signature rows per pair" and "re-intersect two full shingle sets
+    * per pair" ([[ngramJaccardPairs]]' verify stage) is the difference
+    * between scoring every candidate and sampling. The trade is
+    * variance: k components give σ ≈ √(J(1−J)/k) (~0.14 at k=12,
+    * J=0.5), so this ranks/filters coarsely — use it as the cheap
+    * middle stage (candidates → signature-scored → exact-verify
+    * survivors) or wherever estimated similarity suffices (dup-cluster
+    * triage, diversity sampling). Signatures are built ONCE and feed
+    * both the banding and the scoring joins; everything shuffled is
+    * fixed-width, never text. Integer agreement counts divide once at
+    * the end — exact, replayed by the oracle.
+    * Output: (a_id, b_id, j_est), a_id < b_id, distinct pairs. */
+  def estimatedJaccardPairs(docs: DataFrame, n: Int = 3, k: Int = 12,
+                            bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
+    val br = bandRows(sig, k, bands)
+    val cand = br.as("a")
+      .join(br.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val agree = (0 until k)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(agree.cast("double") / k, 4).as("j_est"))
+  }
+
   /** INCREMENTAL near-dup candidates: a NEW batch probed against an
     * EXISTING corpus — the daily-ingestion dedup shape. The corpus side
     * takes PRECOMPUTED signatures ([[minhashSignatures]], persisted once

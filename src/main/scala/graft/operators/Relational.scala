@@ -202,6 +202,79 @@ object Relational {
     df.withColumn(as, round(avg(col(value)).over(w), 4))
   }
 
+  /** Rolling z-score anomaly detection over an ordered per-key INTEGER
+    * series (run it on [[resampleCounts]] output — on a gap-free spine the
+    * trailing ROWS frame is also a trailing time window): each row is
+    * scored against the mean/stddev of the `window` rows PRECEDING it
+    * (exclusive — "today vs the last week", the standard detector frame:
+    * a frame INCLUDING the current row caps a single-point spike's z at
+    * √(window−1), so a 3σ flag could never fire at window ≤ 9), and
+    * flagged when |value − mean| > k·σ (population σ over the history).
+    *
+    * Exactness discipline (the reason this is restricted to integer
+    * values): the history statistics are INTEGER sums — cnt, Σv, Σv² — so
+    * z = (cnt·v − Σv)/√(cnt·Σv² − (Σv)²) is one double expression over
+    * exact integers, bit-identical cross-engine, and the anomaly flag is
+    * decided in PURE INTEGER arithmetic ((cnt·v − Σv)² > k²·varNum),
+    * immune to float drift at the threshold boundary. A windowed
+    * stddev_samp would hand the flag to engine-specific accumulation
+    * order. Integer bounds: safe while window·max(v)² < 2^63 — counts of
+    * events per bucket, not raw micropayment sums.
+    *
+    * A CONSTANT history (varNum = 0) has σ = 0: z is null, and any
+    * deviation from it is infinitely many sigmas — flagged whenever at
+    * least 2 history rows agree on the constant (cnt < 2 rows of history
+    * is no baseline: never flagged, z null).
+    *
+    * One window over the key partitioning (bounded-group discipline as
+    * above; a gap-filled series is bounded by its calendar span).
+    * Output: input columns + z (4 decimals, null when σ = 0), anomaly
+    * (0/1 long). */
+  def rollingZscore(df: DataFrame, key: String, order: String, value: String,
+                    window: Int, k: Int = 3, as: String = "z"): DataFrame = {
+    require(window >= 2, "a z-score needs at least 2 rows of history")
+    require(k >= 1, "k must be a positive integer sigma multiplier")
+    val w = Window.partitionBy(col(key)).orderBy(col(order))
+      .rowsBetween(-window, -1)
+    val v = col(value).cast("long")
+    val cnt = count(lit(1)).over(w)
+    val sm = sum(v).over(w)
+    val sq = sum(v * v).over(w)
+    val dev = cnt * v - sm                // cnt·(v − mean), integer-exact
+    val varNum = cnt * sq - sm * sm       // cnt²·variance, integer-exact
+    df.withColumn(as,
+        when(varNum > 0,
+          round(dev.cast("double") / sqrt(varNum.cast("double")), 4)))
+      .withColumn("anomaly",
+        when((varNum > 0 && dev * dev > lit(k.toLong * k) * varNum) ||
+             (varNum === 0 && cnt >= 2 && dev =!= 0), 1L).otherwise(0L))
+  }
+
+  /** Pivot with an EXPLICIT value list: per-key counts of `pivotCol`'s
+    * values spread into one column per value (absent combinations are 0,
+    * not null — downstream arithmetic shouldn't need null guards for
+    * categories that simply didn't occur).
+    *
+    * The values MUST be passed, never discovered: Spark's values-less
+    * pivot runs a distinct-collect job over the full input first — a
+    * corpus scan plus a driver collect whose width is unbounded at
+    * 100 TB. And with the list in hand, this deliberately does NOT use
+    * `Dataset.pivot` at all: Spark plans pivot as TWO aggregates (a
+    * pre-count on (key, pivotCol), then a pivot_first re-aggregate on
+    * key — two exchanges), while the explicit list admits plain
+    * conditional aggregation — count(CASE) per value in ONE groupBy
+    * with map-side partials, one shuffle (plan-asserted). The output
+    * schema is static either way, which is what every downstream
+    * consumer and the SQL oracle need.
+    * Output: key, one long count column per value, in `values` order
+    * (absent combinations are 0, not null). */
+  def pivotCounts(df: DataFrame, key: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pass the pivot categories explicitly")
+    val aggs = values.map(v => count(when(col(pivotCol) === v, 1)).as(v))
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

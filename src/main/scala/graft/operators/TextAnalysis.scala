@@ -424,6 +424,59 @@ object TextAnalysis {
         round(sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
   }
 
+  /** Interpolated bigram language-model scoring — the KenLM-style
+    * fluency/quality filter one step up from [[unigramLogProb]]: each
+    * token is scored by λ·P(w|prev) + (1−λ)·P(w), so word-order breakage
+    * (shuffled text, keyword stuffing, boilerplate splices) drops the
+    * score even when the unigram mass looks corpus-typical. A document's
+    * FIRST token has no history and backs off to its unigram probability
+    * entirely.
+    *
+    * Float discipline (cf. [[unigramLogProb]]): every probability is one
+    * double expression over exact integer counts; λ and (1−λ) are
+    * embedded as the SAME double constants on both engines (1−λ is
+    * computed ONCE in Scala and printed into the oracle SQL — writing
+    * literal `0.2` there would be a DIFFERENT double than 1.0−0.8 and
+    * drift the 6th decimal); per-token log-probs round to 6 decimals,
+    * sum as exact DECIMAL(18,6), then the per-doc average rounds to 4.
+    *
+    * Scale shape: the (prev, term) derivation is NARROW — the token
+    * array is staged once and the previous token read by position from
+    * the array during the posexplode projection, never a LAG window over
+    * a corpus-wide token table. Then: one bigram-count aggregate (map-
+    * side partials absorb hot bigrams), one unigram-count aggregate, the
+    * scalar total broadcast, and postings→counts joins that ship counts,
+    * not text, re-keyed per join. Self-scoring by construction; score
+    * against a REFERENCE LM by passing its count tables instead. */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must interpolate strictly between bigram and unigram")
+    val lambdaC = 1.0 - lambda
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), posexplode(col("__ts")), col("__ts"))
+      // posexplode pos is 0-based, element_at 1-based: element_at(ts, pos)
+      // IS the previous token; pos 0 (no history) stays null
+      .select(col("doc_id"), col("col").as("term"),
+        when(col("pos") >= 1, element_at(col("__ts"), col("pos"))).as("prev"))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val big = tok.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("cb"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("tot"))
+    val puni = col("cu").cast("double") / col("tot")
+    val pbig = coalesce(col("cb"), lit(0L)).cast("double") / col("cp").cast("double")
+    tok
+      .join(uni, "term")
+      .join(uni.select(col("term").as("prev"), col("cu").as("cp")), Seq("prev"), "left_outer")
+      .join(big, Seq("prev", "term"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(when(col("prev").isNull, puni)
+          .otherwise(lit(lambda) * pbig + lit(lambdaC) * puni)), 6)
+          .cast("decimal(18,6)").as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * between curation and tokenization: each document becomes the chunks
     * covering token offsets 0, stride, 2·stride, … (every start < the

@@ -354,7 +354,47 @@ object ExtensionQueries {
         "user_id", "bucket", "n_events", window = 7, as = "ma7")
       .orderBy("user_id", "bucket")
 
+  /** Interpolation weight for x41's bigram LM. The unigram complement is
+    * computed ONCE here and printed into the oracle SQL: `1.0 - 0.8` is
+    * 0.19999999999999996 in doubles — a literal `0.2` in the SQL would be
+    * a DIFFERENT constant and drift the 6th decimal of the log-probs. */
+  val lmLambda = 0.8
+  val lmLambdaC: Double = 1.0 - lmLambda
+
+  def x41(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(s, dir), lmLambda).orderBy("doc_id")
+
+  /** x42 window/threshold: 7-bucket trailing frame, 3σ flag — both sides
+    * of the contract decide the flag in pure integer arithmetic. */
+  val zWindow = 7
+  val zK = 3
+
+  def x42(s: SparkSession, dir: String): DataFrame =
+    Relational.rollingZscore(
+        Relational.resampleCounts(
+          Tables(s, dir, "events").select("user_id", "ts"), "user_id", "ts", "day"),
+        "user_id", "bucket", "n_events", window = zWindow, k = zK)
+      .orderBy("user_id", "bucket")
+
+  def x43(s: SparkSession, dir: String): DataFrame =
+    Dedup.estimatedJaccardPairs(docs(s, dir), n = 3, k = 12, bands = 4)
+      .orderBy("a_id", "b_id")
+
+  /** x44's pivot categories — EXPLICIT on both engines (a values-less
+    * Spark pivot would run a distinct-collect discovery job; see
+    * Relational.pivotCounts). */
+  val pivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def x44(s: SparkSession, dir: String): DataFrame =
+    Relational.pivotCounts(Tables(s, dir, "events"), "user_id", "event_type",
+        pivotEventTypes)
+      .orderBy("user_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x41_bigram_lm"     -> (x41 _),
+    "x42_anomaly"       -> (x42 _),
+    "x43_jaccard_est"   -> (x43 _),
+    "x44_pivot"         -> (x44 _),
     "x37_unigram_lm"    -> (x37 _),
     "x38_incr_dedup"    -> (x38 _),
     "x39_dup_spans"     -> (x39 _),
@@ -565,7 +605,79 @@ object ExtensionQueries {
        |HAVING count(*) >= $contamMinShared
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** x43's signature-agreement estimate, generated for k=12 — the same
+    * h0..h11 columns lshCtes' sig CTE defines. */
+  private val sigAgree: String = (0 until 12)
+    .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   val sql: Map[String, String] = Map(
+    // λ and (1−λ) are interpolated from the SAME Scala doubles the Spark
+    // operator uses (see lmLambdaC's note); probabilities are doubles over
+    // exact integer counts, per-token ln rounds to 6 decimals into exact
+    // DECIMAL addition — order-free on both engines (cf. x37)
+    "x41_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |tok AS (SELECT doc_id, toks[i] AS term,
+         |    CASE WHEN i > 1 THEN toks[i-1] END AS prev
+         |  FROM t CROSS JOIN UNNEST(range(1, len(toks)+1)) r(i)),
+         |uni AS (SELECT term, count(*)::BIGINT AS cu FROM tok GROUP BY term),
+         |big AS (SELECT prev, term, count(*)::BIGINT AS cb FROM tok
+         |        WHERE prev IS NOT NULL GROUP BY prev, term),
+         |tt AS (SELECT sum(cu)::DOUBLE AS tot FROM uni),
+         |s AS (SELECT tok.doc_id,
+         |  ROUND(ln(CASE WHEN tok.prev IS NULL THEN uni.cu::DOUBLE / tot
+         |    ELSE $lmLambda * (COALESCE(big.cb, 0)::DOUBLE / up.cu::DOUBLE)
+         |       + $lmLambdaC * (uni.cu::DOUBLE / tot) END), 6)::DECIMAL(18,6) AS lp
+         | FROM tok JOIN uni USING (term)
+         | LEFT JOIN uni up ON tok.prev = up.term
+         | LEFT JOIN big ON tok.prev = big.prev AND tok.term = big.term
+         | CROSS JOIN tt)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // history stats (PRECEDING frame, current row excluded) are integer
+    // sums; z is ONE double expression over them and the 3σ flag compares
+    // integers — no float at the boundary; constant history (var 0) with
+    // >= 2 rows flags ANY deviation (infinite sigmas)
+    "x42_anomaly" ->
+      s"""WITH $resampleCtes,
+         |w AS (SELECT user_id, bucket, n_events,
+         |  COALESCE(COUNT(*) OVER win, 0) AS cnt,
+         |  COALESCE(SUM(n_events) OVER win, 0) AS sm,
+         |  COALESCE(SUM(n_events * n_events) OVER win, 0) AS sq
+         | FROM r WINDOW win AS (PARTITION BY user_id ORDER BY bucket
+         |   ROWS BETWEEN $zWindow PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, bucket, n_events,
+         |  CASE WHEN cnt*sq - sm*sm > 0
+         |    THEN ROUND((cnt*n_events - sm)::DOUBLE / sqrt((cnt*sq - sm*sm)::DOUBLE), 4)
+         |  END AS z,
+         |  (CASE WHEN (cnt*sq - sm*sm > 0 AND (cnt*n_events - sm)*(cnt*n_events - sm)
+         |       > ${zK.toLong * zK}*(cnt*sq - sm*sm))
+         |     OR (cnt*sq - sm*sm = 0 AND cnt >= 2 AND cnt*n_events - sm <> 0)
+         |   THEN 1 ELSE 0 END)::BIGINT AS anomaly
+         |FROM w ORDER BY user_id, bucket""".stripMargin,
+    // candidates replay x08's banding; the estimate is integer signature
+    // agreement over 12, one exact division at the end
+    "x43_jaccard_est" ->
+      s"""WITH $lshCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT cand.a_id, cand.b_id,
+         |  ROUND(($sigAgree)::DOUBLE / 12, 4) AS j_est
+         |FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
+         |JOIN sig sb ON cand.b_id = sb.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "x44_pivot" -> {
+      val arms = pivotEventTypes.map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS $t")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $arms
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "x01_exact_dedup" ->
       """SELECT doc_id FROM
         | (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

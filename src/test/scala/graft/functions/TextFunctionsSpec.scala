@@ -61,6 +61,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("bigramLogProb: closed-form check; order breakage scores below identical unigrams") {
+    // single doc "a a b": uni a=2 b=1 tot=3; big (a,a)=1 (a,b)=1
+    //  t1 (no hist): ln(2/3); t2: ln(.8*(1/2)+.2*(2/3)); t3: ln(.8*(1/2)+.2*(1/3))
+    val solo = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r1 = graft.operators.TextAnalysis.bigramLogProb(solo, lambda = 0.8).collect().head
+    assert(r1.getLong(1) == 3L)
+    assert(r1.getDouble(2) == -0.5987)
+    // 8 natural copies fix the bigram stats; doc 9 permutes the SAME
+    // unigram multiset — the unigram LM ties them, the bigram LM must not
+    val natural = "the cat sat on the mat"
+    val docs = ((1L to 8L).map(i => (i, natural)) :+ (9L, "mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val big = graft.operators.TextAnalysis.bigramLogProb(docs, lambda = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = graft.operators.TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(9L) == uni(1L))  // unigram model is blind to word order
+    assert(big(9L) < big(1L))   // bigram model sees the breakage
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bigramLogProb(docs, lambda = 1.0)
+    }
+  }
+
   test("chunkDocs: stride windows with end clamp; stride=chunk partitions exactly") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")

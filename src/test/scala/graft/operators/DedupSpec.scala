@@ -34,6 +34,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("estimatedJaccardPairs: identical docs estimate 1.0; pair set = LSH candidates") {
+    val base = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> base, 2L -> base,                       // identical: all k components agree
+      3L -> (base + " eleven twelve thirteen"),     // overlapping near-dup
+      4L -> "totally different words entirely unrelated content here now")
+    val est = Dedup.estimatedJaccardPairs(d, n = 3, k = 12, bands = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+    // the estimate scores EXACTLY the banding candidates — no extra pairs,
+    // none lost (the scoring join must not change the candidate set)
+    val cand = Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.keySet == cand)
+  }
+
   test("simhash: identical docs get identical fingerprints; bits bounded") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "unrelated stuff")
     val fp = Dedup.simhash(d, bits = 16).collect()

@@ -54,6 +54,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rollingZscore: spike flags vs noisy history; constant history flags any deviation") {
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 12L), (1L, 3L, 10L), (1L, 4L, 11L), (1L, 5L, 30L), (1L, 6L, 11L),
+      (2L, 1L, 5L), (2L, 2L, 5L), (2L, 3L, 5L), (2L, 4L, 9L)
+    ).toDF("k", "t", "v")
+    val out = Relational.rollingZscore(df, "k", "t", "v", window = 4, k = 3)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, None, 0L),            // no history at all
+      (1L, 2L, None, 0L),            // 1 history row: no baseline, never flagged
+      (1L, 3L, Some(-1.0), 0L),      // hist {10,12}: z = -2/sqrt(4)
+      (1L, 4L, Some(0.3536), 0L),    // hist {10,12,10}: z = 1/sqrt(8)
+      (1L, 5L, Some(23.2164), 1L),   // hist {10,12,10,11}: z = 77/sqrt(11) — flagged
+      (1L, 6L, Some(-0.5752), 0L),   // the spike is now HISTORY: variance absorbs it
+      (2L, 1L, None, 0L),
+      (2L, 2L, None, 0L),
+      (2L, 3L, None, 0L),            // constant history, zero deviation: quiet
+      (2L, 4L, None, 1L)))           // constant history, ANY deviation = infinite sigmas
+    intercept[IllegalArgumentException] {
+      Relational.rollingZscore(df, "k", "t", "v", window = 1)
+    }
+  }
+
+  test("pivotCounts: explicit categories, absent combos are 0, unlisted values ignored") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (2L, "zz")).toDF("k", "c")
+    val out = Relational.pivotCounts(df, "k", "c", Seq("a", "b", "unseen"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the zz row matches no listed category and contributes nowhere
+    assert(out == Seq((1L, 2L, 1L, 0L), (2L, 0L, 1L, 0L)))
+    assert(Relational.pivotCounts(df, "k", "c", Seq("a", "b", "unseen"))
+      .columns.toSeq == Seq("k", "a", "b", "unseen"))
+    intercept[IllegalArgumentException] { Relational.pivotCounts(df, "k", "c", Nil) }
+  }
+
   test("dedupeKeepFirst keeps exactly the first row per key under the order") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
     val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))

@@ -174,6 +174,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p)
   }
 
+  test("x41: bigram context is array-positional — no corpus-wide token Window") {
+    val p = plan(ExtensionQueries.x41)
+    // prev comes from element_at on the staged array during the explode,
+    // never a LAG window over the exploded token table (which would add a
+    // corpus-scale (doc_id, pos) sort-shuffle before any counting)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p) // count aggregates combine map-side
+  }
+
+  test("x44: explicit-values pivot is ONE partial-aggregated shuffle, no discovery job") {
+    val df = ExtensionQueries.x44(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("partial_"), p)
+    // a values-less pivot would have run a separate distinct-collect job;
+    // the explicit list plans a single groupBy exchange (+ the orderBy's
+    // range exchange from the contract's deterministic ordering)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
