@@ -252,6 +252,61 @@ object Main {
     report
   }
 
+  /** Incremental anomaly monitoring — the streaming twin of the x42
+    * chain (resample → rolling z-score): each micro-batch of events is
+    * reduced to per-(key, bucket) count PARTIALS tagged with the batch
+    * id and merged into a counts snapshot; the gap-filled series and its
+    * z-scores are then recomputed FROM THE MERGED COUNTS and land under
+    * `outRoot/anomalies`.
+    *
+    * Why this split is the right incremental shape: the z-score is a
+    * windowed operator — one new day changes the trailing statistics of
+    * later buckets too, so per-row streaming state cannot patch the
+    * output — but the EXPENSIVE side (reading raw events) is strictly
+    * incremental: each event is read once, ever, and the recompute runs
+    * over |keys × buckets| aggregated rows, orders of magnitude smaller
+    * than the event lake (and prunable further: only keys present in
+    * the batch can change — documented option, full rewrite kept here
+    * for the simpler A/B-snapshot output contract).
+    *
+    * Retry safety: foreachBatch is at-least-once, and an ADDITIVE merge
+    * double-counts a retried batch — so partials key on (key, bucket,
+    * batch_id) and merge by dedupe, making the retry overwrite its own
+    * prior rows instead of adding to them; totals are summed at read.
+    * The converged output equals the batch chain over the whole lake
+    * regardless of how files split into batches (spec-asserted). */
+  def runStreamingAnomaly(spark: SparkSession, eventsDir: String, outRoot: String,
+                          unit: String = "day", window: Int = 7, k: Int = 3): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val countsRoot = s"$outRoot/counts"
+        val bCounts = batch.toDF.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"), date_trunc(unit, col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("batch_id", lit(batchId))
+        val all = graft.sinks.SnapshotStore.read(s, countsRoot)
+          .map(_.unionByName(bCounts)).getOrElse(bCounts)
+        graft.sinks.SnapshotStore.swapWrite(
+          graft.operators.Relational.dedupeKeepFirst(all,
+            Seq(col("user_id"), col("bucket"), col("batch_id")),
+            Seq(col("n_events"))),
+          countsRoot)
+        val merged = graft.sinks.SnapshotStore.read(s, countsRoot).get
+          .groupBy(col("user_id"), col("bucket"))
+          .agg(sum(col("n_events")).as("n_events"))
+        graft.operators.Relational.rollingZscore(
+            graft.operators.Relational.fillGaps(merged, "user_id", unit),
+            "user_id", "bucket", "n_events", window, k)
+          .write.mode("overwrite").parquet(s"$outRoot/anomalies")
+        ()
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/anomaly")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Streaming MERGE into a master snapshot — the streaming twin of the
     * daily history upsert (Q2): each micro-batch of update rows merges
     * into the current snapshot under "latest per key wins" (`order`

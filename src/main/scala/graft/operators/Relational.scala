@@ -167,21 +167,33 @@ object Relational {
     * matches nothing; DuckDB's USING join agrees).
     * Output: key, bucket, n_events (0 for gaps). */
   def resampleCounts(df: DataFrame, key: String, ts: String,
-                     unit: String = "day"): DataFrame = {
+                     unit: String = "day"): DataFrame =
+    fillGaps(
+      df.filter(col(key).isNotNull)
+        .select(col(key), date_trunc(unit, col(ts)).as("bucket"))
+        .groupBy(col(key), col("bucket")).agg(count(lit(1)).as("n_events")),
+      key, unit)
+
+  /** The gap-fill stage of [[resampleCounts]], exposed for callers that
+    * already HOLD aggregated (key, bucket, n_events) rows — e.g. the
+    * incremental anomaly runner, whose counts table is maintained
+    * additively across streaming batches and must be re-spined per pass
+    * without touching raw events. Input buckets must already be
+    * `unit`-aligned (date_trunc'd) and unique per (key, bucket) — a
+    * misaligned bucket would fall off the spine and silently drop. */
+  def fillGaps(counts: DataFrame, key: String, unit: String = "day"): DataFrame = {
     // sanitized allow-list: `unit` reaches an interval expression, and
     // month/year intervals are variable-width (calendar arithmetic) —
     // fixed-width units keep the spine arithmetic engine-independent
     require(Seq("hour", "day", "week").contains(unit),
       s"unit must be hour|day|week, got $unit")
-    val counts = df.filter(col(key).isNotNull)
-      .select(col(key), date_trunc(unit, col(ts)).as("bucket"))
-      .groupBy(col(key), col("bucket")).agg(count(lit(1)).as("__n"))
     val spine = counts.groupBy(col(key))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(key),
         explode(sequence(col("__lo"), col("__hi"), expr(s"interval 1 $unit")))
           .as("bucket"))
-    spine.join(counts, Seq(key, "bucket"), "left_outer")
+    spine.join(counts.select(col(key), col("bucket"), col("n_events").as("__n")),
+        Seq(key, "bucket"), "left_outer")
       .select(col(key), col("bucket"), coalesce(col("__n"), lit(0L)).as("n_events"))
   }
 

@@ -342,6 +342,46 @@ class PipelineSpec extends SparkSpec {
     assert(snap() == latest(ev))
   }
 
+  test("O2 streaming: incremental anomaly counts converge to the batch x42 chain") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_anom_in").toString
+    val root = Files.createTempDirectory("graft_anom_out").toString
+    val ev = Tables(spark, sf(), "events").select("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+    def landed() = spark.read.parquet(s"$root/anomalies")
+      .select("user_id", "bucket", "n_events", "z", "anomaly").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) "null" else r.getDouble(3).toString, r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // wave 1: even event_ids — splits most (user, day) buckets, so wave 2
+    // must merge ADDITIVELY into existing buckets, not just append new ones
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runStreamingAnomaly(spark, src, root, window = 4, k = 3)
+    val batchWave1 = graft.operators.Relational.rollingZscore(
+      graft.operators.Relational.resampleCounts(
+        ev.filter(col("event_id") % 2 === 0).select("user_id", "ts"), "user_id", "ts", "day"),
+      "user_id", "bucket", "n_events", window = 4, k = 3)
+    assert(landed().map(t => (t._1, t._2, t._3)) ==
+      batchWave1.select("user_id", "bucket", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq)
+    // wave 2: odd event_ids land; the converged output must equal the
+    // batch chain over the WHOLE lake (bucket totals re-summed from
+    // batch-keyed partials, spine + z-scores recomputed)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runStreamingAnomaly(spark, src, root, window = 4, k = 3)
+    val batchAll = graft.operators.Relational.rollingZscore(
+      graft.operators.Relational.resampleCounts(
+        ev.select("user_id", "ts"), "user_id", "ts", "day"),
+      "user_id", "bucket", "n_events", window = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) "null" else r.getDouble(3).toString, r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(landed() == batchAll,
+      "incremental anomaly output diverged from the batch resample+zscore chain")
+    assert(landed().exists(_._5 == 1L), "fixture produced no anomalies — test is vacuous")
+  }
+
   test("O2 streaming: incremental curation pass decides exactly like the batch gate") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_cur_in").toString
