@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expr.CosineSimilarity
+import graft.functions.expr.{CosineSimilarity, HexParityMask}
 
 /** Registration surface for the engine's custom Catalyst expressions.
   *
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+    ext.injectFunction(GraftFunctions.hexParityMaskDescriptor)
   }
 }
 
@@ -54,12 +55,24 @@ object GraftFunctions {
         children.head, children(1))
     })
 
+  /** SimHash's per-token vote vector in one codegen'd pass (see
+    * [[graft.functions.expr.HexParityMask]] for why this beats `conv`). */
+  val hexParityMaskDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hex_parity_mask"),
+    new ExpressionInfo(classOf[HexParityMask].getName, "graft_hex_parity_mask"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_hex_parity_mask(hex) takes exactly 1 argument")
+      HexParityMask(children.head)
+    })
+
   /** Idempotent imperative registration into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", es => cosineDescriptor._3(es), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains", es => bloomContainsDescriptor._3(es), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hex_parity_mask", es => hexParityMaskDescriptor._3(es), "internal")
   }
 
   /** Column-level accessor; caller must have registered on the session
@@ -67,6 +80,12 @@ object GraftFunctions {
   def cosine(df: DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-level parity-mask accessor (cf. [[cosine]]). */
+  def hexParityMask(df: DataFrame, hex: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_hex_parity_mask", hex)
   }
 
   /** Column-level bloom membership: true iff `value` (a long, typically
