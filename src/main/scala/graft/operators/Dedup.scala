@@ -322,7 +322,25 @@ object Dedup {
     * falls back to the greedy answer — still a safe dedup (every dropped
     * doc had a kept near-dup within 2 hops), just not cluster-canonical. */
   def dropNearDuplicatesCC(docs: DataFrame, pairs: DataFrame,
-                           maxIters: Int = 10): DataFrame = {
+                           maxIters: Int = 10): DataFrame =
+    componentLabels(pairs, maxIters) match {
+      case None => docs                       // no candidate pairs: keep all
+      case Some((_, false)) => dropNearDuplicates(docs, pairs) // greedy fallback
+      case Some((labels, true)) => docs.join(
+        labels.filter(col("id") =!= col("lbl")).select(col("id").as("__drop")),
+        docs("doc_id") === col("__drop"), "left_anti")
+    }
+
+  /** Converged min-label component ids for the candidate-pair graph —
+    * the shared CC core of [[dropNearDuplicatesCC]] (drop all but the
+    * minimum id) and [[keepBestPerCluster]] (keep the best-scoring doc
+    * per component). Returns None when the graph has no edges; otherwise
+    * ((id, lbl) for every node appearing in a pair, converged?) — on a
+    * non-converged cap the labels are a FINER partition than the true
+    * components (label propagation only merges), which callers must
+    * treat as "keep possibly-more representatives", never fewer. */
+  private def componentLabels(pairs: DataFrame,
+                              maxIters: Int): Option[(DataFrame, Boolean)] = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = graft.Persist.cut(fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))))
@@ -332,10 +350,9 @@ object Dedup {
     var labels = graft.Persist.cut(
       edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__mn"))
         .select(col("id"), least(col("id"), col("__mn")).as("lbl")))
-    // no candidates at all (a healthy corpus): nothing to drop — and the
-    // sum-based convergence check below would read sum() of an empty
-    // frame as null
-    if (labels.isEmpty) return docs
+    // no candidates at all (a healthy corpus) — and the sum-based
+    // convergence check below would read sum() of an empty frame as null
+    if (labels.isEmpty) return None
     // Lifecycle note: each round's cut frame is superseded on rebind and
     // reclaimed by the ContextCleaner once unreferenced (no public eager
     // release for checkpoint-backed frames). The loop's frames hold ONLY
@@ -369,10 +386,34 @@ object Dedup {
       labels = next
       i += 1
     }
-    if (!converged) dropNearDuplicates(docs, pairs)
-    else docs.join(
-      labels.filter(col("id") =!= col("lbl")).select(col("id").as("__drop")),
-      docs("doc_id") === col("__drop"), "left_anti")
+    Some((labels, converged))
+  }
+
+  /** Cluster-canonical dedup that keeps the BEST document per near-dup
+    * component instead of the lowest id — "best" per `order` (e.g.
+    * quality score desc): the curation-grade variant of
+    * [[dropNearDuplicatesCC]], because the lowest-id representative of a
+    * boilerplate cluster is arbitrary while the highest-quality one is
+    * what a training corpus wants to retain. Docs in no pair keep
+    * themselves (singleton components). Ties under `order` MUST be
+    * broken deterministically — append the id to the order.
+    *
+    * On a non-converged iteration cap the partial labels are a finer
+    * partition than the true components (see [[componentLabels]]): the
+    * output may keep more than one representative of a pathological
+    * mega-component, never fewer than one — the safe failure direction.
+    * Scale: the CC loop ships (id, label) longs; the final selection is
+    * one broadcast-friendly label join + one bounded-group window. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+                         order: Seq[Column], maxIters: Int = 10): DataFrame = {
+    val labeled = componentLabels(pairs, maxIters) match {
+      case None => docs.withColumn("__lbl", col("doc_id"))
+      case Some((labels, _)) => docs
+        .join(labels.select(col("id"), col("lbl")), docs("doc_id") === col("id"), "left_outer")
+        .withColumn("__lbl", coalesce(col("lbl"), col("doc_id")))
+        .drop("id", "lbl")
+    }
+    Relational.dedupeKeepFirst(labeled, Seq(col("__lbl")), order).drop("__lbl")
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are

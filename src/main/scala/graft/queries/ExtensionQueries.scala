@@ -390,11 +390,67 @@ object ExtensionQueries {
         pivotEventTypes)
       .orderBy("user_id")
 
+  /** CUBE over (lang, source): every aggregate granularity — per pair,
+    * per lang, per source, grand total — in one pass (the OLAP companion
+    * to OQ08's ROLLUP; fine on a plain scan, where the Spark 4.1
+    * rollup-on-join analyzer gotcha doesn't apply). */
+  def x45(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs(s, dir)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("__nt"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  /** Session funnel: x14's gap-sessionizer composed with x44's
+    * conditional-aggregation pivot — per (user, session) view/purchase
+    * counts and a conversion flag, the canonical product-analytics read
+    * over the events stream. */
+  def x46(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select("user_id", "event_id", "ts", "event_type")
+    Relational.sessionize(e, col("user_id"), unix_micros(col("ts")),
+        col("event_id"), gapMicros = 30L * 60 * 1000000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      .withColumn("converted",
+        when(col("n_view") > 0 && col("n_purchase") > 0, 1L).otherwise(0L))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Curation-grade near-dedup: keep the HIGHEST-QUALITY doc per CC
+    * component (x21 keeps the lowest id — arbitrary; a training corpus
+    * wants the best representative of each boilerplate cluster). */
+  def x47(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.keepBestPerCluster(
+        d.join(TextAnalysis.quality(d).select("doc_id", "quality_score"), "doc_id"),
+        Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4),
+        order = Seq(col("quality_score").desc, col("doc_id")))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Token-length histogram (10-token buckets) — the length-distribution
+    * read every curation pass starts from. Integer arithmetic only. */
+  def x48(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val nt = size(tokens(col("text"))).cast("long")
+    docs(s, dir).select((nt - nt % 10).as("bucket_lo"))
+      .groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x41_bigram_lm"     -> (x41 _),
     "x42_anomaly"       -> (x42 _),
     "x43_jaccard_est"   -> (x43 _),
     "x44_pivot"         -> (x44 _),
+    "x45_cube"          -> (x45 _),
+    "x46_funnel"        -> (x46 _),
+    "x47_keep_best"     -> (x47 _),
+    "x48_length_hist"   -> (x48 _),
     "x37_unigram_lm"    -> (x37 _),
     "x38_incr_dedup"    -> (x38 _),
     "x39_dup_spans"     -> (x39 _),
@@ -605,6 +661,23 @@ object ExtensionQueries {
        |HAVING count(*) >= $contamMinShared
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** Connected-components chain over the LSH candidate graph (transitive
+    * closure; UNION dedups, so the recursion terminates) — ONE generated
+    * definition shared by x21 (drop non-minimum ids) and x47 (keep the
+    * best-quality representative). Callers prefix WITH RECURSIVE. */
+  private lazy val ccCompCtes: String =
+    s"""$lshCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
+
   /** x43's signature-agreement estimate, generated for k=12 — the same
     * h0..h11 columns lshCtes' sig CTE defines. */
   private val sigAgree: String = (0 until 12)
@@ -678,6 +751,34 @@ object ExtensionQueries {
          |  $arms
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    "x45_cube" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    // x14's session windows + x44's conditional-aggregation pivot, fused
+    "x46_funnel" ->
+      """WITH s AS (SELECT user_id, event_id, event_type,
+        |   SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |        FROM events))
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |  (CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+        |     AND sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |   THEN 1 ELSE 0 END)::BIGINT AS converted
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "x48_length_hist" ->
+      """SELECT n - n % 10 AS bucket_lo, count(*)::BIGINT AS n_docs
+        |FROM (SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x01_exact_dedup" ->
       """SELECT doc_id FROM
         | (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -743,20 +844,28 @@ object ExtensionQueries {
     // recursion terminates); a doc is dropped iff some smaller id reaches
     // it — exactly the converged min-label-propagation fixpoint
     "x21_cc_dedup" ->
-      s"""WITH RECURSIVE $lshCtes,
-         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
-         |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $ccCompCtes
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
          |ORDER BY doc_id""".stripMargin,
+    // SAME component chain as x21 (one generated definition), but the
+    // representative is the best-quality doc (x04's exact score
+    // expression) with an id tiebreak, not the minimum id
+    "x47_keep_best" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |qt AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  ROUND(least(len(toks)::BIGINT / 100.0, 1.0) *
+         |    (1.0 - len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE), 4)
+         |    AS quality_score FROM qt),
+         |lbl AS (SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS lbl
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |r AS (SELECT l.doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY l.lbl
+         |    ORDER BY q.quality_score DESC, l.doc_id) AS rn
+         |  FROM lbl l JOIN q USING (doc_id))
+         |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x16_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),

@@ -51,6 +51,26 @@ class DedupSpec extends SparkSpec {
     assert(est.keySet == cand)
   }
 
+  test("keepBestPerCluster keeps the best-scoring doc per component, singletons survive") {
+    import spark.implicits._
+    // component {1,2,3} via chained pairs; 4 is a singleton
+    val d = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.1)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.keepBestPerCluster(d, pairs, Seq(col("q").desc, col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // NOT doc 1 (the minimum id dropNearDuplicatesCC would keep): quality wins
+    assert(kept == Seq(2L, 4L))
+    // no pairs at all: everyone is their own component
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.keepBestPerCluster(d, none, Seq(col("q").desc, col("doc_id")))
+      .count() == 4)
+    // deterministic tie-break: equal scores fall back to the id
+    val tied = Seq((1L, 0.5), (2L, 0.5)).toDF("doc_id", "q")
+    assert(Dedup.keepBestPerCluster(tied, Seq((1L, 2L)).toDF("a_id", "b_id"),
+        Seq(col("q").desc, col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("simhash: identical docs get identical fingerprints; bits bounded") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "unrelated stuff")
     val fp = Dedup.simhash(d, bits = 16).collect()

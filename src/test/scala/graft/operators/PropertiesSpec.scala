@@ -294,7 +294,12 @@ class PropertiesSpec extends SparkSpec {
         Relational.resampleCounts(ev, "user_id", "ts"), "user_id", "bucket", "n_events", 7).count()),
       "asof"        -> (() => Relational.asOfJoin(ev,
         ev.select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid")),
-        "user_id", "ts", "vts").count()))
+        "user_id", "ts", "vts").count()),
+      "bigramLM"    -> (() => TextAnalysis.bigramLogProb(d).count()),
+      "jaccardEst"  -> (() => Dedup.estimatedJaccardPairs(d).count()),
+      "zscore"      -> (() => Relational.rollingZscore(
+        Relational.resampleCounts(ev, "user_id", "ts"), "user_id", "bucket", "n_events", 7).count()),
+      "pivot"       -> (() => Relational.pivotCounts(ev, "user_id", "event_id", Seq("1")).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
