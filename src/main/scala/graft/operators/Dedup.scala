@@ -177,6 +177,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-stratum duplication-rate summary over any (new_id, …) pair
+    * frame — the monitoring read on top of [[lshCandidatePairsAgainst]]:
+    * for each stratum of the new batch (source, language, day…), how
+    * many docs arrived, how many collided with the existing corpus, and
+    * the rate. This is the number a daily ingestion dashboard alarms on
+    * (a source whose dup_rate jumps is re-crawling or being mirrored).
+    * Scale: one distinct over pair new_ids (32-byte-hash-derived longs),
+    * one broadcast-friendly left join onto the batch, one stratum
+    * aggregate. Output: stratum, n_new, n_dup, dup_rate. */
+  def dupRateByStratum(newDocs: DataFrame, pairs: DataFrame,
+                       stratum: Column): DataFrame = {
+    val dup = pairs.select(col("new_id")).distinct()
+    newDocs.join(dup, newDocs("doc_id") === dup("new_id"), "left_outer")
+      .groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_new"), count(col("new_id")).as("n_dup"))
+      .select(col("stratum"), col("n_new"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_new"), 4).as("dup_rate"))
+  }
+
   /** Exact duplicated-substring signal at n-token granularity (the third
     * dedup family next to doc-level exact and near-dup: memorization risk
     * comes from REPEATED SPANS, not whole-doc similarity — cf. the

@@ -477,6 +477,45 @@ object TextAnalysis {
         round(sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
   }
 
+  /** Top-k adjacent-pair PMI (pointwise mutual information) — the
+    * collocation/keyness read over a corpus ("strongly associated word
+    * pairs"), the analysis companion to [[bigramLogProb]]'s scoring:
+    * PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with P(a,b) over adjacent
+    * positions and P(·) over tokens. Pairs below `minCount` occurrences
+    * are dropped first — PMI famously explodes on hapax pairs, and the
+    * floor is also what keeps the ranked output statistically meaningful.
+    *
+    * Exactness: every probability is a ratio of exact integer counts;
+    * the PMI is ONE double expression over them, rounded to 4 decimals,
+    * and the top-k selection orders on (rounded pmi desc, prev, term) —
+    * fully deterministic cross-engine. Plan shape: the narrow positional
+    * prev derivation (no corpus-wide LAG — see [[bigramLogProb]]), two
+    * count aggregates with map-side partials, scalar totals broadcast,
+    * and TakeOrderedAndProject for the cut — never a global sort.
+    * Output: prev, term, n (pair count), pmi. */
+  def pmiTopPairs(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(posexplode(col("__ts")), col("__ts"))
+      .select(col("col").as("term"),
+        when(col("pos") >= 1, element_at(col("__ts"), col("pos"))).as("prev"))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val big = tok.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val totals = tok.agg(count(lit(1)).cast("double").as("t"),
+      count(col("prev")).cast("double").as("tb"))
+    big
+      .join(uni.select(col("term").as("prev"), col("cu").as("cp")), "prev")
+      .join(uni, "term")
+      .crossJoin(broadcast(totals))
+      .select(col("prev"), col("term"), col("n"),
+        round(log((col("n").cast("double") / col("tb")) /
+          ((col("cp").cast("double") / col("t")) *
+            (col("cu").cast("double") / col("t")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("prev"), col("term")).limit(k)
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * between curation and tokenization: each document becomes the chunks
     * covering token offsets 0, stride, 2·stride, … (every start < the

@@ -442,7 +442,31 @@ object ExtensionQueries {
       .orderBy("bucket_lo")
   }
 
+  /** x49 floor/cut: pairs seen < 5 times are PMI noise; top-50 with the
+    * deterministic (pmi, prev, term) order. */
+  val pmiMinCount = 5
+  val pmiTopK = 50
+
+  def x49(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiTopPairs(docs(s, dir), pmiMinCount, pmiTopK)
+
+  /** Per-source duplication-rate monitoring over the x38 incremental
+    * probe — the daily-ingestion dashboard read (every 10th doc plays
+    * the new batch, as in x38). */
+  def x50(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    Dedup.dupRateByStratum(batch,
+        Dedup.lshCandidatePairsAgainst(batch,
+          Dedup.minhashSignatures(d.filter(col("doc_id") % 10 =!= 0), n = 3, k = 12),
+          n = 3, k = 12, bands = 4),
+        col("source"))
+      .orderBy("stratum")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_pmi"           -> (x49 _),
+    "x50_dup_rate"      -> (x50 _),
     "x41_bigram_lm"     -> (x41 _),
     "x42_anomaly"       -> (x42 _),
     "x43_jaccard_est"   -> (x43 _),
@@ -751,6 +775,38 @@ object ExtensionQueries {
          |  $arms
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    // PMI over exact integer counts: the same positional-prev tok CTE as
+    // x41; selection on ROUND(pmi,4) with (prev, term) tiebreaks
+    "x49_pmi" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |tok AS (SELECT toks[i] AS term,
+         |    CASE WHEN i > 1 THEN toks[i-1] END AS prev
+         |  FROM t CROSS JOIN UNNEST(range(1, len(toks)+1)) r(i)),
+         |uni AS (SELECT term, count(*)::BIGINT AS cu FROM tok GROUP BY term),
+         |big AS (SELECT prev, term, count(*)::BIGINT AS n FROM tok
+         |        WHERE prev IS NOT NULL GROUP BY prev, term
+         |        HAVING count(*) >= $pmiMinCount),
+         |tt AS (SELECT count(*)::DOUBLE AS t, count(prev)::DOUBLE AS tb FROM tok)
+         |SELECT big.prev, big.term, big.n,
+         |  ROUND(ln((big.n::DOUBLE / tb) /
+         |    ((up.cu::DOUBLE / t) * (ut.cu::DOUBLE / t))), 4) AS pmi
+         |FROM big JOIN uni up ON big.prev = up.term
+         |JOIN uni ut ON big.term = ut.term
+         |CROSS JOIN tt
+         |ORDER BY pmi DESC, big.prev, big.term LIMIT $pmiTopK""".stripMargin,
+    // the x38 probe summarized per source — shared banding CTEs again
+    "x50_dup_rate" ->
+      s"""WITH $lshCtes,
+         |dup AS (SELECT DISTINCT a.doc_id AS new_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT d.source AS stratum, count(*)::BIGINT AS n_new,
+         |  count(dup.new_id)::BIGINT AS n_dup,
+         |  ROUND(count(dup.new_id)::DOUBLE / count(*), 4) AS dup_rate
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+         |WHERE d.doc_id % 10 = 0
+         |GROUP BY d.source ORDER BY stratum""".stripMargin,
     "x45_cube" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens

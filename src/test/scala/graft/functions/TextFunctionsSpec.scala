@@ -84,6 +84,21 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("pmiTopPairs: closed-form check; minCount floor; deterministic cut") {
+    // "x y x y …" (5 each): pair (x,y) occurs 5×, (y,x) 4× (floored out at 5);
+    // T=10 tokens, TB=9 adjacent positions → PMI(x,y) = ln((5/9)/(0.5·0.5))
+    val docs = Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.pmiTopPairs(docs, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("x", "y", 5L, math.rint(math.log((5.0 / 9) / 0.25) * 1e4) / 1e4)))
+    // a true collocation outranks pairs of independently-frequent words
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val coll = (1L to 10L).map(i => (i, s"new york $filler")).toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.pmiTopPairs(coll, minCount = 5, k = 1)
+      .collect().head
+    assert((top.getString(0), top.getString(1)) == ("new", "york"))
+  }
+
   test("chunkDocs: stride windows with end clamp; stride=chunk partitions exactly") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(est.keySet == cand)
   }
 
+  test("dupRateByStratum: per-stratum rates, zero-collision strata included") {
+    import spark.implicits._
+    val batch = Seq((10L, "a"), (20L, "a"), (30L, "b"), (40L, "c")).toDF("doc_id", "source")
+    val pairs = Seq((10L, 1L), (10L, 2L), (30L, 7L)).toDF("new_id", "corpus_id")
+    val out = Dedup.dupRateByStratum(batch, pairs, col("source"))
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // doc 10 collides twice but counts ONCE; source c has no collisions
+    assert(out == Seq(("a", 2L, 1L, 0.5), ("b", 1L, 1L, 1.0), ("c", 1L, 0L, 0.0)))
+  }
+
   test("keepBestPerCluster keeps the best-scoring doc per component, singletons survive") {
     import spark.implicits._
     // component {1,2,3} via chained pairs; 4 is a singleton

@@ -299,7 +299,12 @@ class PropertiesSpec extends SparkSpec {
       "jaccardEst"  -> (() => Dedup.estimatedJaccardPairs(d).count()),
       "zscore"      -> (() => Relational.rollingZscore(
         Relational.resampleCounts(ev, "user_id", "ts"), "user_id", "bucket", "n_events", 7).count()),
-      "pivot"       -> (() => Relational.pivotCounts(ev, "user_id", "event_id", Seq("1")).count()))
+      "pivot"       -> (() => Relational.pivotCounts(ev, "user_id", "event_id", Seq("1")).count()),
+      "pmi"         -> (() => TextAnalysis.pmiTopPairs(d).count()),
+      "dupRate"     -> (() => Dedup.dupRateByStratum(d,
+        Seq.empty[(Long, Long)].toDF("new_id", "corpus_id"), col("lang")).count()),
+      "keepBest"    -> (() => Dedup.keepBestPerCluster(d,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"), Seq(col("doc_id"))).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

@@ -194,6 +194,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("x46: the funnel aggregate rides the sessionizer's user shuffle (one hash exchange)") {
+    val df = ExtensionQueries.x46(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // groupBy(user_id, session_id) is satisfied by the window's
+    // hashpartitioning(user_id) — partitioning on a SUBSET of the group
+    // key still co-locates every group, so EnsureRequirements must not
+    // add a second hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("x45: cube aggregates are partial (map-side) before the shuffle") {
+    val p = plan(ExtensionQueries.x45)
+    assert(p.contains("partial_"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
