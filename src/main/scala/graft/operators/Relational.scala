@@ -287,6 +287,40 @@ object Relational {
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Quantile bucketing without a global sort: assign each row to one of
+    * `buckets` quantile bins of `value` (length-curriculum strata,
+    * size-tiered processing). The naive formulation — NTILE over a
+    * corpus-wide ORDER BY — funnels the whole dataset through ONE
+    * sorting task; this computes the exact bucket THRESHOLDS with one
+    * percentile aggregate (map-side partials), broadcasts the 1-row
+    * threshold frame, and assigns with a narrow comparison sum — no
+    * global sort, no skew, same bins.
+    *
+    * Determinism: thresholds are rounded to 4 decimals (Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share R-7 interpolation
+    * and agree after the round — the x23 contract pins this); integer
+    * values compared against rounded thresholds make every assignment
+    * engine-independent. Quantile probabilities are exact binary doubles
+    * for power-of-two bucket counts and printed verbatim into generated
+    * SQL otherwise. Boundary semantics: a row EQUAL to a threshold falls
+    * in the lower bucket (`>` comparisons); heavily-tied distributions
+    * produce unbalanced buckets by construction — that is what equal
+    * values mean. Output: input + bucket (1-based long). */
+  def quantileBuckets(df: DataFrame, value: String, buckets: Int,
+                      as: String = "bucket"): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile($value, $p)"), 4).as(s"__q$i")
+    }
+    val thr = df.agg(aggs.head, aggs.tail: _*)
+    df.crossJoin(broadcast(thr))
+      .withColumn(as,
+        probs.indices.map(i => when(col(value) > col(s"__q$i"), 1L).otherwise(0L))
+          .reduce(_ + _) + lit(1L))
+      .drop(probs.indices.map(i => s"__q$i"): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

@@ -464,7 +464,20 @@ object ExtensionQueries {
       .orderBy("stratum")
   }
 
+  /** Quartile length-strata for x51 (the curriculum-bucketing read). */
+  val lengthBuckets = 4
+
+  def x51(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Relational.quantileBuckets(
+        docs(s, dir).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "n_tokens", lengthBuckets)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x51_quantile_bucket" -> (x51 _),
     "x49_pmi"           -> (x49 _),
     "x50_dup_rate"      -> (x50 _),
     "x41_bigram_lm"     -> (x41 _),
@@ -774,6 +787,22 @@ object ExtensionQueries {
       s"""SELECT user_id,
          |  $arms
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    // thresholds ROUND(quantile_cont, 4) == Spark's rounded exact
+    // percentile (shared R-7 interpolation, x23-pinned); assignment is
+    // integer-vs-rounded-threshold comparisons — engine-independent
+    "x51_quantile_bucket" -> {
+      val probs = (1 until lengthBuckets).map(_.toDouble / lengthBuckets)
+      val qs = probs.zipWithIndex.map { case (p, i) =>
+        s"ROUND(quantile_cont(n_tokens, $p), 4) AS q$i" }.mkString(", ")
+      val arms = probs.indices.map(i =>
+        s"CASE WHEN n_tokens > q$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+         | FROM documents),
+         |q AS (SELECT $qs FROM t)
+         |SELECT doc_id, n_tokens, (1 + $arms)::BIGINT AS bucket
+         |FROM t CROSS JOIN q ORDER BY doc_id""".stripMargin
     },
     // PMI over exact integer counts: the same positional-prev tok CTE as
     // x41; selection on ROUND(pmi,4) with (prev, term) tiebreaks

@@ -304,7 +304,9 @@ class PropertiesSpec extends SparkSpec {
       "dupRate"     -> (() => Dedup.dupRateByStratum(d,
         Seq.empty[(Long, Long)].toDF("new_id", "corpus_id"), col("lang")).count()),
       "keepBest"    -> (() => Dedup.keepBestPerCluster(d,
-        Seq.empty[(Long, Long)].toDF("a_id", "b_id"), Seq(col("doc_id"))).count()))
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"), Seq(col("doc_id"))).count()),
+      "qBuckets"    -> (() => Relational.quantileBuckets(
+        d.select(col("doc_id"), length(col("text")).cast("long").as("n")), "n", 4).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

@@ -91,6 +91,21 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Relational.pivotCounts(df, "k", "c", Nil) }
   }
 
+  test("quantileBuckets: exact quartiles of 1..8, threshold ties fall low") {
+    val df = (1L to 8L).map(i => (i, i)).toDF("id", "v")
+    val out = Relational.quantileBuckets(df, "v", 4)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // thresholds 2.75 / 4.5 / 6.25 → pairs per bucket
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L),
+      (5L, 3L), (6L, 3L), (7L, 4L), (8L, 4L)))
+    // a value EQUAL to a threshold goes to the LOWER bucket
+    val tied = Seq(1L, 2L, 2L, 2L, 9L).map(v => (v, v)).toDF("id", "v")
+    val b = Relational.quantileBuckets(tied, "v", 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(b(2L) == 1L && b(9L) == 2L) // median 2.0: the 2s stay in bucket 1
+    intercept[IllegalArgumentException] { Relational.quantileBuckets(df, "v", 1) }
+  }
+
   test("dedupeKeepFirst keeps exactly the first row per key under the order") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
     val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))

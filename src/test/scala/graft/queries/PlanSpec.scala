@@ -210,6 +210,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("x51: quantile bucketing has NO global sort — thresholds broadcast onto a narrow pass") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val df = graft.operators.Relational.quantileBuckets(
+      graft.sources.Tables(spark, sf(), "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+      "n_tokens", 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the NTILE formulation would be an Exchange rangepartitioning + Sort
+    // over the corpus; here the only wide node is the 1-row percentile
+    // aggregate, broadcast back onto the scan
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("partial_percentile"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
