@@ -280,32 +280,42 @@ object Main {
     graft.streaming.EventStream.readEvents(spark, eventsDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val countsRoot = s"$outRoot/counts"
-        val bCounts = batch.toDF.filter(col("user_id").isNotNull)
-          .groupBy(col("user_id"), date_trunc(unit, col("ts")).as("bucket"))
-          .agg(count(lit(1)).as("n_events"))
-          .withColumn("batch_id", lit(batchId))
-        val all = graft.sinks.SnapshotStore.read(s, countsRoot)
-          .map(_.unionByName(bCounts)).getOrElse(bCounts)
-        graft.sinks.SnapshotStore.swapWrite(
-          graft.operators.Relational.dedupeKeepFirst(all,
-            Seq(col("user_id"), col("bucket"), col("batch_id")),
-            Seq(col("n_events"))),
-          countsRoot)
-        val merged = graft.sinks.SnapshotStore.read(s, countsRoot).get
-          .groupBy(col("user_id"), col("bucket"))
-          .agg(sum(col("n_events")).as("n_events"))
-        graft.operators.Relational.rollingZscore(
-            graft.operators.Relational.fillGaps(merged, "user_id", unit),
-            "user_id", "bucket", "n_events", window, k)
-          .write.mode("overwrite").parquet(s"$outRoot/anomalies")
-        ()
+        mergeAnomalyBatch(batch.toDF, batchId, outRoot, unit, window, k)
       }
       .option("checkpointLocation", s"$outRoot/_checkpoints/anomaly")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
+
+  /** One [[runStreamingAnomaly]] micro-batch, exposed so the retry
+    * contract is directly testable: applying the SAME (batch, batchId)
+    * twice must leave counts and anomalies unchanged — the dedupe on
+    * (user, bucket, batch_id) makes the retry overwrite its own prior
+    * partials instead of adding to them (spec-asserted). */
+  private[graft] def mergeAnomalyBatch(batch: DataFrame, batchId: Long,
+                                       outRoot: String, unit: String,
+                                       window: Int, k: Int): Unit = {
+    val s = batch.sparkSession
+    val countsRoot = s"$outRoot/counts"
+    val bCounts = batch.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), date_trunc(unit, col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("batch_id", lit(batchId))
+    val all = graft.sinks.SnapshotStore.read(s, countsRoot)
+      .map(_.unionByName(bCounts)).getOrElse(bCounts)
+    graft.sinks.SnapshotStore.swapWrite(
+      graft.operators.Relational.dedupeKeepFirst(all,
+        Seq(col("user_id"), col("bucket"), col("batch_id")),
+        Seq(col("n_events"))),
+      countsRoot)
+    val merged = graft.sinks.SnapshotStore.read(s, countsRoot).get
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(sum(col("n_events")).as("n_events"))
+    graft.operators.Relational.rollingZscore(
+        graft.operators.Relational.fillGaps(merged, "user_id", unit),
+        "user_id", "bucket", "n_events", window, k)
+      .write.mode("overwrite").parquet(s"$outRoot/anomalies")
+  }
 
   /** Streaming MERGE into a master snapshot — the streaming twin of the
     * daily history upsert (Q2): each micro-batch of update rows merges

@@ -382,6 +382,26 @@ class PipelineSpec extends SparkSpec {
     assert(landed().exists(_._5 == 1L), "fixture produced no anomalies — test is vacuous")
   }
 
+  test("O2 streaming: a RETRIED anomaly batch is idempotent (at-least-once safety)") {
+    import graft.sources.Tables
+    val root = Files.createTempDirectory("graft_anom_retry").toString
+    val ev = Tables(spark, sf(), "events").select("user_id", "ts")
+      .withColumn("ts", col("ts"))
+    def counts() = graft.sinks.SnapshotStore.read(spark, s"$root/counts").get
+      .groupBy("user_id", "bucket").agg(sum("n_events").as("n")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).sorted.toSeq
+    Main.mergeAnomalyBatch(ev, batchId = 0L, root, "day", 7, 3)
+    val once = counts()
+    // an at-least-once retry re-delivers the SAME batch under the SAME id:
+    // an additive merge would double every count; the batch-id-keyed
+    // dedupe must make this a no-op
+    Main.mergeAnomalyBatch(ev, batchId = 0L, root, "day", 7, 3)
+    assert(counts() == once, "retried batch double-counted")
+    // a genuinely NEW batch with the same rows (different id) DOES add
+    Main.mergeAnomalyBatch(ev, batchId = 1L, root, "day", 7, 3)
+    assert(counts().map(_._3).sum == 2 * once.map(_._3).sum)
+  }
+
   test("O2 streaming: incremental curation pass decides exactly like the batch gate") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_cur_in").toString
