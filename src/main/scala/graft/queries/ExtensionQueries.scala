@@ -425,8 +425,11 @@ object ExtensionQueries {
     * wants the best representative of each boilerplate cluster). */
   def x47(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // quality() is a NARROW projection of the corpus — feed it directly
+    // as the doc frame (a docs ⋈ quality join would shuffle the corpus
+    // twice to reattach columns this query never outputs)
     Dedup.keepBestPerCluster(
-        d.join(TextAnalysis.quality(d).select("doc_id", "quality_score"), "doc_id"),
+        TextAnalysis.quality(d).select("doc_id", "quality_score"),
         Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4),
         order = Seq(col("quality_score").desc, col("doc_id")))
       .select("doc_id").orderBy("doc_id")
