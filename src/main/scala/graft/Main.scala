@@ -280,7 +280,7 @@ object Main {
     graft.streaming.EventStream.readEvents(spark, eventsDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        mergeAnomalyBatch(batch.toDF, batchId, outRoot, unit, window, k)
+        mergeAnomalyBatch(batch.toDF(), batchId, outRoot, unit, window, k)
       }
       .option("checkpointLocation", s"$outRoot/_checkpoints/anomaly")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -343,7 +343,7 @@ object Main {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val all = graft.sinks.SnapshotStore.read(batch.sparkSession, masterRoot)
-          .map(_.unionByName(batch.toDF)).getOrElse(batch.toDF)
+          .map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
         graft.sinks.SnapshotStore.swapWrite(
           graft.operators.Relational.dedupeKeepFirst(
             all, Seq(col(key)), order), masterRoot)

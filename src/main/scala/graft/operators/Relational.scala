@@ -44,9 +44,9 @@ object Relational {
     // never joins, but MERGE's not-matched branch still INSERTs it with
     // its own values rather than a row of nulls.
     val u = updates.select(
-      (lit(true).as("__u_present") +: cols.map(c => updates(c).as(s"__u_$c"))): _*)
+      (lit(true).as("__u_present") +: cols.toSeq.map(c => updates(c).as(s"__u_$c"))): _*)
     base.join(u, base(key) === col(s"__u_$key"), "full_outer")
-      .select(cols.map(c =>
+      .select(cols.toSeq.map(c =>
         when(col("__u_present").isNotNull, col(s"__u_$c")).otherwise(base(c)).as(c)): _*)
   }
 

@@ -47,7 +47,7 @@ object WorkGraph {
   def deleteDuplicates(tempMaster: DataFrame): DataFrame =
     Relational.dedupeKeepFirst(tempMaster, Seq(col(oid)),
       Seq(col("created_date").desc_nulls_last,
-        hash(struct(tempMaster.columns.map(col): _*)).asc))
+        hash(struct(tempMaster.columns.toSeq.map(col): _*)).asc))
 
   /** Q2 merge_temp_master (DAG:98-104, DOC:8): upsert temp into master. */
   def mergeTempMaster(master: DataFrame, temp: DataFrame): DataFrame =

@@ -386,7 +386,6 @@ class PipelineSpec extends SparkSpec {
     import graft.sources.Tables
     val root = Files.createTempDirectory("graft_anom_retry").toString
     val ev = Tables(spark, sf(), "events").select("user_id", "ts")
-      .withColumn("ts", col("ts"))
     def counts() = graft.sinks.SnapshotStore.read(spark, s"$root/counts").get
       .groupBy("user_id", "bucket").agg(sum("n_events").as("n")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).sorted.toSeq
