@@ -31,6 +31,64 @@ object Dedup {
       docs.withColumn("__h", md5(text)), Seq(col("__h")), Seq(id))
       .drop("__h")
 
+  /** Exact dedup after TEXT NORMALIZATION — catches the near-exact class
+    * the byte-exact hash misses (case variants, whitespace damage,
+    * punctuation-stripped mirrors) without paying the full near-dup
+    * machinery: texts are lowercased, punctuation-stripped and
+    * whitespace-collapsed BEFORE hashing, so the group key is the md5 of
+    * the canonical form. Same one-shuffle-of-32-byte-hashes shape as
+    * [[exact]]; the normalization is a narrow projection. Keeps the
+    * lowest id per normalized class. The canonalization is pure string
+    * functions (lower/regexp_replace/trim) so the oracle replays it. */
+  def exactNormalized(docs: DataFrame, id: Column, text: Column): DataFrame =
+    Relational.dedupeKeepFirst(
+      docs.withColumn("__h", md5(normalizeText(text))), Seq(col("__h")), Seq(id))
+      .drop("__h")
+
+  /** The [[exactNormalized]] canonical form: lowercase, strip everything
+    * but [a-z0-9 ], collapse whitespace runs, trim. ONE definition, used
+    * by the operator and printed into the oracle SQL. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Truncation/prefix duplicates: pairs where one document's token
+    * sequence is a STRICT PREFIX of another's — the re-crawl failure
+    * mode (truncated fetches, pagination cuts) that whole-doc hashing
+    * misses entirely and shingle-Jaccard only catches when the truncation
+    * is mild (a 10%-of-the-original truncation shares ~10% of shingles,
+    * far below any near-dup threshold).
+    *
+    * Blocking: documents sharing the md5 of their FIRST `n` tokens are
+    * candidates — every true prefix pair shares it by construction (both
+    * must have >= n tokens; shorter docs are out of scope, the standard
+    * blocking trade documented to callers). Verification is exact:
+    * shorter token count AND the long text starts with the short text
+    * plus a token boundary (space or end). The block join ships 32-byte
+    * keys; a boilerplate-intro hot block is quadratic in block size —
+    * choose `n` long enough that sharing the first n tokens is already
+    * evidence (cf. [[duplicatedSpans]]' df discipline).
+    * Output: (short_id, long_id), distinct, short strictly shorter. */
+  def prefixDuplicates(docs: DataFrame, n: Int = 15): DataFrame = {
+    require(n >= 1, "need at least a 1-token blocking prefix")
+    val keyed = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("doc_id"), col("text"), size(col("__ts")).as("__nt"),
+        md5(array_join(slice(col("__ts"), 1, n), " ")).as("__k"))
+    val a = keyed.select(col("__k"), col("doc_id").as("short_id"),
+      col("text").as("__st"), col("__nt").as("__sn"))
+    val b = keyed.select(col("__k"), col("doc_id").as("long_id"),
+      col("text").as("__lt"), col("__nt").as("__ln"))
+    a.join(b, Seq("__k"))
+      .filter(col("__sn") < col("__ln"))
+      // token-boundary prefix: the long text continues with " " after the
+      // short text (a short doc ending mid-token of the long one is NOT a
+      // truncation of it)
+      .filter(col("__lt").startsWith(concat(col("__st"), lit(" "))))
+      .select(col("short_id"), col("long_id"))
+      .distinct()
+  }
+
   /** Distinct word-n-gram shingles: (doc_id, shingle). Docs with fewer than
     * n tokens produce no shingles (and thus never appear in candidates). */
   def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =

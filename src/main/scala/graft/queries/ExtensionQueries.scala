@@ -479,7 +479,30 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Blocking-prefix width for x52 (first-15-token md5). */
+  val prefixN = 15
+
+  def x52(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDuplicates(docs(s, dir), n = prefixN)
+      .orderBy("short_id", "long_id")
+
+  /** Normalized exact dedup: the keep-list plus each survivor's
+    * canonical-form signature — the sig column pins the normalization
+    * function itself cross-engine (the fixture has no case/punctuation
+    * variants, so the keep-list alone would under-test it; the
+    * discriminating dedup behavior is spec-tested on synthetic
+    * variants). */
+  def x53(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.exactNormalized(d, col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        md5(Dedup.normalizeText(col("text"))).as("norm_sig"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x52_prefix_dups"   -> (x52 _),
+    "x53_norm_dedup"    -> (x53 _),
     "x51_quantile_bucket" -> (x51 _),
     "x49_pmi"           -> (x49 _),
     "x50_dup_rate"      -> (x50 _),
@@ -791,6 +814,30 @@ object ExtensionQueries {
          |  $arms
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    // block on first-n-token md5 (lossless for the verified predicate:
+    // a raw-text prefix pair shares its first n tokens by construction),
+    // verify exact strict-prefix-at-a-token-boundary
+    "x52_prefix_dups" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |k AS (SELECT doc_id, text, len(toks) AS nt,
+         |  md5(array_to_string(toks[1:$prefixN], ' ')) AS k
+         | FROM t WHERE len(toks) >= $prefixN)
+         |SELECT DISTINCT a.doc_id AS short_id, b.doc_id AS long_id
+         |FROM k a JOIN k b ON a.k = b.k AND a.nt < b.nt
+         |WHERE starts_with(b.text, a.text || ' ')
+         |ORDER BY short_id, long_id""".stripMargin,
+    // lowercase → strip non-[a-z0-9 ] → collapse spaces → trim, exactly
+    // Dedup.normalizeText (DuckDB regexp_replace needs the 'g' flag;
+    // Spark replaces globally by default)
+    "x53_norm_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_sig FROM documents)
+        |SELECT doc_id, norm_sig FROM
+        | (SELECT doc_id, norm_sig,
+        |    ROW_NUMBER() OVER (PARTITION BY norm_sig ORDER BY doc_id) AS rn FROM n)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // thresholds ROUND(quantile_cont, 4) == Spark's rounded exact
     // percentile (shared R-7 interpolation, x23-pinned); assignment is
     // integer-vs-rounded-threshold comparisons — engine-independent

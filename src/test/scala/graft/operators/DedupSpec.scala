@@ -51,6 +51,31 @@ class DedupSpec extends SparkSpec {
     assert(est.keySet == cand)
   }
 
+  test("prefixDuplicates: finds truncations at token boundaries only; short docs out of scope") {
+    val stem = (1 to 6).map(i => s"t$i").mkString(" ")          // 6-token shared prefix
+    val d = docs(
+      1L -> s"$stem alpha beta gamma",
+      2L -> s"$stem alpha",                                     // strict prefix of 1
+      3L -> s"$stem alphabet soup",                             // shares tokens but 'alpha' vs 'alphabet' ≠ boundary prefix
+      4L -> s"$stem alpha beta gamma",                          // EQUAL to 1: not strict
+      5L -> "tiny doc")                                         // < n tokens: out of scope
+    val out = Dedup.prefixDuplicates(d, n = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (2L, 4L)))
+  }
+
+  test("exactNormalized collapses case/punct/whitespace variants; exact() does not") {
+    val d = docs(
+      1L -> "Hello,   World!",
+      2L -> "hello world",
+      3L -> "hello world.",
+      4L -> "genuinely different")
+    assert(Dedup.exact(d, col("doc_id"), col("text")).count() == 4) // byte-distinct
+    val kept = Dedup.exactNormalized(d, col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L)) // one canonical class {1,2,3}, lowest id kept
+  }
+
   test("dupRateByStratum: per-stratum rates, zero-collision strata included") {
     import spark.implicits._
     val batch = Seq((10L, "a"), (20L, "a"), (30L, "b"), (40L, "c")).toDF("doc_id", "source")

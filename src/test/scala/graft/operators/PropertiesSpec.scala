@@ -306,7 +306,9 @@ class PropertiesSpec extends SparkSpec {
       "keepBest"    -> (() => Dedup.keepBestPerCluster(d,
         Seq.empty[(Long, Long)].toDF("a_id", "b_id"), Seq(col("doc_id"))).count()),
       "qBuckets"    -> (() => Relational.quantileBuckets(
-        d.select(col("doc_id"), length(col("text")).cast("long").as("n")), "n", 4).count()))
+        d.select(col("doc_id"), length(col("text")).cast("long").as("n")), "n", 4).count()),
+      "prefixDups"  -> (() => Dedup.prefixDuplicates(d).count()),
+      "normDedup"   -> (() => Dedup.exactNormalized(d, col("doc_id"), col("text")).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
