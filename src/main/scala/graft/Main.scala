@@ -317,6 +317,39 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/anomalies")
   }
 
+  /** Incremental ANN index maintenance: new embedding batches are
+    * assigned to a FIXED codebook as they arrive and appended to the
+    * IVF index — the streaming leg of the similarity family (an index
+    * that only grows by assignment; re-training the codebook is a batch
+    * decision, exactly as in production ANN services, because moving
+    * centroids would invalidate every previously assigned vector).
+    *
+    * Exactly-once without a transactional sink: each batch lands under
+    * its OWN `batch=<id>` directory with overwrite — an at-least-once
+    * retry overwrites its previous attempt instead of appending
+    * duplicates (same discipline as the anomaly runner's batch-id keys,
+    * achieved with directory layout instead of a dedupe). Readers scan
+    * `index/` and see `batch` as a partition column.
+    *
+    * Scale: the codebook broadcast is the only data movement besides
+    * the batch's own assign aggregate; the corpus-so-far is never
+    * touched again — the entire point vs re-assigning the lake daily. */
+  def runStreamingIndexAssign(spark: SparkSession, embDir: String,
+                              outRoot: String, codebook: DataFrame): Unit =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.ivfAssignTo(batch.toDF(), codebook)
+          .write.mode("overwrite").parquet(s"$outRoot/index/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/index")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Streaming MERGE into a master snapshot — the streaming twin of the
     * daily history upsert (Q2): each micro-batch of update rows merges
     * into the current snapshot under "latest per key wins" (`order`

@@ -287,6 +287,36 @@ object Relational {
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Rolling DISTINCT count — "users active in the trailing `window`
+    * buckets" (the WAU/MAU dashboard read). Distinct counts don't
+    * compose, so no window-frame sum can produce this; the scale-correct
+    * shape is: distinct (key, bucket) pairs first (the only corpus-sized
+    * shuffle — events collapse to at most one row per key per bucket),
+    * then each pair votes for the `window` buckets it keeps its key
+    * "active" in (a narrow ×window explode, bounded by the window
+    * constant), then one count-distinct per bucket. Buckets more than
+    * `window` behind the last activity of EVERY key emit nothing (no
+    * vote reaches them) — compose with [[fillGaps]] semantics upstream
+    * if zero-rows matter. Votes past the corpus's last bucket are
+    * dropped (broadcast 1-row bound), so no phantom future buckets.
+    * Output: bucket, n_active. */
+  def rollingDistinct(df: DataFrame, key: String, ts: String,
+                      unit: String = "day", window: Int = 7,
+                      as: String = "n_active"): DataFrame = {
+    require(Seq("hour", "day", "week").contains(unit),
+      s"unit must be hour|day|week, got $unit")
+    require(window >= 1, "window must be >= 1 bucket")
+    val ud = df.filter(col(key).isNotNull)
+      .select(col(key), date_trunc(unit, col(ts)).as("__d")).distinct()
+    val bounds = ud.agg(max(col("__d")).as("__mx"))
+    ud.select(col(key), explode(sequence(col("__d"),
+        col("__d") + expr(s"interval ${window - 1} $unit"),
+        expr(s"interval 1 $unit"))).as("bucket"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("bucket") <= col("__mx"))
+      .groupBy(col("bucket")).agg(countDistinct(col(key)).as(as))
+  }
+
   /** Quantile bucketing without a global sort: assign each row to one of
     * `buckets` quantile bins of `value` (length-curriculum strata,
     * size-tiered processing). The naive formulation — NTILE over a

@@ -500,7 +500,15 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** 7-day rolling active users over the events lake (x54). */
+  def x54(s: SparkSession, dir: String): DataFrame =
+    Relational.rollingDistinct(
+        Tables(s, dir, "events").select("user_id", "ts"),
+        "user_id", "ts", "day", window = 7)
+      .orderBy("bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x54_rolling_active" -> (x54 _),
     "x52_prefix_dups"   -> (x52 _),
     "x53_norm_dedup"    -> (x53 _),
     "x51_quantile_bucket" -> (x51 _),
@@ -814,6 +822,18 @@ object ExtensionQueries {
          |  $arms
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    // distinct (user, day) pairs vote for the 7 buckets they keep the
+    // user active in; votes past the corpus's last day are dropped
+    "x54_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS d
+        |            FROM events WHERE user_id IS NOT NULL),
+        |mx AS (SELECT max(d) AS mx FROM ud),
+        |v AS (SELECT user_id,
+        |  unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS bucket
+        | FROM ud)
+        |SELECT bucket, count(DISTINCT user_id)::BIGINT AS n_active
+        |FROM v CROSS JOIN mx WHERE bucket <= mx
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // block on first-n-token md5 (lossless for the verified predicate:
     // a raw-text prefix pair shares its first n tokens by construction),
     // verify exact strict-prefix-at-a-token-boundary

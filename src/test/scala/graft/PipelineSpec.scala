@@ -401,6 +401,29 @@ class PipelineSpec extends SparkSpec {
     assert(counts().map(_._3).sum == 2 * once.map(_._3).sum)
   }
 
+  test("O2 streaming: incremental index assignment equals the batch assign over the lake") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_idx_in").toString
+    val root = Files.createTempDirectory("graft_idx_out").toString
+    val emb = Tables(spark, sf("sf0.01"), "embeddings")
+    val codebook = graft.operators.Similarity.centroidsOf(emb, col("vec_id") < 8)
+    def landed() = spark.read.parquet(s"$root/index")
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // two arrival waves; the codebook stays FIXED across both
+    emb.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runStreamingIndexAssign(spark, src, root, codebook)
+    emb.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runStreamingIndexAssign(spark, src, root, codebook)
+    val batch = graft.operators.Similarity.ivfAssignTo(emb, codebook)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(landed() == batch, "incremental index diverged from batch assignment")
+    // nothing new: a third pass admits no batch and the index is unchanged
+    Main.runStreamingIndexAssign(spark, src, root, codebook)
+    assert(landed() == batch)
+  }
+
   test("O2 streaming: incremental curation pass decides exactly like the batch gate") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_cur_in").toString

@@ -91,6 +91,24 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Relational.pivotCounts(df, "k", "c", Nil) }
   }
 
+  test("rollingDistinct: window-trailing active counts, dedup within bucket, no future buckets") {
+    val df = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 12:00:00"), // same user+day: ONE vote
+      (2L, "2024-03-01 11:00:00"),
+      (1L, "2024-03-03 09:00:00"),
+      (3L, "2024-03-05 09:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = Relational.rollingDistinct(df, "user_id", "ts", "day", window = 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1))).toSeq
+    assert(out == Seq(
+      ("2024-03-01", 2L),   // users 1,2 active today
+      ("2024-03-02", 2L),   // still within their 3-day window
+      ("2024-03-03", 2L),   // user 2's day-1 activity still counts; user 1 re-active
+      ("2024-03-04", 1L),   // only user 1 (day-3) remains in window
+      ("2024-03-05", 2L)))  // users 1 (day-3) and 3; NOTHING past the last day
+  }
+
   test("quantileBuckets: exact quartiles of 1..8, threshold ties fall low") {
     val df = (1L to 8L).map(i => (i, i)).toDF("id", "v")
     val out = Relational.quantileBuckets(df, "v", 4)
