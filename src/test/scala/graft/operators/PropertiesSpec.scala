@@ -364,6 +364,19 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("rollingDistinctApprox tracks exact rolling actives within 5% per bucket") {
+    val ev = graft.sources.Tables(spark, sf(), "events").select("user_id", "ts")
+    val exact = Relational.rollingDistinct(ev, "user_id", "ts", "day", 7)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val approx = Relational.rollingDistinctApprox(ev, "user_id", "ts", "day", 7)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "sketch variant changed the bucket spine")
+    exact.foreach { case (b, n) =>
+      assert(math.abs(approx(b) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"bucket $b: approx ${approx(b)} vs exact $n")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §5.2 #5)") {
     val l = graft.sources.Tables(spark, sf(), "lineitem")
     val r = l.select(
