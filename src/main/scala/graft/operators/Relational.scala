@@ -377,6 +377,26 @@ object Relational {
       .drop(probs.indices.map(i => s"__q$i"): _*)
   }
 
+  /** Per-group [[quantileBuckets]]: thresholds computed WITHIN each
+    * group (per-source length curricula — a quartile of Wikipedia is not
+    * a quartile of Common Crawl), one grouped percentile aggregate, the
+    * per-group threshold table broadcast back (|groups| rows), narrow
+    * assignment. Same determinism contract as the ungrouped form. */
+  def quantileBucketsBy(df: DataFrame, group: String, value: String,
+                        buckets: Int, as: String = "bucket"): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile($value, $p)"), 4).as(s"__q$i")
+    }
+    val thr = df.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    df.join(broadcast(thr), Seq(group))
+      .withColumn(as,
+        probs.indices.map(i => when(col(value) > col(s"__q$i"), 1L).otherwise(0L))
+          .reduce(_ + _) + lit(1L))
+      .drop(probs.indices.map(i => s"__q$i"): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

@@ -603,6 +603,37 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(topV)
 
+  /** Token-id encoding against the corpus [[vocabulary]] — the bridge
+    * between vocabulary training and sequence assembly: every token maps
+    * to its vocabulary id (1-based, ordered by count desc then term — the
+    * same deterministic order the vocabulary cut uses), out-of-vocabulary
+    * tokens to `oovId`, and each document emits its id sequence in token
+    * order as a CSV string (the contract's no-array-columns discipline).
+    *
+    * Scale shape: the vocabulary is topV rows BY CONSTRUCTION, so the
+    * id-assignment window (a single-partition row_number over topV rows)
+    * and the broadcast of the id table are both bounded by the vocab
+    * size, never the corpus; the token stream joins the broadcast ids
+    * and re-aggregates per doc. Order inside the aggregate comes from
+    * sorting the collected (pos, id) structs — collect_list alone has no
+    * ordering guarantee. Per-doc state is the doc's own token count
+    * (bounded-group discipline). Output: doc_id, n_tokens, ids_csv. */
+  def encodeTokens(docs: DataFrame, topV: Int, oovId: Long = 0L): DataFrame = {
+    val ids = vocabulary(docs, topV).withColumn("__id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))).cast("long"))
+      .select(col("term"), col("__id"))
+    val tok = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    tok.join(broadcast(ids), Seq("term"), "left_outer")
+      .select(col("doc_id"), col("pos"), coalesce(col("__id"), lit(oovId)).as("__id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__id")))),
+          s => s.getField("__id").cast("string")), ",").as("ids_csv"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF (keyword
     * extraction for corpus curation): score = tf · ln(N/df), rounded to 4
     * decimals with a term tiebreak so ranking is cross-engine stable.

@@ -507,7 +507,26 @@ object ExtensionQueries {
         "user_id", "ts", "day", window = 7)
       .orderBy("bucket")
 
+  /** Token-id encoding against the x29 vocabulary (same topV, same
+    * deterministic order — OOV hits are real on this corpus since
+    * vocabTopV < the distinct term count). */
+  def x55(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.encodeTokens(docs(s, dir), vocabTopV).orderBy("doc_id")
+
+  /** Per-language length quartiles — x51's grouped form. */
+  def x56(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Relational.quantileBucketsBy(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens", lengthBuckets)
+      .select("doc_id", "lang", "n_tokens", "bucket")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x55_encode"        -> (x55 _),
+    "x56_grouped_buckets" -> (x56 _),
     "x54_rolling_active" -> (x54 _),
     "x52_prefix_dups"   -> (x52 _),
     "x53_norm_dedup"    -> (x53 _),
@@ -821,6 +840,35 @@ object ExtensionQueries {
       s"""SELECT user_id,
          |  $arms
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    // ids replay x29's vocabulary ordering (n desc, term) with 1-based
+    // row numbers; OOV -> 0; the per-doc sequence orders by position
+    "x55_encode" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, toks[i] AS term
+         |  FROM t CROSS JOIN UNNEST(range(1, len(toks)+1)) r(i)),
+         |v AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+         |ids AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS id
+         |        FROM v ORDER BY n DESC, term LIMIT $vocabTopV),
+         |e AS (SELECT tok.doc_id, tok.pos, COALESCE(ids.id, 0) AS id
+         |      FROM tok LEFT JOIN ids USING (term))
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  string_agg(id::VARCHAR, ',' ORDER BY pos) AS ids_csv
+         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-group thresholds, same ROUND(quantile_cont,4) contract as x51
+    "x56_grouped_buckets" -> {
+      val probs = (1 until lengthBuckets).map(_.toDouble / lengthBuckets)
+      val qs = probs.zipWithIndex.map { case (p, i) =>
+        s"ROUND(quantile_cont(n_tokens, $p), 4) AS q$i" }.mkString(", ")
+      val arms = probs.indices.map(i =>
+        s"CASE WHEN n_tokens > q$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+         | FROM documents),
+         |q AS (SELECT lang, $qs FROM t GROUP BY lang)
+         |SELECT doc_id, t.lang, n_tokens, (1 + $arms)::BIGINT AS bucket
+         |FROM t JOIN q ON t.lang = q.lang ORDER BY doc_id""".stripMargin
     },
     // distinct (user, day) pairs vote for the 7 buckets they keep the
     // user active in; votes past the corpus's last day are dropped

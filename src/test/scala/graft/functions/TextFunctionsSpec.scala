@@ -99,6 +99,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert((top.getString(0), top.getString(1)) == ("new", "york"))
   }
 
+  test("encodeTokens: vocab-order ids, OOV -> 0, sequence preserves token order") {
+    // counts: b=3, a=2, c=1 → ids b=1, a=2, c=3; topV=2 cuts c → OOV
+    val docs = Seq((1L, "a b c b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.encodeTokens(docs, topV = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (4L, "2,1,0,1"))  // c fell out of the vocab
+    assert(out(2L) == (2L, "1,2"))      // order is token order, not id order
+  }
+
   test("chunkDocs: stride windows with end clamp; stride=chunk partitions exactly") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -308,7 +308,12 @@ class PropertiesSpec extends SparkSpec {
       "qBuckets"    -> (() => Relational.quantileBuckets(
         d.select(col("doc_id"), length(col("text")).cast("long").as("n")), "n", 4).count()),
       "prefixDups"  -> (() => Dedup.prefixDuplicates(d).count()),
-      "normDedup"   -> (() => Dedup.exactNormalized(d, col("doc_id"), col("text")).count()))
+      "normDedup"   -> (() => Dedup.exactNormalized(d, col("doc_id"), col("text")).count()),
+      "encode"      -> (() => TextAnalysis.encodeTokens(d, 10).count()),
+      "rollingDist" -> (() => Relational.rollingDistinct(ev, "user_id", "ts").count()),
+      "qBucketsBy"  -> (() => Relational.quantileBucketsBy(
+        d.select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n")),
+        "lang", "n", 4).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

@@ -124,6 +124,17 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Relational.quantileBuckets(df, "v", 1) }
   }
 
+  test("quantileBucketsBy: thresholds are per group — the same value lands in different buckets") {
+    val df = (Seq.tabulate(8)(i => ("a", (i + 1).toLong)) ++
+      Seq.tabulate(8)(i => ("b", (i + 101).toLong)) :+ ("b" -> 8L))
+      .map { case (g, v) => (g, v) }.toDF("g", "v")
+    val out = Relational.quantileBucketsBy(df, "g", "v", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // v=8 is the MAX of group a (bucket 2) but the minimum of group b (bucket 1)
+    assert(out.contains(("a", 8L, 2L)))
+    assert(out.contains(("b", 8L, 1L)))
+  }
+
   test("dedupeKeepFirst keeps exactly the first row per key under the order") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
     val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))
