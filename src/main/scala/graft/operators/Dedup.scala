@@ -254,6 +254,30 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_new"), 4).as("dup_rate"))
   }
 
+  /** Cross-stratum near-duplicate leakage matrix: which sources are
+    * copying from which. Every candidate pair (any pair frame with
+    * `a_id`/`b_id` columns — LSH, SimHash, or Jaccard output) is joined
+    * to its two strata and counted per UNORDERED stratum pair
+    * (`least`/`greatest` canonicalization), so the diagonal rows measure
+    * within-source duplication and the off-diagonal rows measure
+    * cross-source contamination — the report that decides which sources
+    * a mixing plan can treat as independent.
+    *
+    * Scale: the pair frame is already the bounded candidate set (the
+    * expensive part was the blocking join that produced it); the two
+    * id→stratum joins shuffle only (id, stratum) — never text — and the
+    * final aggregate has at most |strata|² groups. */
+  def crossStratumPairs(pairs: DataFrame, strata: DataFrame): DataFrame = {
+    val sa = strata.toDF("__ida", "__sa")
+    val sb = strata.toDF("__idb", "__sb")
+    pairs.join(sa, col("a_id") === col("__ida"))
+      .join(sb, col("b_id") === col("__idb"))
+      .select(least(col("__sa"), col("__sb")).as("stratum_a"),
+        greatest(col("__sa"), col("__sb")).as("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact duplicated-substring signal at n-token granularity (the third
     * dedup family next to doc-level exact and near-dup: memorization risk
     * comes from REPEATED SPANS, not whole-doc similarity — cf. the

@@ -397,6 +397,39 @@ object Relational {
       .drop(probs.indices.map(i => s"__q$i"): _*)
   }
 
+  /** Bucketed point-in-interval range join. Spark plans a pure non-equi
+    * join predicate (`lo <= p AND p <= hi`) as BroadcastNestedLoopJoin —
+    * every executor scans the whole broadcast side per row — or, worse, a
+    * cartesian product; both are quadratic corpus scans at scale. Mapping
+    * each interval onto the coarse buckets it covers (explode of a
+    * bounded `sequence`) and each point onto its single bucket turns the
+    * predicate into an equi-join on the bucket key plus a residual
+    * filter, which Catalyst plans as a regular shuffled hash/SMJ with
+    * both sides partitioned — the standard rewrite Spark itself lacks.
+    *
+    * Each point lands in exactly ONE bucket, so matches are emitted
+    * exactly once — no post-join dedup. Replication cost is the interval
+    * side only: `span/bucketWidth + 1` copies per interval; size
+    * `bucketWidth` near the TYPICAL interval span so replication stays
+    * O(1) per row. Intervals with `lo > hi` are dropped (empty range).
+    * Both frames keep all their columns (caller avoids name collisions);
+    * values must be integral (days, epoch seconds, cents — floor on
+    * doubles is bucket-unsafe at negative values' ties). */
+  def rangeJoinBucketed(points: DataFrame, pointCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__b",
+      floor(col(pointCol).cast("long").cast("double") / bucketWidth).cast("long"))
+    val iv = intervals.where(col(loCol) <= col(hiCol))
+      .withColumn("__b", explode(sequence(
+        floor(col(loCol).cast("long").cast("double") / bucketWidth).cast("long"),
+        floor(col(hiCol).cast("long").cast("double") / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__b"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

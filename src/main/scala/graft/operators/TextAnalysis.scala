@@ -603,6 +603,33 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(topV)
 
+  /** Mixture-divergence report: actual per-stratum share of the corpus
+    * vs a TARGET mixture (the mixing plan [[stratifiedSample]] /
+    * [[upsampleStrata]] aim at), with each stratum's Kullback-Leibler
+    * contribution `share·ln(share/target)` — the drift monitor a mixing
+    * pipeline runs after every ingest. Positive terms are over-represented
+    * strata; the sum over rows is KL(actual‖target).
+    *
+    * Scale: one count aggregate (map-side partials), a 1-row broadcast of
+    * the corpus total, and a literal map lookup — |strata| output rows,
+    * nothing corpus-sized past the aggregate. Determinism: share and
+    * kl_term round to 6 decimals; the unrounded share feeds the ln (the
+    * x37 ROUND(ln,6) cross-engine contract). Strata missing from `target`
+    * yield a null kl_term — surfaced, never silently dropped.
+    * Output: stratum, n, share, kl_term. */
+  def mixReport(docs: DataFrame, stratum: Column,
+                target: Map[String, Double]): DataFrame = {
+    require(target.values.forall(_ > 0), "target shares must be positive")
+    val counts = docs.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n"))
+    val total = docs.agg(count(lit(1)).cast("double").as("__N"))
+    val share = col("n") / col("__N")
+    counts.crossJoin(broadcast(total))
+      .withColumn("kl_term",
+        round(share * log(share / element_at(typedLit(target), col("stratum"))), 6))
+      .withColumn("share", round(share, 6))
+      .select(col("stratum"), col("n"), col("share"), col("kl_term"))
+  }
+
   /** Token-id encoding against the corpus [[vocabulary]] — the bridge
     * between vocabulary training and sequence assembly: every token maps
     * to its vocabulary id (1-based, ordered by count desc then term — the

@@ -524,9 +524,58 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** x57 range-join parameters, shared with the oracle: high-quantity
+    * (l_quantity > 48, ~4% of rows) shipments landing within
+    * [o_orderdate, o_orderdate + 2 days] of each order's placement —
+    * day-granularity point-in-interval with no usable equi key.
+    * bucketWidth = span + 1 keeps interval replication at <= 2 copies. */
+  val rangeQtyMin = 48
+  val rangeSpanDays = 2
+
+  /** Day-count since epoch — the integral domain [[Relational.rangeJoinBucketed]]
+    * requires (DuckDB twin: CAST(ts AS DATE) arithmetic). */
+  private def epochDay(ts: org.apache.spark.sql.Column) =
+    unix_date(to_date(ts)).cast("long")
+
+  def x57(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), epochDay(col("o_orderdate")).as("__lo"))
+      .withColumn("__hi", col("__lo") + rangeSpanDays)
+    val l = Tables(s, dir, "lineitem")
+      .where(col("l_quantity") > rangeQtyMin)
+      .select(epochDay(col("l_shipdate")).as("__p"))
+    Relational.rangeJoinBucketed(l, "__p", o, "__lo", "__hi",
+        bucketWidth = rangeSpanDays + 1L)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_ship"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Cross-source near-dup leakage matrix over x08's LSH candidate set. */
+  def x58(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.crossStratumPairs(
+        Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4),
+        d.select(col("doc_id"), col("source")))
+      .orderBy("stratum_a", "stratum_b")
+  }
+
+  /** x59 target mixture — deliberately non-uniform (the corpus is uniform
+    * at 1/20 per source) so every KL term is nonzero; generated from the
+    * source index so the oracle CASE arms share the definition, and sums
+    * to exactly 1 over the 20 fixture sources. */
+  val mixTargets: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toDouble / 50.0).toMap
+
+  def x59(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixReport(docs(s, dir), col("source"), mixTargets)
+      .orderBy("stratum")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x55_encode"        -> (x55 _),
     "x56_grouped_buckets" -> (x56 _),
+    "x57_range_join"    -> (x57 _),
+    "x58_leak_matrix"   -> (x58 _),
+    "x59_mix_report"    -> (x59 _),
     "x54_rolling_active" -> (x54 _),
     "x52_prefix_dups"   -> (x52 _),
     "x53_norm_dedup"    -> (x53 _),
@@ -869,6 +918,40 @@ object ExtensionQueries {
          |q AS (SELECT lang, $qs FROM t GROUP BY lang)
          |SELECT doc_id, t.lang, n_tokens, (1 + $arms)::BIGINT AS bucket
          |FROM t JOIN q ON t.lang = q.lang ORDER BY doc_id""".stripMargin
+    },
+    // day-granularity point-in-interval; DuckDB's native range join is
+    // the semantics the bucketed equi-join rewrite must reproduce
+    "x57_range_join" ->
+      s"""SELECT o.o_orderkey, count(*)::BIGINT AS n_ship
+         |FROM orders o JOIN lineitem l
+         |  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+         | AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + $rangeSpanDays
+         |WHERE l.l_quantity > $rangeQtyMin
+         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+    // x08's candidate pairs, joined to their sources and counted per
+    // unordered (least/greatest) source pair
+    "x58_leak_matrix" ->
+      s"""WITH $lshCtes,
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT LEAST(da.source, db.source) AS stratum_a,
+         |  GREATEST(da.source, db.source) AS stratum_b,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM p JOIN documents da ON p.a_id = da.doc_id
+         |       JOIN documents db ON p.b_id = db.doc_id
+         |GROUP BY 1, 2 ORDER BY stratum_a, stratum_b""".stripMargin,
+    // CASE arms print the same Map the Spark side reads; unrounded share
+    // feeds ln (the x37 ROUND(ln,6) cross-engine contract)
+    "x59_mix_report" -> {
+      val arms = mixTargets.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"WHEN '$k' THEN ${v}::DOUBLE" }.mkString(" ")
+      s"""WITH c AS (SELECT source AS stratum, count(*)::BIGINT AS n
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT count(*)::DOUBLE AS tot FROM documents)
+         |SELECT stratum, n, ROUND(n / tot, 6) AS share,
+         |  ROUND((n / tot) * ln((n / tot) / (CASE stratum $arms END)), 6) AS kl_term
+         |FROM c CROSS JOIN t ORDER BY stratum""".stripMargin
     },
     // distinct (user, day) pairs vote for the 7 buckets they keep the
     // user active in; votes past the corpus's last day are dropped

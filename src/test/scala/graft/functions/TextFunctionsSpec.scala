@@ -99,6 +99,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert((top.getString(0), top.getString(1)) == ("new", "york"))
   }
 
+  test("mixReport: shares, KL-term signs, and null for unmapped strata") {
+    val docs = Seq.tabulate(8)(i =>
+      (i.toLong, "t", if (i < 6) "a" else if (i < 7) "b" else "z"))
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.TextAnalysis
+      .mixReport(docs, col("src"), Map("a" -> 0.5, "b" -> 0.5)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // a over-represented (0.75 vs 0.5): positive term 0.75·ln(1.5);
+    // b under-represented (0.125 vs 0.5): negative term 0.125·ln(0.25)
+    assert(out("a") == (6L, 0.75, Some(0.304099)))
+    assert(out("b") == (1L, 0.125, Some(-0.173287)))
+    assert(out("z") == (1L, 0.125, None)) // unmapped: surfaced, kl null
+  }
+
   test("encodeTokens: vocab-order ids, OOV -> 0, sequence preserves token order") {
     // counts: b=3, a=2, c=1 → ids b=1, a=2, c=3; topV=2 cuts c → OOV
     val docs = Seq((1L, "a b c b"), (2L, "b a")).toDF("doc_id", "text")

@@ -10,6 +10,17 @@ class DedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("crossStratumPairs canonicalizes pair order and counts per stratum pair") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val strata = Seq((1L, "w"), (2L, "c"), (3L, "c"), (4L, "w"), (5L, "w"))
+      .toDF("doc_id", "src")
+    // (1,2)=(w,c) and (1,3)=(w,c) both canonicalize to (c,w); (2,3) and
+    // (4,5) are the diagonal (within-source) rows
+    val out = Dedup.crossStratumPairs(pairs, strata).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("c", "w") -> 2L, ("c", "c") -> 1L, ("w", "w") -> 1L))
+  }
+
   test("exact dedup keeps the lowest id per identical text") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val kept = Dedup.exact(d, col("doc_id"), col("text"))

@@ -313,7 +313,14 @@ class PropertiesSpec extends SparkSpec {
       "rollingDist" -> (() => Relational.rollingDistinct(ev, "user_id", "ts").count()),
       "qBucketsBy"  -> (() => Relational.quantileBucketsBy(
         d.select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n")),
-        "lang", "n", 4).count()))
+        "lang", "n", 4).count()),
+      "rangeJoin"   -> (() => Relational.rangeJoinBucketed(
+        ev.select(col("event_id").as("p")), "p",
+        ev.select(col("event_id").as("lo"), (col("event_id") + 2).as("hi")),
+        "lo", "hi", 4L).count()),
+      "leakMatrix"  -> (() => Dedup.crossStratumPairs(
+        Dedup.lshCandidatePairs(d), d.select(col("doc_id"), col("lang"))).count()),
+      "mixReport"   -> (() => TextAnalysis.mixReport(d, col("lang"), Map("en" -> 1.0)).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

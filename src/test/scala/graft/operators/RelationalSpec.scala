@@ -135,6 +135,19 @@ class RelationalSpec extends SparkSpec {
     assert(out.contains(("b", 8L, 1L)))
   }
 
+  test("rangeJoinBucketed matches the naive non-equi join and is width-independent") {
+    val pts = Seq(1L, 5L, 7L, 12L, 30L).toDF("p")
+    val iv = Seq((0L, 6L, "a"), (5L, 5L, "b"), (8L, 20L, "c"), (25L, 24L, "d"))
+      .toDF("lo", "hi", "tag") // d has lo > hi: an empty range, dropped
+    def run(w: Long) = Relational.rangeJoinBucketed(pts, "p", iv, "lo", "hi", w)
+      .select("p", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(naive == Set((1L, "a"), (5L, "a"), (5L, "b"), (12L, "c")))
+    // bucket width is a performance knob, never a semantics knob
+    assert(run(1) == naive && run(3) == naive && run(100) == naive)
+  }
+
   test("dedupeKeepFirst keeps exactly the first row per key under the order") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "v", "ts")
     val out = Relational.dedupeKeepFirst(df, Seq(col("k")), Seq(col("ts")))

@@ -227,6 +227,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x57: bucketed range join plans an EQUI-join; the naive predicate is nested-loop") {
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(2000).select(col("id").as("p"))
+    val iv = spark.range(1000)
+      .select((col("id") * 3).as("lo"), (col("id") * 3 + 4).as("hi"))
+    val df = graft.operators.Relational.rangeJoinBucketed(pts, "p", iv, "lo", "hi", 5L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the rewrite's whole point: the bucket key makes the join hashable
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // and the plan Spark picks for the raw predicate IS the quadratic one
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+    naive.collect()
+    val np = naive.queryExecution.executedPlan.toString
+    assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"), np)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
