@@ -309,6 +309,31 @@ object Dedup {
         round(col("dup_spans").cast("double") / col("total_spans"), 4).as("dup_ratio"))
   }
 
+  /** First-holder novelty score — [[duplicatedSpans]]' complement: the
+    * fraction of a document's distinct n-token spans that the document
+    * INTRODUCED to the corpus (it is the minimum-id holder of the span).
+    * The cheap analogue of suffix-array novelty scoring: a near-zero
+    * novelty doc is assembled entirely from text the corpus already had
+    * and contributes nothing to training; ordering by id makes the score
+    * deterministic and means "novel relative to everything ingested
+    * before me" under an id-ordered ingest.
+    *
+    * Scale: identical shape to [[duplicatedSpans]] — one explode, one
+    * min-aggregate on 32-byte span hashes (map-side partials), one
+    * same-key join, one per-doc aggregate. Output: doc_id, novel_spans,
+    * total_spans, novelty (round 4; docs with < n tokens absent). */
+  def noveltyScores(docs: DataFrame, n: Int = 15): DataFrame = {
+    val sh = graft.Persist.cut(
+      shingleSet(docs, n).select(col("doc_id"), md5(col("s")).as("h")))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("__first"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("doc_id") === col("__first"), 1)).as("novel_spans"),
+        count(lit(1)).as("total_spans"))
+      .select(col("doc_id"), col("novel_spans"), col("total_spans"),
+        round(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
+  }
+
   /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the
     * parity of hex digit j of the token's hash; tokens vote +1/-1 per bit
     * and the sign of the sum sets the fingerprint bit. Frequency-weighted

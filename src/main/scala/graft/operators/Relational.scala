@@ -397,6 +397,35 @@ object Relational {
       .drop(probs.indices.map(i => s"__q$i"): _*)
   }
 
+  /** Winsorized (clipped) per-group mean — the robust location statistic
+    * a curation pipeline reports instead of a raw mean that one
+    * million-token outlier document can drag arbitrarily: values are
+    * clipped into the group's [pLo, pHi] percentile band before
+    * averaging. Same two-phase shape as [[quantileBucketsBy]]: one
+    * grouped exact-percentile aggregate, thresholds broadcast back
+    * (|groups| rows), then one narrow clip + sum pass.
+    *
+    * Float discipline (cross-engine determinism): thresholds round to 4
+    * decimals and clip in DECIMAL(18,4); the per-group sum is DECIMAL —
+    * exact, order-independent addition, immune to partitioning (the x37
+    * contract) — and only the final mean divides in double (round 6).
+    * Output: group, n_rows, lo, hi, wmean. */
+  def winsorizedMeanBy(df: DataFrame, group: String, value: String,
+                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val thr = df.groupBy(col(group)).agg(
+      round(expr(s"percentile($value, $pLo)"), 4).cast("decimal(18,4)").as("lo"),
+      round(expr(s"percentile($value, $pHi)"), 4).cast("decimal(18,4)").as("hi"))
+    val clipped = least(greatest(col(value).cast("decimal(18,4)"), col("lo")), col("hi"))
+    df.join(broadcast(thr), Seq(group))
+      .groupBy(col(group)).agg(
+        count(lit(1)).as("n_rows"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(clipped).as("__s"))
+      .select(col(group), col("n_rows"), col("lo"), col("hi"),
+        round(col("__s").cast("double") / col("n_rows"), 6).as("wmean"))
+  }
+
   /** Bucketed point-in-interval range join. Spark plans a pure non-equi
     * join predicate (`lo <= p AND p <= hi`) as BroadcastNestedLoopJoin —
     * every executor scans the whole broadcast side per row — or, worse, a

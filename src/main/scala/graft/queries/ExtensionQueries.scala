@@ -570,7 +570,24 @@ object ExtensionQueries {
     TextAnalysis.mixReport(docs(s, dir), col("source"), mixTargets)
       .orderBy("stratum")
 
+  /** First-holder novelty at x39's span width (shared dupSpanN). */
+  def x60(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyScores(docs(s, dir), dupSpanN).orderBy("doc_id")
+
+  /** Winsorized per-language mean token count — the robust twin of x23's
+    * location stats. */
+  def x61(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Relational.winsorizedMeanBy(
+        docs(s, dir).select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens")
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x60_novelty"       -> (x60 _),
+    "x61_winsor_mean"   -> (x61 _),
     "x55_encode"        -> (x55 _),
     "x56_grouped_buckets" -> (x56 _),
     "x57_range_join"    -> (x57 _),
@@ -919,6 +936,34 @@ object ExtensionQueries {
          |SELECT doc_id, t.lang, n_tokens, (1 + $arms)::BIGINT AS bucket
          |FROM t JOIN q ON t.lang = q.lang ORDER BY doc_id""".stripMargin
     },
+    // x39's span CTEs with min(doc_id) instead of count(*): the doc that
+    // INTRODUCED each span scores it as novel
+    "x60_novelty" ->
+      s"""WITH ${shingleCteN(dupSpanN)},
+         |sp AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |f AS (SELECT h, min(doc_id) AS first_id FROM sp GROUP BY h)
+         |SELECT sp.doc_id,
+         |  count(CASE WHEN sp.doc_id = f.first_id THEN 1 END)::BIGINT AS novel_spans,
+         |  count(*)::BIGINT AS total_spans,
+         |  ROUND(count(CASE WHEN sp.doc_id = f.first_id THEN 1 END)::DOUBLE
+         |    / count(*), 4) AS novelty
+         |FROM sp JOIN f USING (h)
+         |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
+    // thresholds ROUND(quantile_cont,4)::DECIMAL, clip and sum in exact
+    // DECIMAL (order-independent addition), divide once in double
+    "x61_winsor_mean" ->
+      """WITH t AS (SELECT lang,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+        | FROM documents),
+        |q AS (SELECT lang,
+        |  ROUND(quantile_cont(n_tokens, 0.05), 4)::DECIMAL(18,4) AS lo,
+        |  ROUND(quantile_cont(n_tokens, 0.95), 4)::DECIMAL(18,4) AS hi
+        | FROM t GROUP BY lang)
+        |SELECT t.lang, count(*)::BIGINT AS n_rows, q.lo, q.hi,
+        |  ROUND(sum(LEAST(GREATEST(n_tokens::DECIMAL(18,4), q.lo), q.hi))::DOUBLE
+        |    / count(*), 6) AS wmean
+        |FROM t JOIN q ON t.lang = q.lang
+        |GROUP BY t.lang, q.lo, q.hi ORDER BY t.lang""".stripMargin,
     // day-granularity point-in-interval; DuckDB's native range join is
     // the semantics the bucketed equi-join rewrite must reproduce
     "x57_range_join" ->

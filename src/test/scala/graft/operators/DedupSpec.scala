@@ -10,6 +10,15 @@ class DedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("noveltyScores: the minimum-id holder of a span scores it novel") {
+    val d = docs(1L -> "a b c", 2L -> "a b x", 3L -> "b c")
+    // 2-token spans: doc1 {a b, b c} introduces both; doc2 {a b, b x}
+    // introduces only "b x"; doc3's single span "b c" was doc1's
+    val out = Dedup.noveltyScores(d, n = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(1L -> (2L, 2L, 1.0), 2L -> (1L, 2L, 0.5), 3L -> (0L, 1L, 0.0)))
+  }
+
   test("crossStratumPairs canonicalizes pair order and counts per stratum pair") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
     val strata = Seq((1L, "w"), (2L, "c"), (3L, "c"), (4L, "w"), (5L, "w"))

@@ -320,7 +320,10 @@ class PropertiesSpec extends SparkSpec {
         "lo", "hi", 4L).count()),
       "leakMatrix"  -> (() => Dedup.crossStratumPairs(
         Dedup.lshCandidatePairs(d), d.select(col("doc_id"), col("lang"))).count()),
-      "mixReport"   -> (() => TextAnalysis.mixReport(d, col("lang"), Map("en" -> 1.0)).count()))
+      "mixReport"   -> (() => TextAnalysis.mixReport(d, col("lang"), Map("en" -> 1.0)).count()),
+      "novelty"     -> (() => Dedup.noveltyScores(d).count()),
+      "winsorMean"  -> (() => Relational.winsorizedMeanBy(
+        d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

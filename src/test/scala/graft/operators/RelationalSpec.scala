@@ -135,6 +135,18 @@ class RelationalSpec extends SparkSpec {
     assert(out.contains(("b", 8L, 1L)))
   }
 
+  test("winsorizedMeanBy clips into the percentile band before averaging") {
+    val df = (Seq.tabulate(10)(i => ("a", (i + 1).toLong)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L), ("b", 1000L))).toDF("g", "v")
+    val out = Relational.winsorizedMeanBy(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    // a: 1→1.45, 10→9.55 (R-7 percentiles), sum 55.0 → mean 5.5
+    assert(out("a") == (10L, 5.5))
+    // b: the 1000 outlier clips to p95 = 850.45, 1 clips to 1.15 →
+    // (1.15 + 2 + 3 + 850.45) / 4; a raw mean would be 251.5
+    assert(out("b") == (4L, 214.15))
+  }
+
   test("rangeJoinBucketed matches the naive non-equi join and is width-independent") {
     val pts = Seq(1L, 5L, 7L, 12L, 30L).toDF("p")
     val iv = Seq((0L, 6L, "a"), (5L, 5L, "b"), (8L, 20L, "c"), (25L, 24L, "d"))
