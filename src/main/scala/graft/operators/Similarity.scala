@@ -193,6 +193,32 @@ object Similarity {
           .otherwise(transform(col("embedding"),
             x => round(x.cast("double") / col("scale"), 0).cast("int"))).as("qvec"))
 
+  /** Per-label cohesion / outlier scoring anchored on a DETERMINISTIC
+    * reference vector: each label's minimum-id member. Every member
+    * scores cosine(vec, anchor) (ROUND 4, the engine-drift-proof canon);
+    * a low score marks a vector that does not belong with its labeled
+    * cluster — the embedding-space mislabel/contamination monitor.
+    *
+    * Why an anchor and not the centroid: an averaged centroid sums
+    * floats across rows, so its low bits depend on partitioning and
+    * engine — unreplayable. The min-id anchor is exactly reproducible
+    * anywhere, at the cost of anchor sensitivity — the right trade for a
+    * MONITOR (flags are re-checked downstream, never destructive).
+    *
+    * Scale: one min-aggregate (|labels| rows), anchor table broadcast,
+    * scoring pass narrow — no corpus shuffle anywhere. Output: vec_id,
+    * label, sim (the anchor itself scores 1.0). */
+  def labelCohesion(emb: DataFrame, labelCol: String = "label"): DataFrame = {
+    val refIds = emb.groupBy(col(labelCol)).agg(min(col("vec_id")).as("__rid"))
+    val refs = refIds.join(
+        emb.select(col("vec_id").as("__rid"), col("embedding").as("__re")),
+        Seq("__rid"))
+      .select(col(labelCol), col("__re"))
+    emb.join(broadcast(refs), Seq(labelCol))
+      .select(col("vec_id"), col(labelCol),
+        simCol(emb)(col("embedding"), col("__re")).as("sim"))
+  }
+
   /** Reconstruct int8-quantized vectors: x' = q · scale, cast back to
     * FLOAT so the result plugs into the same search operators as raw
     * embeddings (graft_cosine takes ARRAY<FLOAT>). Deterministic in any

@@ -585,7 +585,12 @@ object ExtensionQueries {
       .orderBy("lang")
   }
 
+  /** Embedding-space label cohesion (anchored, deterministic). */
+  def x62(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCohesion(emb(s, dir)).orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_label_cohesion" -> (x62 _),
     "x60_novelty"       -> (x60 _),
     "x61_winsor_mean"   -> (x61 _),
     "x55_encode"        -> (x55 _),
@@ -936,6 +941,15 @@ object ExtensionQueries {
          |SELECT doc_id, t.lang, n_tokens, (1 + $arms)::BIGINT AS bucket
          |FROM t JOIN q ON t.lang = q.lang ORDER BY doc_id""".stripMargin
     },
+    // min-id anchor per label (a centroid would be float-order-dependent);
+    // cosSql is the x11-x13 fold — bit-identical to the Spark loop
+    "x62_label_cohesion" ->
+      s"""WITH r AS (SELECT label, min(vec_id) AS rid FROM embeddings GROUP BY label),
+         |ref AS (SELECT r.label, e.embedding AS re
+         |        FROM r JOIN embeddings e ON e.vec_id = r.rid)
+         |SELECT e.vec_id, e.label, ${cosSql("e.embedding", "ref.re")} AS sim
+         |FROM embeddings e JOIN ref ON e.label = ref.label
+         |ORDER BY vec_id""".stripMargin,
     // x39's span CTEs with min(doc_id) instead of count(*): the doc that
     // INTRODUCED each span scores it as novel
     "x60_novelty" ->

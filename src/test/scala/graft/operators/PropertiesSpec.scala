@@ -322,6 +322,8 @@ class PropertiesSpec extends SparkSpec {
         Dedup.lshCandidatePairs(d), d.select(col("doc_id"), col("lang"))).count()),
       "mixReport"   -> (() => TextAnalysis.mixReport(d, col("lang"), Map("en" -> 1.0)).count()),
       "novelty"     -> (() => Dedup.noveltyScores(d).count()),
+      "cohesion"    -> (() => Similarity.labelCohesion(
+        e.withColumn("label", lit(1))).count()),
       "winsorMean"  -> (() => Relational.winsorizedMeanBy(
         d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()))
     checks.foreach { case (name, f) =>

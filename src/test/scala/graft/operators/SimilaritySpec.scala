@@ -22,6 +22,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 == 0.0)
   }
 
+  test("labelCohesion: min-id anchor scores 1.0; members score cosine to it") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 7),  // anchor of label 7
+      (2L, Seq(0.0f, 1.0f), 7),  // orthogonal to the anchor
+      (3L, Seq(-1.0f, 0.0f), 7), // opposite
+      (9L, Seq(0.5f, 0.5f), 8)   // sole member of label 8: its own anchor
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCohesion(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 0.0, 3L -> -1.0, 9L -> 1.0))
+  }
+
   test("quantizeInt8: range, reconstruction bound, zero-vector guard, shuffle-free") {
     val emb = Seq(
       1L -> Seq(0.3f, -0.7f, 0.1f),
