@@ -28,6 +28,24 @@ class PipelineSpec extends SparkSpec {
     assert(bad.collect().head.getString(0).contains("corrupt.json"))
   }
 
+  test("S7 JSONL twin: corruption blast radius is ONE LINE, metadata still excluded") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    dir.deleteOnExit()
+    // one file mixing good and corrupt LINES: the array reader would
+    // quarantine the whole file; the JSONL reader must keep both good rows
+    Files.write(Paths.get(dir.getPath, "day.jsonl"), java.util.Arrays.asList(
+      """{"delivery_order_id": "L-1", "code": "C-1"}""",
+      """{ this line is not json""",
+      """{"delivery_order_id": "L-2", "code": "C-2"}"""))
+    Files.write(Paths.get(dir.getPath, "day.metadata.jsonl"), java.util.Arrays.asList(
+      """{"delivery_order_id": "L-3", "code": "C-3"}"""))
+    val (good, bad) = RawReader.quarantine(RawReader.readOrdersJsonl(spark, dir.getPath))
+    assert(good.select("delivery_order_id").collect().map(_.getString(0)).sorted
+      .sameElements(Array("L-1", "L-2")))
+    assert(bad.count() == 1)
+    assert(bad.collect().head.getString(1).contains("not json"))
+  }
+
   test("T1: empty-string→null, defaults, nested projection") {
     val byId = flat.collect().map(r => r.getAs[String]("delivery_order_id") -> r).toMap
     // ORD-1 twice (dup), plus ORD-2, ORD-3
