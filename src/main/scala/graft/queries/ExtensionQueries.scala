@@ -541,12 +541,18 @@ object ExtensionQueries {
     val o = Tables(s, dir, "orders")
       .select(col("o_orderkey"), epochDay(col("o_orderdate")).as("__lo"))
       .withColumn("__hi", col("__lo") + rangeSpanDays)
+    // aggregate-below-join: only COUNTS survive the query, so the point
+    // side collapses to one (day, count) row per distinct day BEFORE the
+    // join — the intermediate shrinks from |matching lineitems|·|orders|
+    // fan-out to |date domain| × interval replicas, the rewrite that keeps
+    // a 100 TB fact table out of the range join entirely
     val l = Tables(s, dir, "lineitem")
       .where(col("l_quantity") > rangeQtyMin)
       .select(epochDay(col("l_shipdate")).as("__p"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__c"))
     Relational.rangeJoinBucketed(l, "__p", o, "__lo", "__hi",
         bucketWidth = rangeSpanDays + 1L)
-      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_ship"))
+      .groupBy(col("o_orderkey")).agg(sum(col("__c")).as("n_ship"))
       .orderBy("o_orderkey")
   }
 
