@@ -334,6 +334,33 @@ object Dedup {
         round(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
   }
 
+  /** The span index [[noveltyAgainst]] probes: distinct 32-byte span
+    * hashes of everything already ingested. Build once, persist, append
+    * each day's new spans — the incremental sibling of x38's signature
+    * store. */
+  def spanIndex(docs: DataFrame, n: Int = 15): DataFrame =
+    shingleSet(docs, n).select(md5(col("s")).as("h")).distinct()
+
+  /** Incremental [[noveltyScores]]: score a DAILY BATCH against the
+    * persisted [[spanIndex]] instead of re-shingling the whole corpus —
+    * novel means "no prior document ever contained this span". This is
+    * the form a daily ingest actually runs (the batch is new by
+    * definition, so within-batch first-holders are not consulted —
+    * matching the x38 incremental-dedup convention).
+    *
+    * Scale: only the BATCH explodes; the probe join ships 32-byte hashes
+    * both ways and the index side is already distinct. Output: doc_id,
+    * novel_spans, total_spans, novelty (round 4). */
+  def noveltyAgainst(batch: DataFrame, index: DataFrame, n: Int = 15): DataFrame = {
+    val sh = shingleSet(batch, n).select(col("doc_id"), md5(col("s")).as("h"))
+    sh.join(index.select(col("h"), lit(1).as("__seen")), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("__seen").isNull, 1)).as("novel_spans"),
+        count(lit(1)).as("total_spans"))
+      .select(col("doc_id"), col("novel_spans"), col("total_spans"),
+        round(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
+  }
+
   /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the
     * parity of hex digit j of the token's hash; tokens vote +1/-1 per bit
     * and the sign of the sum sets the fingerprint bit. Frequency-weighted

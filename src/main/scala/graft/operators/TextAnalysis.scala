@@ -630,6 +630,36 @@ object TextAnalysis {
       .select(col("stratum"), col("n"), col("share"), col("kl_term"))
   }
 
+  /** Temperature-scaled mixture weights — the share^α re-weighting that
+    * flattens a natural source distribution before sampling (α=1 keeps
+    * the natural mix, α→0 approaches uniform; web-scale corpora typically
+    * train at α≈0.3-0.7 so giant crawl sources don't drown curated ones).
+    * weight = share^α / Σ share^α; rate = weight/share is the per-stratum
+    * sampling multiplier to feed [[stratifiedSample]]/[[upsampleStrata]].
+    *
+    * Float discipline: share^α rounds to 9 decimals into DECIMAL(18,9)
+    * so the normalizer Σ is an EXACT, order-independent decimal sum (the
+    * x37 contract — a double Σ would depend on partition order); the
+    * final divisions are double (identical operands ⇒ identical results).
+    * Scale: one corpus aggregate; everything after is |strata| rows.
+    * Output: stratum, n, share, weight, rate (all rounds to 6). */
+  def temperatureWeights(docs: DataFrame, stratum: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val counts = docs.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n"))
+    val total = docs.agg(count(lit(1)).cast("double").as("__N"))
+    val share = col("n") / col("__N")
+    val scaled = counts.crossJoin(broadcast(total))
+      .withColumn("__pa", round(pow(share, lit(alpha)), 9).cast("decimal(18,9)"))
+    val z = scaled.agg(sum(col("__pa")).as("__z"))
+    scaled.crossJoin(broadcast(z))
+      .withColumn("weight",
+        round(col("__pa").cast("double") / col("__z").cast("double"), 6))
+      .select(col("stratum"), col("n"), round(share, 6).as("share"),
+        col("weight"),
+        round(col("weight") / round(share, 6), 6).as("rate"))
+  }
+
   /** Token-id encoding against the corpus [[vocabulary]] — the bridge
     * between vocabulary training and sequence assembly: every token maps
     * to its vocabulary id (1-based, ordered by count desc then term — the

@@ -595,7 +595,27 @@ object ExtensionQueries {
   def x62(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCohesion(emb(s, dir)).orderBy("vec_id")
 
+  /** x63 temperature — α=0.5 (sqrt-flattening, the mid-range of the
+    * 0.3-0.7 band production mixes use). */
+  val mixAlpha = 0.5
+
+  def x63(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureWeights(docs(s, dir), col("source"), mixAlpha)
+      .orderBy("stratum")
+
+  /** Incremental novelty: the x38 batch convention (doc_id % 10 = 0 is
+    * today's ingest) probed against the span index of everything else. */
+  def x64(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.noveltyAgainst(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.spanIndex(d.filter(col("doc_id") % 10 =!= 0), dupSpanN), dupSpanN)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_temperature"   -> (x63 _),
+    "x64_incr_novelty"  -> (x64 _),
     "x62_label_cohesion" -> (x62 _),
     "x60_novelty"       -> (x60 _),
     "x61_winsor_mean"   -> (x61 _),
@@ -947,6 +967,34 @@ object ExtensionQueries {
          |SELECT doc_id, t.lang, n_tokens, (1 + $arms)::BIGINT AS bucket
          |FROM t JOIN q ON t.lang = q.lang ORDER BY doc_id""".stripMargin
     },
+    // share^alpha rounds to 9 into DECIMAL so the normalizer sum is exact
+    // and order-free; divisions are double on identical operands
+    "x63_temperature" ->
+      s"""WITH c AS (SELECT source AS stratum, count(*)::BIGINT AS n
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT count(*)::DOUBLE AS tot FROM documents),
+         |sc AS (SELECT stratum, n, n / tot AS share,
+         |  ROUND(pow(n / tot, $mixAlpha), 9)::DECIMAL(18,9) AS pa
+         |  FROM c CROSS JOIN t),
+         |zz AS (SELECT sum(pa) AS zsum FROM sc)
+         |SELECT stratum, n, ROUND(share, 6) AS share,
+         |  ROUND(pa::DOUBLE / zsum::DOUBLE, 6) AS weight,
+         |  ROUND(ROUND(pa::DOUBLE / zsum::DOUBLE, 6) / ROUND(share, 6), 6) AS rate
+         |FROM sc CROSS JOIN zz ORDER BY stratum""".stripMargin,
+    // batch spans probe the DISTINCT span index of prior ingests; novel
+    // means no prior doc ever held the span (x38's incremental convention)
+    "x64_incr_novelty" ->
+      s"""WITH ${shingleCteN(dupSpanN)},
+         |sp AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |idx AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 <> 0),
+         |b AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 = 0)
+         |SELECT b.doc_id,
+         |  count(CASE WHEN idx.h IS NULL THEN 1 END)::BIGINT AS novel_spans,
+         |  count(*)::BIGINT AS total_spans,
+         |  ROUND(count(CASE WHEN idx.h IS NULL THEN 1 END)::DOUBLE / count(*), 4)
+         |    AS novelty
+         |FROM b LEFT JOIN idx ON b.h = idx.h
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     // min-id anchor per label (a centroid would be float-order-dependent);
     // cosSql is the x11-x13 fold — bit-identical to the Spark loop
     "x62_label_cohesion" ->

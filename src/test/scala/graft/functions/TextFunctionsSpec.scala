@@ -99,6 +99,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert((top.getString(0), top.getString(1)) == ("new", "york"))
   }
 
+  test("temperatureWeights: sqrt-flattening upweights rare strata, weights sum to 1") {
+    val docs = Seq.tabulate(5)(i => (i.toLong, "t", if (i < 4) "a" else "b"))
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.TextAnalysis
+      .temperatureWeights(docs, col("src"), alpha = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // shares 0.8/0.2; sqrt(0.8):sqrt(0.2) = 2:1 → weights 2/3, 1/3
+    assert(out("a")._1 == 0.8 && out("a")._2 == 0.666667)
+    assert(out("b")._1 == 0.2 && out("b")._2 == 0.333333)
+    // the rare stratum is upweighted (rate > 1), the dominant one damped
+    assert(out("b")._3 > 1.0 && out("a")._3 < 1.0)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("mixReport: shares, KL-term signs, and null for unmapped strata") {
     val docs = Seq.tabulate(8)(i =>
       (i.toLong, "t", if (i < 6) "a" else if (i < 7) "b" else "z"))

@@ -19,6 +19,15 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> (2L, 2L, 1.0), 2L -> (1L, 2L, 0.5), 3L -> (0L, 1L, 0.0)))
   }
 
+  test("noveltyAgainst: batch spans score novel iff absent from the span index") {
+    val prior = docs(10L -> "a b c")            // index spans: "a b", "b c"
+    val batch = docs(1L -> "a b x", 2L -> "p q")
+    val out = Dedup.noveltyAgainst(batch, Dedup.spanIndex(prior, n = 2), n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: "a b" seen, "b x" novel; doc 2: nothing seen before
+    assert(out == Map(1L -> (1L, 2L, 0.5), 2L -> (1L, 1L, 1.0)))
+  }
+
   test("crossStratumPairs canonicalizes pair order and counts per stratum pair") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
     val strata = Seq((1L, "w"), (2L, "c"), (3L, "c"), (4L, "w"), (5L, "w"))

@@ -325,7 +325,9 @@ class PropertiesSpec extends SparkSpec {
       "cohesion"    -> (() => Similarity.labelCohesion(
         e.withColumn("label", lit(1))).count()),
       "winsorMean"  -> (() => Relational.winsorizedMeanBy(
-        d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()))
+        d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()),
+      "temperature" -> (() => TextAnalysis.temperatureWeights(d, col("lang"), 0.5).count()),
+      "incrNovelty" -> (() => Dedup.noveltyAgainst(d, Dedup.spanIndex(d)).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
