@@ -387,6 +387,55 @@ object Main {
       .start()
       .awaitTermination()
 
+  /** Incremental novelty scoring — the daily-ops loop of the x64 query:
+    * each micro-batch of new documents is scored against the span index
+    * of every PRIOR batch, then contributes its own spans to the index
+    * for the batches after it. Within a batch, documents do not consult
+    * each other (the x38/x64 incremental convention).
+    *
+    * Retry discipline: both writes land under the batch's OWN
+    * `batch=<id>` directory with overwrite (the index-assign layout), and
+    * the index read EXCLUDES the running batch's partition — so an
+    * at-least-once retry rescores against exactly the prior-batch index
+    * instead of seeing its own half-appended spans. Dup hashes across
+    * batch directories are tolerated by [[graft.operators.Dedup
+    * .noveltyAgainst]]'s distinct probe; a periodic compaction (distinct
+    * rewrite of `span_index/`) is an optimization, not a correctness
+    * need. */
+  def runIncrementalNovelty(spark: SparkSession, docsDir: String,
+                            outRoot: String, n: Int = 15): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeNoveltyBatch(batch.toDF(), batchId, outRoot, n)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/novelty")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalNovelty]] micro-batch, exposed for direct retry
+    * testing (same pattern as [[mergeAnomalyBatch]]). */
+  private[graft] def mergeNoveltyBatch(batch: DataFrame, batchId: Long,
+                                       outRoot: String, n: Int): Unit = {
+    val s = batch.sparkSession
+    val idxDir = s"$outRoot/span_index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val idx =
+      if (fs.exists(new org.apache.hadoop.fs.Path(idxDir)))
+        // `batch` surfaces as the partition column of the batch=<id>
+        // layout; excluding the running id makes a RETRY see the same
+        // index its first attempt did
+        s.read.parquet(idxDir).filter(col("batch") =!= batchId)
+      else graft.operators.Dedup.spanIndex(batch.limit(0), n)
+    graft.operators.Dedup.noveltyAgainst(batch, idx, n)
+      .write.mode("overwrite").parquet(s"$outRoot/novelty/batch=$batchId")
+    graft.operators.Dedup.spanIndex(batch, n)
+      .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = SparkSession.builder()

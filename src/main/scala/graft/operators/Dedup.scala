@@ -349,11 +349,15 @@ object Dedup {
     * matching the x38 incremental-dedup convention).
     *
     * Scale: only the BATCH explodes; the probe join ships 32-byte hashes
-    * both ways and the index side is already distinct. Output: doc_id,
-    * novel_spans, total_spans, novelty (round 4). */
+    * both ways. The index projection is re-distinct-ed here — a dup hash
+    * in a left join would MULTIPLY batch rows — which is what lets the
+    * index live as an append-only store (one file set per ingest batch,
+    * never rewritten) instead of requiring a compacted rewrite per day.
+    * Output: doc_id, novel_spans, total_spans, novelty (round 4). */
   def noveltyAgainst(batch: DataFrame, index: DataFrame, n: Int = 15): DataFrame = {
     val sh = shingleSet(batch, n).select(col("doc_id"), md5(col("s")).as("h"))
-    sh.join(index.select(col("h"), lit(1).as("__seen")), Seq("h"), "left_outer")
+    sh.join(index.select(col("h")).distinct().withColumn("__seen", lit(1)),
+        Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(when(col("__seen").isNull, 1)).as("novel_spans"),
         count(lit(1)).as("total_spans"))

@@ -460,6 +460,39 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("O2 streaming: incremental novelty scores wave 2 against wave 1's span index") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_nov_in").toString
+    val root = Files.createTempDirectory("graft_nov_out").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val w1 = Seq(doc(1L, "a b c d"), doc(2L, "p q r"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w2 = Seq(doc(3L, "a b c d"), doc(4L, "x y z"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    w1.write.mode("append").parquet(src)
+    Main.runIncrementalNovelty(spark, src, root, n = 3)
+    w2.write.mode("append").parquet(src)
+    Main.runIncrementalNovelty(spark, src, root, n = 3)
+    val got = spark.read.parquet(s"$root/novelty")
+      .select("doc_id", "novelty").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // wave 1 sees an empty index: everything novel; wave 2's doc 3 is a
+    // verbatim copy of doc 1 (novelty 0), doc 4 is genuinely new
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0, 4L -> 1.0))
+    // == the batch twin over the same split
+    val twin = graft.operators.Dedup.noveltyAgainst(
+        w2, graft.operators.Dedup.spanIndex(w1, 3), 3)
+      .select("doc_id", "novelty").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(twin == Map(3L -> 0.0, 4L -> 1.0))
+    // a RETRY of batch 1 (its spans already landed) must not see itself
+    Main.mergeNoveltyBatch(w2, 1L, root, 3)
+    val retried = spark.read.parquet(s"$root/novelty")
+      .select("doc_id", "novelty").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(retried == got, "retry diverged: the batch saw its own spans")
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)
