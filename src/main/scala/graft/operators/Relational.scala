@@ -397,6 +397,37 @@ object Relational {
       .drop(probs.indices.map(i => s"__q$i"): _*)
   }
 
+  /** Per-group percent_rank WITHOUT a per-group row window. The naive
+    * `PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)` sorts
+    * every group's FULL row set in one task — corpus-sized partitions
+    * when groups are few (5 languages over 100 TB = 5 tasks). This
+    * formulation aggregates to a (group, value) histogram first, runs
+    * the cumulative window over DISTINCT VALUES per group (bounded by
+    * the value domain — token counts, scores — not the corpus), and
+    * joins the rank fractions back. Ties share a rank exactly as the
+    * SQL-standard percent_rank does: pr = rows_below / (n - 1), and a
+    * single-row group scores 0. Determinism: integer counts divide once
+    * in double, round 6.
+    *
+    * `broadcastHist=false` reverts the rank-table join to a shuffle when
+    * the value domain itself is huge (continuous scores at full
+    * precision — consider bucketing first in that regime). */
+  def percentRankBy(df: DataFrame, group: String, value: String,
+                    as: String = "pr", broadcastHist: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
+    val byVal = Window.partitionBy(col(group)).orderBy(col(value))
+    val all = Window.partitionBy(col(group))
+    val ranks = hist
+      .withColumn("__below", sum(col("__c")).over(byVal) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .select(col(group), col(value),
+        when(col("__n") === 1, lit(0.0d))
+          .otherwise(round(col("__below").cast("double") / (col("__n") - 1), 6))
+          .as(as))
+    df.join(if (broadcastHist) broadcast(ranks) else ranks, Seq(group, value))
+  }
+
   /** Winsorized (clipped) per-group mean — the robust location statistic
     * a curation pipeline reports instead of a raw mean that one
     * million-token outlier document can drag arbitrarily: values are

@@ -193,6 +193,28 @@ object Similarity {
           .otherwise(transform(col("embedding"),
             x => round(x.cast("double") / col("scale"), 0).cast("int"))).as("qvec"))
 
+  /** Hard-negative mining for retrieval/embedding training: for each
+    * query vector, the k most similar corpus vectors with a DIFFERENT
+    * label — the near-miss examples contrastive training needs (easy
+    * random negatives teach nothing; the hardest ones sit just across
+    * the label boundary). Same scale shape as [[bruteForceTopK]]:
+    * queries broadcast, corpus streams (the label filter prunes inside
+    * the broadcast join), two-phase window-free top-k. Output: q_id,
+    * n_id, sim. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+                    labelCol: String = "label"): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col(labelCol).as("__ql"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col(labelCol).as("__nl"))
+    val scored = broadcast(q)
+      .join(c, col("q_id") =!= col("n_id") && col("__ql") =!= col("__nl"))
+      .select(col("q_id"), col("n_id"),
+        simCol(emb)(col("q_emb"), col("n_emb")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-label cohesion / outlier scoring anchored on a DETERMINISTIC
     * reference vector: each label's minimum-id member. Every member
     * scores cosine(vec, anchor) (ROUND 4, the engine-drift-proof canon);

@@ -613,7 +613,26 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-language percent-rank of doc length — the window-free
+    * histogram formulation vs DuckDB's NATIVE PERCENT_RANK window. */
+  def x65(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Relational.percentRankBy(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens")
+      .select("doc_id", "lang", "n_tokens", "pr")
+      .orderBy("doc_id")
+  }
+
+  /** Hard negatives: x11's query batch, nearest DIFFERENT-label vectors. */
+  def x66(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(emb(s, dir), col("vec_id") % 100 === 0, k = 10)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x65_percent_rank"  -> (x65 _),
+    "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
     "x64_incr_novelty"  -> (x64 _),
     "x62_label_cohesion" -> (x62 _),
@@ -967,6 +986,25 @@ object ExtensionQueries {
          |SELECT doc_id, t.lang, n_tokens, (1 + $arms)::BIGINT AS bucket
          |FROM t JOIN q ON t.lang = q.lang ORDER BY doc_id""".stripMargin
     },
+    // the native window IS the oracle: the engine's histogram+cumsum
+    // formulation must reproduce SQL-standard percent_rank exactly
+    "x65_percent_rank" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_tokens), 6) AS pr
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // x11's scoring with the same-label exclusion added
+    "x66_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q JOIN embeddings e
+         |        ON q.q_id <> e.vec_id AND q.ql <> e.label)
+         |SELECT q_id, n_id, sim FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
     // share^alpha rounds to 9 into DECIMAL so the normalizer sum is exact
     // and order-free; divisions are double on identical operands
     "x63_temperature" ->

@@ -327,7 +327,11 @@ class PropertiesSpec extends SparkSpec {
       "winsorMean"  -> (() => Relational.winsorizedMeanBy(
         d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()),
       "temperature" -> (() => TextAnalysis.temperatureWeights(d, col("lang"), 0.5).count()),
-      "incrNovelty" -> (() => Dedup.noveltyAgainst(d, Dedup.spanIndex(d)).count()))
+      "incrNovelty" -> (() => Dedup.noveltyAgainst(d, Dedup.spanIndex(d)).count()),
+      "pctRank"     -> (() => Relational.percentRankBy(
+        d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()),
+      "hardNeg"     -> (() => Similarity.hardNegatives(
+        e.withColumn("label", lit(1)), col("vec_id") % 2 === 0, 5).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

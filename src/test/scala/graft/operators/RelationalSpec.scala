@@ -135,6 +135,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.contains(("b", 8L, 1L)))
   }
 
+  test("percentRankBy: SQL-standard ranks from the histogram formulation, ties shared") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L), ("b", 5L))
+      .toDF("g", "v")
+    val out = Relational.percentRankBy(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 10L)) == 0.0)       // nothing below
+    assert(out(("a", 20L)) == 0.333333)  // 1 below / (4-1), both ties share it
+    assert(out(("a", 30L)) == 1.0)
+    assert(out(("b", 5L)) == 0.0)        // singleton group scores 0
+  }
+
   test("winsorizedMeanBy clips into the percentile band before averaging") {
     val df = (Seq.tabulate(10)(i => ("a", (i + 1).toLong)) ++
       Seq(("b", 1L), ("b", 2L), ("b", 3L), ("b", 1000L))).toDF("g", "v")

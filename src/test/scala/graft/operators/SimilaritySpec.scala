@@ -22,6 +22,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 == 0.0)
   }
 
+  test("hardNegatives: nearest different-label vectors; same-label near-misses excluded") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(0.99f, 0.1f), 1), // nearest overall — but same label: excluded
+      (3L, Seq(0.9f, 0.2f), 2),
+      (4L, Seq(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, col("vec_id") === 1, k = 2)
+      .orderBy(col("sim").desc).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (1L, 4L)))
+  }
+
   test("labelCohesion: min-id anchor scores 1.0; members score cosine to it") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 7),  // anchor of label 7
