@@ -699,6 +699,66 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Asymmetric shingle containment — the QUOTE/SUBSET detector Jaccard
+    * structurally misses: C(src→dst) = |S_src ∩ S_dst| / |S_src|, emitted
+    * per ORDERED pair with C >= threshold. A short document fully quoted
+    * inside a long one has containment ~1.0 in the short→long direction
+    * while its Jaccard is ~|short|/|long| — far below any near-dup
+    * threshold — so this is the right primitive for "is this doc
+    * subsumed by another" (truncations beyond [[prefixDuplicates]]' exact
+    * prefix shape, excerpt farms, quote-heavy aggregators).
+    *
+    * Same blocking + exactness discipline as [[ngramJaccardPairs]]:
+    * candidates must share a RARE (df <= maxDf) shingle; the blocking
+    * join yields the shared-rare count per pair; per-doc stats arrive in
+    * one aggregate; and the hot-shingle correction makes the final
+    * intersection EXACT. The pre-prune keeps a pair only while
+    * iMax / min(|A|,|B|) >= threshold — an upper bound on the LARGER of
+    * the two directed containments, so no qualifying direction is lost
+    * (set-algebra implication, like the Jaccard bounds). Both directions
+    * of a surviving pair are then scored and filtered independently.
+    * Output: (src_id, dst_id, containment round 4), containment >=
+    * threshold. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = graft.Persist.cut(shingleSet(docs, n))
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val tagged = sh.join(dfc, "s")
+    val rare = tagged.filter(col("df") <= maxDf).select(col("doc_id"), col("s"))
+    val iRare = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i_rare"))
+    val docStats = tagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("c"),
+      count(when(col("df") > maxDf, 1)).as("hc"),
+      collect_set(when(col("df") > maxDf, col("s"))).as("hset"))
+    // same broadcast knob as the Jaccard verify stage (one row per doc)
+    val bcast = docs.sparkSession.conf
+      .get("spark.graft.jaccard.broadcastStats", "true").toBoolean
+    def stats(alias: String): DataFrame =
+      if (bcast) broadcast(docStats.as(alias)) else docStats.as(alias)
+    val scored = iRare
+      .join(stats("da"), col("a_id") === col("da.doc_id"))
+      .join(stats("db"), col("b_id") === col("db.doc_id"))
+      .select(col("a_id"), col("b_id"), col("i_rare"),
+        col("da.c").as("na"), col("db.c").as("nb"),
+        (col("i_rare") + least(col("da.hc"), col("db.hc")))
+          .cast("double").as("i_max"),
+        col("da.hset").as("ha"), col("db.hset").as("hb"))
+      .filter(col("i_max") / least(col("na"), col("nb")) >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (col("i_rare") + when(size(col("ha")) > 0 && size(col("hb")) > 0,
+          size(array_intersect(col("ha"), col("hb")))).otherwise(0))
+          .cast("double").as("i"),
+        col("na"), col("nb"))
+    scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        round(col("i") / col("na"), 4).as("containment"))
+      .unionByName(scored.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+        round(col("i") / col("nb"), 4).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact n-gram Jaccard over candidate pairs sharing at least one RARE
     * shingle; emits pairs with similarity >= threshold.
     *

@@ -712,4 +712,40 @@ object TextAnalysis {
     Relational.dedupeKeepFirst(scored, Seq(col("doc_id")),
       Seq(col("tfidf").desc, col("term")), keep = k)
   }
+
+  /** Curation funnel report — the per-source "why did we drop what we
+    * dropped" breakdown every corpus-curation dashboard leads with. Each
+    * document is attributed to its FIRST failing gate in pipeline order
+    * (exact_dup → near_dup → lang → low_quality → kept), matching how the
+    * x18 gate actually filters, so the counts add up to the corpus and a
+    * source's quality story is read in one table (a mirror site shows up
+    * as exact_dup-heavy, a scraper-spam source as low_quality-heavy).
+    *
+    * `exactDropIds` / `nearDropIds` are one-column doc_id frames from the
+    * upstream detectors ([[graft.operators.Dedup.exact]]'s complement,
+    * a candidate-pair b-side, a CC drop list) — passed in rather than
+    * recomputed, because at 100 TB those frames are already materialized
+    * by the dedup stage and the funnel must attribute THE run's decisions,
+    * not a recomputation's. Scale: two id-only left joins (32-byte-hash-
+    * derived longs, broadcastable when the drop lists are small), the
+    * fused one-projection score pass, one |sources × reasons| aggregate.
+    * Output: source, reason, n_docs. */
+  def curationFunnel(docs: DataFrame, exactDropIds: DataFrame,
+                     nearDropIds: DataFrame, keepLang: String,
+                     minQuality: Double): DataFrame = {
+    val ex = exactDropIds.select(col("doc_id")).distinct().withColumn("__ex", lit(1))
+    val nd = nearDropIds.select(col("doc_id")).distinct().withColumn("__nd", lit(1))
+    docs.select(col("doc_id"), col("source"))
+      .join(ex, Seq("doc_id"), "left_outer")
+      .join(nd, Seq("doc_id"), "left_outer")
+      .join(curationScores(docs), Seq("doc_id"))
+      .select(col("source"),
+        when(col("__ex").isNotNull, "exact_dup")
+          .when(col("__nd").isNotNull, "near_dup")
+          .when(col("pred_lang") =!= keepLang, "lang")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .otherwise("kept").as("reason"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

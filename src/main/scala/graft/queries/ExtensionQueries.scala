@@ -630,7 +630,35 @@ object ExtensionQueries {
     Similarity.hardNegatives(emb(s, dir), col("vec_id") % 100 === 0, k = 10)
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
 
+  /** x67 containment threshold — 0.2 keeps the fixture's asymmetric
+    * partial-overlap pairs (0.2-0.3 band) alongside the mutual near-dups,
+    * so the direction-dependent scoring path is oracle-exercised (at a
+    * production 0.8+ the fixture only yields symmetric pairs). */
+  val containThreshold = 0.2
+
+  def x67(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), n = 3,
+        threshold = containThreshold, maxDf = jaccardMaxDf)
+      .orderBy("src_id", "dst_id")
+
+  /** Curation funnel: first-failing-gate attribution per source. Drop
+    * frames follow the x18/x15 conventions — exact drops are the
+    * complement of the md5 keep-list; near drops are the greedy b-side
+    * of the LSH candidate pairs over the full corpus. */
+  def x68(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exactDrops = d.join(
+      Dedup.exact(d, col("doc_id"), col("text")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val nearDrops = Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4)
+      .select(col("b_id").as("doc_id"))
+    TextAnalysis.curationFunnel(d, exactDrops, nearDrops, "en", curationMinQuality)
+      .orderBy("source", "reason")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x67_containment"   -> (x67 _),
+    "x68_curation_funnel" -> (x68 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -988,6 +1016,62 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // same blocking-and-exact-verify chain as x10, but both ORDERED
+    // directions score independently against their own source cardinality
+    "x67_containment" ->
+      s"""WITH $shingleCte,
+         |rare AS (SELECT sh.* FROM sh JOIN
+         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT cand.a_id, cand.b_id, count(*) AS i
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.a_id
+         |  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.s = sa.s
+         |  GROUP BY cand.a_id, cand.b_id),
+         |bothdir AS (
+         |  SELECT inter.a_id AS src_id, inter.b_id AS dst_id,
+         |    ROUND(inter.i::DOUBLE / ca.c, 4) AS containment
+         |  FROM inter JOIN card ca ON inter.a_id = ca.doc_id
+         |  UNION ALL
+         |  SELECT inter.b_id, inter.a_id, ROUND(inter.i::DOUBLE / cb.c, 4)
+         |  FROM inter JOIN card cb ON inter.b_id = cb.doc_id)
+         |SELECT src_id, dst_id, containment FROM bothdir
+         |WHERE containment >= $containThreshold
+         |ORDER BY src_id, dst_id""".stripMargin,
+    // first-failing-gate attribution: exact drops = non-keepers of the
+    // md5 class (x18's dd complement); near drops = the LSH b-side over
+    // the FULL corpus (x15's drops CTE verbatim); then the x18 score CASE
+    "x68_curation_funnel" ->
+      s"""WITH $lshCtes,
+         |nd AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ex AS (SELECT doc_id FROM
+         |  (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |   FROM documents) WHERE rn > 1),
+         |t AS (SELECT doc_id, source, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  $langCounts,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  length(text)::DOUBLE AS nc,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
+         | FROM t),
+         |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c),
+         |scored AS (SELECT doc_id, source, $langArgmax AS pred_lang,
+         |  ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         | FROM m),
+         |attributed AS (SELECT source,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+         |       WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+         |       WHEN pred_lang <> 'en' THEN 'lang'
+         |       WHEN quality_score < $curationMinQuality THEN 'low_quality'
+         |       ELSE 'kept' END AS reason
+         | FROM scored)
+         |SELECT source, reason, count(*)::BIGINT AS n_docs
+         |FROM attributed GROUP BY source, reason
+         |ORDER BY source, reason""".stripMargin,
     "x65_percent_rank" ->
       """WITH t AS (SELECT doc_id, lang,
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens

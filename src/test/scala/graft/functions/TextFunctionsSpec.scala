@@ -392,6 +392,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("curationFunnel attributes each doc to its FIRST failing gate; counts are exhaustive") {
+    import graft.operators.TextAnalysis
+    // doc 1: kept (long english, clean); doc 2: exact dup of 1 AND would
+    // also fail near-dup — exact_dup must win (priority order); doc 3:
+    // near-dup only; doc 4: wrong language; doc 5: too digit-heavy
+    val en = ("the a of and is to in " * 15).trim
+    val docs = Seq(
+      (1L, en, "web"),
+      (2L, en, "web"),
+      (3L, en + " extra", "web"),
+      (4L, "el la de y que los un " + "palabra " * 10, "mirror"),
+      // english stopwords so the lang gate passes, but short + digit-heavy
+      // so quality = min(n/100,1)·(1−digits/chars) lands far below 0.5
+      (5L, "the 111 of 222 and 333 is 444 to 555 in 666", "mirror")
+    ).toDF("doc_id", "text", "source")
+    val exactDrops = Seq(2L).toDF("doc_id")
+    val nearDrops = Seq(2L, 3L).toDF("doc_id")   // 2 is in BOTH drop lists
+    val out = TextAnalysis.curationFunnel(docs, exactDrops, nearDrops, "en", 0.5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(
+      ("web", "kept") -> 1L, ("web", "exact_dup") -> 1L, ("web", "near_dup") -> 1L,
+      ("mirror", "lang") -> 1L, ("mirror", "low_quality") -> 1L))
+    assert(out.values.sum == 5L)   // every doc attributed exactly once
+  }
+
   test("deterministicSplit: partition-independent, exhaustive, near 90/5/5") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = graft.operators.TextAnalysis.deterministicSplit(docs)

@@ -408,4 +408,39 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 4L))
   }
+
+  test("containmentPairs: a quoted subset scores ~1 one way, low the other") {
+    // doc 2 is doc 1's text verbatim plus a long unique tail: every doc-2
+    // shingle that doc 1 has IS one of doc 1's shingles, so C(1→2)=1.0
+    // while C(2→1) is the small fraction the tail dilutes it to — the
+    // asymmetric signal Jaccard cannot express
+    val short = "alpha beta gamma delta epsilon"
+    val tail = (1 to 20).map(i => s"tail$i").mkString(" ")
+    val d = docs(1L -> short, 2L -> s"$short $tail",
+      3L -> "entirely disjoint filler words nothing shared here at all")
+    val out = Dedup.containmentPairs(d, n = 3, threshold = 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // both directions survive once the threshold admits the diluted one:
+    // doc1 has 3 shingles, doc2 has 23, all 3 shared -> C(2→1)=3/23
+    val both = Dedup.containmentPairs(d, n = 3, threshold = 0.1, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(both == Seq((1L, 2L, 1.0), (2L, 1L, math.rint(3.0 / 23.0 * 10000) / 10000)))
+  }
+
+  test("containmentPairs: hot-shingle correction keeps the score exact") {
+    // a shingle shared by ALL docs exceeds maxDf=2 and leaves the rare
+    // blocking set, but the hot-set intersection must still count it in i
+    val common = "one two three"
+    val d = docs(
+      1L -> s"$common aa bb cc",
+      2L -> s"$common aa bb cc",
+      3L -> s"$common zz yy xx")
+    // docs 1,2: shingles identical (4 each incl. the hot one) -> C = 1.0
+    val out = Dedup.containmentPairs(d, n = 3, threshold = 0.9, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
 }
