@@ -421,14 +421,28 @@ object Dedup {
     * candidates per band on a uniform corpus at the same one-hash cost.
     * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
   def simhashNearDupPairs(docs: DataFrame, bits: Int = 64,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3): DataFrame =
+    pigeonholePairs(
+      simhash(docs, bits).select(col("doc_id").as("id"), col("fingerprint")),
+      bits, maxHamming)
+
+  /** Pigeonhole-blocked near-dup pairs for ANY `bits`-wide fingerprint
+    * frame (id, fingerprint) — THE one definition of the multi-index
+    * banding arithmetic, shared by the text path
+    * ([[simhashNearDupPairs]]) and the embedding path
+    * ([[Similarity.srpNearDupPairs]] — sign-random-projection bits), so
+    * the two families cannot drift. See [[simhashNearDupPairs]] for the
+    * candidate-volume / key-width scale analysis; everything here ships
+    * (id, band, key) longs, never payloads.
+    * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
+  def pigeonholePairs(fp0: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"bits=$bits must split into ${blocks} equal segments")
     val w = bits / blocks
     // fingerprints feed all `blocks` banding branches: materialize once
-    val fp = graft.Persist.cut(simhash(docs, bits))
+    val fp = graft.Persist.cut(fp0)
     val banded = (0 until blocks).map { i =>
-      fp.select(col("doc_id"), col("fingerprint"), lit(i).as("band"),
+      fp.select(col("id"), col("fingerprint"), lit(i).as("band"),
         // mask in LONG: (1 << 32) wraps to 1 in Int, which would collapse
         // every fingerprint into key=0 for maxHamming=0
         shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1L << w) - 1)).as("key"))
@@ -436,8 +450,8 @@ object Dedup {
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint")))
           .cast("long").as("hamming"))
       .distinct()

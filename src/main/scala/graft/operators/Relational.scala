@@ -214,6 +214,58 @@ object Relational {
     df.withColumn(as, round(avg(col(value)).over(w), 4))
   }
 
+  /** Exponentially-weighted trailing average over a gap-filled integer
+    * series — [[movingAvg]]'s recency-weighted sibling (the smoothing a
+    * trend monitor wants when "last week matters more than last month"):
+    * ewma_t = Σ_{j=0..window−1} α^j·v_{t−j} / Σ_j α^j over the buckets
+    * that exist (at a series' start the normalizer shrinks to the weights
+    * present, so early buckets are true averages of their history, not
+    * diluted toward zero).
+    *
+    * Shape: a SQL window frame cannot weight by offset-within-frame, and
+    * collecting each frame into an array to fold re-materializes the
+    * window per row. Instead each (key, bucket, v) row VOTES for the
+    * `window` buckets at offsets 0..window−1 ahead of it — a narrow
+    * bounded ×window explode, the [[rollingDistinct]] discipline — one
+    * (key, bucket) aggregate merges the votes, and an inner join back to
+    * the input drops votes cast past the series end. Runs ON
+    * [[resampleCounts]]/[[fillGaps]] output: offsets are calendar `unit`
+    * steps, so a missing bucket would silently absorb its own votes —
+    * the dense spine is the correctness precondition (as for
+    * [[movingAvg]]).
+    *
+    * Float discipline: α^j is computed ONCE driver-side, rounded to 12
+    * decimals into DECIMAL — the weights are literal constants shared
+    * with the generated oracle — so w·v products and both sums are EXACT
+    * decimal arithmetic, order- and partition-independent; one double
+    * division at the end (round 6). Output: input columns + `as`. */
+  def ewma(df: DataFrame, key: String, value: String, window: Int,
+           alpha: Double, unit: String = "day", as: String = "ewma"): DataFrame = {
+    require(Seq("hour", "day", "week").contains(unit),
+      s"unit must be hour|day|week, got $unit")
+    require(window >= 1, "window must be >= 1 bucket")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must lie in (0, 1]")
+    val weights = ewmaWeights(window, alpha)
+    val votes = df.select(col(key), col("bucket"), col(value).cast("long").as("__v"),
+        explode(array(weights.zipWithIndex.map { case (w, j) =>
+          struct(lit(j).as("j"), lit(w).as("w"))
+        }: _*)).as("__jw"))
+      .select(col(key),
+        (col("bucket") + col("__jw.j") * expr(s"interval 1 $unit")).as("bucket"),
+        (col("__jw.w") * col("__v")).as("__num"), col("__jw.w").as("__den"))
+      .groupBy(col(key), col("bucket"))
+      .agg(sum(col("__num")).as("__n"), sum(col("__den")).as("__d"))
+    df.join(votes, Seq(key, "bucket"))
+      .withColumn(as, round(col("__n").cast("double") / col("__d").cast("double"), 6))
+      .drop("__n", "__d")
+  }
+
+  /** The EWMA weight ladder α^0..α^(window−1), each rounded to 12
+    * decimals — ONE definition, printed verbatim into the oracle SQL. */
+  def ewmaWeights(window: Int, alpha: Double): Seq[java.math.BigDecimal] =
+    (0 until window).map(j => java.math.BigDecimal.valueOf(math.pow(alpha, j))
+      .setScale(12, java.math.RoundingMode.HALF_UP))
+
   /** Rolling z-score anomaly detection over an ordered per-key INTEGER
     * series (run it on [[resampleCounts]] output — on a gap-free spine the
     * trailing ROWS frame is also a trailing time window): each row is

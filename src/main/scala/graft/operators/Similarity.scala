@@ -241,6 +241,68 @@ object Similarity {
         simCol(emb)(col("embedding"), col("__re")).as("sim"))
   }
 
+  /** Deterministic pseudo-random hyperplanes for sign-random-projection
+    * LSH: component (i, d) comes from a splitmix64-style finalizer over
+    * the (plane, dimension) key, mapped to uniform [-1, 1). Generated
+    * driver-side as plain doubles and embedded as LITERALS in both the
+    * Spark plan and the generated oracle SQL (Double.toString round-trips
+    * exactly, and both engines' literal parsers correctly round to
+    * nearest), so the two sides share the planes bit-for-bit — the same
+    * shared-constant discipline as the MinHash family and the bigram λ. */
+  def srpPlanes(bits: Int, dim: Int): Seq[IndexedSeq[Double]] =
+    (0 until bits).map { i =>
+      (0 until dim).map { d =>
+        var x = i.toLong * 0x9E3779B97F4A7C15L +
+          d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+        x ^= (x >>> 31)
+        (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** Sign-random-projection fingerprints: bit i = [dot(v, h_i) > 0] —
+    * the COSINE-metric LSH family (P[bits agree] = 1 − angle/π), giving
+    * embeddings the same compact-fingerprint near-dup machinery SimHash
+    * gives text. Entirely narrow: `bits` sequential-fold dot products per
+    * row against broadcast-free literal planes, no shuffle, no codebook —
+    * the complement of the IVF path (no training step, stable across
+    * corpus updates, at the cost of data-obliviousness).
+    * Output: vec_id, fingerprint (bits wide, `bits` <= 63 so keys stay
+    * non-negative longs). */
+  def srpSignatures(emb: DataFrame, bits: Int, dim: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, "SRP fingerprints pack into a non-negative long")
+    require(dim >= 1, "dim must match the embedding width")
+    val planes = srpPlanes(bits, dim)
+    val fp = planes.zipWithIndex.map { case (p, i) =>
+      when(graft.functions.VectorFunctions.dot(
+        col("embedding"), array(p.map(lit): _*)) > 0.0d, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), fp.as("fingerprint"))
+  }
+
+  /** SRP near-duplicate pairs: pigeonhole-blocked fingerprint pairs
+    * (shared banding core — [[Dedup.pigeonholePairs]]) within `maxHamming`
+    * bits, verified with the exact rounded cosine. The LSH guarantee is
+    * probabilistic in the ANGLE (hamming/bits estimates angle/π), so this
+    * is the sub-linear candidate generator; `sim` lets callers apply the
+    * exact threshold downstream. Same candidate-volume lever as SimHash:
+    * key width = bits/(maxHamming+1) — size `bits` so 2^width comfortably
+    * exceeds the corpus/bucket-count you can afford to pair-join.
+    * Output: (a_id, b_id, hamming, sim), a_id < b_id. */
+  def srpNearDupPairs(emb: DataFrame, bits: Int, maxHamming: Int,
+                      dim: Int): DataFrame = {
+    val pairs = Dedup.pigeonholePairs(
+      srpSignatures(emb, bits, dim).select(col("vec_id").as("id"), col("fingerprint")),
+      bits, maxHamming)
+    pairs
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("__ea")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("__eb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        simCol(emb)(col("__ea"), col("__eb")).as("sim"))
+  }
+
   /** Reconstruct int8-quantized vectors: x' = q · scale, cast back to
     * FLOAT so the result plugs into the same search operators as raw
     * embeddings (graft_cosine takes ARRAY<FLOAT>). Deterministic in any

@@ -656,9 +656,37 @@ object ExtensionQueries {
       .orderBy("source", "reason")
   }
 
+  /** x69 SRP parameters: 16-bit fingerprints over the fixture's 64-dim
+    * embeddings, maxHamming 1 ⇒ two 8-bit pigeonhole segments (256
+    * buckets per band). At corpus scale the lever is the same as
+    * SimHash's: widen bits so 2^(bits/(maxHamming+1)) outgrows the
+    * affordable bucket size. */
+  val srpBits = 16
+  val srpMaxHamming = 1
+  val srpDim = 64
+
+  def x69(s: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearDupPairs(emb(s, dir), bits = srpBits,
+        maxHamming = srpMaxHamming, dim = srpDim)
+      .orderBy("a_id", "b_id")
+
+  /** x70 EWMA parameters — half-life-of-one-bucket smoothing over the
+    * x35 spine; weights shared with the oracle via ewmaWeights. */
+  val ewmaWindow = 7
+  val ewmaAlpha = 0.5
+
+  def x70(s: SparkSession, dir: String): DataFrame =
+    Relational.ewma(
+        Relational.resampleCounts(
+          Tables(s, dir, "events").select("user_id", "ts"), "user_id", "ts", "day"),
+        "user_id", "n_events", window = ewmaWindow, alpha = ewmaAlpha, unit = "day")
+      .orderBy("user_id", "bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
+    "x69_srp_pairs"     -> (x69 _),
+    "x70_ewma"          -> (x70 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -839,6 +867,32 @@ object ExtensionQueries {
     s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** SRP fingerprint + pigeonhole pair SQL, generated from the SAME plane
+    * constants and segment arithmetic the Spark operators use
+    * (Similarity.srpPlanes / Dedup.pigeonholePairs). */
+  private def srpSql(bits: Int, maxHamming: Int, dim: Int): String = {
+    val blocks = maxHamming + 1
+    val w = bits / blocks
+    val bitExprs = Similarity.srpPlanes(bits, dim).zipWithIndex.map { case (p, i) =>
+      val arr = "[" + p.mkString(", ") + "]::DOUBLE[]"
+      s"CASE WHEN ${dotSql("embedding", arr)} > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""WITH sg AS (SELECT vec_id, ($bitExprs)::BIGINT AS fingerprint FROM embeddings),
+       |bands AS (SELECT vec_id, fingerprint, i AS band,
+       |    (fingerprint >> (i * $w)) & ${(1L << w) - 1} AS key
+       |  FROM sg CROSS JOIN range(0, $blocks) r(i)),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    a.fingerprint AS fa, b.fingerprint AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |h AS (SELECT a_id, b_id, bit_count(xor(fa, fb))::BIGINT AS hamming
+       |  FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming)
+       |SELECT h.a_id, h.b_id, h.hamming, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+       |FROM h JOIN embeddings ea ON ea.vec_id = h.a_id
+       |JOIN embeddings eb ON eb.vec_id = h.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Sequential-fold dot product over FLOAT[] lists: bit-identical to the
     * Spark side (VectorFunctions.dot / the codegen'd CosineSimilarity
     * loop), which accumulates left-to-right in double precision starting
@@ -1016,6 +1070,28 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // SRP: the plane constants are generated by Similarity.srpPlanes and
+    // printed verbatim (Double.toString round-trips; both parsers round
+    // correctly), the banding replays pigeonholePairs' arithmetic, and
+    // sim is the shared sequential-fold cosine
+    "x69_srp_pairs" -> srpSql(srpBits, srpMaxHamming, srpDim),
+    // EWMA over the SAME resample CTE x35/x40 pin; weights are the
+    // ewmaWeights decimals verbatim, so products and sums are exact
+    "x70_ewma" -> {
+      val values = Relational.ewmaWeights(ewmaWindow, ewmaAlpha).zipWithIndex
+        .map { case (w, j) => s"($j, ${w.toPlainString}::DECIMAL(14,12))" }
+        .mkString(", ")
+      s"""WITH $resampleCtes,
+         |w(j, wt) AS (VALUES $values),
+         |v AS (SELECT r.user_id, r.bucket + j * INTERVAL 1 DAY AS bucket,
+         |  wt * r.n_events AS num, wt AS den FROM r CROSS JOIN w),
+         |agg AS (SELECT user_id, bucket, sum(num) AS n, sum(den) AS d
+         |  FROM v GROUP BY user_id, bucket)
+         |SELECT r.user_id, r.bucket, r.n_events,
+         |  ROUND(agg.n::DOUBLE / agg.d::DOUBLE, 6) AS ewma
+         |FROM r JOIN agg USING (user_id, bucket)
+         |ORDER BY user_id, bucket""".stripMargin
+    },
     // same blocking-and-exact-verify chain as x10, but both ORDERED
     // directions score independently against their own source cardinality
     "x67_containment" ->

@@ -54,6 +54,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("ewma: offset-weighted trailing average, ramp-in normalizer, no phantom buckets") {
+    val counts = Seq(
+      ("u", "2024-01-01", 2L), ("u", "2024-01-02", 0L), ("u", "2024-01-03", 4L),
+      ("w", "2024-01-05", 9L)
+    ).toDF("user_id", "b", "n_events")
+      .select(col("user_id"), to_timestamp(col("b")).as("bucket"), col("n_events"))
+    val out = Relational.ewma(counts, "user_id", "n_events",
+        window = 2, alpha = 0.5, unit = "day")
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    // weights 1, 0.5: d0 = 2/1; d1 = (0 + 0.5·2)/1.5; d2 = (4 + 0.5·0)/1.5;
+    // the singleton key is its own value; votes past each series end vanish
+    assert(out == Seq(
+      ("u", 2L, 2.0), ("u", 0L, 0.666667), ("u", 4L, 2.666667),
+      ("w", 9L, 9.0)))
+    intercept[IllegalArgumentException] {
+      Relational.ewma(counts, "user_id", "n_events", window = 2, alpha = 0.0)
+    }
+  }
+
   test("rollingZscore: spike flags vs noisy history; constant history flags any deviation") {
     val df = Seq(
       (1L, 1L, 10L), (1L, 2L, 12L), (1L, 3L, 10L), (1L, 4L, 11L), (1L, 5L, 30L), (1L, 6L, 11L),

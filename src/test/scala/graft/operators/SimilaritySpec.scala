@@ -34,6 +34,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L), (1L, 4L)))
   }
 
+  test("srpNearDupPairs: identical vectors pair at hamming 0; opposite vectors never pair") {
+    // identical vectors share every SRP bit by construction (same dots);
+    // v and −v flip EVERY bit (no dot is exactly 0 against random
+    // planes), so their hamming is `bits` — far past any cap
+    val v = (1 to 8).map(i => (0.1f * i) * (if (i % 2 == 0) 1 else -1))
+    val emb = Seq(
+      (1L, v), (2L, v), (3L, v.map(x => -x))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.srpNearDupPairs(emb, bits = 16, maxHamming = 1, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 0L, 1.0)))
+  }
+
+  test("srpSignatures: fingerprint is a pure function of the vector (partition-independent)") {
+    val emb = (1L to 40L).map(i =>
+      (i, (1 to 8).map(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")
+    val a = Similarity.srpSignatures(emb, bits = 16, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.srpSignatures(emb.repartition(7), bits = 16, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // 16-bit fingerprints over 40 distinct directions should spread: the
+    // planes would be broken if everything collapsed to one bucket
+    assert(a.values.toSet.size > 10)
+  }
+
   test("labelCohesion: min-id anchor scores 1.0; members score cosine to it") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 7),  // anchor of label 7
