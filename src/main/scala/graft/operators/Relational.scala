@@ -542,6 +542,47 @@ object Relational {
       .drop("__b")
   }
 
+  /** Cohort retention matrix — the product-analytics read every events
+    * pipeline ends at: users are grouped into the cohort of their FIRST
+    * active `unit` bucket, and each (cohort, offset) cell counts how many
+    * of them were active `offset` units later; retention = cell /
+    * cohort size. Offset 0 is the cohort itself (retention 1.0 by
+    * construction — kept, as the denominator row every chart needs).
+    *
+    * Scale shape: raw events collapse to distinct (user, bucket) pairs
+    * FIRST (the only corpus-sized shuffle, same discipline as
+    * [[rollingDistinct]]); the cohort derivation is a per-user min over
+    * that collapsed table; the matrix aggregate has |cohorts × offsets|
+    * groups and cohort sizes broadcast back. Offsets are exact integer
+    * day arithmetic (datediff of `unit`-truncated timestamps divided by
+    * the unit's day width — both engines agree on Monday-start weeks),
+    * and retention divides two exact longs (round 4).
+    * Output: cohort, offset, n_active, cohort_size, retention. */
+  def cohortRetention(events: DataFrame, user: String, ts: String,
+                      unit: String = "week"): DataFrame = {
+    val unitDays = unit match {
+      case "day" => 1
+      case "week" => 7
+      case u => throw new IllegalArgumentException(
+        s"unit must be day|week (fixed day width keeps offsets exact), got $u")
+    }
+    val ud = events.filter(col(user).isNotNull)
+      .select(col(user).as("__u"), date_trunc(unit, col(ts)).as("__b"))
+      .distinct()
+    val cohorts = ud.groupBy(col("__u")).agg(min(col("__b")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    ud.join(cohorts, "__u")
+      .select(col("cohort"),
+        (datediff(col("__b").cast("date"), col("cohort").cast("date"))
+          / unitDays).cast("long").as("offset"),
+        col("__u"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMicros`. Two window passes
     * over the same (user, time) partitioning — one shuffle total. */

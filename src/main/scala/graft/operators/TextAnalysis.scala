@@ -713,6 +713,32 @@ object TextAnalysis {
       Seq(col("tfidf").desc, col("term")), keep = k)
   }
 
+  /** Per-document token-distribution Shannon entropy (nats) — the
+    * information-density quality signal orthogonal to
+    * [[repetitionRatio]]: a doc can have few repeated n-GRAMS yet cycle a
+    * tiny vocabulary (keyword stuffing, template fills), which collapses
+    * entropy while rep_ratio stays moderate. H = ln(n) − (Σ c·ln c)/n
+    * over per-doc term counts c — the log-identity form whose inner sum
+    * is per-TERM, so the [[unigramLogProb]] float discipline applies:
+    * each c·ln(c) term rounds to 6 decimals into DECIMAL(18,6), the sum
+    * is exact and order-independent, and one double expression finishes
+    * (round 4). Docs with zero tokens emit nothing.
+    *
+    * Scale: one (doc_id, term) count aggregate and one per-doc aggregate
+    * — both map-side-partial friendly, nothing shuffles text beyond the
+    * term postings. Output: doc_id, n_tokens, distinct_tokens, entropy. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(round(col("c") * log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        round(log(col("n_tokens").cast("double"))
+          - col("__s").cast("double") / col("n_tokens"), 4).as("entropy"))
+
   /** Curation funnel report — the per-source "why did we drop what we
     * dropped" breakdown every corpus-curation dashboard leads with. Each
     * document is attributed to its FIRST failing gate in pipeline order

@@ -682,11 +682,23 @@ object ExtensionQueries {
         "user_id", "n_events", window = ewmaWindow, alpha = ewmaAlpha, unit = "day")
       .orderBy("user_id", "bucket")
 
+  /** Weekly cohort retention over the 30-day events fixture (~5 cohorts
+    * × ≤5 offsets). */
+  def x71(s: SparkSession, dir: String): DataFrame =
+    Relational.cohortRetention(Tables(s, dir, "events"), "user_id", "ts", "week")
+      .orderBy("cohort", "offset")
+
+  /** Token-distribution entropy — the information-density quality gate. */
+  def x72(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(docs(s, dir)).orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
     "x69_srp_pairs"     -> (x69 _),
     "x70_ewma"          -> (x70 _),
+    "x71_retention"     -> (x71 _),
+    "x72_entropy"       -> (x72 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1070,6 +1082,33 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // distinct (user, week) first; offsets are exact integer day diffs
+    // of Monday-truncated weeks / 7; retention divides exact longs
+    "x71_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts)::TIMESTAMP AS b
+        |  FROM events WHERE user_id IS NOT NULL),
+        |coh AS (SELECT u, min(b) AS cohort FROM ud GROUP BY u),
+        |sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM coh GROUP BY cohort),
+        |cell AS (SELECT coh.cohort,
+        |    (date_diff('day', coh.cohort::DATE, ud.b::DATE) // 7)::BIGINT AS "offset",
+        |    count(DISTINCT ud.u)::BIGINT AS n_active
+        |  FROM ud JOIN coh USING (u) GROUP BY 1, 2)
+        |SELECT cell.cohort, cell."offset", cell.n_active, sz.cohort_size,
+        |  ROUND(cell.n_active::DOUBLE / sz.cohort_size, 4) AS retention
+        |FROM cell JOIN sz USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
+    // per-term c·ln(c) rounds to 6 into DECIMAL (exact order-free sum,
+    // the x37 discipline); H = ln(n) − S/n finishes in one double
+    "x72_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
+        |agg AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+        |    sum(ROUND(c * ln(c), 6)::DECIMAL(18,6)) AS s
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens, d AS distinct_tokens,
+        |  ROUND(ln(n) - s::DOUBLE / n, 4) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // SRP: the plane constants are generated by Similarity.srpPlanes and
     // printed verbatim (Double.toString round-trips; both parsers round
     // correctly), the banding replays pigeonholePairs' arithmetic, and

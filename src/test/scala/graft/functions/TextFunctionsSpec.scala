@@ -392,6 +392,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("tokenEntropy: uniform text maxes entropy, one-token loops score 0, empty docs drop") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d"),       // 4 distinct of 4: H = ln(4)
+      (2L, "a a a a"),       // one token: H = 0
+      (3L, "a a b b"),       // H = ln(4) − (2·ln2·2)/4 = ln(2)
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, 4L, math.rint(math.log(4) * 10000) / 10000)))
+    assert(out(2L)._1 == 4L && out(2L)._2 == 1L && out(2L)._3 == 0.0)
+    assert(out(3L)._3 == math.rint((math.log(4) - math.rint(2 * math.log(2) * 1e6) / 1e6 * 2 / 4) * 10000) / 10000)
+  }
+
   test("curationFunnel attributes each doc to its FIRST failing gate; counts are exhaustive") {
     import graft.operators.TextAnalysis
     // doc 1: kept (long english, clean); doc 2: exact dup of 1 AND would

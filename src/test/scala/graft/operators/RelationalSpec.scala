@@ -54,6 +54,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention: first-bucket cohorts, exact offsets, offset-0 retention is 1.0") {
+    // two users start week of Jan 1 (Mon), one returns two weeks later;
+    // one user starts week of Jan 8
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (2L, "2024-01-03 10:00:00"),
+      (1L, "2024-01-16 10:00:00"),
+      (3L, "2024-01-09 10:00:00")
+    ).toDF("user_id", "t").select(col("user_id"), to_timestamp(col("t")).as("ts"))
+    val out = Relational.cohortRetention(ev, "user_id", "ts", "week")
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 2L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 1L, 1L, 1.0)))
+  }
+
   test("ewma: offset-weighted trailing average, ramp-in normalizer, no phantom buckets") {
     val counts = Seq(
       ("u", "2024-01-01", 2L), ("u", "2024-01-02", 0L), ("u", "2024-01-03", 4L),
