@@ -303,6 +303,53 @@ object Similarity {
         simCol(emb)(col("__ea"), col("__eb")).as("sim"))
   }
 
+  /** Per-label embedding diversity WITHOUT the pair join: the mean
+    * pairwise squared Euclidean distance over a label's vectors equals
+    * 2n/(n−1)·(m₂ − ‖μ‖²) with m₂ the mean squared norm and μ the mean
+    * vector — a moment identity, so the O(n²) "how spread is this
+    * slice" statistic (mixing dashboards, dedup-aggressiveness tuning,
+    * collapsed-cluster detection) costs two linear aggregates. A label
+    * whose diversity approaches 0 has collapsed to near-copies even if
+    * no individual pair was flagged.
+    *
+    * Exactness (the oracle must hash-match a two-sided derivation):
+    * per-row squared norms are sequential folds (the shared cosSql
+    * order) rounded to 6 into DECIMAL — exact order-free sums; per-dim
+    * component sums round each float component to 9 into DECIMAL (the
+    * quantCte discipline); ‖μ‖² sums 64 per-dim terms each rounded to 12
+    * into DECIMAL; one double expression finishes (round 6). Labels with
+    * a single vector have no pairs — diversity null, surfaced not
+    * dropped.
+    *
+    * Scale: one narrow fold pass + label aggregate; one posexplode
+    * (×dim, bounded) + (label, pos) aggregate with map-side partials;
+    * everything after is |labels·dim| rows. No corpus shuffle carries an
+    * embedding. Output: label, n_vecs, diversity. */
+  def diversityByLabel(emb: DataFrame, labelCol: String = "label"): DataFrame = {
+    val base = emb.select(col(labelCol).as("label"),
+        round(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")), 6)
+          .cast("decimal(24,6)").as("__sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__sq")).as("__s2"))
+    val dims = emb.select(col(labelCol).as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double"), 9).cast("decimal(20,9)").as("__v"))
+      .groupBy(col("label"), col("pos")).agg(sum(col("__v")).as("__sd"))
+    val mu = dims.join(broadcast(base.select(col("label"), col("n_vecs"))), "label")
+      .select(col("label"),
+        round((col("__sd").cast("double") / col("n_vecs")) *
+          (col("__sd").cast("double") / col("n_vecs")), 12)
+          .cast("decimal(28,12)").as("__t"))
+      .groupBy(col("label")).agg(sum(col("__t")).as("__m"))
+    base.join(mu, "label")
+      .select(col("label"), col("n_vecs"),
+        when(col("n_vecs") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            lit(2.0) * col("n_vecs") / (col("n_vecs") - lit(1L)) *
+              (col("__s2").cast("double") / col("n_vecs") - col("__m").cast("double")),
+            6)).as("diversity"))
+  }
+
   /** Reconstruct int8-quantized vectors: x' = q · scale, cast back to
     * FLOAT so the result plugs into the same search operators as raw
     * embeddings (graft_cosine takes ARRAY<FLOAT>). Deterministic in any

@@ -692,6 +692,11 @@ object ExtensionQueries {
   def x72(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenEntropy(docs(s, dir)).orderBy("doc_id")
 
+  /** Per-label embedding diversity via the moment identity (O(n), no
+    * pair join) — the oracle re-derives both moments independently. */
+  def x73(s: SparkSession, dir: String): DataFrame =
+    Similarity.diversityByLabel(emb(s, dir)).orderBy("label")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -699,6 +704,7 @@ object ExtensionQueries {
     "x70_ewma"          -> (x70 _),
     "x71_retention"     -> (x71 _),
     "x72_entropy"       -> (x72 _),
+    "x73_diversity"     -> (x73 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1082,6 +1088,27 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // moment identity: mean pairwise sq distance = 2n/(n−1)(m2 − |μ|²);
+    // squared norms use the shared fold order, component sums and the
+    // per-dim μ² terms round into DECIMAL so both moments are exact
+    "x73_diversity" ->
+      s"""WITH sq AS (SELECT label,
+         |  ROUND(${dotSql("embedding", "embedding")}, 6)::DECIMAL(24,6) AS s
+         |  FROM embeddings),
+         |base AS (SELECT label, count(*)::BIGINT AS n_vecs, sum(s) AS s2
+         |  FROM sq GROUP BY label),
+         |dv AS (SELECT label, i AS pos,
+         |    sum(ROUND(embedding[i+1]::DOUBLE, 9)::DECIMAL(20,9)) AS sd
+         |  FROM embeddings CROSS JOIN range(0, $srpDim) r(i) GROUP BY label, i),
+         |m AS (SELECT dv.label,
+         |    sum(ROUND((sd::DOUBLE / n_vecs) * (sd::DOUBLE / n_vecs), 12)::DECIMAL(28,12)) AS mm
+         |  FROM dv JOIN base USING (label) GROUP BY dv.label)
+         |SELECT base.label, base.n_vecs,
+         |  CASE WHEN base.n_vecs < 2 THEN NULL
+         |    ELSE ROUND(2.0 * base.n_vecs / (base.n_vecs - 1)
+         |      * (base.s2::DOUBLE / base.n_vecs - m.mm::DOUBLE), 6) END AS diversity
+         |FROM base JOIN m USING (label)
+         |ORDER BY label""".stripMargin,
     // distinct (user, week) first; offsets are exact integer day diffs
     // of Monday-truncated weeks / 7; retention divides exact longs
     "x71_retention" ->

@@ -60,6 +60,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.toSet.size > 10)
   }
 
+  test("diversityByLabel: moment identity equals mean pairwise sq distance; singleton null") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 1), (2L, Seq(2.0f, 0.0f), 1), (3L, Seq(0.0f, 2.0f), 1),
+      (4L, Seq(1.0f, 1.0f), 2), (5L, Seq(1.0f, 1.0f), 2),
+      (6L, Seq(9.0f, 9.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.diversityByLabel(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // label 1: pairs (4, 4, 8) -> mean 16/3; label 2: identical copies -> 0;
+    // label 3: one vector, no pairs -> null
+    assert(out(1) == ((3L, Some(math.rint(16.0 / 3.0 * 1e6) / 1e6))))
+    assert(out(2) == ((2L, Some(0.0))))
+    assert(out(3) == ((1L, None)))
+  }
+
   test("labelCohesion: min-id anchor scores 1.0; members score cosine to it") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 7),  // anchor of label 7
