@@ -250,4 +250,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x70: EWMA has ZERO Window nodes — votes ride one aggregate, no frame sort") {
+    val p = plan(ExtensionQueries.x70)
+    // a weighted frame would need collect_list-per-row or a window pass;
+    // the vote-explode shape keeps the plan window-free past the spine
+    assert(!p.split("== Initial Plan ==").head.contains("RunningWindowFunction"), p)
+    assert("Window".r.findAllIn(p.split("== Initial Plan ==").head).isEmpty, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x73: diversity is two linear aggregates — no pair join anywhere") {
+    val p = plan(ExtensionQueries.x73)
+    // the naive mean-pairwise-distance is a corpus self-join; the moment
+    // identity must never produce one (only the tiny per-dim/base joins)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x69: SRP fingerprints are a narrow projection (no shuffle before banding)") {
+    val p = plan(ExtensionQueries.x69)
+    // planes are literals: no codebook join, no training pass; the only
+    // exchanges are the banding-pair machinery on (id, band, key) longs
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
