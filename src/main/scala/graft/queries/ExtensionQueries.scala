@@ -697,6 +697,17 @@ object ExtensionQueries {
   def x73(s: SparkSession, dir: String): DataFrame =
     Similarity.diversityByLabel(emb(s, dir)).orderBy("label")
 
+  /** x74 KMV sketch width: 64 mins ⇒ ~12.5% stderr, and every fixture
+    * source (>= ~1k distinct trigrams) exercises the estimator path
+    * rather than the exact-small-stratum path. */
+  val kmvK = 64
+
+  /** Per-source distinct-shingle KMV estimate — the deterministic,
+    * oracle-replayable cardinality sketch (unlike HLL). */
+  def x74(s: SparkSession, dir: String): DataFrame =
+    Dedup.kmvEstimates(docs(s, dir), col("source"), n = 3, k = kmvK)
+      .orderBy("stratum")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -705,6 +716,7 @@ object ExtensionQueries {
     "x71_retention"     -> (x71 _),
     "x72_entropy"       -> (x72 _),
     "x73_diversity"     -> (x73 _),
+    "x74_kmv_distinct"  -> (x74 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1088,6 +1100,23 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // KMV: integer k-th minimum of md5-derived hashes; the estimator is
+    // one double expression over exact integers (2^60 is an exact double)
+    "x74_kmv_distinct" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT source AS stratum, array_to_string(toks[i:i+2], ' ') AS s
+         |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+         |       WHERE len(toks) >= 3),
+         |u AS (SELECT stratum, ('0x' || substring(md5(s), 1, 15))::BIGINT AS u FROM sh),
+         |rk AS (SELECT stratum, u, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY u) AS rn
+         |  FROM u),
+         |sk AS (SELECT stratum, count(*)::BIGINT AS n_sketch, max(u) AS uk
+         |  FROM rk WHERE rn <= $kmvK GROUP BY stratum)
+         |SELECT stratum, n_sketch,
+         |  CASE WHEN n_sketch < $kmvK THEN n_sketch::DOUBLE
+         |    ELSE ROUND(${kmvK - 1}::DOUBLE * 1152921504606846976.0 / uk::DOUBLE, 4) END
+         |    AS est_distinct
+         |FROM sk ORDER BY stratum""".stripMargin,
     // moment identity: mean pairwise sq distance = 2n/(n−1)(m2 − |μ|²);
     // squared norms use the shared fold order, component sums and the
     // per-dim μ² terms round into DECIMAL so both moments are exact

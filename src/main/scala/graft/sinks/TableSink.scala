@@ -59,6 +59,42 @@ object TableSink {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Z-order (Morton) clustered layout — [[writeSorted]] for TWO filter
+    * dimensions at once. A single-column sort makes that column's
+    * per-file min/max tight and leaves every OTHER column's stats
+    * spanning the full domain (filters on it prune nothing); interleaving
+    * the bits of both keys into one Morton value and range-clustering on
+    * it keeps every file inside a small RECTANGLE of the (a, b) space, so
+    * predicates on EITHER dimension skip most files — the multi-dimension
+    * data-skipping layout lakehouse engines call OPTIMIZE ZORDER BY.
+    *
+    * Both columns must be NON-NEGATIVE ints bounded by 2^31 (interleaving
+    * is positional — rank/bucketize skewed or signed domains first, e.g.
+    * via [[graft.operators.Relational.quantileBuckets]], which also
+    * equalizes the two dimensions' resolutions). The z-value is a pure
+    * bit expression (codegen'd, no UDF) and is DROPPED before the write —
+    * projection preserves the clustered order, so the files keep the
+    * layout without leaking a helper column. Cost: one range exchange,
+    * same as [[writeSorted]]. */
+  def writeZOrder(df: DataFrame, path: String, colA: String, colB: String,
+                  files: Int): Unit = {
+    val z = zValue(col(colA), col(colB))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** 62-bit Morton interleave of two 31-bit non-negative ints: bit j of
+    * `a` lands at 2j, bit j of `b` at 2j+1. Pure shift/mask/add chain —
+    * stays in whole-stage codegen. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 31).map { j =>
+      shiftleft(shiftright(a.cast("long"), j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(b.cast("long"), j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+
   /** Bucketed catalog table: rows hash-partitioned AND sorted by `key`
     * into `buckets` files per partition. Joins/aggregations between tables
     * bucketed on the same key with the same bucket count need NO exchange

@@ -409,6 +409,30 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L))
   }
 
+  test("kmvEstimates: small strata report exact counts; estimates are partition-independent") {
+    import spark.implicits._
+    // stratum "tiny": 1 doc, 4 tokens -> 2 trigrams < k -> exact count.
+    // stratum "big": 300 distinct trigrams-ish docs -> the estimator path
+    val tiny = Seq((1L, "a b c d", "tiny")).toDF("doc_id", "text", "src")
+    val big = (1 to 100).map(i =>
+      (100L + i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "big"))
+      .toDF("doc_id", "text", "src")
+    val d = tiny.unionByName(big)
+    val out = Dedup.kmvEstimates(d, col("src"), n = 3, k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("tiny") == ((2L, 2.0)))
+    // big has 300 distinct trigrams; KMV at k=64 has ~12.5% stderr —
+    // accept a generous 4-sigma band
+    val (nSketch, est) = out("big")
+    assert(nSketch == 64L)
+    assert(est > 150 && est < 500, s"KMV estimate $est implausible for 300 distinct")
+    // the sketch is a pure function of the data, not the partitioning:
+    // min-k of a union == min-k of per-partition min-ks
+    val out7 = Dedup.kmvEstimates(d.repartition(7), col("src"), n = 3, k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out7 == out)
+  }
+
   test("containmentPairs: a quoted subset scores ~1 one way, low the other") {
     // doc 2 is doc 1's text verbatim plus a long unique tail: every doc-2
     // shingle that doc 1 has IS one of doc 1's shingles, so C(1→2)=1.0

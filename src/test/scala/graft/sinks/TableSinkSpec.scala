@@ -60,6 +60,35 @@ class TableSinkSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrder: every file is a small rectangle of BOTH dims; single-sort is not") {
+    // a full 64x64 grid — under z-order, 16 contiguous z-ranges are
+    // ~16x16 quads, so BOTH dims stay tight per file; a single-column
+    // sort makes b span the whole domain in every file
+    val grid = spark.range(64L * 64)
+      .select((col("id") / 64).cast("long").as("a"), pmod(col("id"), lit(64L)).as("b"))
+    def spans(dir: String): (Double, Double) = {
+      val parts = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 16, s"expected 16 files, got ${parts.length}")
+      val sp = parts.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(max("a") - min("a"), max("b") - min("b")).collect().head
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (sp.map(_._1).sum / sp.length, sp.map(_._2).sum / sp.length)
+    }
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    TableSink.writeZOrder(grid, zDir, "a", "b", files = 16)
+    val (za, zb) = spans(zDir)
+    assert(za <= 32.0 && zb <= 32.0, s"z-order spans too wide: a=$za b=$zb")
+    val sDir = Files.createTempDirectory("graft_singlesort").toString
+    TableSink.writeSorted(grid, sDir, Seq("a"), files = 16)
+    val (_, sb) = spans(sDir)
+    assert(sb >= 48.0, s"single-sort control should span b, got $sb")
+    assert(zb < sb / 2, s"z-order must beat single-sort on the second dim: $zb vs $sb")
+    // same rows either way
+    assert(spark.read.parquet(zDir).count() == 64L * 64)
+  }
+
   test("snapshotStore: swapWrite alternates sides and read always sees a full snapshot") {
     val root = Files.createTempDirectory("graft_snap").toString
     assert(SnapshotStore.read(spark, root).isEmpty)
