@@ -392,10 +392,19 @@ object Dedup {
     * topKPerQuery trade, bounded by partition sizing not corpus size.
     * Output: stratum, n_sketch, est_distinct (round 4). */
   def kmvEstimates(docs: DataFrame, stratum: Column, n: Int = 3,
-                   k: Int = 64): DataFrame = {
+                   k: Int = 64): DataFrame =
+    kmvEstimateOf(kmvSketch(docs, stratum, n, k), k)
+
+  /** The KMV sketch itself: (stratum, mins ARRAY<LONG>) — the k smallest
+    * distinct shingle hashes per stratum, the form a sketch STORE holds.
+    * Min-k is associative and idempotent, so per-day/per-shard sketches
+    * [[kmvMerge]] into exactly the sketch of the union — build daily,
+    * merge nightly, never re-read history. */
+  def kmvSketch(docs: DataFrame, stratum: Column, n: Int = 3,
+                k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 (the estimator divides by the k-th minimum)")
     val sh = docs
-      .select(stratum.as("stratum"), col("doc_id"), rawTokens(col("text")).as("ts"))
+      .select(stratum.as("stratum"), rawTokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= n)
       .select(col("stratum"), explode(shingles(col("ts"), n)).as("s"))
       .distinct()
@@ -404,15 +413,29 @@ object Dedup {
     val local = u.withColumn("__p", spark_partition_id())
       .groupBy(col("stratum"), col("__p"))
       .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
-    val merged = local.select(col("stratum"), explode(col("mins")).as("u"))
+    local.select(col("stratum"), explode(col("mins")).as("u"))
       .groupBy(col("stratum"))
       .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
-    merged.select(col("stratum"),
+  }
+
+  /** Merge any number of [[kmvSketch]] frames (unioned) back into one
+    * sketch per stratum: min-k of the union of mins. Per-stratum state is
+    * k × #input sketches — a year of daily sketches is thousands of
+    * longs, never corpus-sized. */
+  def kmvMerge(sketches: DataFrame, k: Int = 64): DataFrame =
+    sketches.select(col("stratum"), explode(col("mins")).as("u"))
+      .groupBy(col("stratum"))
+      .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
+
+  /** The estimator read over a sketch: fewer than k values means the
+    * sketch IS the exact distinct set (est = count); at k the k-th
+    * minimum U of hashes uniform on [0, 2^60) gives (k−1)·2^60/U. */
+  def kmvEstimateOf(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.select(col("stratum"),
       size(col("mins")).cast("long").as("n_sketch"),
       when(size(col("mins")) < k, size(col("mins")).cast("double"))
         .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
           element_at(col("mins"), k).cast("double"), 4)).as("est_distinct"))
-  }
 
   /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the
     * parity of hex digit j of the token's hash; tokens vote +1/-1 per bit

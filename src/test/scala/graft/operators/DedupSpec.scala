@@ -433,6 +433,23 @@ class DedupSpec extends SparkSpec {
     assert(out7 == out)
   }
 
+  test("kmvMerge: sketch of the union == merge of per-half sketches (daily-merge contract)") {
+    import spark.implicits._
+    val all = (1 to 80).map(i =>
+      (i.toLong, s"m${i}a m${i}b m${i}c m${i}d", if (i % 2 == 0) "x" else "y"))
+      .toDF("doc_id", "text", "src")
+    val h1 = all.filter(col("doc_id") <= 40)
+    val h2 = all.filter(col("doc_id") > 40)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val whole = rows(Dedup.kmvSketch(all, col("src"), n = 3, k = 16))
+    val merged = rows(Dedup.kmvMerge(
+      Dedup.kmvSketch(h1, col("src"), n = 3, k = 16)
+        .unionByName(Dedup.kmvSketch(h2, col("src"), n = 3, k = 16)), k = 16))
+    // min-k is associative + idempotent: EXACT equality, not approximate
+    assert(merged == whole)
+  }
+
   test("containmentPairs: a quoted subset scores ~1 one way, low the other") {
     // doc 2 is doc 1's text verbatim plus a long unique tail: every doc-2
     // shingle that doc 1 has IS one of doc 1's shingles, so C(1→2)=1.0

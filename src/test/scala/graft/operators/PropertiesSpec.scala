@@ -331,7 +331,19 @@ class PropertiesSpec extends SparkSpec {
       "pctRank"     -> (() => Relational.percentRankBy(
         d.select(col("lang"), length(col("text")).cast("long").as("n")), "lang", "n").count()),
       "hardNeg"     -> (() => Similarity.hardNegatives(
-        e.withColumn("label", lit(1)), col("vec_id") % 2 === 0, 5).count()))
+        e.withColumn("label", lit(1)), col("vec_id") % 2 === 0, 5).count()),
+      "containment" -> (() => Dedup.containmentPairs(d).count()),
+      "funnel"      -> (() => TextAnalysis.curationFunnel(
+        d.withColumn("source", col("lang")),
+        d.select(col("doc_id")), d.select(col("doc_id")), "en", 0.5).count()),
+      "srpPairs"    -> (() => Similarity.srpNearDupPairs(e, 16, 1, dim = 8).count()),
+      "ewma"        -> (() => Relational.ewma(
+        Relational.resampleCounts(ev, "user_id", "ts"), "user_id", "n_events", 7, 0.5).count()),
+      "retention"   -> (() => Relational.cohortRetention(ev, "user_id", "ts").count()),
+      "entropy"     -> (() => TextAnalysis.tokenEntropy(d).count()),
+      "diversity"   -> (() => Similarity.diversityByLabel(
+        e.withColumn("label", lit(1))).count()),
+      "kmv"         -> (() => Dedup.kmvEstimates(d, col("lang")).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

@@ -6,7 +6,10 @@ oracle SQL from OUT_DIR/oracle_sql.json in DuckDB over the sf parquet
 tables, sorts columns by name on both sides, and compares row count,
 schema (column names), and values (exact; floats to 9 significant places).
 
-Usage: check_oracle.py <sf_dir> <out_dir>
+Usage: check_oracle.py <sf_dir> <out_dir> [name1,name2,...]
+
+An optional third argument restricts the compare to those query names
+(local iteration after a filtered Verify run).
 """
 import json
 import sys
@@ -31,6 +34,9 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
