@@ -436,6 +436,44 @@ object Main {
       .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
   }
 
+  /** Incremental KMV sketch maintenance — x74's ops twin: each arriving
+    * batch of documents writes ITS OWN per-stratum sketch into a
+    * `batch=<id>` directory (overwrite ⇒ retry-idempotent, the
+    * [[runIncrementalNovelty]] convention), and the published estimate
+    * re-merges all batch sketches — min-k is associative and idempotent
+    * (spec: kmvMerge of per-half sketches == sketch of the union,
+    * EXACTLY), so the merged estimate equals the one a full re-read
+    * would produce while only ever reading k longs per stratum per
+    * batch. History is never re-shingled. */
+  def runIncrementalKmv(spark: SparkSession, docsDir: String, outRoot: String,
+                        n: Int = 3, k: Int = 64): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeKmvBatch(batch.toDF(), batchId, outRoot, n, k)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/kmv")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalKmv]] micro-batch, exposed for retry testing. */
+  private[graft] def mergeKmvBatch(batch: DataFrame, batchId: Long,
+                                   outRoot: String, n: Int, k: Int): Unit = {
+    val s = batch.sparkSession
+    graft.operators.Dedup.kmvSketch(batch, col("source"), n, k)
+      .write.mode("overwrite").parquet(s"$outRoot/sketches/batch=$batchId")
+    // publish the merged estimate over every batch sketch (the running
+    // batch included — its directory is complete by this point); dup
+    // mins across retries collapse in the merge's collect_set
+    graft.operators.Dedup.kmvEstimateOf(
+        graft.operators.Dedup.kmvMerge(
+          s.read.parquet(s"$outRoot/sketches").drop("batch"), k), k)
+      .write.mode("overwrite").parquet(s"$outRoot/estimates")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = SparkSession.builder()

@@ -493,6 +493,28 @@ class PipelineSpec extends SparkSpec {
     assert(retried == got, "retry diverged: the batch saw its own spans")
   }
 
+  test("O2 streaming: incremental KMV estimates equal the whole-corpus sketch across waves") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_kmv_in").toString
+    val root = Files.createTempDirectory("graft_kmv_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalKmv(spark, src, root, n = 3, k = 32)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalKmv(spark, src, root, n = 3, k = 32)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val streamed = rows(spark.read.parquet(s"$root/estimates"))
+    // min-k associativity: merged per-wave sketches == one full pass
+    val batch = rows(graft.operators.Dedup.kmvEstimates(docs, col("source"), 3, 32))
+    assert(streamed == batch, "incremental KMV diverged from the full-corpus sketch")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeKmvBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root, 3, 32)
+    assert(rows(spark.read.parquet(s"$root/estimates")) == streamed,
+      "retry changed the published estimates")
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)
