@@ -62,6 +62,31 @@ object Multimodal {
       col("image.mean_luma").as("mean_luma")))
   }
 
+  /** Byte-window chunking over the raw binary payload — the audio/ASR
+    * prep step (fixed-duration windows with overlap) done entirely on
+    * bytes, NO decode: for PCM-style payloads a window of w bytes at
+    * stride s IS a time window, and cutting it needs only substring
+    * arithmetic on the BINARY column. Mirrors
+    * [[TextAnalysis.chunkDocs]]' shape: one bounded posexplode over the
+    * start offsets (ceil(n_bytes/stride) rows per payload), array-free,
+    * narrow, no shuffle; the final short window clamps at the payload
+    * end. Offsets are 1-based (SQL substring convention). Empty payloads
+    * emit nothing.
+    * Output: doc_id, chunk_idx, off_bytes, chunk_bytes, chunk (BINARY). */
+  def chunkBinary(bin: DataFrame, windowBytes: Int, strideBytes: Int): DataFrame = {
+    require(windowBytes >= 1 && strideBytes >= 1, "window and stride must be >= 1")
+    require(strideBytes <= windowBytes,
+      "stride > window would skip bytes between consecutive chunks")
+    bin.filter(col("meta.n_bytes") > 0)
+      .select(col("doc_id"), col("content"), col("meta.n_bytes").as("__nb"),
+        posexplode(sequence(lit(1L), col("meta.n_bytes"), lit(strideBytes.toLong))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("off_bytes"),
+        least(lit(windowBytes.toLong), col("__nb") - col("col") + 1L).as("chunk_bytes"),
+        expr(s"substring(content, col, $windowBytes)").as("chunk"))
+  }
+
   /** Output row of the partition-batched decoder. */
   final case class DecodedFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
                                    features: Array[Float])

@@ -708,6 +708,21 @@ object ExtensionQueries {
     Dedup.kmvEstimates(docs(s, dir), col("source"), n = 3, k = kmvK)
       .orderBy("stratum")
 
+  /** x75: byte-window chunking of binary payloads (256-byte windows,
+    * half-overlap). The engine slices REAL BINARY; the oracle slices the
+    * fixture's VARCHAR — equivalent because the fixture text is pure
+    * ASCII (byte length == char length on every row, both SFs verified),
+    * and md5 hashes the identical byte sequence either way. */
+  val chunkWindowBytes = 256
+  val chunkStrideBytes = 128
+
+  def x75(s: SparkSession, dir: String): DataFrame =
+    Multimodal.chunkBinary(Multimodal.asBinaryTable(docs(s, dir)),
+        chunkWindowBytes, chunkStrideBytes)
+      .select(col("doc_id"), col("chunk_idx"), col("off_bytes"),
+        col("chunk_bytes"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -717,6 +732,7 @@ object ExtensionQueries {
     "x72_entropy"       -> (x72 _),
     "x73_diversity"     -> (x73 _),
     "x74_kmv_distinct"  -> (x74 _),
+    "x75_binary_chunks" -> (x75 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1100,6 +1116,18 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // byte windows: offsets are pure integer arithmetic; md5 of the
+    // VARCHAR slice == md5 of the binary slice on the ASCII fixture
+    "x75_binary_chunks" ->
+      s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT AS nb
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id,
+         |  ((i - 1) // $chunkStrideBytes)::BIGINT AS chunk_idx,
+         |  i::BIGINT AS off_bytes,
+         |  least($chunkWindowBytes, nb - i + 1)::BIGINT AS chunk_bytes,
+         |  md5(substring(text, i::BIGINT, $chunkWindowBytes)) AS chunk_md5
+         |FROM b CROSS JOIN UNNEST(range(1, nb + 1, $chunkStrideBytes)) AS r(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // KMV: integer k-th minimum of md5-derived hashes; the estimator is
     // one double expression over exact integers (2^60 is an exact double)
     "x74_kmv_distinct" ->

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).getLong(1) == 3L && frames(1).getLong(2) == 4L)
   }
 
+  test("chunkBinary: overlapping byte windows, end clamp, empty payloads drop") {
+    import spark.implicits._
+    val bin = Multimodal.asBinaryTable(
+      Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text"))
+    val out = Multimodal.chunkBinary(bin, windowBytes = 4, strideBytes = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+      .toSeq
+    // starts 1,4,7,10: the last window clamps to the single trailing byte
+    assert(out == Seq(
+      (1L, 0L, 1L, 4L, "abcd"), (1L, 1L, 4L, 4L, "defg"),
+      (1L, 2L, 7L, 4L, "ghij"), (1L, 3L, 10L, 1L, "j")))
+    intercept[IllegalArgumentException] {
+      Multimodal.chunkBinary(bin, windowBytes = 2, strideBytes = 3)
+    }
+  }
+
   test("decodeFeaturesBatch: per-partition streaming decode, deterministic") {
     val out = Multimodal.decodeFeaturesBatch(Multimodal.asBinaryTable(d), dim = 4)
       .collect().sortBy(_.doc_id)
