@@ -427,6 +427,31 @@ object Dedup {
       .groupBy(col("stratum"))
       .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
 
+  /** Pairwise stratum OVERLAP from KMV sketches alone — the cross-source
+    * content-overlap matrix ([[crossStratumPairs]]' question) answered
+    * WITHOUT any join over documents: for strata A, B the k smallest
+    * hashes of A∪B are computable from the two sketches (min-k is
+    * mergeable), and the fraction of them present in BOTH sketches is an
+    * unbiased estimate of Jaccard(A, B) — the standard KMV set-operation
+    * estimator, stderr ~1/√k. When the merged union holds fewer than k
+    * values both sketches are EXACT sets and the formula degenerates to
+    * exact Jaccard (same degradation contract as [[kmvEstimateOf]]).
+    *
+    * Scale: the pair join is |strata|² rows of k longs each — dashboard-
+    * sized however large the corpus; every array op runs on k-bounded
+    * arrays. Deterministic and oracle-replayable end to end.
+    * Output: (stratum_a, stratum_b, j_est), stratum_a < stratum_b. */
+  def kmvOverlap(sketches: DataFrame, k: Int = 64): DataFrame = {
+    val a = sketches.select(col("stratum").as("stratum_a"), col("mins").as("__ma"))
+    val b = sketches.select(col("stratum").as("stratum_b"), col("mins").as("__mb"))
+    a.join(b, col("stratum_a") < col("stratum_b"))
+      .select(col("stratum_a"), col("stratum_b"), col("__ma"), col("__mb"),
+        slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k).as("__u"))
+      .select(col("stratum_a"), col("stratum_b"),
+        round(size(array_intersect(array_intersect(col("__u"), col("__ma")), col("__mb")))
+          .cast("double") / size(col("__u")), 4).as("j_est"))
+  }
+
   /** The estimator read over a sketch: fewer than k values means the
     * sketch IS the exact distinct set (est = count); at k the k-th
     * minimum U of hashes uniform on [0, 2^60) gives (k−1)·2^60/U. */

@@ -708,6 +708,13 @@ object ExtensionQueries {
     Dedup.kmvEstimates(docs(s, dir), col("source"), n = 3, k = kmvK)
       .orderBy("stratum")
 
+  /** x76: pairwise source overlap estimated from the x74 sketches alone
+    * (no document pair join anywhere). */
+  def x76(s: SparkSession, dir: String): DataFrame =
+    Dedup.kmvOverlap(Dedup.kmvSketch(docs(s, dir), col("source"), n = 3, k = kmvK),
+        k = kmvK)
+      .orderBy("stratum_a", "stratum_b")
+
   /** x75: byte-window chunking of binary payloads (256-byte windows,
     * half-overlap). The engine slices REAL BINARY; the oracle slices the
     * fixture's VARCHAR — equivalent because the fixture text is pure
@@ -733,6 +740,7 @@ object ExtensionQueries {
     "x73_diversity"     -> (x73 _),
     "x74_kmv_distinct"  -> (x74 _),
     "x75_binary_chunks" -> (x75 _),
+    "x76_kmv_overlap"   -> (x76 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1116,6 +1124,23 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // KMV set-operation estimator: min-k of the merged sketches, counted
+    // against membership in both — k-bounded list ops, no document join
+    "x76_kmv_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT source AS stratum, array_to_string(toks[i:i+2], ' ') AS s
+         |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+         |       WHERE len(toks) >= 3),
+         |u AS (SELECT stratum, ('0x' || substring(md5(s), 1, 15))::BIGINT AS u FROM sh),
+         |sk AS (SELECT stratum, (list(u ORDER BY u))[1:$kmvK] AS mins FROM u GROUP BY stratum),
+         |pairs AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+         |    (list_sort(list_distinct(list_concat(a.mins, b.mins))))[1:$kmvK] AS ul,
+         |    a.mins AS ma, b.mins AS mb
+         |  FROM sk a JOIN sk b ON a.stratum < b.stratum)
+         |SELECT stratum_a, stratum_b,
+         |  ROUND(len(list_filter(ul, x -> list_contains(ma, x) AND list_contains(mb, x)))::DOUBLE
+         |    / len(ul), 4) AS j_est
+         |FROM pairs ORDER BY stratum_a, stratum_b""".stripMargin,
     // byte windows: offsets are pure integer arithmetic; md5 of the
     // VARCHAR slice == md5 of the binary slice on the ASCII fixture
     "x75_binary_chunks" ->

@@ -450,6 +450,26 @@ class DedupSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("kmvOverlap: identical strata estimate 1.0, disjoint 0.0, small strata exact") {
+    import spark.implicits._
+    // x/y share ALL text; z is disjoint; everything < k so the estimator
+    // runs in its exact-Jaccard regime and the numbers are closed-form
+    val d = Seq(
+      (1L, "a b c d e", "x"), (2L, "a b c d e", "y"),
+      (3L, "p q r s t", "z"),
+      (4L, "a b c d e p q r", "w") // w: 6 shingles, 3 shared with x/y, 1 with z...
+    ).toDF("doc_id", "text", "src")
+    val out = Dedup.kmvOverlap(Dedup.kmvSketch(d, col("src"), n = 3, k = 16), k = 16)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == 0.0)
+    // w = {abc,bcd,cde,dep,epq,pqr}; x = {abc,bcd,cde}; shared 3 of 6 -> 0.5
+    assert(out(("w", "x")) == 0.5)
+    // w∩z = {pqr} of w∪z = 8 distinct -> 0.125
+    assert(out(("w", "z")) == 0.125)
+    assert(out.size == 6)
+  }
+
   test("containmentPairs: a quoted subset scores ~1 one way, low the other") {
     // doc 2 is doc 1's text verbatim plus a long unique tail: every doc-2
     // shingle that doc 1 has IS one of doc 1's shingles, so C(1→2)=1.0
