@@ -65,34 +65,36 @@ object Relational {
     * each output column: (partial expression, merge expression over the
     * partial's alias). Use when ONE key dominates (AQE skew handling
     * splits map partitions but cannot split a single reduce group). */
+  /** Default salt for the skew operators: hash of the row's own hashable
+    * values (NOT monotonically_increasing_id, which changes across
+    * retries/repartitionings and would make replays non-deterministic):
+    * same input rows => same salt, always. Only hashABLE columns feed the
+    * hash — Spark's hash() rejects MapType at analysis time, and a map
+    * column must not make the whole frame unsaltable. The trade:
+    * IDENTICAL duplicate rows (or rows differing only in unhashable
+    * columns) share one bucket — for duplicate-heavy hot keys pass an
+    * explicit salt (e.g. spark_partition_id()) and give up replay
+    * determinism for spread. */
+  private def rowHashSalt(df: DataFrame, caller: String): Column = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+    val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    // the join/group key itself is always hashable, so this can only trip
+    // on a frame that couldn't reach the operator anyway — fail loud
+    // rather than silently degrade replay determinism
+    require(hashable.nonEmpty, s"$caller default salt needs at least one non-map column; pass an explicit salt")
+    hash(hashable.toSeq: _*)
+  }
+
   def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
                 aggs: Seq[(Column, String, Column => Column)],
                 salt: Option[Column] = None): DataFrame = {
-    // Default salt = hash of the row's own values (NOT
-    // monotonically_increasing_id, which changes across retries/
-    // repartitionings and would make replays non-deterministic): same
-    // input rows => same partials, always. Only hashABLE columns feed the
-    // hash — Spark's hash() rejects MapType at analysis time, and a map
-    // column must not make the whole frame unsaltable. The trade:
-    // IDENTICAL duplicate rows (or rows differing only in unhashable
-    // columns) share one bucket — for duplicate-heavy hot keys pass an
-    // explicit salt (e.g. spark_partition_id()) and give up replay
-    // determinism for spread.
-    val defaultSalt = {
-      import org.apache.spark.sql.types._
-      def hasMap(dt: DataType): Boolean = dt match {
-        case _: MapType    => true
-        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-        case a: ArrayType  => hasMap(a.elementType)
-        case _             => false
-      }
-      val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
-      // the group key itself is always groupable (and thus hashable), so
-      // this can only trip on a frame that couldn't reach phase 1 anyway —
-      // fail loud rather than silently degrade replay determinism
-      require(hashable.nonEmpty, "saltedAgg default salt needs at least one non-map column; pass an explicit salt")
-      hash(hashable.toSeq: _*)
-    }
+    val defaultSalt = rowHashSalt(df, "saltedAgg")
     val salted = df.withColumn("__salt",
       pmod(salt.getOrElse(defaultSalt), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("__salt"))
@@ -101,6 +103,34 @@ object Relational {
     partial.groupBy(col(key))
       .agg(aggs.head._3(col(s"__p_${aggs.head._2}")).as(aggs.head._2),
         aggs.tail.map(a => a._3(col(s"__p_${a._2}")).as(a._2)): _*)
+  }
+
+  /** Salted inner equi-join for skew-heavy keys — [[saltedAgg]]'s join
+    * twin: when ONE join key dominates the big side (the null-like
+    * sentinel customer, the boilerplate document class), a plain shuffle
+    * join funnels that key's rows through a single reducer and AQE's
+    * skew splitting cannot help a single reduce GROUP. Salting spreads
+    * them: the big side gets a deterministic salt in [0, saltBuckets)
+    * (row-hash — the [[saltedAgg]] replay discipline), the small side is
+    * replicated ONCE PER SALT (a bounded ×saltBuckets explode of the
+    * side that is small by contract), and the join key becomes
+    * (key, salt) — the hot key now occupies saltBuckets reducers.
+    *
+    * Output is EXACTLY the plain inner join (salting is invisible —
+    * every big row meets every matching small row at precisely its own
+    * salt), which is what makes this oracle-verifiable. Inner joins
+    * only: an outer variant must account for small-side rows matched in
+    * no bucket — compose explicitly if needed. Prefer broadcast() when
+    * the small side fits an executor; this is for the mid-size dim that
+    * broadcasts poorly but still replicates saltBuckets× affordably. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int, salt: Option[Column] = None): DataFrame = {
+    require(saltBuckets >= 1, "need at least one salt bucket")
+    val bigS = big.withColumn("__salt",
+      pmod(salt.getOrElse(rowHashSalt(big, "saltedJoin")), lit(saltBuckets)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
   /** As-of join: for each left row, attach the single LATEST right row of

@@ -708,6 +708,18 @@ object ExtensionQueries {
     Dedup.kmvEstimates(docs(s, dir), col("source"), n = 3, k = kmvK)
       .orderBy("stratum")
 
+  /** x77: salted skew join — lineitem ⋈ supplier through the
+    * (key, salt) rewrite; the oracle is the PLAIN join, because salting
+    * must be output-invisible (that is the operator's whole contract). */
+  def x77(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedJoin(
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
+        Tables(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        "l_suppkey", saltBuckets = 8)
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** x76: pairwise source overlap estimated from the x74 sketches alone
     * (no document pair join anywhere). */
   def x76(s: SparkSession, dir: String): DataFrame =
@@ -741,6 +753,7 @@ object ExtensionQueries {
     "x74_kmv_distinct"  -> (x74 _),
     "x75_binary_chunks" -> (x75 _),
     "x76_kmv_overlap"   -> (x76 _),
+    "x77_salted_join"   -> (x77 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1124,6 +1137,11 @@ object ExtensionQueries {
     },
     // the native window IS the oracle: the engine's histogram+cumsum
     // formulation must reproduce SQL-standard percent_rank exactly
+    // the plain join IS the oracle: salting must not change one row
+    "x77_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     // KMV set-operation estimator: min-k of the merged sketches, counted
     // against membership in both — k-bounded list ops, no document join
     "x76_kmv_overlap" ->

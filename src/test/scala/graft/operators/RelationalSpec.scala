@@ -262,6 +262,24 @@ class RelationalSpec extends SparkSpec {
     assert(top.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
   }
 
+  test("saltedJoin equals the plain inner join on a skewed key (salting is invisible)") {
+    // 900 of 1000 big rows share key 7 — the hot-reducer shape
+    val big = spark.range(1000).select(
+      when(col("id") < 900, 7L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val small = Seq((7L, "hot"), (950L, "cold"), (999L, "tail"), (1234L, "unmatched"))
+      .toDF("k", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2)).toSeq
+    val salted = rows(Relational.saltedJoin(big, small, "k", saltBuckets = 8)
+      .select("k", "v", "name"))
+    val plain = rows(big.join(small, "k").select("k", "v", "name"))
+    assert(salted == plain)
+    assert(salted.count(_._1 == 7L) == 900) // the hot key survives wholesale
+    // an explicit salt (even a constant) stays correct, only less spread
+    val const = rows(Relational.saltedJoin(big, small, "k", 8, Some(lit(3))).select("k", "v", "name"))
+    assert(const == plain)
+  }
+
   test("saltedAgg matches plain groupBy on a skewed key distribution") {
     val df = ((1 to 1000).map(i => ("hot", i.toDouble)) ++
       (1 to 10).map(i => ("cold", i.toDouble))).toDF("k", "v")
