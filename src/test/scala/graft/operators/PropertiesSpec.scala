@@ -256,6 +256,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs == brute force for arbitrary corpora (pruning soundness)") {
+    // random small-vocabulary corpora maximize shared shingles; with
+    // maxDf at corpus size the blocking is COMPLETE (every pair with a
+    // nonempty intersection is a candidate), so the operator must equal
+    // the set-algebra brute force EXACTLY — any over-eager prune or a
+    // broken hot-set correction shows up as a lost or mis-scored pair
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, doc))
+    cases(corpus).foreach { ds =>
+      val rows = ds.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val df = rows.toDF("doc_id", "text")
+      val thr = 0.3
+      val got = Dedup.containmentPairs(df, n = 2, threshold = thr, maxDf = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = rows.map { case (id, t) =>
+        id -> t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        i = (sa intersect sb).size
+        c = math.rint(i.toDouble / sa.size * 10000) / 10000 if c >= thr
+      } yield (a, b) -> c).toMap
+      assert(got == want, s"corpus=$rows")
+      // and with an aggressive df cap, every EMITTED score is still exact
+      // (the cap may lose pairs whose overlap is all-hot — never mis-score)
+      val capped = Dedup.containmentPairs(df, n = 2, threshold = thr, maxDf = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      capped.foreach { case (k, v) =>
+        assert(want.get(k).contains(v), s"capped mis-scored $k: $v vs ${want.get(k)}")
+      }
+    }
+  }
+
   test("every operator is total on the EMPTY corpus: empty output, no exceptions") {
     // regression class: aggregates over empty frames yield null (the CC
     // convergence NPE), sketches build over zero rows, sequences/windows

@@ -276,4 +276,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x74: KMV min-k is two-phase aggregation — zero Window nodes") {
+    val p = plan(ExtensionQueries.x74).split("== Initial Plan ==").head
+    // the naive k-th-minimum is ROW_NUMBER over a per-stratum sort; the
+    // sketch must build from partial collect+slice aggregates instead
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x77: the salted join's exchange keys INCLUDE the salt (hot key spread)") {
+    val p = plan(ExtensionQueries.x77)
+    // the whole point of the rewrite: the join partitioning is
+    // (key, salt), so one hot l_suppkey lands on saltBuckets reducers
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
