@@ -742,6 +742,16 @@ object ExtensionQueries {
         col("chunk_bytes"), md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** x78 JL projection width: 64-dim fixture embeddings → 8 coordinates.
+    * The planes are the first jlK SRP planes — one shared definition for
+    * the sign family (x69) and the real-valued family. */
+  val jlK = 8
+  val jlDim = 64
+
+  def x78(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(emb(s, dir), k = jlK, dim = jlDim)
+      .orderBy("vec_id", "dim_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -754,6 +764,7 @@ object ExtensionQueries {
     "x75_binary_chunks" -> (x75 _),
     "x76_kmv_overlap"   -> (x76 _),
     "x77_salted_join"   -> (x77 _),
+    "x78_random_proj"   -> (x78 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1142,6 +1153,20 @@ object ExtensionQueries {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity, s.s_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // JL projection: the SAME plane literals as x69's fingerprints (one
+    // srpPlanes definition prints both), shared fold dots, ROUND(·,6)
+    "x78_random_proj" -> {
+      val comps = Similarity.srpPlanes(jlK, jlDim).zipWithIndex.map {
+        case (p, j) =>
+          val arr = "[" + p.mkString(", ") + "]::DOUBLE[]"
+          s"ROUND(${dotSql("embedding", arr)} * sqrt(${3.0 / jlK}), 6) AS r$j"
+      }.mkString(",\n  ")
+      val arms = (0 until jlK).map(j => s"WHEN $j THEN r$j").mkString(" ")
+      s"""WITH p AS (SELECT vec_id, $comps FROM embeddings)
+         |SELECT vec_id, j::INT AS dim_idx, CASE j $arms END AS value
+         |FROM p CROSS JOIN UNNEST(range(0, $jlK)) u(j)
+         |ORDER BY vec_id, dim_idx""".stripMargin
+    },
     // KMV set-operation estimator: min-k of the merged sketches, counted
     // against membership in both — k-bounded list ops, no document join
     "x76_kmv_overlap" ->

@@ -209,6 +209,44 @@ class SimilaritySpec extends SparkSpec {
     assert(cents(10L).zip(Seq(0.0f, 0.8f)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("randomProject: shape, determinism, and zero exchanges") {
+    val emb = (1L to 30L).map(i =>
+      (i, (1 to 16).map(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")
+    val q = Similarity.randomProject(emb, k = 4, dim = 16)
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 30 * 4)
+    assert(rows.map(_._2).toSet == Set(0, 1, 2, 3))
+    // pure function of the vector: repartitioning changes nothing
+    val again = Similarity.randomProject(emb.repartition(7), k = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(again == rows.toSet)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("randomProject: JL distance preservation on average") {
+    // 40 vectors in 64 dims -> 16 projected coordinates. JL guarantees
+    // E[||p(a)-p(b)||^2] = ||a-b||^2 with concentration; assert the
+    // MEAN ratio over all pairs lands in a loose [0.6, 1.6] band (a
+    // broken projection — wrong scaling, collapsed planes — lands far
+    // outside; per-pair bounds would be flaky at k=16).
+    val dim = 64
+    val vecs = (1L to 40L).map(i =>
+      i -> (1 to dim).map(d => math.sin(i * 131 + d * 17).toFloat))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(emb, k = 16, dim = dim)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+    } yield d2(proj(i).toSeq, proj(j).toSeq) /
+      d2(vi.map(_.toDouble), vj.map(_.toDouble))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"mean distance ratio $mean")
+  }
+
   test("resizeMeta scales into the box preserving aspect ratio") {
     val d = Seq((1L, "x")).toDF("doc_id", "text")
     val decoded = Multimodal.decodeImageMeta(Multimodal.asBinaryTable(d))
