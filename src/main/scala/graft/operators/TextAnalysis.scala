@@ -774,4 +774,46 @@ object TextAnalysis {
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Per-stratum unigram KL divergence vs the corpus distribution —
+    * KL(P_s ‖ P) = Σ_t (c_st/N_s)·ln(c_st·N / (N_s·c_t)) — the domain-
+    * drift number a mixing dashboard tracks per source: 0 means the
+    * stratum's token distribution is corpus-typical; a spike means a
+    * source changed character (new boilerplate, language drift, spam
+    * surge) even when volume and quality scores look flat. Every term
+    * observed in a stratum has c_t ≥ c_st > 0, so the log is always
+    * finite and the sum needs no guards.
+    *
+    * Float discipline (the [[unigramLogProb]] family): each per-term
+    * contribution is ONE double expression over exact integer counts,
+    * rounded to 9 into DECIMAL(26,9) — an order-independent exact sum —
+    * and the final divergence rounds to 6. Counts multiply as doubles
+    * (c_st·N, N_s·c_t), not longs: same IEEE product in both engines,
+    * and no i64 overflow at corpus scale.
+    *
+    * Scale: one token explode feeding ONE (stratum, term) aggregate with
+    * map-side partials; corpus term totals and stratum totals re-derive
+    * from that VOCAB-SIZED frame (never a second corpus pass); the term
+    * join is vocab-sized, stratum totals broadcast. Output: |strata| rows
+    * (stratum, n_tokens, n_terms, kl). */
+  def sourceDivergence(docs: DataFrame, strataCol: String = "source"): DataFrame = {
+    val cst = docs.select(col(strataCol).as("stratum"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("stratum"), col("term")).agg(count(lit(1)).as("c_st"))
+    val ct = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("stratum")).agg(sum(col("c_st")).as("n_s"))
+    val n = ns.agg(sum(col("n_s")).as("n"))
+    cst.join(ct, "term")
+      .join(broadcast(ns), "stratum")
+      .crossJoin(broadcast(n))
+      .select(col("stratum"), col("n_s"),
+        round((col("c_st").cast("double") / col("n_s")) *
+          log((col("c_st").cast("double") * col("n").cast("double")) /
+            (col("n_s").cast("double") * col("c_t").cast("double"))), 9)
+          .cast("decimal(26,9)").as("__kl"))
+      .groupBy(col("stratum"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        round(sum(col("__kl")).cast("double"), 6).as("kl"))
+  }
 }

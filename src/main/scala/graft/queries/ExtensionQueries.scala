@@ -752,6 +752,11 @@ object ExtensionQueries {
     Similarity.randomProject(emb(s, dir), k = jlK, dim = jlDim)
       .orderBy("vec_id", "dim_idx")
 
+  /** x79: per-source unigram KL divergence vs the corpus — the domain-
+    * drift monitor. */
+  def x79(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDivergence(docs(s, dir)).orderBy("stratum")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -765,6 +770,7 @@ object ExtensionQueries {
     "x76_kmv_overlap"   -> (x76 _),
     "x77_salted_join"   -> (x77 _),
     "x78_random_proj"   -> (x78 _),
+    "x79_source_kl"     -> (x79 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1153,6 +1159,23 @@ object ExtensionQueries {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity, s.s_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // per-term KL contribution is ONE shared double expression over
+    // integer counts, rounded to 9 into an exact DECIMAL sum (the x37
+    // discipline); counts multiply as DOUBLES (no i64 overflow at scale)
+    "x79_source_kl" ->
+      """WITH tok AS (SELECT source AS stratum,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |cst AS (SELECT stratum, term, count(*)::BIGINT AS c_st FROM tok GROUP BY stratum, term),
+        |ct AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM cst GROUP BY term),
+        |ns AS (SELECT stratum, sum(c_st)::BIGINT AS n_s FROM cst GROUP BY stratum),
+        |n AS (SELECT sum(n_s)::BIGINT AS n FROM ns),
+        |k AS (SELECT cst.stratum, n_s,
+        |    ROUND((c_st::DOUBLE / n_s) * ln((c_st::DOUBLE * n::DOUBLE)
+        |      / (n_s::DOUBLE * c_t::DOUBLE)), 9)::DECIMAL(26,9) AS kl
+        |  FROM cst JOIN ct USING (term) JOIN ns USING (stratum) CROSS JOIN n)
+        |SELECT stratum, max(n_s)::BIGINT AS n_tokens, count(*)::BIGINT AS n_terms,
+        |  ROUND(sum(kl)::DOUBLE, 6) AS kl
+        |FROM k GROUP BY stratum ORDER BY stratum""".stripMargin,
     // JL projection: the SAME plane literals as x69's fingerprints (one
     // srpPlanes definition prints both), shared fold dots, ROUND(·,6)
     "x78_random_proj" -> {

@@ -446,4 +446,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(counts("val") > 20 && counts("val") < 90)
     assert(counts("test") > 20 && counts("test") < 90)
   }
+
+  test("sourceDivergence: closed-form KL per stratum; corpus-typical strata score 0") {
+    import graft.operators.TextAnalysis
+    // A: {a:2, b:1}, B: {b:3}; corpus: {a:2, b:4}, N=6
+    //   KL_A = (2/3)ln(2·6/(3·2)) + (1/3)ln(1·6/(3·4)) = (1/3)ln 2
+    //   KL_B = ln(3·6/(3·4)) = ln 1.5
+    val docs = Seq(
+      (1L, "a a b", "A"),
+      (2L, "b b b", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A")._1 == 3L && out("A")._2 == 2L)
+    assert(math.abs(out("A")._3 - math.log(2) / 3) < 1e-5)
+    assert(out("B") == ((3L, 1L, math.rint(math.log(1.5) * 1e6) / 1e6)))
+    // two strata with the SAME distribution as the corpus diverge 0
+    val flat = Seq((1L, "x y", "A"), (2L, "x y", "B")).toDF("doc_id", "text", "source")
+    TextAnalysis.sourceDivergence(flat).collect()
+      .foreach(r => assert(r.getDouble(3) == 0.0))
+  }
 }
