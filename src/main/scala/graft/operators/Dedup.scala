@@ -210,6 +210,28 @@ object Dedup {
         round(agree.cast("double") / k, 4).as("j_est"))
   }
 
+  /** Per-document top-k most-similar documents — the "show me this doc's
+    * duplicates" explainability read over the LSH index: symmetrize
+    * [[estimatedJaccardPairs]] (each undirected candidate pair serves
+    * both endpoints as a query) and keep each doc's best `topK` by
+    * (j_est DESC, n_id ASC). Ranking uses [[Similarity.topKPerQuery]]'s
+    * two-phase partial top-k — local best-k per input partition, then a
+    * merge of ≤ k·partitions survivors — NEVER a per-doc window sort, so
+    * a boilerplate doc with 10⁶ candidates costs bounded per-group state,
+    * not one sorting task (the same skew discipline as the ANN family).
+    * Ties are exact: j_est is an integer agreement count divided once,
+    * so equal estimates are bit-equal and the n_id tiebreak is total.
+    * Output: q_id, n_id, j_est — ≤ topK rows per q_id that has any
+    * candidate (isolated docs emit nothing, deliberately: "no neighbors
+    * found" and "below every LSH band" are the same statement here). */
+  def topKNeighborDocs(docs: DataFrame, n: Int = 3, k: Int = 12,
+                       bands: Int = 4, topK: Int = 5): DataFrame = {
+    val sc = estimatedJaccardPairs(docs, n, k, bands)
+    val sym = sc.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("j_est").as("sim"))
+      .unionAll(sc.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("j_est").as("sim")))
+    Similarity.topKPerQuery(sym, topK).withColumnRenamed("sim", "j_est")
+  }
+
   /** INCREMENTAL near-dup candidates: a NEW batch probed against an
     * EXISTING corpus — the daily-ingestion dedup shape. The corpus side
     * takes PRECOMPUTED signatures ([[minhashSignatures]], persisted once

@@ -41,7 +41,7 @@ object Similarity {
     * phase 2 merges the ≤ k·numPartitions survivors per query. Sort key is
     * struct(-sim, n_id): array_sort orders field-lexicographically, giving
     * sim DESC then n_id ASC. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val cand = struct((-col("sim")).as("negsim"), col("n_id"), col("sim"))
     val local = scored
       .withColumn("__p", spark_partition_id())

@@ -757,6 +757,15 @@ object ExtensionQueries {
   def x79(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceDivergence(docs(s, dir)).orderBy("stratum")
 
+  /** x80: per-doc top-k similar docs over the x43 signature scores —
+    * ranked by the two-phase partial top-k, never a per-doc window. */
+  val neighborTopK = 5
+
+  def x80(s: SparkSession, dir: String): DataFrame =
+    Dedup.topKNeighborDocs(docs(s, dir), n = 3, k = 12, bands = 4,
+        topK = neighborTopK)
+      .orderBy("q_id", "n_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -771,6 +780,7 @@ object ExtensionQueries {
     "x77_salted_join"   -> (x77 _),
     "x78_random_proj"   -> (x78 _),
     "x79_source_kl"     -> (x79 _),
+    "x80_topk_neighbors" -> (x80 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1159,6 +1169,25 @@ object ExtensionQueries {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity, s.s_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // the native per-query window IS the oracle: the engine's two-phase
+    // partial top-k must reproduce ROW_NUMBER selection exactly (ties
+    // land on bit-equal j_est, broken by n_id on both sides)
+    "x80_topk_neighbors" ->
+      s"""WITH $lshCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sc AS (SELECT cand.a_id, cand.b_id,
+         |    ROUND(($sigAgree)::DOUBLE / 12, 4) AS j_est
+         |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
+         |  JOIN sig sb ON cand.b_id = sb.doc_id),
+         |sym AS (SELECT a_id AS q_id, b_id AS n_id, j_est FROM sc
+         |  UNION ALL SELECT b_id AS q_id, a_id AS n_id, j_est FROM sc),
+         |r AS (SELECT q_id, n_id, j_est,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY j_est DESC, n_id) AS rn
+         |  FROM sym)
+         |SELECT q_id, n_id, j_est FROM r WHERE rn <= $neighborTopK
+         |ORDER BY q_id, n_id""".stripMargin,
     // per-term KL contribution is ONE shared double expression over
     // integer counts, rounded to 9 into an exact DECIMAL sum (the x37
     // discipline); counts multiply as DOUBLES (no i64 overflow at scale)

@@ -80,6 +80,34 @@ class DedupSpec extends SparkSpec {
     assert(est.keySet == cand)
   }
 
+  test("topKNeighborDocs: symmetric ranking, k-cap, window-free plan") {
+    val base = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> base, 2L -> base,                    // identical: j_est 1.0 both ways
+      3L -> (base + " eleven twelve thirteen"),  // near-dup of the pair
+      4L -> "totally different words entirely unrelated content here now")
+    val q = Dedup.topKNeighborDocs(d, n = 3, k = 12, bands = 4, topK = 1)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // topK=1: exactly one row per doc with any candidate; doc 4 is absent
+    assert(out.map(_._1).toSeq.sorted == out.map(_._1).distinct.toSeq.sorted)
+    assert(!out.map(_._1).contains(4L))
+    val m = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // identical twins pick each other at 1.0; the tie between bit-equal
+    // 1.0 estimates breaks to the LOWER n_id (doc 2 prefers doc 1)
+    assert(m(1L) == ((2L, 1.0)) && m(2L) == ((1L, 1.0)))
+    // the ranking must equal a brute-force window recompute at any k
+    val sym = Dedup.estimatedJaccardPairs(d, n = 3, k = 12, bands = 4).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1), r.getDouble(2)),
+        (r.getLong(1), r.getLong(0), r.getDouble(2))))
+    val brute = sym.groupBy(_._1).values.flatMap(rs =>
+      rs.sortBy(t => (-t._3, t._2)).take(3).toSeq).toSet
+    val got3 = Dedup.topKNeighborDocs(d, n = 3, k = 12, bands = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got3 == brute)
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("prefixDuplicates: finds truncations at token boundaries only; short docs out of scope") {
     val stem = (1 to 6).map(i => s"t$i").mkString(" ")          // 6-token shared prefix
     val d = docs(
