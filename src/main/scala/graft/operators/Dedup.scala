@@ -98,6 +98,21 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s"))
       .distinct()
 
+  /** [[shingleSet]] keyed by span HASH: md5 applied BELOW the distinct,
+    * so the dedup exchange ships (doc_id, 32-byte hash) instead of
+    * (doc_id, n-token span text) — at n=15 that is ~4× less shuffle
+    * volume for the long-span family, which never reads span text again.
+    * Two distinct spans of one doc colliding under md5 would count as
+    * one — the same 2⁻¹²⁸ equivalence the whole span family already
+    * accepts by aggregating on h. */
+  private def spanHashSet(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), rawTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .distinct()
+
   /** Universal-hash family parameters for MinHash: h_i(x) = (a_i·x + b_i)
     * mod P over x = md5-derived base hash reduced mod P. One md5 per
     * shingle instead of k — the oracle SQL is GENERATED from these same
@@ -320,15 +335,21 @@ object Dedup {
     * Output: doc_id, dup_spans, total_spans, dup_ratio (docs with < n
     * tokens have no spans and are absent). */
   def duplicatedSpans(docs: DataFrame, n: Int = 15, minDf: Int = 2): DataFrame = {
-    val sh = graft.Persist.cut(
-      shingleSet(docs, n).select(col("doc_id"), md5(col("s")).as("h")))
-    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(dfc, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(when(col("df") >= minDf, 1)).as("dup_spans"),
-        count(lit(1)).as("total_spans"))
-      .select(col("doc_id"), col("dup_spans"), col("total_spans"),
-        round(col("dup_spans").cast("double") / col("total_spans"), 4).as("dup_ratio"))
+    val sh = graft.Persist.cut(spanHashSet(docs, n))
+    // join postings ONLY against spans that cleared the df floor: in any
+    // real corpus the overwhelming majority of 15-token spans are unique,
+    // so the postings⋈df join that used to carry EVERY span now carries
+    // only the duplicated minority (the total count needs no join at all)
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"))
+    val dupPerDoc = sh.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_spans"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        col("total_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+          col("total_spans"), 4).as("dup_ratio"))
   }
 
   /** First-holder novelty score — [[duplicatedSpans]]' complement: the
@@ -340,20 +361,27 @@ object Dedup {
     * deterministic and means "novel relative to everything ingested
     * before me" under an id-ordered ingest.
     *
-    * Scale: identical shape to [[duplicatedSpans]] — one explode, one
-    * min-aggregate on 32-byte span hashes (map-side partials), one
-    * same-key join, one per-doc aggregate. Output: doc_id, novel_spans,
-    * total_spans, novelty (round 4; docs with < n tokens absent). */
+    * Scale: one explode, then ONLY aggregates — the span-keyed min-holder
+    * frame re-aggregates by holder into doc-sized counts, so nothing
+    * |spans|-sized is ever joined (cf. [[duplicatedSpans]], which still
+    * joins postings, but only for the duplicated minority). Output:
+    * doc_id, novel_spans, total_spans, novelty (round 4; docs with < n
+    * tokens absent). */
   def noveltyScores(docs: DataFrame, n: Int = 15): DataFrame = {
-    val sh = graft.Persist.cut(
-      shingleSet(docs, n).select(col("doc_id"), md5(col("s")).as("h")))
-    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("__first"))
-    sh.join(first, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(when(col("doc_id") === col("__first"), 1)).as("novel_spans"),
-        count(lit(1)).as("total_spans"))
-      .select(col("doc_id"), col("novel_spans"), col("total_spans"),
-        round(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
+    val sh = graft.Persist.cut(spanHashSet(docs, n))
+    // the min-holder aggregate ALREADY attributes each span to exactly one
+    // doc, so per-doc novel counts re-aggregate that span-keyed frame
+    // directly — no postings⋈holders join over |spans| rows (the shape
+    // this operator shipped with; the rewrite cut the |spans|-row join to
+    // two doc-sized frames and a doc-keyed join)
+    val novel = sh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("novel_spans"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("novel_spans"), lit(0L)).as("novel_spans"),
+        col("total_spans"),
+        round(coalesce(col("novel_spans"), lit(0L)).cast("double") /
+          col("total_spans"), 4).as("novelty"))
   }
 
   /** The span index [[noveltyAgainst]] probes: distinct 32-byte span
@@ -361,7 +389,7 @@ object Dedup {
     * each day's new spans — the incremental sibling of x38's signature
     * store. */
   def spanIndex(docs: DataFrame, n: Int = 15): DataFrame =
-    shingleSet(docs, n).select(md5(col("s")).as("h")).distinct()
+    spanHashSet(docs, n).select(col("h")).distinct()
 
   /** Incremental [[noveltyScores]]: score a DAILY BATCH against the
     * persisted [[spanIndex]] instead of re-shingling the whole corpus —
@@ -377,7 +405,7 @@ object Dedup {
     * never rewritten) instead of requiring a compacted rewrite per day.
     * Output: doc_id, novel_spans, total_spans, novelty (round 4). */
   def noveltyAgainst(batch: DataFrame, index: DataFrame, n: Int = 15): DataFrame = {
-    val sh = shingleSet(batch, n).select(col("doc_id"), md5(col("s")).as("h"))
+    val sh = spanHashSet(batch, n)
     sh.join(index.select(col("h")).distinct().withColumn("__seen", lit(1)),
         Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
