@@ -668,9 +668,8 @@ object Dedup {
     var labels = graft.Persist.cut(
       edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__mn"))
         .select(col("id"), least(col("id"), col("__mn")).as("lbl")))
-    // no candidates at all (a healthy corpus) — and the sum-based
-    // convergence check below would read sum() of an empty frame as null
-    if (labels.isEmpty) return None
+    // (emptiness is detected from the first label-sum below — sum() of an
+    // empty frame is null — rather than a separate isEmpty action)
     // Lifecycle note: each round's cut frame is superseded on rebind and
     // reclaimed by the ContextCleaner once unreferenced (no public eager
     // release for checkpoint-backed frames). The loop's frames hold ONLY
@@ -684,6 +683,7 @@ object Dedup {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().head.getDecimal(0)
     var prevSum = lblSum(labels)
+    if (prevSum == null) return None // no candidates at all (healthy corpus)
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {

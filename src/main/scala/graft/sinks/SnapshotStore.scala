@@ -49,6 +49,37 @@ object SnapshotStore {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentSide(spark, root).map(s => spark.read.parquet(s"$root/$s"))
 
+  /** Compact the live snapshot into ~`targetBytes` parquet files — the
+    * small-files answer for a store that incremental runners append to
+    * in per-batch dribs (every AvailableNow pass, every daily merge adds
+    * a file set; a year of 100 MB days is 10⁵+ files whose footer reads
+    * and task-per-file scheduling dominate scan cost long before data
+    * volume does). The rewrite rides the SAME A/B rotation as any other
+    * write: read the current side, coalesce to ceil(bytes/target) files,
+    * [[swapWrite]] the other side and flip — readers planned against the
+    * old side are never disturbed, and a crash mid-compaction leaves the
+    * pointer on the intact snapshot (compaction is a no-op to retry).
+    * Partitioned snapshots repartition BY the partition columns so each
+    * task writes whole partition-value file sets, not a file per
+    * (task × value); a skewed partition value still caps at its own size.
+    * Returns the file target, or None when no snapshot exists. */
+  def compact(spark: SparkSession, root: String, targetBytes: Long,
+              partitionBy: Seq[String] = Nil): Option[Int] =
+    currentSide(spark, root).map { side =>
+      val p = new Path(s"$root/$side")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val cur = spark.read.parquet(s"$root/$side")
+      val laid =
+        if (partitionBy.nonEmpty)
+          cur.repartition(nFiles,
+            partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        else cur.repartition(nFiles)
+      swapWrite(laid, root, partitionBy)
+      nFiles
+    }
+
   /** Write `df` as the next snapshot and atomically flip the pointer.
     * The write targets the non-current side, so the current snapshot
     * stays readable (and consistent) throughout. `partitionBy` keeps a

@@ -104,6 +104,38 @@ class TableSinkSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).get.collect().head.getLong(0) == 9L)
   }
 
+  test("snapshotStore.compact: collapses small files through the A/B rotation, data intact") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    // no snapshot yet: compaction is a no-op, not a crash
+    assert(SnapshotStore.compact(spark, root, targetBytes = 1L << 20).isEmpty)
+    // simulate many per-batch dribs: a 32-file snapshot of a small table
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotStore.swapWrite(df.repartition(32), root)
+    val side0 = SnapshotStore.currentSide(spark, root).get
+    def parquetFiles(side: String) =
+      new java.io.File(s"$root/$side").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(side0) == 32)
+    // a generous byte target collapses everything into one file
+    assert(SnapshotStore.compact(spark, root, targetBytes = 1L << 30).contains(1))
+    val side1 = SnapshotStore.currentSide(spark, root).get
+    assert(side1 != side0, "compaction must land on the other side")
+    assert(parquetFiles(side1) == 1)
+    // identical rows after the rewrite
+    val got = SnapshotStore.read(spark, root).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (1L to 2000L).map(i => (i, s"v$i")).toSet)
+    // partitioned snapshots keep their layout through compaction
+    val proot = Files.createTempDirectory("graft_compact_p").toString
+    val pdf = (1L to 100L).map(i => (i, (i % 3).toString)).toDF("k", "day")
+    SnapshotStore.swapWrite(pdf.repartition(8), proot, partitionBy = Seq("day"))
+    SnapshotStore.compact(spark, proot, targetBytes = 1L << 30, partitionBy = Seq("day"))
+    val pside = SnapshotStore.currentSide(spark, proot).get
+    assert(new java.io.File(s"$proot/$pside").listFiles()
+      .count(_.getName.startsWith("day=")) == 3)
+    assert(SnapshotStore.read(spark, proot).get.count() == 100)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
