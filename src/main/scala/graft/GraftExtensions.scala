@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expr.{CosineSimilarity, HexParityMask}
+import graft.functions.expr.{CosineSimilarity, DotProduct, HexParityMask}
 
 /** Registration surface for the engine's custom Catalyst expressions.
   *
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.hexParityMaskDescriptor)
+    ext.injectFunction(GraftFunctions.dotDescriptor)
   }
 }
 
@@ -65,6 +66,17 @@ object GraftFunctions {
       HexParityMask(children.head)
     })
 
+  /** Raw codegen'd dot product (see [[graft.functions.expr.DotProduct]]):
+    * the fold the SRP/JL plane projections and the squared-norm stages
+    * run per row, freed from the interpreted-HOF fallback. */
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot(a, b) takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    })
+
   /** Idempotent imperative registration into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -73,6 +85,8 @@ object GraftFunctions {
       "graft_bloom_contains", es => bloomContainsDescriptor._3(es), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hex_parity_mask", es => hexParityMaskDescriptor._3(es), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", es => dotDescriptor._3(es), "internal")
   }
 
   /** Column-level accessor; caller must have registered on the session
@@ -80,6 +94,12 @@ object GraftFunctions {
   def cosine(df: DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-level dot-product accessor (cf. [[cosine]]). */
+  def dot(df: DataFrame, a: Column, b: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_dot", a, b)
   }
 
   /** Column-level parity-mask accessor (cf. [[cosine]]). */

@@ -275,7 +275,7 @@ object Similarity {
     require(dim >= 1, "dim must match the embedding width")
     val planes = srpPlanes(bits, dim)
     val fp = planes.zipWithIndex.map { case (p, i) =>
-      when(graft.functions.VectorFunctions.dot(
+      when(GraftFunctions.dot(emb,
         col("embedding"), array(p.map(lit): _*)) > 0.0d, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
@@ -327,7 +327,7 @@ object Similarity {
     * embedding. Output: label, n_vecs, diversity. */
   def diversityByLabel(emb: DataFrame, labelCol: String = "label"): DataFrame = {
     val base = emb.select(col(labelCol).as("label"),
-        round(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")), 6)
+        round(GraftFunctions.dot(emb, col("embedding"), col("embedding")), 6)
           .cast("decimal(24,6)").as("__sq"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("__sq")).as("__s2"))
@@ -376,7 +376,7 @@ object Similarity {
     require(dim >= 1, "dim must match the embedding width")
     val planes = srpPlanes(k, dim)
     val comps = planes.map { p =>
-      round(graft.functions.VectorFunctions.dot(
+      round(GraftFunctions.dot(emb,
         col("embedding"), array(p.map(lit): _*)) * sqrt(lit(3.0 / k)), 6)
     }
     emb.select(col("vec_id"), posexplode(array(comps: _*)))
