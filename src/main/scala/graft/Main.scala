@@ -474,6 +474,44 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/estimates")
   }
 
+  /** Incremental domain-drift monitor — x79's streaming twin: each
+    * AvailableNow pass writes the batch's (stratum, term) token-count
+    * PARTIAL to a `batch=<id>` overwrite directory (a retry overwrites
+    * itself — the [[runIncrementalKmv]] convention), then republishes
+    * per-source KL from the merged partials. Counts are additive, so the
+    * published KL is EXACTLY the batch [[graft.operators.TextAnalysis
+    * .sourceDivergence]] over everything ingested (spec-asserted across
+    * waves); raw documents are tokenized once, ever — the history is
+    * re-read only as vocab-sized count rows. */
+  def runIncrementalSourceKl(spark: SparkSession, docsDir: String,
+                             outRoot: String): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeSourceKlBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/source_kl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalSourceKl]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeSourceKlBatch(batch: DataFrame, batchId: Long,
+                                        outRoot: String): Unit = {
+    val s = batch.sparkSession
+    batch.select(col("source").as("stratum"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("stratum"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.TextAnalysis.divergenceFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch"))
+      .write.mode("overwrite").parquet(s"$outRoot/kl")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = SparkSession.builder()

@@ -796,10 +796,24 @@ object TextAnalysis {
     * from that VOCAB-SIZED frame (never a second corpus pass); the term
     * join is vocab-sized, stratum totals broadcast. Output: |strata| rows
     * (stratum, n_tokens, n_terms, kl). */
-  def sourceDivergence(docs: DataFrame, strataCol: String = "source"): DataFrame = {
-    val cst = docs.select(col(strataCol).as("stratum"),
-        explode(tokens(col("text"))).as("term"))
-      .groupBy(col("stratum"), col("term")).agg(count(lit(1)).as("c_st"))
+  def sourceDivergence(docs: DataFrame, strataCol: String = "source"): DataFrame =
+    divergenceFromCounts(
+      docs.select(col(strataCol).as("stratum"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy(col("stratum"), col("term")).agg(count(lit(1)).as("c_st")))
+
+  /** [[sourceDivergence]]'s math from a PRE-AGGREGATED (stratum, term,
+    * c_st) count frame — the shared core that lets the incremental
+    * runner ([[graft.Main.runIncrementalSourceKl]]) merge per-batch count
+    * partials and publish the same KL the batch pass computes: counts
+    * are additive, so summed partials feed this identically to one
+    * corpus pass. */
+  def divergenceFromCounts(counts: DataFrame): DataFrame = {
+    // the input may carry several PARTIAL rows per (stratum, term) — one
+    // per merged batch — so re-sum first; on an already-unique frame the
+    // child's partitioning makes this aggregate exchange-free
+    val cst = counts.groupBy(col("stratum"), col("term"))
+      .agg(sum(col("c_st")).as("c_st"))
     val ct = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val ns = cst.groupBy(col("stratum")).agg(sum(col("c_st")).as("n_s"))
     val n = ns.agg(sum(col("n_s")).as("n"))

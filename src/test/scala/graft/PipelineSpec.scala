@@ -515,6 +515,27 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published estimates")
   }
 
+  test("O2 streaming: incremental source-KL equals the batch divergence across waves") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_kl_in").toString
+    val root = Files.createTempDirectory("graft_kl_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalSourceKl(spark, src, root)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalSourceKl(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val streamed = rows(spark.read.parquet(s"$root/kl"))
+    // additive count partials: merged per-wave counts == one corpus pass
+    val batch = rows(graft.operators.TextAnalysis.sourceDivergence(docs))
+    assert(streamed == batch, "incremental KL diverged from the batch pass")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeSourceKlBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/kl")) == streamed,
+      "retry changed the published divergences")
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)
