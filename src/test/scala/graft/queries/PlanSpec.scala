@@ -292,4 +292,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x78: the JL projection is narrow with the codegen'd dot, no HOF fallback") {
+    val p = plan(ExtensionQueries.x78)
+    // the only exchange is the presentation ORDER BY's range partition —
+    // projection and posexplode are narrow (no hash shuffle anywhere)
+    assert(!p.contains("hashpartitioning"), p)
+    // the plane fold runs as graft_dot, not an interpreted zip_with/aggregate
+    assert(p.contains("graft_dot"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
+  test("x79: source KL aggregates are partial; stratum totals broadcast, never re-shuffled") {
+    val p = plan(ExtensionQueries.x79)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no corpus-keyed sort anywhere: everything after the explode is
+    // hash-aggregate + joins over vocab-sized frames
+    assert("Window".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("x80: per-doc neighbor ranking is two-phase top-k — zero Window nodes") {
+    val p = plan(ExtensionQueries.x80)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("partial_"), p)
+  }
 }
