@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expr.{CosineSimilarity, DotProduct, HexParityMask}
+import graft.functions.expr.{CosineSimilarity, DotProduct, HexParityMask, RewriteDotProduct}
 
 /** Registration surface for the engine's custom Catalyst expressions.
   *
@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.hexParityMaskDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    // evaluation-mode upgrade for the idiomatic HOF dot-product pattern
+    // (zip_with+aggregate cannot codegen) — see RewriteDotProduct
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
 
@@ -87,6 +90,11 @@ object GraftFunctions {
       "graft_hex_parity_mask", es => hexParityMaskDescriptor._3(es), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", es => dotDescriptor._3(es), "internal")
+    // the imperative twin of injectOptimizerRule for sessions built
+    // without the extension (idempotent like the registrations above)
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
   }
 
   /** Column-level accessor; caller must have registered on the session

@@ -50,6 +50,44 @@ class DotProductSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("optimizer rule: the HOF zip_with+aggregate dot pattern rewrites to graft_dot") {
+    GraftFunctions.register(spark) // installs RewriteDotProduct too
+    val e = Tables(spark, sf(), "embeddings").limit(100)
+    // float × float column form
+    val hofFF = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(VectorFunctions.dot(col("a.embedding"), col("b.embedding")).as("d"))
+    assert(hofFF.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      hofFF.queryExecution.optimizedPlan.toString.take(800))
+    // float × double-literal plane form (the cast the optimizer elides)
+    val plane = array(graft.operators.Similarity.srpPlanes(1, 64).head.map(lit): _*)
+    val hofFD = e.select(VectorFunctions.dot(col("embedding"), plane).as("d"))
+    assert(hofFD.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // and the rewrite is invisible to results: bit-equal to DotProduct
+    val both = e.select(
+      VectorFunctions.dot(col("embedding"), plane).as("rewritten"),
+      GraftFunctions.dot(e, col("embedding"), plane).as("direct"))
+    assert(both.filter(col("rewritten") =!= col("direct")).count() == 0)
+  }
+
+  test("optimizer rule: near-miss folds are left alone") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sf(), "embeddings").limit(10)
+    // different zero, different merge op, non-product lambda — none may fire
+    val miss = e.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0d), (acc, v) => acc + v).as("zero_off"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") + y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v).as("sum_not_product"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => greatest(acc, v)).as("max_merge"))
+    assert(!miss.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      miss.queryExecution.optimizedPlan.toString.take(800))
+    miss.collect() // and they still evaluate
+  }
+
   test("the expression runs inside whole-stage codegen") {
     val e = Tables(spark, sf(), "embeddings")
     val df = e.select(GraftFunctions.dot(e, col("embedding"), col("embedding")))
