@@ -629,4 +629,35 @@ object Relational {
       .withColumn("session_id", sum(col("__new")).over(wRun))
       .drop("__new", "__ts_us")
   }
+
+  /** Snapshot delta — the ops read behind every corpus version bump:
+    * which keys were ADDED, REMOVED, or CHANGED between two snapshots
+    * (yesterday's master vs today's, the pre- and post-state of a
+    * backfill, two sides of a [[graft.sinks.SnapshotStore]] rotation).
+    * Unchanged keys are filtered out — at 100 TB the overwhelming
+    * majority — so the result is audit-sized, not corpus-sized.
+    *
+    * Change detection compares md5 over the concatenation of PER-COLUMN
+    * md5 digests — fixed-width inner digests make column boundaries
+    * unambiguous without separator games (("ab","c") can never collide
+    * with ("a","bc")) — so the full-outer join carries keys and 32-byte
+    * digests, never the compared payloads: the [[graft.operators.Dedup
+    * .exact]] shuffle discipline applied to diffing. One exchange per
+    * side on the key columns. A null compare column digests to a marker
+    * distinct from any md5 hex, so null-vs-empty edits surface as
+    * changed. Output: keys..., change in {added, removed, changed}. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compare.nonEmpty, "need key and compare columns")
+    def digest(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ md5(concat(
+        compare.map(c => coalesce(md5(col(c).cast("string")), lit("-"))): _*)).as(as): _*)
+    digest(oldSnap, "__oh")
+      .join(digest(newSnap, "__nh"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed").as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
 }

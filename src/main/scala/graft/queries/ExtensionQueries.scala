@@ -766,6 +766,18 @@ object ExtensionQueries {
         topK = neighborTopK)
       .orderBy("q_id", "n_id")
 
+  /** x81: snapshot diff — old = docs minus every 7th id, new = docs minus
+    * every 11th id with every 5th text edited; compares (text, lang). */
+  def x81(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = d.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    Relational.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text", "lang"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -781,6 +793,7 @@ object ExtensionQueries {
     "x78_random_proj"   -> (x78 _),
     "x79_source_kl"     -> (x79 _),
     "x80_topk_neighbors" -> (x80 _),
+    "x81_snapshot_diff" -> (x81 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1169,6 +1182,24 @@ object ExtensionQueries {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity, s.s_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // per-column md5s concatenated then hashed — the engine's exact
+    // digest rule (fixed-width inner digests, no separator ambiguity)
+    "x81_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0),
+        |new AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text, lang
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |oh AS (SELECT doc_id,
+        |  md5(concat(COALESCE(md5(text), '-'), COALESCE(md5(lang), '-'))) AS h FROM old),
+        |nh AS (SELECT doc_id,
+        |  md5(concat(COALESCE(md5(text), '-'), COALESCE(md5(lang), '-'))) AS h FROM new)
+        |SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+        |  CASE WHEN oh.h IS NULL THEN 'added'
+        |       WHEN nh.h IS NULL THEN 'removed'
+        |       WHEN oh.h <> nh.h THEN 'changed' END AS change
+        |FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+        |WHERE oh.h IS NULL OR nh.h IS NULL OR oh.h <> nh.h
+        |ORDER BY doc_id""".stripMargin,
     // the native per-query window IS the oracle: the engine's two-phase
     // partial top-k must reproduce ROW_NUMBER selection exactly (ties
     // land on bit-equal j_est, broken by n_id on both sides)

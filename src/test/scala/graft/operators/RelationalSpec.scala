@@ -355,6 +355,32 @@ class RelationalSpec extends SparkSpec {
     assert(qt(out3(1)) == 10L && px(out3(1)) == None) // 99.0 never leaks in
   }
 
+  test("snapshotDiff: added/removed/changed, unchanged filtered, null vs empty distinct") {
+    val oldSnap = Seq(
+      (1L, Option("a"), "en"), // unchanged
+      (2L, Option("b"), "en"), // removed
+      (3L, Option("c"), "en"), // changed text
+      (4L, Option.empty[String], "en"), // null -> "" must surface
+      (5L, Option("e"), "en")  // changed lang only
+    ).toDF("doc_id", "text", "lang")
+    val newSnap = Seq(
+      (1L, Option("a"), "en"),
+      (3L, Option("c2"), "en"),
+      (4L, Option(""), "en"),
+      (5L, Option("e"), "es"),
+      (6L, Option("f"), "en")  // added
+    ).toDF("doc_id", "text", "lang")
+    val out = Relational.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "removed", 3L -> "changed", 4L -> "changed",
+      5L -> "changed", 6L -> "added"))
+    // the join ships digests, never the compared payloads
+    val p = Relational.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text", "lang"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") || !p.contains("text#"),
+      "compared payload columns leaked past the digest projection")
+  }
+
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
     val base = Seq((Option(1), "a")).toDF("k", "v")
     val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")
