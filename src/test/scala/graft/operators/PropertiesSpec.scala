@@ -454,4 +454,46 @@ class PropertiesSpec extends SparkSpec {
     val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
+
+  test("sourceDivergence: KL >= 0 for arbitrary corpora (Gibbs), token mass preserved") {
+    // random multi-stratum corpora over a small vocab: KL can round to -0.0
+    // at the 6th decimal but may never go meaningfully negative, and the
+    // per-stratum token counts must sum back to the corpus total
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.zip(Gen.choose(0, 2), Gen.nonEmptyListOf(word))
+    val gen = Gen.nonEmptyListOf(doc)
+    cases(gen).foreach { ds =>
+      val df = ds.zipWithIndex.map { case ((s, ws), i) =>
+        (i.toLong, ws.mkString(" "), s"s$s") }.toDF("doc_id", "text", "source")
+      val out = TextAnalysis.sourceDivergence(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      out.foreach { case (s, _, kl) =>
+        assert(kl >= -1e-6, s"stratum $s has negative KL $kl") }
+      assert(out.map(_._2).sum == ds.map(_._2.size).sum, "token mass lost")
+    }
+  }
+
+  test("topKNeighborDocs: <= k rows per doc, scores within [0,1], symmetric coverage (fuzz)") {
+    // random near-dup-rich corpora: every query doc gets at most k
+    // neighbors, estimates are valid Jaccard estimates, and a doc appears
+    // as a query iff it has at least one LSH candidate
+    val base = Gen.oneOf(
+      "one two three four five six seven eight",
+      "one two three four five six seven nine",
+      "alpha beta gamma delta epsilon zeta eta theta")
+    val gen = Gen.listOfN(8, base)
+    cases(gen).foreach { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val k = 2
+      val out = Dedup.topKNeighborDocs(df, n = 3, k = 12, bands = 4, topK = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      out.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.length <= k, s"doc $q got ${rs.length} > $k neighbors") }
+      out.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
+      val queried = out.map(_._1).toSet
+      val withCand = Dedup.lshCandidatePairs(df, n = 3, k = 12, bands = 4)
+        .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(queried == withCand, "query coverage != docs with candidates")
+    }
+  }
 }
