@@ -649,6 +649,27 @@ object Dedup {
         docs("doc_id") === col("__drop"), "left_anti")
     }
 
+  /** Near-dup cluster-size histogram — the dedup-graph HEALTH read: how
+    * many components of each size the candidate graph has. A healthy
+    * corpus is dominated by 2-3-doc components; a fat tail (one 10⁵-doc
+    * component) means boilerplate is chaining unrelated docs together
+    * and the LSH/threshold settings need tightening BEFORE a dedup pass
+    * eats the corpus — this is the number to alarm on next to x50's dup
+    * rate. Singleton docs (no candidate pair) are not represented; under
+    * a non-converged iteration cap the histogram reads FINER than truth
+    * (components can only merge with more rounds), the safe direction
+    * for an alarm. Cost beyond the shared CC loop: two label-frame
+    * aggregates. Output: component_size, n_components. */
+  def componentSizeHistogram(pairs: DataFrame, maxIters: Int = 10): DataFrame =
+    componentLabels(pairs, maxIters) match {
+      case None =>
+        pairs.sparkSession.range(0)
+          .select(col("id").as("component_size"), col("id").as("n_components"))
+      case Some((labels, _)) =>
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
+          .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+    }
+
   /** Converged min-label component ids for the candidate-pair graph —
     * the shared CC core of [[dropNearDuplicatesCC]] (drop all but the
     * minimum id) and [[keepBestPerCluster]] (keep the best-scoring doc

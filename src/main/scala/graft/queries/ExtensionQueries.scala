@@ -778,6 +778,14 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** x82: component-size histogram of the LSH candidate graph — the
+    * dedup-health read (shares x21's pair definition and CC chain). */
+  def x82(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.componentSizeHistogram(Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4))
+      .orderBy("component_size")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -794,6 +802,7 @@ object ExtensionQueries {
     "x79_source_kl"     -> (x79 _),
     "x80_topk_neighbors" -> (x80 _),
     "x81_snapshot_diff" -> (x81 _),
+    "x82_component_sizes" -> (x82 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1714,6 +1723,13 @@ object ExtensionQueries {
     // component label via transitive closure (UNION dedups, so the
     // recursion terminates); a doc is dropped iff some smaller id reaches
     // it — exactly the converged min-label-propagation fixpoint
+    // the SAME recursive component chain as x21/x47 — sizes are two
+    // aggregates over the comp CTE
+    "x82_component_sizes" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |sz AS (SELECT lbl, count(*)::BIGINT AS component_size FROM comp GROUP BY lbl)
+         |SELECT component_size, count(*)::BIGINT AS n_components
+         |FROM sz GROUP BY component_size ORDER BY component_size""".stripMargin,
     "x21_cc_dedup" ->
       s"""WITH RECURSIVE $ccCompCtes
          |SELECT doc_id FROM documents

@@ -108,6 +108,17 @@ class DedupSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("componentSizeHistogram: closed-form sizes; empty graph yields empty histogram") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6} — sizes 3 and 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.componentSizeHistogram(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.componentSizeHistogram(empty).collect().isEmpty)
+  }
+
   test("prefixDuplicates: finds truncations at token boundaries only; short docs out of scope") {
     val stem = (1 to 6).map(i => s"t$i").mkString(" ")          // 6-token shared prefix
     val d = docs(
