@@ -630,6 +630,38 @@ object Relational {
       .drop("__new", "__ts_us")
   }
 
+  /** Per-group robust outliers via median/MAD — the heavy-tail-safe twin
+    * of z-scoring: mean and stddev are themselves dragged by the
+    * outliers they're supposed to find (one 10⁶-token doc inflates σ
+    * until nothing flags), while median and MAD have a 50% breakdown
+    * point — the curation-grade "is this doc's length/quality freakish
+    * FOR ITS GROUP" signal. Flags |x − median| > k·MAD. When ≥ half a
+    * group's values are identical, MAD = 0 and ANY deviation flags — the
+    * standard MAD caveat, left to the caller (it is usually the right
+    * answer for a boilerplate-dominated group).
+    *
+    * Same scale discipline as [[winsorizedMeanBy]]/[[quantileBucketsBy]]:
+    * two exact grouped percentiles (bounded-group contract) broadcast
+    * back onto narrow passes — no rangepartitioning, no window, the
+    * value column crosses no extra shuffle. Exactness: medians round to
+    * DECIMAL(18,4); deviations are exact decimal subtractions; the flag
+    * compares doubles derived from identical exact decimals with a
+    * shared k — boundary ties (|dev| = k·MAD) resolve identically in
+    * both engines. Output: id, group, value, med, mad, is_outlier. */
+  def madOutliersBy(df: DataFrame, group: String, id: String, value: String,
+                    k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(group)).agg(
+      round(expr(s"percentile($value, 0.5)"), 4).cast("decimal(18,4)").as("med"))
+    val dev = df.join(broadcast(med), Seq(group))
+      .withColumn("__ad", abs(col(value).cast("decimal(18,4)") - col("med")))
+    val mad = dev.groupBy(col(group)).agg(
+      round(expr("percentile(__ad, 0.5)"), 4).cast("decimal(18,4)").as("mad"))
+    dev.join(broadcast(mad), Seq(group))
+      .select(col(id), col(group), col(value), col("med"), col("mad"),
+        (col("__ad").cast("double") > lit(k) * col("mad").cast("double"))
+          .as("is_outlier"))
+  }
+
   /** Snapshot delta — the ops read behind every corpus version bump:
     * which keys were ADDED, REMOVED, or CHANGED between two snapshots
     * (yesterday's master vs today's, the pre- and post-state of a

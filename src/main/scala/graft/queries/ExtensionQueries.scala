@@ -786,6 +786,17 @@ object ExtensionQueries {
       .orderBy("component_size")
   }
 
+  /** x83: MAD-based robust token-length outliers per language — the
+    * heavy-tail-safe outlier gate (median/MAD, k=3). */
+  def x83(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Relational.madOutliersBy(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", k = 3.0)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -803,6 +814,7 @@ object ExtensionQueries {
     "x80_topk_neighbors" -> (x80 _),
     "x81_snapshot_diff" -> (x81 _),
     "x82_component_sizes" -> (x82 _),
+    "x83_mad_outliers"  -> (x83 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1500,6 +1512,23 @@ object ExtensionQueries {
          |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
     // thresholds ROUND(quantile_cont,4)::DECIMAL, clip and sum in exact
     // DECIMAL (order-independent addition), divide once in double
+    // same exact-percentile parity as x61 (Spark percentile ==
+    // quantile_cont); deviations are exact decimals, the flag compares
+    // doubles derived from them with the shared k
+    "x83_mad_outliers" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+        | FROM documents),
+        |m AS (SELECT lang, ROUND(quantile_cont(n_tokens, 0.5), 4)::DECIMAL(18,4) AS med
+        |      FROM t GROUP BY lang),
+        |d AS (SELECT t.doc_id, t.lang, t.n_tokens, m.med,
+        |    abs(t.n_tokens::DECIMAL(18,4) - m.med) AS ad
+        |  FROM t JOIN m USING (lang)),
+        |md AS (SELECT lang, ROUND(quantile_cont(ad, 0.5), 4)::DECIMAL(18,4) AS mad
+        |       FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_tokens, d.med, md.mad,
+        |  (d.ad::DOUBLE > 3.0 * md.mad::DOUBLE) AS is_outlier
+        |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin,
     "x61_winsor_mean" ->
       """WITH t AS (SELECT lang,
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens

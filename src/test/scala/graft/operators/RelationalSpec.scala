@@ -381,6 +381,25 @@ class RelationalSpec extends SparkSpec {
       "compared payload columns leaked past the digest projection")
   }
 
+  test("madOutliersBy: robust flag survives the outlier that breaks z-scoring; MAD=0 flags any deviation") {
+    // group a: {10,10,10,10,1000} — median 10, MAD 0 (>=half identical):
+    // the 1000 flags, the 10s don't. With mean/stddev the 1000 would drag
+    // sigma to ~443 and z(1000) ~ 1.8 — a 3-sigma gate would MISS it.
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L), (5L, "a", 1000L),
+      // group b: {1,2,3,4,100} — median 3, deviations {2,1,0,1,97}, MAD 1:
+      // only the 100 exceeds 3*MAD
+      (6L, "b", 1L), (7L, "b", 2L), (8L, "b", 3L), (9L, "b", 4L), (10L, "b", 100L)
+    ).toDF("id", "g", "v")
+    val out = Relational.madOutliersBy(df, "g", "id", "v", k = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true,
+      6L -> false, 7L -> false, 8L -> false, 9L -> false, 10L -> true))
+    // no window, no range partitioning — thresholds broadcast
+    val p = Relational.madOutliersBy(df, "g", "id", "v").queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("rangepartitioning"), p)
+  }
+
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
     val base = Seq((Option(1), "a")).toDF("k", "v")
     val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")
