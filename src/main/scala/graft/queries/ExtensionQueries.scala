@@ -797,6 +797,22 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** x84: CCNet-style perplexity bucketing — unigram-LM typicality
+    * scores cut into per-language head/middle/tail terciles. The
+    * composition the curation literature actually samples by: bucket 3
+    * (highest avg log-prob) is the most corpus-typical "head". */
+  val perplexityBuckets = 3
+
+  def x84(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Relational.quantileBucketsBy(
+        TextAnalysis.unigramLogProb(d)
+          .join(d.select(col("doc_id"), col("lang")), "doc_id"),
+        "lang", "avg_logp", buckets = perplexityBuckets)
+      .select("doc_id", "lang", "avg_logp", "bucket")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -815,6 +831,7 @@ object ExtensionQueries {
     "x81_snapshot_diff" -> (x81 _),
     "x82_component_sizes" -> (x82 _),
     "x83_mad_outliers"  -> (x83 _),
+    "x84_perplexity_buckets" -> (x84 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1512,6 +1529,28 @@ object ExtensionQueries {
          |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
     // thresholds ROUND(quantile_cont,4)::DECIMAL, clip and sum in exact
     // DECIMAL (order-independent addition), divide once in double
+    // x37's LM CTE feeding x56's per-group quantile arms — one shared
+    // definition of both stages, so the composition cannot drift
+    "x84_perplexity_buckets" -> {
+      val probs = (1 until perplexityBuckets).map(_.toDouble / perplexityBuckets)
+      val qs = probs.zipWithIndex.map { case (p, i) =>
+        s"ROUND(quantile_cont(avg_logp, $p), 4) AS q$i" }.mkString(", ")
+      val arms = probs.indices.map(i =>
+        s"CASE WHEN avg_logp > q$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+         |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+         |tt AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+         |sc AS (SELECT doc_id, ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6) AS lp
+         |      FROM tok JOIN c USING (term) CROSS JOIN tt),
+         |lpd AS (SELECT doc_id, ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+         |       FROM sc GROUP BY doc_id),
+         |j AS (SELECT lpd.doc_id, d.lang, lpd.avg_logp
+         |      FROM lpd JOIN documents d USING (doc_id)),
+         |q AS (SELECT lang, $qs FROM j GROUP BY lang)
+         |SELECT j.doc_id, j.lang, j.avg_logp, (1 + $arms)::BIGINT AS bucket
+         |FROM j JOIN q USING (lang) ORDER BY doc_id""".stripMargin
+    },
     // same exact-percentile parity as x61 (Spark percentile ==
     // quantile_cont); deviations are exact decimals, the flag compares
     // doubles derived from them with the shared k
