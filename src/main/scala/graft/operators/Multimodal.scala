@@ -87,6 +87,40 @@ object Multimodal {
         expr(s"substring(content, col, $windowBytes)").as("chunk"))
   }
 
+  /** Cross-payload duplicate byte windows — [[graft.operators.Dedup
+    * .duplicatedSpans]] for BINARY: the fraction of a payload's
+    * stride-aligned windows whose exact bytes occur >= minDf times
+    * across the lake (a re-encoded mirror upload, a looped jingle, a
+    * shared intro sting — the audio-side memorization-risk signal).
+    * Duplication counts INSTANCES, not holders, so a segment looped
+    * WITHIN one payload flags that payload too. Only full windows
+    * compare (a tail shorter than the window can't byte-match one);
+    * payloads shorter than one window are absent — out of scope like
+    * sub-n-token docs in the span family.
+    *
+    * Scale: the df aggregate and the postings join ship 32-byte md5s of
+    * window bytes, never the windows; the postings join carries only the
+    * duplicated minority (the x39 rewrite). No decode anywhere — byte
+    * equality is codec-independent by definition.
+    * Output: doc_id, dup_chunks, total_chunks, dup_ratio (round 4). */
+  def duplicateChunks(bin: DataFrame, windowBytes: Int, strideBytes: Int,
+                      minDf: Int = 2): DataFrame = {
+    val ch = graft.Persist.cut(
+      chunkBinary(bin, windowBytes, strideBytes)
+        .filter(col("chunk_bytes") === windowBytes)
+        .select(col("doc_id"), md5(col("chunk")).as("h")))
+    val dup = ch.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"))
+    val dupPerDoc = ch.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_chunks"))
+    ch.groupBy(col("doc_id")).agg(count(lit(1)).as("total_chunks"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        col("total_chunks"),
+        round(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
+          col("total_chunks"), 4).as("dup_ratio"))
+  }
+
   /** Output row of the partition-batched decoder. */
   final case class DecodedFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
                                    features: Array[Float])

@@ -813,6 +813,16 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** x85: duplicate byte-window detection — 32-byte windows, half
+    * overlap; instance-counted df so within-payload loops flag too. */
+  val dupChunkWindow = 32
+  val dupChunkStride = 16
+
+  def x85(s: SparkSession, dir: String): DataFrame =
+    Multimodal.duplicateChunks(Multimodal.asBinaryTable(docs(s, dir)),
+        dupChunkWindow, dupChunkStride)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -832,6 +842,7 @@ object ExtensionQueries {
     "x82_component_sizes" -> (x82 _),
     "x83_mad_outliers"  -> (x83 _),
     "x84_perplexity_buckets" -> (x84 _),
+    "x85_dup_chunks"    -> (x85 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1307,6 +1318,21 @@ object ExtensionQueries {
          |FROM pairs ORDER BY stratum_a, stratum_b""".stripMargin,
     // byte windows: offsets are pure integer arithmetic; md5 of the
     // VARCHAR slice == md5 of the binary slice on the ASCII fixture
+    // the x75 VARCHAR-slice equivalence + the x39 df shape: instance-
+    // counted window hashes, dup minority attributed back per payload
+    "x85_dup_chunks" ->
+      s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT AS nb
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (SELECT doc_id, md5(substring(text, i::BIGINT, $dupChunkWindow)) AS h
+         |  FROM b CROSS JOIN UNNEST(range(1, nb + 1, $dupChunkStride)) AS r(i)
+         |  WHERE least($dupChunkWindow, nb - i + 1) = $dupChunkWindow),
+         |d AS (SELECT h, count(*)::BIGINT AS df FROM ch GROUP BY h)
+         |SELECT ch.doc_id,
+         |  count(CASE WHEN d.df >= 2 THEN 1 END)::BIGINT AS dup_chunks,
+         |  count(*)::BIGINT AS total_chunks,
+         |  ROUND(count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_ratio
+         |FROM ch JOIN d USING (h)
+         |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
     "x75_binary_chunks" ->
       s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT AS nb
          |  FROM documents WHERE length(text) > 0)

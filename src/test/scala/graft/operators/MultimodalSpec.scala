@@ -80,4 +80,23 @@ class MultimodalSpec extends SparkSpec {
     // rows keep independent feature vectors (buffer is cloned per row)
     assert(out(0).features.toSeq != out(1).features.toSeq)
   }
+
+  test("duplicateChunks: shared and looped windows flag; unique payloads score 0") {
+    import spark.implicits._
+    val a = "A" * 32 + "B" * 32
+    val docs = Seq(
+      (1L, a),                              // shares every full window with doc 2
+      (2L, a),
+      (3L, "C" * 20 + "D" * 20 + "E" * 24), // unique content, no repeats
+      (4L, ("E" * 16) * 4)                  // 16-byte unit looped: aligned windows identical
+    ).toDF("doc_id", "text")
+    val out = Multimodal.duplicateChunks(Multimodal.asBinaryTable(docs), 32, 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: all 3 full 32-byte windows (offsets 1,17,33) cross-duplicated
+    assert(out(1L) == ((3L, 3L)) && out(2L) == ((3L, 3L)))
+    // doc 4: its 3 aligned windows are the same bytes — the within-payload loop flags
+    assert(out(4L)._1 == 3L)
+    // doc 3: nothing shared, nothing repeated
+    assert(out(3L)._1 == 0L && out(3L)._2 == 3L)
+  }
 }

@@ -377,7 +377,18 @@ class PropertiesSpec extends SparkSpec {
       "entropy"     -> (() => TextAnalysis.tokenEntropy(d).count()),
       "diversity"   -> (() => Similarity.diversityByLabel(
         e.withColumn("label", lit(1))).count()),
-      "kmv"         -> (() => Dedup.kmvEstimates(d, col("lang")).count()))
+      "kmv"         -> (() => Dedup.kmvEstimates(d, col("lang")).count()),
+      "randomProj"  -> (() => Similarity.randomProject(e, 4, 8).count()),
+      "sourceKl"    -> (() => TextAnalysis.sourceDivergence(
+        d.withColumn("source", col("lang"))).count()),
+      "topkNbrs"    -> (() => Dedup.topKNeighborDocs(d).count()),
+      "snapDiff"    -> (() => Relational.snapshotDiff(d, d,
+        Seq("doc_id"), Seq("text")).count()),
+      "madOutliers" -> (() => Relational.madOutliersBy(
+        d.select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n")),
+        "lang", "doc_id", "n").count()),
+      "compSizes"   -> (() => Dedup.componentSizeHistogram(
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
