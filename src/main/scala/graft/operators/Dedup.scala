@@ -670,6 +670,39 @@ object Dedup {
           .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
     }
 
+  /** INCREMENTAL connected components — the daily-cadence form of the CC
+    * dedup family: fold a new batch's candidate pairs into EXISTING
+    * component labels without re-propagating over the whole historical
+    * pair graph. Correctness rests on labels being a CONTRACTION of the
+    * old edges: (id → lbl) preserves exactly the old connectivity, so
+    * propagating over (old labels as edges) ∪ (new pairs) yields the
+    * same components as the full union graph — spec-proven equal to a
+    * from-scratch recompute across waves. Cost per day: the loop runs
+    * over |nodes| + |new pairs| edges instead of every pair ever found
+    * (the [[lshCandidatePairsAgainst]] convention applied to the graph
+    * stage; at 100 TB the historical pair set is the thing you must
+    * never re-shuffle). Convergence is typically 1-2 rounds since the
+    * settled majority of labels is already minimal.
+    * Input labels: (id, lbl) — e.g. a persisted prior output; new pairs:
+    * (a_id, b_id). Output: (id, lbl) for every node seen so far. */
+  def mergeComponentLabels(oldLabels: DataFrame, newPairs: DataFrame,
+                           maxIters: Int = 10): DataFrame = {
+    val asPairs = oldLabels
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("a_id"), col("lbl").as("b_id"))
+    val selfOnly = oldLabels.filter(col("id") === col("lbl"))
+      .select(col("id"), col("lbl"))
+    componentLabels(asPairs.unionByName(newPairs.select(col("a_id"), col("b_id"))),
+        maxIters) match {
+      case None => oldLabels.select(col("id"), col("lbl"))
+      case Some((labels, _)) =>
+        // nodes whose label was already themselves and who gained no new
+        // edge don't appear in the propagation input — carry them through
+        labels.unionByName(
+          selfOnly.join(labels.select(col("id")), Seq("id"), "left_anti"))
+    }
+  }
+
   /** Converged min-label component ids for the candidate-pair graph —
     * the shared CC core of [[dropNearDuplicatesCC]] (drop all but the
     * minimum id) and [[keepBestPerCluster]] (keep the best-scoring doc

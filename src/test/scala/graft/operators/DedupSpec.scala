@@ -108,6 +108,24 @@ class DedupSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("mergeComponentLabels: incremental merge equals full recompute; new pairs lower old labels") {
+    import spark.implicits._
+    val w1 = Seq((2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val w2 = Seq((1L, 3L), (6L, 9L)).toDF("a_id", "b_id") // 1 undercuts {2,3}'s min; 9 extends {5,6}
+    val none = Seq.empty[(Long, Long)].toDF("id", "lbl")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l1 = Dedup.mergeComponentLabels(none, w1)
+    assert(m(l1) == Map(2L -> 2L, 3L -> 2L, 5L -> 5L, 6L -> 5L))
+    val l2 = Dedup.mergeComponentLabels(l1, w2)
+    val full = Dedup.mergeComponentLabels(none, w1.unionByName(w2))
+    assert(m(l2) == m(full), "incremental labels diverged from full recompute")
+    assert(m(l2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 5L))
+    // an empty batch is a no-op
+    assert(m(Dedup.mergeComponentLabels(l2,
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))) == m(l2))
+  }
+
   test("componentSizeHistogram: closed-form sizes; empty graph yields empty histogram") {
     import spark.implicits._
     // components: {1,2,3} (chain), {5,6} — sizes 3 and 2
