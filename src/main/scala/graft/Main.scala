@@ -512,6 +512,39 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/kl")
   }
 
+  /** Incremental dedup-graph maintenance: candidate-pair batches fold
+    * into a SnapshotStore-rotated label table via
+    * [[graft.operators.Dedup.mergeComponentLabels]] — per pass the loop
+    * touches |nodes| + |batch pairs| edges, never the historical pair
+    * set. Retry-stable by IDEMPOTENCE rather than batch dirs: re-merging
+    * pairs the labels already contract changes nothing (spec-asserted),
+    * and the A/B rotation means a crash mid-write leaves the prior
+    * labels intact. */
+  def runIncrementalCC(spark: SparkSession, pairsDir: String,
+                       outRoot: String, maxIters: Int = 10): Unit =
+    spark.readStream
+      .schema("a_id LONG, b_id LONG")
+      .parquet(pairsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeCcBatch(batch.toDF(), outRoot, maxIters)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/cc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalCC]] micro-batch, exposed for retry testing. */
+  private[graft] def mergeCcBatch(batch: DataFrame, outRoot: String,
+                                  maxIters: Int): Unit = {
+    val s = batch.sparkSession
+    val prior = graft.sinks.SnapshotStore.read(s, s"$outRoot/labels")
+      .getOrElse(s.range(0).select(col("id"), col("id").as("lbl")))
+    graft.sinks.SnapshotStore.swapWrite(
+      graft.operators.Dedup.mergeComponentLabels(prior, batch, maxIters),
+      s"$outRoot/labels")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = SparkSession.builder()

@@ -823,6 +823,22 @@ object ExtensionQueries {
         dupChunkWindow, dupChunkStride)
       .orderBy("doc_id")
 
+  /** x86: incremental CC, oracle-pinned — wave 1 = candidate pairs
+    * wholly below doc_id 250, wave 2 = the rest, folded into wave 1's
+    * labels via mergeComponentLabels. The oracle computes components
+    * over the FULL pair graph (x21's recursive chain), so the
+    * labels-are-a-contraction identity is itself hash-verified. */
+  val ccWaveSplit = 250
+
+  def x86(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(docs(s, dir), n = 3, k = 12, bands = 4)
+    val w1 = pairs.filter(col("b_id") < ccWaveSplit)
+    val w2 = pairs.filter(col("b_id") >= ccWaveSplit)
+    val none = s.range(0).select(col("id"), col("id").as("lbl"))
+    Dedup.mergeComponentLabels(Dedup.mergeComponentLabels(none, w1), w2)
+      .orderBy("id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -843,6 +859,7 @@ object ExtensionQueries {
     "x83_mad_outliers"  -> (x83 _),
     "x84_perplexity_buckets" -> (x84 _),
     "x85_dup_chunks"    -> (x85 _),
+    "x86_incr_cc"       -> (x86 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -1817,6 +1834,11 @@ object ExtensionQueries {
     // component label via transitive closure (UNION dedups, so the
     // recursion terminates); a doc is dropped iff some smaller id reaches
     // it — exactly the converged min-label-propagation fixpoint
+    // the full-graph component chain IS the oracle for the incremental
+    // merge: labels-as-contraction must reproduce it exactly
+    "x86_incr_cc" ->
+      s"""WITH RECURSIVE $ccCompCtes
+         |SELECT id, lbl FROM comp ORDER BY id""".stripMargin,
     // the SAME recursive component chain as x21/x47 — sizes are two
     // aggregates over the comp CTE
     "x82_component_sizes" ->

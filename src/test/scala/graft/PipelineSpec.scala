@@ -536,6 +536,30 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published divergences")
   }
 
+  test("O2 streaming: incremental CC labels equal the full-graph recompute across waves") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cc_in").toString
+    val root = Files.createTempDirectory("graft_cc_out").toString
+    val w1 = Seq((2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val w2 = Seq((1L, 3L), (6L, 9L)).toDF("a_id", "b_id")
+    def labels() = graft.sinks.SnapshotStore.read(spark, s"$root/labels").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w1.write.mode("append").parquet(src)
+    Main.runIncrementalCC(spark, src, root)
+    assert(labels() == Map(2L -> 2L, 3L -> 2L, 5L -> 5L, 6L -> 5L))
+    w2.write.mode("append").parquet(src)
+    Main.runIncrementalCC(spark, src, root)
+    val merged = labels()
+    val none = Seq.empty[(Long, Long)].toDF("id", "lbl")
+    val full = graft.operators.Dedup
+      .mergeComponentLabels(none, w1.unionByName(w2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full, "incremental labels diverged from the full graph")
+    // a RETRY (re-merging already-contracted pairs) is a no-op
+    Main.mergeCcBatch(w2, root, maxIters = 10)
+    assert(labels() == merged, "retry changed the labels")
+  }
+
   test("O1: Main.run end-to-end writes all sinks + metadata sidecar") {
     val out = Files.createTempDirectory("graft_e2e").toString
     val report = Main.run(spark, fixtures, out)
