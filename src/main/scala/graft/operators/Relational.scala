@@ -630,6 +630,32 @@ object Relational {
       .drop("__new", "__ts_us")
   }
 
+  /** Session transcripts — the instruction-tuning prep step downstream of
+    * [[sessionize]]: each session's turns assembled into ONE ordered
+    * sequence (the unit conversational training actually consumes), with
+    * the assembled text carried as its md5 so a transcript-level exact
+    * dedup or cross-version diff ([[snapshotDiff]]) composes directly
+    * without shuffling transcripts. Ordering inside a session is total —
+    * (ts, tieBreak) — so the digest is deterministic and cross-engine
+    * (the oracle's `string_agg ... ORDER BY` sees identical sequences).
+    *
+    * Scale: the per-session collect is bounded by the session gap
+    * contract (a session is minutes of one user's events, never a
+    * corpus); the aggregate's group keys are (user, session) — the
+    * same cardinality discipline as the funnel (x46). Output:
+    * user_key, session_id, n_turns, transcript_md5. */
+  def sessionTranscripts(events: DataFrame, user: Column, tsMicros: Column,
+                         tieBreak: Column, gapMicros: Long,
+                         turn: Column): DataFrame =
+    sessionize(events, user, tsMicros, tieBreak, gapMicros)
+      .select(user.as("user_key"), col("session_id"),
+        struct(tsMicros.as("ts"), tieBreak.as("tb"), turn.as("t")).as("__e"))
+      .groupBy(col("user_key"), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        md5(array_join(
+          transform(array_sort(collect_list(col("__e"))), e => e.getField("t")),
+          "|")).as("transcript_md5"))
+
   /** Per-group robust outliers via median/MAD — the heavy-tail-safe twin
     * of z-scoring: mean and stddev are themselves dragged by the
     * outliers they're supposed to find (one 10⁶-token doc inflates σ

@@ -839,6 +839,17 @@ object ExtensionQueries {
       .orderBy("id")
   }
 
+  /** x87: session transcripts — x14's sessions assembled into ordered
+    * turn sequences, digests not text on the output. */
+  def x87(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionTranscripts(
+        Tables(s, dir, "events").select("user_id", "event_id", "event_type", "ts"),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        gapMicros = 30L * 60 * 1000000, turn = col("event_type"))
+      .select(col("user_key").as("user_id"), col("session_id"),
+        col("n_turns"), col("transcript_md5"))
+      .orderBy("user_id", "session_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -860,6 +871,7 @@ object ExtensionQueries {
     "x84_perplexity_buckets" -> (x84 _),
     "x85_dup_chunks"    -> (x85 _),
     "x86_incr_cc"       -> (x86 _),
+    "x87_transcripts"   -> (x87 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -2097,6 +2109,22 @@ object ExtensionQueries {
          |  JOIN card ca ON inter.a_id = ca.doc_id
          |  JOIN card cb ON inter.b_id = cb.doc_id)
          |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+    // x14's session derivation feeding an ORDER BY string_agg — the
+    // engine's array_sort(struct(ts, tie, turn)) sees the same total
+    // order, so the digests match byte-for-byte
+    "x87_transcripts" ->
+      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM b),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |   SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM l)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*)::BIGINT AS n_turns,
+        |  md5(string_agg(event_type, '|' ORDER BY us, event_id)) AS transcript_md5
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "x14_sessionize" ->
       """SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM
         | (SELECT user_id, event_id,

@@ -400,6 +400,28 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("rangepartitioning"), p)
   }
 
+  test("sessionTranscripts: ordered digests; same sequence same digest, order matters") {
+    // users 1 and 2 emit the same turns in the same order (different
+    // absolute times); user 3 emits them REVERSED. A 2h gap splits
+    // user 1's day into two sessions.
+    val us = (m: Long) => m * 60L * 1000000L
+    val ev = Seq(
+      (1L, 1L, "view", us(0)), (1L, 2L, "cart", us(5)), (1L, 3L, "buy", us(10)),
+      (1L, 4L, "view", us(200)),                      // second session
+      (2L, 5L, "view", us(1000)), (2L, 6L, "cart", us(1005)), (2L, 7L, "buy", us(1010)),
+      (3L, 8L, "buy", us(0)), (3L, 9L, "cart", us(5)), (3L, 10L, "view", us(10))
+    ).toDF("user_id", "event_id", "event_type", "usec")
+    val out = Relational.sessionTranscripts(ev, col("user_id"), col("usec"),
+        col("event_id"), gapMicros = us(30), turn = col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(out((1L, 1L))._1 == 3L && out((1L, 2L))._1 == 1L)
+    // identical ordered sequences digest identically across users...
+    assert(out((1L, 1L))._2 == out((2L, 1L))._2)
+    // ...and order is part of the identity
+    assert(out((1L, 1L))._2 != out((3L, 1L))._2)
+  }
+
   test("upsert: a NULL-key update row is inserted with its values (MERGE insert branch)") {
     val base = Seq((Option(1), "a")).toDF("k", "v")
     val upd = Seq((Option.empty[Int], "orphan"), (Option(2), "b")).toDF("k", "v")
