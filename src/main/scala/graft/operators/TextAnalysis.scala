@@ -243,6 +243,33 @@ object TextAnalysis {
     docs.filter(mixDraw < thr)
   }
 
+  /** Weighted sampling WITHOUT replacement, exact k per stratum —
+    * Efraimidis–Spirakis priority sampling made DETERMINISTIC: each doc
+    * draws a md5-salted uniform u ∈ (0,1) and competes with key
+    * ln(u)/w (the order-equivalent log form of the classic u^(1/w)); the
+    * k LARGEST keys per stratum are the sample, giving
+    * inclusion-probability ∝ weight without replacement — the sampler a
+    * mixing pipeline needs when "sample 10k docs per source,
+    * length-weighted" must be reproducible across runs and engines
+    * (weights > 0; larger weight ⇒ key nearer 0 ⇒ higher priority).
+    *
+    * Selection uses the shared two-phase partial top-k — bounded
+    * per-group state, never a per-stratum window — and keys round to 6
+    * decimals with a doc_id tiebreak, so the ~1-ulp liberty libm pow/ln
+    * implementations have cannot flip a rank across engines (the
+    * x11-x13 discipline). Output: stratum, doc_id, priority. */
+  def weightedSample(docs: DataFrame, stratum: Column, weight: Column,
+                     k: Int, salt: String = "#ws"): DataFrame = {
+    val m = 1L << 30
+    val u = (md5Mod(concat(col("doc_id").cast("string"), lit(salt)), lit(m)) + 1L)
+      .cast("double") / lit((m + 1L).toDouble)
+    val scored = docs.select(stratum.as("q_id"), col("doc_id").as("n_id"),
+      round(log(u) / weight.cast("double"), 6).as("sim"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("q_id").as("stratum"), col("n_id").as("doc_id"),
+        col("sim").as("priority"))
+  }
+
   /** Per-stratum quota cap — [[stratifiedSample]]'s absolute-count twin
     * ("cap each source at N documents"): keep the `cap` documents with the
     * smallest salted-md5 draws per stratum, deterministic and exactly

@@ -850,6 +850,16 @@ object ExtensionQueries {
         col("n_turns"), col("transcript_md5"))
       .orderBy("user_id", "session_id")
 
+  /** x88: length-weighted sampling without replacement, 25 docs per
+    * language (Efraimidis-Spirakis priority keys, md5-deterministic). */
+  val wsK = 25
+  val wsSalt = "#ws"
+
+  def x88(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.weightedSample(docs(s, dir), col("lang"), col("n_chars"),
+        k = wsK, salt = wsSalt)
+      .orderBy("stratum", "doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
@@ -872,6 +882,7 @@ object ExtensionQueries {
     "x85_dup_chunks"    -> (x85 _),
     "x86_incr_cc"       -> (x86 _),
     "x87_transcripts"   -> (x87 _),
+    "x88_weighted_sample" -> (x88 _),
     "x65_percent_rank"  -> (x65 _),
     "x66_hard_negatives" -> (x66 _),
     "x63_temperature"   -> (x63 _),
@@ -2066,6 +2077,21 @@ object ExtensionQueries {
          |SELECT q_id, n_id, sim FROM
          | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
          |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
+    // the ES priority key as one shared expression: md5-salted uniform,
+    // ln, divide by weight, ROUND 6; the native window replays the
+    // engine's two-phase selection
+    "x88_weighted_sample" -> {
+      val m = 1L << 30
+      s"""WITH p AS (SELECT lang AS stratum, doc_id,
+         |    ROUND(ln((('0x' || substring(md5(doc_id::VARCHAR || '$wsSalt'), 1, 15))::BIGINT
+         |        % $m + 1)::DOUBLE / ${(m + 1L).toDouble}) / n_chars::DOUBLE, 6) AS priority
+         |  FROM documents),
+         |r AS (SELECT stratum, doc_id, priority,
+         |  ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY priority DESC, doc_id) AS rn
+         |  FROM p)
+         |SELECT stratum, doc_id, priority FROM r WHERE rn <= $wsK
+         |ORDER BY stratum, doc_id""".stripMargin
+    },
     "x19_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -447,6 +447,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(counts("test") > 20 && counts("test") < 90)
   }
 
+  test("weightedSample: exact k per stratum, deterministic, weight-monotone inclusion") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 40L).map(i =>
+      (i, s"s${i % 2}", if (i <= 2) 100000L else 1L)).toDF("doc_id", "lang", "n_chars")
+    def sample(salt: String) = TextAnalysis.weightedSample(
+        docs, col("lang"), col("n_chars"), k = 5, salt = salt)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = sample("#a")
+    assert(s1.groupBy(_._1).values.forall(_.size == 5))
+    // pure function of (doc_id, salt, weight): repartitioning changes nothing
+    val s1b = TextAnalysis.weightedSample(docs.repartition(7), col("lang"),
+        col("n_chars"), k = 5, salt = "#a")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s1b)
+    // the two 100000x-weight docs should be drawn under (nearly) every salt
+    val salts = Seq("#a", "#b", "#c", "#d", "#e")
+    val heavyHits = salts.map(sample).count(s => s.contains(("s1", 1L)) && s.contains(("s0", 2L)))
+    assert(heavyHits >= 4, s"heavy docs sampled in only $heavyHits/5 draws")
+    // different salts give different samples (it IS a random draw)
+    assert(salts.map(sample).distinct.size > 1)
+  }
+
   test("sourceDivergence: closed-form KL per stratum; corpus-typical strata score 0") {
     import graft.operators.TextAnalysis
     // A: {a:2, b:1}, B: {b:3}; corpus: {a:2, b:4}, N=6
