@@ -64,7 +64,17 @@ object Bench {
     // failures carry the -1 sentinel per query but must not SUBTRACT from
     // the graded total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    // a filtered run must be distinguishable from a full contract run:
+    // n + filtered are in the summary, so a leaked SPARK_GRAFT_BENCH_ONLY
+    // is visible in the artifact, not silent
+    val filtered = only.isDefined
+    // the long per-query line goes first, the short summary line LAST and
+    // stands alone: the driver's capture is tail-truncated (r06's
+    // 111-query single line overflowed it, leaving parsed:null), so the
+    // line that must survive — and be the last JSON on stdout — is short
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"filtered":$filtered,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -447,6 +447,10 @@ object Dedup {
 
   /** The KMV sketch itself: (stratum, mins ARRAY<LONG>) — the k smallest
     * distinct shingle hashes per stratum, the form a sketch STORE holds.
+    * Multiset discipline: the sketch is a SET of hash VALUES (collect_set),
+    * so two distinct shingles colliding on the 60-bit prefix collapse to
+    * one entry — the KMV estimator's own model (distinct uniform hashes),
+    * and the convention the x74/x76 oracles replay (DISTINCT u).
     * Min-k is associative and idempotent, so per-day/per-shard sketches
     * [[kmvMerge]] into exactly the sketch of the union — build daily,
     * merge nightly, never re-read history. */

@@ -59,12 +59,6 @@ object Relational {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
-  /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates
-    * on (key, salt) — a hot key's rows spread over `saltBuckets` reducers —
-    * phase 2 merges the partials per key. `aggs` supplies BOTH phases for
-    * each output column: (partial expression, merge expression over the
-    * partial's alias). Use when ONE key dominates (AQE skew handling
-    * splits map partitions but cannot split a single reduce group). */
   /** Default salt for the skew operators: hash of the row's own hashable
     * values (NOT monotonically_increasing_id, which changes across
     * retries/repartitionings and would make replays non-deterministic):
@@ -91,6 +85,12 @@ object Relational {
     hash(hashable.toSeq: _*)
   }
 
+  /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates
+    * on (key, salt) — a hot key's rows spread over `saltBuckets` reducers —
+    * phase 2 merges the partials per key. `aggs` supplies BOTH phases for
+    * each output column: (partial expression, merge expression over the
+    * partial's alias). Use when ONE key dominates (AQE skew handling
+    * splits map partitions but cannot split a single reduce group). */
   def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
                 aggs: Seq[(Column, String, Column => Column)],
                 salt: Option[Column] = None): DataFrame = {
@@ -522,6 +522,11 @@ object Relational {
     * decimals and clip in DECIMAL(18,4); the per-group sum is DECIMAL —
     * exact, order-independent addition, immune to partitioning (the x37
     * contract) — and only the final mean divides in double (round 6).
+    * The OUTPUT schema carries no DECIMAL: lo/hi leave as double (exact —
+    * 4-decimal values are double-representable), because engines
+    * serialize equal DECIMAL values differently ('13.9000' vs 13.9) and
+    * hash-based result comparison breaks on the serialization, not the
+    * value. DECIMAL is an internal compute discipline only.
     * Output: group, n_rows, lo, hi, wmean. */
   def winsorizedMeanBy(df: DataFrame, group: String, value: String,
                        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
@@ -535,7 +540,8 @@ object Relational {
         count(lit(1)).as("n_rows"),
         first(col("lo")).as("lo"), first(col("hi")).as("hi"),
         sum(clipped).as("__s"))
-      .select(col(group), col("n_rows"), col("lo"), col("hi"),
+      .select(col(group), col("n_rows"),
+        col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"),
         round(col("__s").cast("double") / col("n_rows"), 6).as("wmean"))
   }
 
@@ -638,6 +644,9 @@ object Relational {
     * without shuffling transcripts. Ordering inside a session is total —
     * (ts, tieBreak) — so the digest is deterministic and cross-engine
     * (the oracle's `string_agg ... ORDER BY` sees identical sequences).
+    * Each turn is md5'd BEFORE concatenation — fixed-width inner digests
+    * make turn boundaries unambiguous (["a|b"] can never collide with
+    * ["a","b"]), the same no-separator-games scheme as [[snapshotDiff]].
     *
     * Scale: the per-session collect is bounded by the session gap
     * contract (a session is minutes of one user's events, never a
@@ -653,8 +662,8 @@ object Relational {
       .groupBy(col("user_key"), col("session_id"))
       .agg(count(lit(1)).as("n_turns"),
         md5(array_join(
-          transform(array_sort(collect_list(col("__e"))), e => e.getField("t")),
-          "|")).as("transcript_md5"))
+          transform(array_sort(collect_list(col("__e"))), e => md5(e.getField("t"))),
+          "")).as("transcript_md5"))
 
   /** Per-group robust outliers via median/MAD — the heavy-tail-safe twin
     * of z-scoring: mean and stddev are themselves dragged by the
@@ -673,7 +682,10 @@ object Relational {
     * DECIMAL(18,4); deviations are exact decimal subtractions; the flag
     * compares doubles derived from identical exact decimals with a
     * shared k — boundary ties (|dev| = k·MAD) resolve identically in
-    * both engines. Output: id, group, value, med, mad, is_outlier. */
+    * both engines. med/mad leave as double (4-decimal values are
+    * double-exact; DECIMAL in an output schema breaks hash-based result
+    * comparison on serialization alone — internal discipline only).
+    * Output: id, group, value, med, mad, is_outlier. */
   def madOutliersBy(df: DataFrame, group: String, id: String, value: String,
                     k: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(group)).agg(
@@ -683,7 +695,8 @@ object Relational {
     val mad = dev.groupBy(col(group)).agg(
       round(expr("percentile(__ad, 0.5)"), 4).cast("decimal(18,4)").as("mad"))
     dev.join(broadcast(mad), Seq(group))
-      .select(col(id), col(group), col(value), col("med"), col("mad"),
+      .select(col(id), col(group), col(value),
+        col("med").cast("double").as("med"), col("mad").cast("double").as("mad"),
         (col("__ad").cast("double") > lit(k) * col("mad").cast("double"))
           .as("is_outlier"))
   }

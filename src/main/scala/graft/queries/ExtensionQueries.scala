@@ -1346,7 +1346,7 @@ object ExtensionQueries {
          |sh AS (SELECT DISTINCT source AS stratum, array_to_string(toks[i:i+2], ' ') AS s
          |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
          |       WHERE len(toks) >= 3),
-         |u AS (SELECT stratum, ('0x' || substring(md5(s), 1, 15))::BIGINT AS u FROM sh),
+         |u AS (SELECT DISTINCT stratum, ('0x' || substring(md5(s), 1, 15))::BIGINT AS u FROM sh),
          |sk AS (SELECT stratum, (list(u ORDER BY u))[1:$kmvK] AS mins FROM u GROUP BY stratum),
          |pairs AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
          |    (list_sort(list_distinct(list_concat(a.mins, b.mins))))[1:$kmvK] AS ul,
@@ -1384,13 +1384,17 @@ object ExtensionQueries {
          |FROM b CROSS JOIN UNNEST(range(1, nb + 1, $chunkStrideBytes)) AS r(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
     // KMV: integer k-th minimum of md5-derived hashes; the estimator is
-    // one double expression over exact integers (2^60 is an exact double)
+    // one double expression over exact integers (2^60 is an exact double).
+    // DISTINCT u, not DISTINCT shingle: the sketch is a SET of hash
+    // values, so two distinct shingles whose 60-bit prefixes collide
+    // must collapse to one entry on both sides (Spark's collect_set
+    // semantics) — expected at real corpus scale (~2^30 shingles)
     "x74_kmv_distinct" ->
       s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT DISTINCT source AS stratum, array_to_string(toks[i:i+2], ' ') AS s
          |       FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
          |       WHERE len(toks) >= 3),
-         |u AS (SELECT stratum, ('0x' || substring(md5(s), 1, 15))::BIGINT AS u FROM sh),
+         |u AS (SELECT DISTINCT stratum, ('0x' || substring(md5(s), 1, 15))::BIGINT AS u FROM sh),
          |rk AS (SELECT stratum, u, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY u) AS rn
          |  FROM u),
          |sk AS (SELECT stratum, count(*)::BIGINT AS n_sketch, max(u) AS uk
@@ -1631,7 +1635,8 @@ object ExtensionQueries {
         |  FROM t JOIN m USING (lang)),
         |md AS (SELECT lang, ROUND(quantile_cont(ad, 0.5), 4)::DECIMAL(18,4) AS mad
         |       FROM d GROUP BY lang)
-        |SELECT d.doc_id, d.lang, d.n_tokens, d.med, md.mad,
+        |SELECT d.doc_id, d.lang, d.n_tokens,
+        |  d.med::DOUBLE AS med, md.mad::DOUBLE AS mad,
         |  (d.ad::DOUBLE > 3.0 * md.mad::DOUBLE) AS is_outlier
         |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin,
     "x61_winsor_mean" ->
@@ -1642,7 +1647,8 @@ object ExtensionQueries {
         |  ROUND(quantile_cont(n_tokens, 0.05), 4)::DECIMAL(18,4) AS lo,
         |  ROUND(quantile_cont(n_tokens, 0.95), 4)::DECIMAL(18,4) AS hi
         | FROM t GROUP BY lang)
-        |SELECT t.lang, count(*)::BIGINT AS n_rows, q.lo, q.hi,
+        |SELECT t.lang, count(*)::BIGINT AS n_rows,
+        |  q.lo::DOUBLE AS lo, q.hi::DOUBLE AS hi,
         |  ROUND(sum(LEAST(GREATEST(n_tokens::DECIMAL(18,4), q.lo), q.hi))::DOUBLE
         |    / count(*), 6) AS wmean
         |FROM t JOIN q ON t.lang = q.lang
@@ -2137,7 +2143,8 @@ object ExtensionQueries {
          |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     // x14's session derivation feeding an ORDER BY string_agg — the
     // engine's array_sort(struct(ts, tie, turn)) sees the same total
-    // order, so the digests match byte-for-byte
+    // order, so the digests match byte-for-byte. Turns are md5'd before
+    // concatenation (fixed-width inner digests, no separator ambiguity)
     "x87_transcripts" ->
       """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM b),
@@ -2148,7 +2155,7 @@ object ExtensionQueries {
         | FROM l)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*)::BIGINT AS n_turns,
-        |  md5(string_agg(event_type, '|' ORDER BY us, event_id)) AS transcript_md5
+        |  md5(string_agg(md5(event_type), '' ORDER BY us, event_id)) AS transcript_md5
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "x14_sessionize" ->

@@ -4,12 +4,20 @@
 Reads each Spark result parquet under OUT_DIR/<name>/, runs the matching
 oracle SQL from OUT_DIR/oracle_sql.json in DuckDB over the sf parquet
 tables, sorts columns by name on both sides, and compares row count,
-schema (column names), and values (exact; floats to 9 significant places).
+schema (column names), and values.
 
-Usage: check_oracle.py <sf_dir> <out_dir> [name1,name2,...]
+Usage: check_oracle.py <sf_dir> <out_dir> [name1,name2,...] [--strict]
 
-An optional third argument restricts the compare to those query names
-(local iteration after a filtered Verify run).
+An optional name list restricts the compare to those query names (local
+iteration after a filtered Verify run).
+
+Default mode compares floats to 9 significant digits. --strict compares
+floats by shortest-round-trip repr (bit-exact doubles) — the discipline
+the driver's hash actually demands. Both modes flag DECIMAL-typed output
+columns on either side: the r06 x61/x83 failure class is value-equal
+DECIMAL that serializes differently per engine ('13.9000' vs 13.9), which
+a both-sides-through-DuckDB value compare cannot see. A DECIMAL output is
+a FAIL in strict mode and a loud WARN otherwise.
 """
 import json
 import sys
@@ -19,13 +27,21 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+STRICT = "--strict" in sys.argv
+
 
 def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.9g}"
+        return repr(v) if STRICT else f"{v:.9g}"
     return str(v)
+
+
+def decimal_cols(con, query):
+    """Column names with DECIMAL-family types in the query's result schema."""
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return [r[0] for r in rows if "DECIMAL" in r[1].upper() or "HUGEINT" in r[1].upper()]
 
 
 def main(sf_dir, out_dir):
@@ -34,19 +50,33 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    if len(sys.argv) > 3:
-        only = set(sys.argv[3].split(","))
+    names = [a for a in sys.argv[3:] if not a.startswith("--")]
+    if names:
+        only = set(names[0].split(","))
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        spark_src = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
         try:
-            spark = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            spark = con.execute(spark_src).fetchdf()
             duck = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        # serialization-fragile output types: the driver hashes each side's
+        # own serialization, so equal VALUES are not enough
+        fragile = sorted(set(decimal_cols(con, f"({spark_src})") +
+                             decimal_cols(con, f"({sql})")))
+        if fragile:
+            msg = (f"{name}: DECIMAL output columns {fragile} — driver hash "
+                   f"fails on serialization even when values match; cast to "
+                   f"DOUBLE/BIGINT in the final select")
+            if STRICT:
+                print(f"FAIL {msg}")
+                n_fail += 1
+                continue
+            print(f"WARN {msg}")
         s_cols, d_cols = sorted(spark.columns), sorted(duck.columns)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
@@ -72,7 +102,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(spark)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    mode = "strict" if STRICT else "default"
+    print(f"== {n_pass} pass / {n_fail} fail ({mode}) ==")
     return 1 if n_fail else 0
 
 
