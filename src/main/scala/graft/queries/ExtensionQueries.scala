@@ -234,6 +234,79 @@ object ExtensionQueries {
       .orderBy("event_id")
   }
 
+  /** w04: the COMPLETE stored-procedure chain Q1→Q18 end-to-end — the
+    * reference's actual deliverable (DOC:129, the delivery_order_work
+    * table) hash-pinned as ONE query instead of per-proc specs. Inputs
+    * are the events fixture mapped into the work-graph's shapes
+    * (user_id → delivery_order_id, one master candidate per event = the
+    * refetched-across-days Q1 shape, event_id-derived status/user/lob);
+    * every derived attribute is pure integer arithmetic on fixture
+    * columns so the DuckDB oracle replays it exactly. Determinism rides
+    * on the fixture's (user_id, ts) uniqueness (checked at all SFs), so
+    * the chain's window tie-breaks never fire.
+    *
+    * Exercises for real: Q1 dedupe, Q3 seed, Q4 status, Q5 macro, Q6 lob,
+    * Q7 packages rollup, Q8 structure, Q9 type-route, Q10 broadcast dim,
+    * Q11 tlmk, Q12 array-HOF total, Q13 portability, Q14+Q15 fused
+    * visits, Q16 scheduled, Q18 finalize — the exact composition
+    * `Main.run` executes, minus the raw-JSON source. One deviation:
+    * `Main.run` persists the events frame (Persist.hot) so its ~6
+    * consumers share one scan; a contract query must stay a pure plan,
+    * so here each consumer re-reads the narrow fixture scan — fine at
+    * verify scale, and the plan is otherwise the production one (every
+    * joinUpdate broadcasts, zero sort-merge joins). */
+  def w04(s: SparkSession, dir: String): DataFrame = {
+    import graft.transform.WorkGraph
+    val ev = Tables(s, dir, "events").select("event_id", "ts", "user_id", "event_type")
+    val uid = col("user_id")
+    val tempMaster = ev.select(
+      uid.cast("string").as("delivery_order_id"),
+      col("event_type").as("code"),
+      (uid % 7 === 0).as("recycling"),
+      concat(lit("C"), (uid % 50).cast("string")).as("assigned_courier"),
+      (uid % 3).cast("string").as("size_box"),
+      when(uid % 5 === 0, concat(lit("XD"), (uid % 10).cast("string")))
+        .as("cross_docking_location_code"),
+      (uid % 4 + 1).cast("long").as("delivery_attemps"),
+      (col("ts") + expr("INTERVAL 3 DAY")).as("promised_date"),
+      col("ts").as("created_date"),
+      when(uid % 6 === 0, lit(13123L)).when(uid % 6 === 1, lit(13120L))
+        .when(uid % 6 === 2, lit(13101L)).otherwise(uid % 6 + 20000L)
+        .cast("long").as("destination_structure_id"),
+      when(uid % 6 <= 2, lit("POLY")).as("destination_polygon"),
+      array(struct((uid % 5).cast("long").as("qty")),
+            struct((uid % 3).cast("long").as("qty"))).as("items_json"))
+    val events = ev.select(
+      uid.cast("string").as("delivery_order_id"),
+      (col("event_id") % 8).cast("long").as("status"),
+      col("ts").as("timestamp"),
+      when(col("event_id") % 11 === 0, concat(lit("tlmk_"), uid.cast("string")))
+        .otherwise(concat(lit("user_"), uid.cast("string"))).as("info_user_name"),
+      when(col("event_id") % 3 === 0, col("event_type")).as("lob"))
+    val packages = ev.filter(col("event_type") === "purchase").select(
+      uid.cast("string").as("delivery_order_id"),
+      (col("event_id") % 2 === 0).as("distribution_center_bulk"),
+      (col("event_id") % 3 === 0).as("ser_bulk"))
+    val schedules = ev.filter(col("event_type") === "click").select(
+      uid.cast("string").as("delivery_order_id"), col("ts").as("timestamp"))
+
+    val master = WorkGraph.deleteDuplicates(tempMaster)                 // Q1 (Q2 vs empty history)
+    var work = WorkGraph.insertWorkTemp(master)                         // Q3
+    work = WorkGraph.updateWorkStatus(work, events)                     // Q4
+    work = WorkGraph.updateWorkMacroStatus(work)                        // Q5
+    work = WorkGraph.updateWorkLob(work, events)                        // Q6
+    work = WorkGraph.updateWorkPackages(work, packages)                 // Q7
+    work = WorkGraph.updateWorkStructure(work)                          // Q8
+    work = WorkGraph.updateWorkTypeRoute(work)                          // Q9
+    work = WorkGraph.updateWorkRouteName(work, graft.Main.defaultRouteDim(s)) // Q10
+    work = WorkGraph.updateWorkStatusTlmk(work, events)                 // Q11
+    work = WorkGraph.updateWorkTotal(work, master)                      // Q12
+    work = WorkGraph.updateWorkPortability(work)                        // Q13
+    work = WorkGraph.updateWorkVisits(work, events, Seq(1, 2, 3, 0))    // Q14+Q15 fused
+    work = WorkGraph.updateWorkScheduled(work, schedules)               // Q16
+    WorkGraph.finalizeWork(work).orderBy("delivery_order_id")           // Q18
+  }
+
   /** Data-mixing rebalance for x27: halve English, keep a fifth of
     * German, leave other strata untouched. A Seq, not a Map, so the
     * generated CASE arms render in a stable order. */
@@ -952,6 +1025,7 @@ object ExtensionQueries {
     "w01_nth_event"     -> (w01 _),
     "w02_upsert_events" -> (w02 _),
     "w03_asof_join"     -> (w03 _),
+    "w04_sp_chain"      -> (w04 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -2188,6 +2262,113 @@ object ExtensionQueries {
         |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events)
         | WHERE rn = 2 ORDER BY delivery_order_id""".stripMargin,
+    // the full Q1→Q18 chain as one CTE pipeline: each CTE is one proc's
+    // semantics (m=Q1, q4/q6/q7/q11/q16=their joins, vr+vis=the fused
+    // Q14+Q15 double row_number); the final SELECT is Q3's seed plus every
+    // UPDATE's derived column. joinUpdate == LEFT JOIN: unmatched work
+    // rows keep NULL. Window orderings replicate WorkGraph exactly
+    // (Q4/Q6 desc-desc; visits asc/desc with status ASC as the 2nd key)
+    "w04_sp_chain" ->
+      """WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events),
+        |tm AS (SELECT
+        |    user_id::VARCHAR AS delivery_order_id,
+        |    event_type AS code,
+        |    (user_id % 7 = 0) AS recycling,
+        |    'C' || (user_id % 50)::VARCHAR AS assigned_courier,
+        |    (user_id % 3)::VARCHAR AS size_box,
+        |    CASE WHEN user_id % 5 = 0 THEN 'XD' || (user_id % 10)::VARCHAR END
+        |      AS cross_docking_location_code,
+        |    (user_id % 4 + 1)::BIGINT AS delivery_attemps,
+        |    ts + INTERVAL 3 DAY AS promised_date,
+        |    ts AS created_date,
+        |    (CASE WHEN user_id % 6 = 0 THEN 13123 WHEN user_id % 6 = 1 THEN 13120
+        |          WHEN user_id % 6 = 2 THEN 13101 ELSE user_id % 6 + 20000 END)::BIGINT
+        |      AS destination_structure_id,
+        |    CASE WHEN user_id % 6 <= 2 THEN 'POLY' END AS destination_polygon,
+        |    ((user_id % 5) + (user_id % 3))::BIGINT AS total_items
+        |  FROM ev),
+        |m AS (SELECT * FROM (SELECT tm.*, ROW_NUMBER() OVER
+        |    (PARTITION BY delivery_order_id ORDER BY created_date DESC) AS __rn FROM tm)
+        |  WHERE __rn = 1),
+        |evd AS (SELECT user_id::VARCHAR AS delivery_order_id,
+        |    (event_id % 8)::BIGINT AS status, ts AS ets,
+        |    CASE WHEN event_id % 11 = 0 THEN 'tlmk_' || user_id::VARCHAR
+        |         ELSE 'user_' || user_id::VARCHAR END AS info_user_name,
+        |    CASE WHEN event_id % 3 = 0 THEN event_type END AS lob
+        |  FROM ev),
+        |q4 AS (SELECT delivery_order_id, status, ets AS last_event_ts FROM
+        |    (SELECT evd.*, ROW_NUMBER() OVER
+        |       (PARTITION BY delivery_order_id ORDER BY ets DESC, status DESC) AS rn FROM evd)
+        |  WHERE rn = 1),
+        |q6 AS (SELECT delivery_order_id, lob FROM
+        |    (SELECT evd.*, ROW_NUMBER() OVER
+        |       (PARTITION BY delivery_order_id ORDER BY ets DESC, lob DESC) AS rn
+        |     FROM evd WHERE lob IS NOT NULL) WHERE rn = 1),
+        |pk AS (SELECT user_id::VARCHAR AS delivery_order_id,
+        |    (event_id % 2 = 0) AS dcb, (event_id % 3 = 0) AS sb
+        |  FROM ev WHERE event_type = 'purchase'),
+        |q7 AS (SELECT delivery_order_id, count(*)::BIGINT AS n_packages,
+        |    bool_or(dcb) AS any_dc_bulk, bool_or(sb) AS any_ser_bulk
+        |  FROM pk GROUP BY delivery_order_id),
+        |q11 AS (SELECT DISTINCT user_id::VARCHAR AS delivery_order_id, 'TLMK' AS status_tlmk
+        |  FROM ev WHERE event_id % 11 = 0),
+        |vr AS (SELECT evd.*,
+        |    ROW_NUMBER() OVER (PARTITION BY delivery_order_id ORDER BY ets ASC, status ASC) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY delivery_order_id ORDER BY ets DESC, status ASC) AS rd
+        |  FROM evd),
+        |vis AS (SELECT delivery_order_id,
+        |    max(CASE WHEN ra = 1 THEN ets END) AS visit1_ts,
+        |    max(CASE WHEN ra = 1 THEN status END) AS visit1_status,
+        |    max(CASE WHEN ra = 1 THEN info_user_name END) AS visit1_user,
+        |    max(CASE WHEN ra = 2 THEN ets END) AS visit2_ts,
+        |    max(CASE WHEN ra = 2 THEN status END) AS visit2_status,
+        |    max(CASE WHEN ra = 2 THEN info_user_name END) AS visit2_user,
+        |    max(CASE WHEN ra = 3 THEN ets END) AS visit3_ts,
+        |    max(CASE WHEN ra = 3 THEN status END) AS visit3_status,
+        |    max(CASE WHEN ra = 3 THEN info_user_name END) AS visit3_user,
+        |    max(CASE WHEN rd = 1 THEN ets END) AS visitlast_ts,
+        |    max(CASE WHEN rd = 1 THEN status END) AS visitlast_status,
+        |    max(CASE WHEN rd = 1 THEN info_user_name END) AS visitlast_user
+        |  FROM vr GROUP BY delivery_order_id),
+        |q16 AS (SELECT user_id::VARCHAR AS delivery_order_id,
+        |    min(ts) AS scheduled_first_ts, max(ts) AS scheduled_last_ts
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id::VARCHAR),
+        |rdim AS (SELECT * FROM (VALUES (13123::BIGINT, 'RUTA-CENTRO'),
+        |    (13120::BIGINT, 'RUTA-NORTE'), (13101::BIGINT, 'RUTA-SUR'))
+        |  AS t(structure_id, route_name))
+        |SELECT m.delivery_order_id, m.code, m.recycling, m.assigned_courier, m.size_box,
+        |  m.cross_docking_location_code, m.delivery_attemps, m.promised_date, m.created_date,
+        |  m.destination_structure_id, m.destination_polygon,
+        |  q4.status, q4.last_event_ts,
+        |  CASE WHEN q4.status IS NULL THEN 'NO_EVENTS'
+        |       WHEN q4.status IN (1, 2) THEN 'CREATED'
+        |       WHEN q4.status IN (3, 4) THEN 'IN_ROUTE'
+        |       WHEN q4.status = 5 THEN 'DELIVERED'
+        |       WHEN q4.status IN (6, 7) THEN 'RESCHEDULED'
+        |       ELSE 'OTHER' END AS macro_status,
+        |  q6.lob, q7.n_packages, q7.any_dc_bulk, q7.any_ser_bulk,
+        |  CASE WHEN m.destination_structure_id IS NULL THEN 'UNKNOWN'
+        |       WHEN m.destination_structure_id IN (13123, 13120, 13101) THEN 'URBAN_POLYGON'
+        |       ELSE 'STANDARD' END AS structure_type,
+        |  CASE WHEN m.recycling THEN 'RECYCLING'
+        |       WHEN m.delivery_attemps > 1 THEN 'RETRY'
+        |       ELSE 'STANDARD' END AS type_route,
+        |  rdim.route_name, q11.status_tlmk, m.total_items,
+        |  (m.cross_docking_location_code IS NOT NULL) AS portability,
+        |  vis.visit1_ts, vis.visit1_status, vis.visit1_user,
+        |  vis.visit2_ts, vis.visit2_status, vis.visit2_user,
+        |  vis.visit3_ts, vis.visit3_status, vis.visit3_user,
+        |  vis.visitlast_ts, vis.visitlast_status, vis.visitlast_user,
+        |  q16.scheduled_first_ts, q16.scheduled_last_ts
+        |FROM m
+        |LEFT JOIN q4 USING (delivery_order_id)
+        |LEFT JOIN q6 USING (delivery_order_id)
+        |LEFT JOIN q7 USING (delivery_order_id)
+        |LEFT JOIN q11 USING (delivery_order_id)
+        |LEFT JOIN vis USING (delivery_order_id)
+        |LEFT JOIN q16 USING (delivery_order_id)
+        |LEFT JOIN rdim ON m.destination_structure_id = rdim.structure_id
+        |ORDER BY m.delivery_order_id""".stripMargin,
     // x11-x13: selection and ordering use ROUND(sim,4) with id tiebreaks on
     // BOTH engines, so top-k membership / threshold filtering cannot be
     // flipped by float drift — and the drift itself is zero because the

@@ -225,6 +225,39 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 190)
   }
 
+  test("containmentPairs maxDf cap bounds candidates on a hot-shingle corpus (x67 skew bound)") {
+    // 20 docs share ONE hot shingle but are otherwise disjoint — the
+    // boilerplate-header worst case. With maxDf < 20 the hot posting list
+    // is excluded from blocking entirely: zero candidate pairs, no
+    // quadratic join (the §8.1 closed form Σ_s C(min(df_s, maxDf), 2)
+    // evaluates to 0 because every shared shingle is hot).
+    val hot = (1L to 20L).map(i => i -> s"hot hot hot u$i v$i w$i")
+    val d = docs(hot: _*)
+    val capped = Dedup.containmentPairs(d, n = 3, threshold = 0.0, maxDf = 5)
+    assert(capped.count() == 0)
+    // uncapped sanity: each pair shares exactly the one hot shingle, both
+    // directions emitted — 2 · C(20,2) rows, the closed-form ceiling
+    val uncapped = Dedup.containmentPairs(d, n = 3, threshold = 0.0, maxDf = 1000)
+    assert(uncapped.count() == 2L * 190)
+  }
+
+  test("topKNeighborDocs: hot boilerplate cluster stays ≤ topK rows per doc (x80 skew bound)") {
+    // 30 IDENTICAL docs — every pair is an LSH candidate (the all-pairs
+    // worst case banding cannot prune). The two-phase top-k must still
+    // cut each doc's 29 candidates to topK, and the candidate set itself
+    // stays at the closed-form C(30,2) with no duplicate inflation.
+    val hotDocs = (1L to 30L).map(i => i -> "alpha beta gamma delta epsilon zeta eta theta")
+    val d = docs(hotDocs: _*)
+    assert(Dedup.estimatedJaccardPairs(d).count() == 30L * 29 / 2)
+    val out = Dedup.topKNeighborDocs(d, topK = 5)
+    val perQ = out.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQ.length == 30 && perQ.forall(_ == 5))
+    // identical docs estimate j=1.0 and ties break on n_id: doc i's
+    // neighbors are the 5 smallest other ids — fully deterministic
+    val n1 = out.filter(col("q_id") === 7L).collect().map(_.getLong(1)).sorted
+    assert(n1.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("embeddingNearDupPairs: near-identical vectors found, distant ones not") {
     import spark.implicits._
     // two tight pairs near orthogonal axes + their centroids (ids 0, 10)

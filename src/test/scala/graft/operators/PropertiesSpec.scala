@@ -414,6 +414,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("percentile parity: Spark percentile == the quantile_cont closed form after ROUND(·,4)") {
+    // The x61/x83/x84 shared assumption, tested instead of asserted:
+    // Spark's `percentile` and DuckDB's `quantile_cont` both implement
+    // linear interpolation at rank h = p·(n−1) over the sorted values —
+    // v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1]−v[⌊h⌋]) in double arithmetic. The
+    // closed form is computed here independently; the DuckDB side is
+    // fuzzed against the SAME form by tools/fuzz_percentile.py, so the
+    // two engines are pinned to one mathematical definition from both
+    // ends. ROUND(·,4) is the contract's output discipline.
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.choose(0L, 10000L))
+      p <- Gen.oneOf(0.05, 0.25, 0.5, 0.75, 0.95)
+    } yield (vals, p)
+    cases(gen, n = 10).foreach { case (vals, p) =>
+      val df = vals.map(v => ("g", v)).toDF("g", "v")
+      val got = df.groupBy(col("g"))
+        .agg(round(expr(s"percentile(v, $p)"), 4).as("q"))
+        .collect()(0).getDouble(1)
+      val s = vals.sorted.map(_.toDouble)
+      val h = p * (s.length - 1)
+      val lo = math.floor(h).toInt
+      val exact =
+        if (lo + 1 < s.length) s(lo) + (h - lo) * (s(lo + 1) - s(lo)) else s(lo)
+      val want = BigDecimal(exact).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"p=$p n=${vals.length} got=$got want=$want")
+    }
+  }
+
   test("quotaSample equals the straight window selection for arbitrary corpora and caps") {
     import graft.operators.TextAnalysis
     val gen = for {
