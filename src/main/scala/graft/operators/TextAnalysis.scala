@@ -414,6 +414,71 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("doc_id"), col("text")))),
           s => s.getField("text")), sep).as("text"))
 
+  /** BM25 lexical retrieval — the inverted-index keyword ranking every
+    * retrieval/dedup stack pairs with embedding ANN (the hybrid-search
+    * lexical arm, and the "find documents about X to upsample/remove"
+    * curation primitive). Scores every document containing at least one
+    * query term with Robertson/Okapi BM25:
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene form,
+    * always positive so stopword-ish query terms cannot SUBTRACT.
+    *
+    * Scale shape — the whole point vs a naive "LIKE scan": tokens explode
+    * once but the `isin(queryTerms)` filter is INSIDE the explode
+    * projection, so only query-term postings (a |terms|-bounded sliver of
+    * the corpus) ever shuffle; doc lengths are a narrow per-row size();
+    * N and avglen are one scalar aggregate broadcast back; df is a
+    * |queryTerms|-row aggregate, broadcast. Nothing corpus-sized crosses
+    * the wire and the posting shuffle is the standard inverted-index
+    * build, arbitrarily partitionable. Top-k would be TakeOrdered — left
+    * to the caller, who may want the full scored set.
+    *
+    * Float discipline (the x37 family): per-(doc, term) contributions are
+    * one double expression over exact integer counts (and the 4-decimal-
+    * rounded avglen), rounded to 6 decimals and summed as exact
+    * DECIMAL(18,6); the final score rounds to 4. k1/b default to the
+    * textbook 1.2/0.75 — both printed into the oracle SQL from these
+    * values, never re-typed. Output: doc_id, n_terms_hit, score. */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = queryTerms.distinct
+    val staged = docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), col("__ts"), size(col("__ts")).cast("long").as("len"))
+    // corpus scalars: N over ALL docs; avglen = exact long sum / count —
+    // ONE double division (an avg over doubles would be partial-
+    // aggregation-order-dependent in the last ulp), rounded so both
+    // engines divide by the identical double
+    val stats = staged.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      round(sum(col("len")).cast("double") / count(lit(1)), 4).as("avglen"))
+    // postings: only query-term occurrences survive the explode projection
+    val tf = staged
+      .select(col("doc_id"), col("len"), explode(col("__ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      // max, not first: len is constant per doc, but max is deterministic
+      // by type, not by argument (nothing for a reviewer to prove)
+      .agg(max(col("len")).as("len"), count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // 1−b folded ONCE here and printed into the oracle (the bigramLogProb
+    // constant discipline: re-typing 0.25 would be a different double
+    // only if b weren't exactly representable — folding once is safe
+    // under every parameterization)
+    val norm = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / col("avglen"))
+    val contrib = tf
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * col("tf") * lit(k1 + 1.0) / norm, 6)
+          .cast("decimal(18,6)").as("__c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("__c")).cast("double"), 4).as("score"))
+  }
+
   /** Unigram language-model scoring (the CCNet-style curation signal:
     * rank documents by how "corpus-typical" their vocabulary is —
     * gibberish, boilerplate, and wrong-language text score low): each

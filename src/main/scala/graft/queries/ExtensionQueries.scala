@@ -933,7 +933,19 @@ object ExtensionQueries {
         k = wsK, salt = wsSalt)
       .orderBy("stratum", "doc_id")
 
+  /** x89: BM25 keyword retrieval. Terms chosen for df spread on the
+    * synthetic corpus (hot / mid / mid); k1/b are the textbook Robertson
+    * defaults, printed into the oracle from these vals. */
+  val bm25Terms: Seq[String] = Seq("join", "vector", "spark")
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  def x89(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Scores(docs(s, dir), bm25Terms, k1 = bm25K1, b = bm25B)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x89_bm25"          -> (x89 _),
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
     "x69_srp_pairs"     -> (x69 _),
@@ -2171,6 +2183,31 @@ object ExtensionQueries {
          |  FROM p)
          |SELECT stratum, doc_id, priority FROM r WHERE rn <= $wsK
          |ORDER BY stratum, doc_id""".stripMargin
+    },
+    // BM25: one double expression per (doc, term) over exact integer
+    // counts and the 4-decimal avglen, ROUND 6 → DECIMAL sum → ROUND 4
+    // (the x37 family). Constants k1, b, 1−b, k1+1 are PRINTED from the
+    // same Scala vals the operator folds, never re-typed
+    "x89_bm25" -> {
+      val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH st AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |sl AS (SELECT doc_id, len(toks)::BIGINT AS len, toks FROM st),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+         |    ROUND(sum(len)::DOUBLE / count(*), 4) AS avglen FROM sl),
+         |tok AS (SELECT doc_id, len, unnest(toks) AS term FROM sl),
+         |tf AS (SELECT doc_id, term, max(len) AS len, count(*)::DOUBLE AS tf
+         |  FROM tok WHERE term IN ($termList) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id,
+         |    ROUND(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |        * tf.tf * ${bm25K1 + 1.0}
+         |        / (tf.tf + $bm25K1 * (${1.0 - bm25B} + $bm25B * tf.len::DOUBLE / s.avglen)),
+         |      6)::DECIMAL(18,6) AS c
+         |  FROM tf JOIN dfq d USING (term) CROSS JOIN stats s)
+         |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+         |  ROUND(sum(c)::DOUBLE, 4) AS score
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x19_split" ->
       """SELECT doc_id,

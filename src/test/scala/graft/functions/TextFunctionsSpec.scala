@@ -488,4 +488,32 @@ class TextFunctionsSpec extends SparkSpec {
     TextAnalysis.sourceDivergence(flat).collect()
       .foreach(r => assert(r.getDouble(3) == 0.0))
   }
+
+  test("bm25Scores matches the closed form; non-matching docs absent; idf always positive") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "join join vector"),   // 2 query terms, repeated join
+      (2L, "join table"),
+      (3L, "spark"),
+      (4L, "other words here")    // no query term: must not appear
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(docs, Seq("join", "vector", "spark"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // closed form mirroring the operator's arithmetic: N=4, avglen=9/4
+    val (n, avglen, k1, b) = (4.0, 2.25, 1.2, 0.75)
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double, len: Double) = {
+      val raw = idf(df) * tf * (k1 + 1.0) /
+        (tf + k1 * (1.0 - b + b * len / avglen))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def score(ts: Double*) = BigDecimal(ts.sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, score(term(2, 2, 3), term(1, 1, 3)))))
+    assert(out(2L) == ((1L, score(term(1, 2, 2)))))
+    assert(out(3L) == ((1L, score(term(1, 1, 1)))))
+    // hottest possible term (df = N) still contributes positively
+    assert(idf(n) > 0)
+  }
 }
