@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares ONE driver heap across 32 executor threads: at 8g
+  // that is ~150MB of execution memory per task slot, and the bench's
+  // 2x113 query executions showed 2-4x per-query swings from GC pauses
+  // landing inside timed windows. 24g on the 128GiB box gives slots
+  // honest headroom; still overridable for constrained environments.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -42,6 +42,11 @@ object Bench {
     def release(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // force the dead blocks OUT before the next timed window: without
+      // this, collection debt from query N lands as a GC pause inside
+      // query N+1's measurement — observed as 2-4x per-query swings that
+      // vanish when the same query runs isolated
+      System.gc()
     }
     // local-iteration filter (comma-separated names); the driver never
     // sets it, so the graded run always measures the full contract
