@@ -512,6 +512,82 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs blocking stays under the rare-df closed form (boilerplate fuzz)") {
+    // Adversarial corpora for the x67 shape: every doc opens with the SAME
+    // boilerplate run (its shingles have df = corpus size > maxDf, so
+    // blocking must exclude them) plus a short rare tail with controlled
+    // collisions. The §8.1 closed form: blocking candidates (undirected)
+    // <= sum over RARE shingles of C(df_s, 2); the directed output is at
+    // most 2x that. A pair whose overlap is ONLY boilerplate must never
+    // surface — that is the documented df-cap trade-off, and the property
+    // that dies first if the hot-set correction ever leaks into blocking.
+    val maxDf = 3
+    val boiler = "terms of service apply to all content on this site"
+    val gen = Gen.listOfN(10, Gen.choose(1, 4))
+    cases(gen).zipWithIndex.foreach { case (picks, ci) =>
+      val corpus = picks.zipWithIndex.map { case (p, i) =>
+        (i.toLong, s"$boiler r${ci}_$p s${ci}_$p u$i")
+      }.toDF("doc_id", "text")
+      val dfs = Dedup.shingleSet(corpus, 3)
+        .groupBy("s").count().collect().map(_.getLong(1))
+      val bound = dfs.filter(_ <= maxDf).map(d => d * (d - 1) / 2).sum
+      val got = Dedup.containmentPairs(corpus, n = 3, threshold = 0.0, maxDf = maxDf)
+      assert(got.count() <= 2 * bound,
+        s"directed output ${got.count()} exceeds 2x closed-form bound $bound")
+      // docs whose rare tails never collide (unique picks) share ONLY the
+      // boilerplate with everyone else — they must emit no pairs at all
+      val lonePicks = picks.zipWithIndex.groupBy(_._1).values
+        .filter(_.size == 1).map(_.head._2.toLong).toSet
+      val touched = got.collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(lonePicks.intersect(touched).isEmpty,
+        s"boilerplate-only docs $lonePicks leaked into candidates $touched")
+      // every emitted score is still EXACT: hot shingles excluded from
+      // blocking must re-enter scoring via the hot-set correction
+      val sets = corpus.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet).toMap
+      got.collect().foreach { r =>
+        val (s, d, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val want = math.rint(
+          (sets(s) intersect sets(d)).size.toDouble / sets(s).size * 10000) / 10000
+        assert(c == want, s"pair ($s,$d) scored $c, set algebra says $want")
+      }
+    }
+  }
+
+  test("topKNeighborDocs under a mega-cluster: k-cut holds, ranking deterministic") {
+    // Adversarial fixture for the x80 shape: a cluster of IDENTICAL docs
+    // (every band bucket holds the whole cluster, candidates = C(m,2))
+    // plus distinct cold docs. The k-cut must bound the OUTPUT at
+    // topK per member regardless of cluster size, and the documented
+    // (j_est DESC, n_id ASC) order makes the survivors exactly the topK
+    // smallest other ids at j_est = 1.0 — deterministic under any
+    // partitioning of the two-phase partial top-k.
+    val topK = 3
+    val gen = Gen.zip(Gen.choose(5, 10), Gen.choose(1, 3))
+    cases(gen).foreach { case (hotN, coldN) =>
+      val corpus = (
+        (1 to hotN).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog today")) ++
+        (1 to coldN).map(i => (100L + i, s"cold words c$i d$i e$i f$i g$i never repeat anywhere"))
+      ).toDF("doc_id", "text")
+      val out = Dedup.topKNeighborDocs(corpus, n = 3, k = 12, bands = 4, topK = topK)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.length <= (hotN + coldN).toLong * topK)
+      val byQ = out.groupBy(_._1)
+      (1 to hotN).foreach { i =>
+        val mine = byQ.getOrElse(i.toLong, Array.empty[(Long, Long, Double)])
+        // identical docs agree on every minhash: j_est must be exactly 1.0
+        // and the k-cut keeps the topK LOWEST other ids (n_id tiebreak)
+        val want = (1 to hotN).filter(_ != i).take(topK).map(_.toLong)
+        assert(mine.toSeq.sortBy(_._2).map(_._2) == want,
+          s"doc $i neighbors ${mine.map(_._2).toSeq} != deterministic $want")
+        mine.foreach { case (_, _, j) => assert(j == 1.0) }
+      }
+      // cold docs share no shingles with anything: never queried
+      (1 to coldN).foreach(i => assert(!byQ.contains(100L + i)))
+    }
+  }
+
   test("topKNeighborDocs: <= k rows per doc, scores within [0,1], symmetric coverage (fuzz)") {
     // random near-dup-rich corpora: every query doc gets at most k
     // neighbors, estimates are valid Jaccard estimates, and a doc appears
