@@ -707,6 +707,104 @@ object Dedup {
     }
   }
 
+  /** Leakage-safe train/val/test assignment: [[TextAnalysis
+    * .deterministicSplit]]'s md5-bucket discipline keyed on each doc's
+    * near-dup COMPONENT label instead of its own id. Hashing raw doc_ids
+    * scatters a near-dup cluster across splits with probability ~1 per
+    * cluster at corpus scale — exactly the train→test contamination x58's
+    * leak matrix measures after the fact; keying every member on its
+    * component's canonical (minimum) id sends whole clusters to ONE side,
+    * so no candidate pair ever straddles a split boundary. Docs in no
+    * pair fall back to their own id — identical buckets to the plain
+    * split, so adopting the component key only MOVES clustered docs.
+    *
+    * Scale: the label frame ships (id, lbl) longs (the CC loop's
+    * discipline); the split itself is the same narrow md5 arithmetic as
+    * x19. On a non-converged iteration cap labels partition FINER than
+    * true components (residual leak possible but never new merges) —
+    * the same safe-direction caveat as [[dropNearDuplicatesCC]].
+    * Output: doc_id, split ('train'|'val'|'test'). */
+  def splitByComponent(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 90, valPct: Int = 5,
+                       maxIters: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val keyed = componentLabels(pairs, maxIters) match {
+      case None => docs.select(col("doc_id"), col("doc_id").as("__k"))
+      case Some((labels, _)) =>
+        docs.join(labels, docs("doc_id") === labels("id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("__k"))
+    }
+    val bucket = md5Mod(col("__k"), lit(100L))
+    keyed.select(col("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Fixed-iteration PageRank over the (symmetrized) candidate-pair
+    * graph — the authority signal on a dup cluster: the member most
+    * connected to other members (the canonical page among its mirrors,
+    * the template among its instantiations) accumulates rank, which
+    * curation can prefer over [[keepBestPerCluster]]'s content score
+    * when link structure is the better quality proxy.
+    *
+    * Scale shape: per iteration, ONE edges⋈ranks join + one aggregate
+    * over (id, rank) rows — the standard distributed PageRank; `iters`
+    * is FIXED (power iteration, not convergence-polled), so the plan is
+    * a static 5-stage chain with no driver round-trips at all. Every
+    * node of the symmetric graph has degree >= 1, so there is no
+    * dangling-mass correction term.
+    *
+    * Float discipline (the x37/x41 convention): each edge contribution
+    * d·pr(u)/deg(u) is ONE double expression rounded to 10 decimals into
+    * DECIMAL(18,10) — summed EXACTLY, order-free, partition-independent.
+    * The narrow precision is load-bearing, not frugality: the per-node
+    * update adds the base to a SUM-widened decimal(28,10), and with
+    * (28,10) inputs that addition's result precision would exceed
+    * Spark's 38 cap, where the default precision-loss rule silently
+    * DROPS A SCALE DIGIT (the sum re-rounds to 9 decimals) and the
+    * engines drift by 1e-10 per node per iteration. At (18,10) every
+    * intermediate stays inside 38 and the arithmetic is exact —
+    * and the damping complement is printed into the oracle from the same
+    * Scala double (`1 - damping`, binary-exact on both engines). The
+    * output converts the final decimal to double directly (nearest —
+    * deterministic on both engines) with NO further rounding, so no
+    * boundary case exists at the output surface.
+    * Output: (id, pr) for every node appearing in a pair. */
+  def pageRank(pairs: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = graft.Persist.cut(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = graft.Persist.cut(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // greatest(n, 1): on an edgeless graph the rank frame is empty and the
+    // base value is never consumed, but ANSI mode still evaluates (and
+    // throws on) the 1/0 inside the eager broadcast — the guard keeps the
+    // expression total without touching any non-empty graph (n >= 1 there)
+    val n = deg.agg(greatest(count(lit(1)).cast("double"), lit(1.0)).as("n"))
+    val base = broadcast(n.select(
+      round(lit(1 - damping) / col("n"), 10).cast("decimal(18,10)").as("__base")))
+    var ranks = graft.Persist.cut(deg.crossJoin(broadcast(n))
+      .select(col("src").as("id"),
+        round(lit(1.0) / col("n"), 10).cast("decimal(18,10)").as("pr")))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          round(lit(damping) * col("pr").cast("double") / col("deg"), 10)
+            .cast("decimal(18,10)").as("__c"))
+      ranks = graft.Persist.cut(
+        contrib.groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
+          .crossJoin(base)
+          .select(col("id"),
+            (col("__base") + col("__s")).cast("decimal(18,10)").as("pr")))
+    }
+    ranks.select(col("id"), col("pr").cast("double").as("pr"))
+  }
+
   /** Converged min-label component ids for the candidate-pair graph —
     * the shared CC core of [[dropNearDuplicatesCC]] (drop all but the
     * minimum id) and [[keepBestPerCluster]] (keep the best-scoring doc

@@ -74,6 +74,41 @@ object Similarity {
     emb.filter(centroidPred)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
+  /** Prototypicality pruning — the embedding-space outlier filter a
+    * curation pipeline runs after clustering (the companion read to
+    * SemDeDup-style within-cluster dedup): each vector is assigned to
+    * its nearest centroid, and vectors whose similarity to their OWN
+    * centroid falls below the cluster's q-quantile are flagged for
+    * removal (mislabeled scrapes, decode garbage, off-distribution
+    * content — the stuff that is far from every prototype).
+    *
+    * Scale shape: the codebook is fixed-size and broadcast (the
+    * [[ivfAssignTo]] contract — assign costs |corpus|·|codebook| dot
+    * products, embarrassingly parallel); per-cluster thresholds are one
+    * grouped exact-percentile aggregate over round-4 sims (|clusters|
+    * rows, broadcast back — the [[Relational.quantileBucketsBy]] shape).
+    * Determinism: sims round to 4 (the shared cosine fold), thresholds
+    * round to 4 over those exact inputs (percentile parity is
+    * property-pinned), so the >= comparison is engine-independent.
+    * Output: vec_id, cluster, sim (to own centroid), kept. */
+  def prototypicalityPrune(emb: DataFrame, centroidPred: Column,
+                           q: Double = 0.25): DataFrame = {
+    require(0 < q && q < 1, "quantile must be in (0, 1)")
+    val cent = centroidsOf(emb, centroidPred)
+    val assigned = emb.join(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        simCol(emb)(col("embedding"), col("c_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("sim")),
+        struct(col("sim"), (-col("c_id")).as("negid"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("cluster"), col("best.sim").as("sim"))
+    val thr = assigned.groupBy(col("cluster"))
+      .agg(round(expr(s"percentile(sim, $q)"), 4).as("__thr"))
+    assigned.join(broadcast(thr), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("sim"),
+        (col("sim") >= col("__thr")).as("kept"))
+  }
+
   /** IVF assignment against a predicate-derived codebook (see
     * [[ivfAssignTo]]). */
   def ivfAssign(emb: DataFrame, centroidPred: Column): DataFrame =

@@ -944,8 +944,49 @@ object ExtensionQueries {
     TextAnalysis.bm25Scores(docs(s, dir), bm25Terms, k1 = bm25K1, b = bm25B)
       .orderBy("doc_id")
 
+  /** x90 parameters, shared with the generated oracle chain: 5 power
+    * iterations at the textbook 0.85 damping. The complement (1 - 0.85)
+    * is interpolated into the SQL from the SAME Scala subtraction the
+    * operator evaluates, so both engines divide the identical double. */
+  val prIters = 5
+  val prDamping = 0.85
+
+  /** x90: PageRank authority over the LSH dup-pair graph. */
+  def x90(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.pageRank(Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4),
+        iters = prIters, damping = prDamping)
+      .orderBy("id")
+  }
+
+  /** x92: leakage-safe 90/5/5 split — x19's md5 discipline keyed on the
+    * near-dup component label, so no LSH candidate pair straddles a
+    * split boundary. */
+  def x92(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.splitByComponent(d, Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4))
+      .orderBy("doc_id")
+  }
+
+  /** x93 parameters, shared with the generated oracle SQL: the x13-style
+    * fixed 16-entry codebook; the bottom quartile of each cluster is
+    * flagged (a visible kept/dropped mix on near-orthogonal synthetic
+    * vectors, where a production pipeline would prune a thinner tail). */
+  val protoCentroids = 16
+  val protoQuantile = 0.25
+
+  /** x93: prototypicality pruning — flag vectors far from their own
+    * cluster centroid. */
+  def x93(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicalityPrune(emb(s, dir),
+        col("vec_id") < protoCentroids, q = protoQuantile)
+      .orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x89_bm25"          -> (x89 _),
+    "x90_pagerank"      -> (x90 _),
+    "x92_leak_split"    -> (x92 _),
+    "x93_proto_prune"   -> (x93 _),
     "x67_containment"   -> (x67 _),
     "x68_curation_funnel" -> (x68 _),
     "x69_srp_pairs"     -> (x69 _),
@@ -1235,18 +1276,49 @@ object ExtensionQueries {
     * closure; UNION dedups, so the recursion terminates) — ONE generated
     * definition shared by x21 (drop non-minimum ids) and x47 (keep the
     * best-quality representative). Callers prefix WITH RECURSIVE. */
-  private lazy val ccCompCtes: String =
+  /** LSH candidate pairs + symmetrized edges — the shared graph front of
+    * the CC family (x21/x47/x82/x86/x92) and the PageRank chain (x90). */
+  private lazy val pairEdgeCtes: String =
     s"""$lshCtes,
        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |          UNION ALL SELECT b_id, a_id FROM pairs)""".stripMargin
+
+  private lazy val ccCompCtes: String =
+    s"""$pairEdgeCtes,
        |reach(id, lbl) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
+
+  /** x90's generated power-iteration chain: r0 = 1/N, then `prIters`
+    * unrolled rounds of rank(v) = (1-d)/N + d·Σ pr(u)/deg(u). Per-edge
+    * contributions round to 10 decimals into DECIMAL(18,10) and sum
+    * exactly (the x37/x41 order-free-addition convention — see the
+    * operator's scaladoc for why the precision must stay narrow);
+    * `1 - 0.85`
+    * is printed from the Scala double so both engines divide the
+    * identical complement. The symmetric graph has no dangling nodes. */
+  private lazy val pageRankCtes: String = {
+    val rounds = (1 to prIters).map { k =>
+      s"""r$k AS (SELECT g.id, (pb.base + g.s)::DECIMAL(18,10) AS pr
+         |  FROM (SELECT e.dst AS id,
+         |          SUM(ROUND($prDamping * r.pr::DOUBLE / dg.deg, 10)::DECIMAL(18,10)) AS s
+         |        FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |        JOIN deg dg ON e.src = dg.src
+         |        GROUP BY e.dst) g CROSS JOIN pb)""".stripMargin
+    }.mkString(",\n")
+    s"""$pairEdgeCtes,
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+       |pb AS (SELECT ROUND(${1 - prDamping} / n, 10)::DECIMAL(18,10) AS base FROM nn),
+       |r0 AS (SELECT d.src AS id, ROUND(1.0 / nn.n, 10)::DECIMAL(18,10) AS pr
+       |       FROM deg d CROSS JOIN nn),
+       |$rounds""".stripMargin
+  }
 
   /** x43's signature-agreement estimate, generated for k=12 — the same
     * h0..h11 columns lshCtes' sig CTE defines. */
@@ -1966,6 +2038,23 @@ object ExtensionQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
          |ORDER BY doc_id""".stripMargin,
+    // the final decimal converts to DOUBLE directly (nearest — identical
+    // on both engines), with no output-side ROUND boundary at all
+    "x90_pagerank" ->
+      s"""WITH $pageRankCtes
+         |SELECT id, pr::DOUBLE AS pr FROM r$prIters ORDER BY id""".stripMargin,
+    // x19's bucket arithmetic keyed on the component label (docs in no
+    // pair keep their own id) — the leakage-safe split contract
+    "x92_leak_split" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |ck AS (SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS k
+         |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id,
+         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT % 100 AS b
+         | FROM ck)
+         |ORDER BY doc_id""".stripMargin,
     // SAME component chain as x21 (one generated definition), but the
     // representative is the best-quality doc (x04's exact score
     // expression) with an id tiebreak, not the minimum id
@@ -2435,6 +2524,22 @@ object ExtensionQueries {
          |SELECT q_id, n_id, sim FROM
          | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
          |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
+    // x93: assignment is x12's rn=1 read (raw-sim DESC, c_id tiebreak —
+    // matching max_by(struct(sim, -c_id))); thresholds are ROUND-4
+    // quantile_cont over the round-4 sims (percentile parity is
+    // property-pinned from both ends), so >= compares exact equals
+    "x93_proto_prune" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+         |              WHERE vec_id < $protoCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, c_id AS cluster, sim FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |   FROM cs) WHERE rn = 1),
+         |thr AS (SELECT cluster, ROUND(quantile_cont(sim, $protoQuantile), 4) AS t
+         |        FROM assign GROUP BY cluster)
+         |SELECT a.vec_id, a.cluster, a.sim, (a.sim >= t.t) AS kept
+         |FROM assign a JOIN thr t USING (cluster) ORDER BY a.vec_id""".stripMargin,
     "x13_embed_neardup" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $nearDupCentroids),
          |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim

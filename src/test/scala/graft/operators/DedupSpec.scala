@@ -10,6 +10,45 @@ class DedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("pageRank: mass conserved, symmetric graphs uniform, hubs outrank leaves") {
+    // 4-cycle: every node degree 2, rank stays uniform at 1/4
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a_id", "b_id")
+    val cyc = Dedup.pageRank(cycle).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cyc.keySet == Set(1L, 2L, 3L, 4L))
+    assert(cyc.values.toSet.size == 1, s"cycle ranks not uniform: $cyc")
+    assert(math.abs(cyc.values.sum - 1.0) < 1e-6, s"mass not conserved: ${cyc.values.sum}")
+    // star: the center is every leaf's only neighbor and must outrank them
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a_id", "b_id")
+    val st = Dedup.pageRank(star).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(st(1L) > st(2L), s"star center must outrank leaves: $st")
+    assert(st(2L) == st(3L) && st(3L) == st(4L) && st(4L) == st(5L))
+    assert(math.abs(st.values.sum - 1.0) < 1e-6)
+    // empty graph: empty output, no exceptions
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.pageRank(none).count() == 0)
+  }
+
+  test("splitByComponent: whole components share a split; singletons match the plain split") {
+    val d = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components {1,2,3} and {4,5}; 6-10 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val out = Dedup.splitByComponent(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == (1L to 10L).toSet)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "component {1,2,3} split apart")
+    assert(out(4L) == out(5L), "component {4,5} split apart")
+    val plain = TextAnalysis.deterministicSplit(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (6L to 10L).foreach(i => assert(out(i) == plain(i), s"singleton $i moved"))
+    // the component members all carry the CANONICAL member's plain bucket
+    assert(out(1L) == plain(1L) && out(4L) == plain(4L))
+    // no pairs at all: identical to the plain split
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val same = Dedup.splitByComponent(d, none).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same == plain)
+  }
+
   test("noveltyScores: the minimum-id holder of a span scores it novel") {
     val d = docs(1L -> "a b c", 2L -> "a b x", 3L -> "b c")
     // 2-token spans: doc1 {a b, b c} introduces both; doc2 {a b, b x}

@@ -388,7 +388,13 @@ class PropertiesSpec extends SparkSpec {
         d.select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n")),
         "lang", "doc_id", "n").count()),
       "compSizes"   -> (() => Dedup.componentSizeHistogram(
-        Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()))
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()),
+      "pageRank"    -> (() => Dedup.pageRank(
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()),
+      "compSplit"   -> (() => Dedup.splitByComponent(d,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()),
+      "protoPrune"  -> (() => Similarity.prototypicalityPrune(
+        e, col("vec_id") < 4, q = 0.25).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

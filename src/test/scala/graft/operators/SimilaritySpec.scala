@@ -22,6 +22,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 == 0.0)
   }
 
+  test("prototypicalityPrune: cluster tails flagged, prototypes kept, total coverage") {
+    // two orthogonal clusters seeded by vec 1 and vec 2; vecs 3-5 sit near
+    // cluster 1's centroid, vec 6 is the off-axis straggler of cluster 1
+    val emb = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f),
+      2L -> Seq(0.0f, 1.0f, 0.0f),
+      3L -> Seq(0.99f, 0.01f, 0.0f),
+      4L -> Seq(0.98f, 0.02f, 0.0f),
+      5L -> Seq(0.97f, 0.03f, 0.0f),
+      6L -> Seq(0.6f, 0.0f, 0.8f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypicalityPrune(emb, col("vec_id") <= 2, q = 0.5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+    assert(out.map(_._1).sorted.toSeq == (1L to 6L).toSeq, "every vector scored once")
+    val m = out.toMap
+    // assignment: all of 1,3-6 on centroid 1; 2 on centroid 2
+    assert(Seq(1L, 3L, 4L, 5L, 6L).forall(m(_)._1 == 1L) && m(2L)._1 == 2L)
+    // the centroid itself is maximally prototypical; the straggler's sim
+    // (0.6) sits below cluster 1's median threshold -> flagged
+    assert(m(1L)._2 == 1.0 && m(1L)._3)
+    assert(m(6L)._2 == 0.6 && !m(6L)._3, s"straggler not flagged: ${m(6L)}")
+    // singleton cluster: its only member IS the quantile -> kept
+    assert(m(2L)._3)
+  }
+
   test("hardNegatives: nearest different-label vectors; same-label near-misses excluded") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 1),
