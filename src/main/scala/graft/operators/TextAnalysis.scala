@@ -695,6 +695,66 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(topV)
 
+  /** Byte-pair-encoding merge training — the first `merges` rules of a
+    * BPE tokenizer learned from the corpus, the step between
+    * [[vocabulary]] and [[encodeTokens]] in a tokenizer-training
+    * pipeline. Classic word-frequency formulation (Sennrich et al.,
+    * ACL 2016): the corpus collapses to a (word, count) table ONCE —
+    * vocab-bounded, the only corpus-sized shuffle — and every merge
+    * round runs over symbol sequences of DISTINCT words weighted by
+    * their counts, so per-round cost scales with the vocabulary, never
+    * the corpus. The round's argmax is a TakeOrdered(1) on
+    * (count DESC, lhs, rhs) — deterministic total order, no global
+    * sort — broadcast back as a 1-row frame (zero driver round-trips,
+    * like [[Relational.quantileBuckets]]' threshold frame).
+    *
+    * The merge pass itself is a left-to-right greedy fold over each
+    * word's symbol array (Spark `aggregate` HOF): append, or fuse with
+    * the accumulator's tail when it matches (lhs, rhs). A fused symbol
+    * lhs||rhs can never re-match lhs in the same pass (rhs nonempty),
+    * so the fold IS the textbook non-overlapping greedy scan; the
+    * oracle replays it position-wise (match flags → odd-offset
+    * acceptance within runs — equivalent because matches at adjacent
+    * positions force lhs = rhs), and a property test pins the two
+    * formulations to each other. All-integer outputs — no float
+    * discipline needed anywhere.
+    * Output: merge_rank (1-based), lhs, rhs, cnt (pair frequency at
+    * merge time). Fewer than `merges` rows when the corpus runs dry. */
+  def bpeMerges(docs: DataFrame, merges: Int = 5): DataFrame = {
+    require(merges >= 1, "need at least one merge round")
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var seqs = graft.Persist.cut(words.select(
+      filter(split(col("w"), ""), s => s =!= "").as("syms"), col("cnt")))
+    var out: Option[DataFrame] = None
+    for (r <- 1 to merges) {
+      val prs = seqs.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val best = prs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+      val row = best.select(lit(r.toLong).as("merge_rank"),
+        col("lhs"), col("rhs"), col("cnt"))
+      out = Some(out.fold(row)(_.unionByName(row)))
+      val rule = broadcast(best.select(col("lhs").as("__ma"), col("rhs").as("__mb")))
+      seqs = graft.Persist.cut(seqs.crossJoin(rule)
+        .select(expr(bpeMergeFold).as("syms"), col("cnt")))
+    }
+    out.get.orderBy("merge_rank")
+  }
+
+  /** One BPE merge pass as a fold over `syms` against the (__ma, __mb)
+    * rule columns — factored out so the PropertiesSpec fuzz can pin it
+    * to a driver-side greedy-scan reference independently of the
+    * argmax loop around it. */
+  private[operators] val bpeMergeFold: String =
+    """aggregate(syms, CAST(array() AS array<string>),
+      |  (acc, x) -> CASE
+      |    WHEN size(acc) > 0 AND element_at(acc, -1) = __ma AND x = __mb
+      |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(__ma, __mb)))
+      |    ELSE concat(acc, array(x)) END)""".stripMargin
+
   /** Mixture-divergence report: actual per-stratum share of the corpus
     * vs a TARGET mixture (the mixing plan [[stratifiedSample]] /
     * [[upsampleStrata]] aim at), with each stratum's Kullback-Leibler

@@ -959,6 +959,18 @@ object ExtensionQueries {
       .orderBy("id")
   }
 
+  /** x91 parameter, shared with the generated oracle chain: 5 merge
+    * rounds. The corpus is ASCII (driver fixture), so Spark's UTF-16
+    * code-unit split and DuckDB's character slicing agree symbol-for-
+    * symbol; a production build over astral-plane text would seed from
+    * grapheme arrays instead. */
+  val bpeRounds = 5
+
+  /** x91: the first 5 BPE merge rules learned from the corpus. */
+  def x91(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(docs(s, dir), merges = bpeRounds)
+      .orderBy("merge_rank")
+
   /** x92: leakage-safe 90/5/5 split — x19's md5 discipline keyed on the
     * near-dup component label, so no LSH candidate pair straddles a
     * split boundary. */
@@ -985,6 +997,7 @@ object ExtensionQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
+    "x91_bpe_merges"    -> (x91 _),
     "x92_leak_split"    -> (x92 _),
     "x93_proto_prune"   -> (x93 _),
     "x67_containment"   -> (x67 _),
@@ -1319,6 +1332,50 @@ object ExtensionQueries {
        |       FROM deg d CROSS JOIN nn),
        |$rounds""".stripMargin
   }
+
+  /** x91's generated merge chain: `bpeRounds` unrolled rounds, each =
+    * pair counts over the previous symbol table → deterministic argmax
+    * (count DESC, lhs, rhs) → position-wise greedy rebuild. The rebuild
+    * replays the Spark fold as match flags + odd-offset acceptance
+    * within runs of consecutive matches (equivalent: adjacent match
+    * positions force lhs = rhs — the PropertiesSpec fuzz pins the two
+    * formulations), then drops each accepted match's second symbol and
+    * fuses its first. All arithmetic is integer; string order is binary
+    * ASCII on both engines. */
+  private lazy val bpeCtes: String = {
+    val rounds = (1 to bpeRounds).map { k =>
+      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r2, sum(cnt)::BIGINT AS pc
+         |  FROM seq${k - 1}, UNNEST(range(1, len(s))) t(i)
+         |  GROUP BY 1, 2),
+         |best$k AS (SELECT l AS ma, r2 AS mb, pc FROM p$k ORDER BY pc DESC, l, r2 LIMIT 1),
+         |m$k AS (SELECT q.w, q.cnt, t.i, q.s[t.i] AS sym,
+         |    (t.i < len(q.s) AND q.s[t.i] = b.ma AND q.s[t.i + 1] = b.mb) AS m
+         |  FROM seq${k - 1} q CROSS JOIN best$k b, UNNEST(range(1, len(q.s) + 1)) t(i)),
+         |mt$k AS (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
+         |  FROM m$k WHERE m),
+         |acc$k AS (SELECT w, i FROM
+         |  (SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY i) AS rn FROM mt$k)
+         |  WHERE rn % 2 = 1),
+         |seq$k AS (SELECT mm.w, mm.cnt,
+         |    list(CASE WHEN a1.i IS NOT NULL THEN b.ma || b.mb ELSE mm.sym END ORDER BY mm.i) AS s
+         |  FROM m$k mm CROSS JOIN best$k b
+         |  LEFT JOIN acc$k a1 ON mm.w = a1.w AND mm.i = a1.i
+         |  LEFT JOIN acc$k a0 ON mm.w = a0.w AND mm.i = a0.i + 1
+         |  WHERE a0.i IS NULL
+         |  GROUP BY mm.w, mm.cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (SELECT w, count(*)::BIGINT AS cnt FROM
+       |  (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |   FROM documents)
+       |  GROUP BY w),
+       |seq0 AS (SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS s
+       |         FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeUnion: String = (1 to bpeRounds)
+    .map(k => s"SELECT $k::BIGINT AS merge_rank, ma AS lhs, mb AS rhs, pc AS cnt FROM best$k")
+    .mkString("\n  UNION ALL ")
 
   /** x43's signature-agreement estimate, generated for k=12 — the same
     * h0..h11 columns lshCtes' sig CTE defines. */
@@ -2043,6 +2100,11 @@ object ExtensionQueries {
     "x90_pagerank" ->
       s"""WITH $pageRankCtes
          |SELECT id, pr::DOUBLE AS pr FROM r$prIters ORDER BY id""".stripMargin,
+    "x91_bpe_merges" ->
+      s"""WITH $bpeCtes
+         |SELECT * FROM (
+         |  $bpeUnion)
+         |ORDER BY merge_rank""".stripMargin,
     // x19's bucket arithmetic keyed on the component label (docs in no
     // pair keep their own id) — the leakage-safe split contract
     "x92_leak_split" ->

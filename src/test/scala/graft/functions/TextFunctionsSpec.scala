@@ -516,4 +516,36 @@ class TextFunctionsSpec extends SparkSpec {
     // hottest possible term (df = N) still contributes positively
     assert(idf(n) > 0)
   }
+
+  test("bpeMerges learns the textbook merge sequence on a hand corpus") {
+    import graft.operators.TextAnalysis
+    // word freqs: "low" x3, "lower" x1, "wow" x2
+    // round 1 pair counts: (l,o)=4, (o,w)=3+1+2(x2 in wow? no: w-o-w has
+    //   (w,o) and (o,w)) -> (o,w)=3+1+2=6, (w,o)=2, (w,e)=1, (e,r)=1
+    //   -> best (o,w)=6; merge: low->l,ow  lower->l,ow,e,r  wow->w,ow
+    // round 2: (l,ow)=4, (ow,e)=1, (e,r)=1, (w,ow)=2 -> best (l,ow)=4
+    //   -> merge: low->low  lower->low,e,r  wow->w,ow
+    // round 3: (low,e)=1, (e,r)=1, (w,ow)=2 -> best (w,ow)=2 -> wow->wow
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "low wow"),
+      (3L, "wow")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "o", "w", 6L), (2L, "l", "ow", 4L), (3L, "w", "ow", 2L)))
+  }
+
+  test("bpeMerges: repeated-symbol runs merge left-to-right greedily (fold == parity scan)") {
+    import graft.operators.TextAnalysis
+    // "aaaa" must merge as (aa)(aa), "aaa" as (aa)a — the overlap case the
+    // oracle's odd-offset acceptance replays; pair (a,a) counts occurrences
+    // at every position: aaaa has 3, aaa has 2, aa has 1
+    val docs = Seq((1L, "aaaa aaa aa b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (a,a) = 3+2+1 = 6 -> aaaa=[aa,aa], aaa=[aa,a], aa=[aa]
+    // round 2: (aa,aa)=1, (aa,a)=1 -> tie on count, lex order: (aa,a)
+    assert(out == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 1L)))
+  }
 }

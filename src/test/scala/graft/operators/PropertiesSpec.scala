@@ -518,6 +518,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge fold == greedy left-to-right scan for random symbol runs") {
+    // The oracle rebuilds merges position-wise (odd-offset acceptance in
+    // runs of consecutive matches); the operator folds left-to-right.
+    // Both must equal the textbook greedy scan — fuzzed here over a tiny
+    // alphabet that maximizes lhs==rhs overlap runs, the only case where
+    // the formulations could diverge.
+    def scan(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val gen = for {
+      syms <- Gen.nonEmptyListOf(Gen.oneOf("a", "b"))
+      a <- Gen.oneOf("a", "b")
+      b <- Gen.oneOf("a", "b")
+    } yield (syms, a, b)
+    cases(gen, n = 12).foreach { case (syms, a, b) =>
+      val got = Seq((syms, a, b)).toDF("syms", "__ma", "__mb")
+        .select(expr(TextAnalysis.bpeMergeFold).as("m"))
+        .collect().head.getSeq[String](0).toList
+      assert(got == scan(syms, a, b), s"syms=$syms rule=($a,$b)")
+    }
+  }
+
   test("containmentPairs blocking stays under the rare-df closed form (boilerplate fuzz)") {
     // Adversarial corpora for the x67 shape: every doc opens with the SAME
     // boilerplate run (its shingles have df = corpus size > maxDf, so
