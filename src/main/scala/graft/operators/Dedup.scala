@@ -415,6 +415,60 @@ object Dedup {
         round(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
   }
 
+  /** Cross-document boilerplate REMOVAL — the transform the span family's
+    * detectors ([[duplicatedSpans]], [[noveltyScores]]) feed: any n-token
+    * span appearing in more than `maxDf` DISTINCT documents is boilerplate
+    * (site chrome, licence blurbs, navigation text), every token position
+    * it covers is dropped, and each document is reassembled from its
+    * surviving tokens in order — the C4-style clean step a pre-training
+    * corpus runs between dedup and packing.
+    *
+    * Scale shape: the df aggregate is the one corpus-sized shuffle and it
+    * ships (32-byte hash, doc_id) pairs, never span text. The
+    * postings⋈boilerplate join then carries only occurrences of the tiny
+    * df-cleared minority (in a real corpus almost all n-gram spans are
+    * unique), and coverage explodes those occurrences n-fold — bounded by
+    * n·|boilerplate postings|, not the corpus. The final reassembly is a
+    * doc-keyed aggregate producing rows the size of the input documents —
+    * the output itself, irreducible. Skew-safe: a viral span's postings
+    * spread over its holders' doc_id-keyed partitions at the anti-join.
+    *
+    * Determinism: positions are exact integers; reassembly sorts on the
+    * in-doc position, so the result is byte-stable and the DuckDB oracle
+    * replays it with string_agg(... ORDER BY pos). A document whose every
+    * token is covered stays in the output with n_kept = 0 and empty
+    * clean_text (the left join from the full doc list) — dropped-to-empty
+    * docs are a signal a curation funnel wants to SEE, not lose.
+    * Output: doc_id, n_kept, n_removed, clean_text. */
+  def stripBoilerplate(docs: DataFrame, n: Int = 5, maxDf: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), rawTokens(col("text")).as("ts"))
+    val occ = toks.filter(size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
+    val bp = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val cov = occ.join(bp, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tok = toks
+      .select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val re = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("__k"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(transform(col("__k"), e => e.getField("tok")), " ").as("__clean"))
+    toks.select(col("doc_id"), size(col("ts")).cast("long").as("__total"))
+      .join(re, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** K-minimum-values (KMV) distinct-shingle estimate per stratum — the
     * sketch answer to "how much distinct content does each source
     * contribute", the capacity-planning / mix-sizing number that an

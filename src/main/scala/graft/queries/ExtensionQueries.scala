@@ -994,7 +994,20 @@ object ExtensionQueries {
         col("vec_id") < protoCentroids, q = protoQuantile)
       .orderBy("vec_id")
 
+  /** x94 parameters, shared with the oracle SQL: 5-token spans held by
+    * more than 2 distinct documents are boilerplate (the df knob a
+    * production run raises with corpus size; >2 is where this fixture
+    * develops a visible boilerplate stratum). */
+  val boilN = 5
+  val boilMaxDf = 2
+
+  /** x94: strip cross-document boilerplate spans and reassemble. */
+  def x94(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplate(docs(s, dir), n = boilN, maxDf = boilMaxDf)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_boilerplate"   -> (x94 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -2227,6 +2240,30 @@ object ExtensionQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // spans hash to md5 keys before the df aggregate, exactly as the
     // Spark operator shuffles them (32-byte keys, never span text)
+    // x94: spans/positions are 1-based on the RAW single-space split on
+    // both sides (Spark posexplode+1 == range(1, …)); reassembly is an
+    // ORDER BY pos string_agg, so the comparison is byte-exact; the LEFT
+    // JOIN keeps fully-covered docs with n_kept = 0
+    "x94_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |occ AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+${boilN - 1}], ' ')) AS h
+         |        FROM t CROSS JOIN UNNEST(range(1, len(ts) - ${boilN - 2})) r(i)
+         |        WHERE len(ts) >= $boilN),
+         |bp AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) > $boilMaxDf),
+         |cov AS (SELECT DISTINCT o.doc_id, u.p FROM occ o JOIN bp USING (h)
+         |        CROSS JOIN UNNEST(range(o.i, o.i + $boilN)) u(p)),
+         |tok AS (SELECT doc_id, i AS pos, ts[i] AS tok FROM t
+         |        CROSS JOIN UNNEST(range(1, len(ts) + 1)) r(i)),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                           WHERE cov.doc_id = tok.doc_id AND cov.p = tok.pos)),
+         |re AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(re.n_kept, 0)::BIGINT AS n_kept,
+         |       (len(t.ts) - COALESCE(re.n_kept, 0))::BIGINT AS n_removed,
+         |       COALESCE(re.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "x39_dup_spans" ->
       s"""WITH ${shingleCteN(dupSpanN)},
          |sp AS (SELECT doc_id, md5(s) AS h FROM sh),

@@ -58,6 +58,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> (2L, 2L, 1.0), 2L -> (1L, 2L, 0.5), 3L -> (0L, 1L, 0.0)))
   }
 
+  test("stripBoilerplate: covered positions drop, survivors reassemble in order") {
+    // "x y" is held by docs 1-3 (df 3 > maxDf 2) → boilerplate; doc 4's
+    // text shares tokens but never the span, so it survives untouched
+    val d = docs(1L -> "a x y b", 2L -> "x y c", 3L -> "d x y", 4L -> "x a y")
+    val out = Dedup.stripBoilerplate(d, n = 2, maxDf = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      1L -> (2L, 2L, "a b"), 2L -> (1L, 2L, "c"),
+      3L -> (1L, 2L, "d"), 4L -> (3L, 0L, "x a y")))
+    // overlapping occurrences of a boilerplate span union their coverage:
+    // "x x" in docs 5-7; doc 5 = "x x x" is covered end-to-end yet stays
+    // in the output as an emptied row (the curation-funnel signal)
+    val e = docs(5L -> "x x x", 6L -> "x x", 7L -> "a x x", 8L -> "b")
+    val out2 = Dedup.stripBoilerplate(e, n = 2, maxDf = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out2 == Map(
+      5L -> (0L, 3L, ""), 6L -> (0L, 2L, ""),
+      7L -> (1L, 2L, "a"), 8L -> (1L, 0L, "b")))
+  }
+
   test("noveltyAgainst: batch spans score novel iff absent from the span index") {
     val prior = docs(10L -> "a b c")            // index spans: "a b", "b c"
     val batch = docs(1L -> "a b x", 2L -> "p q")
