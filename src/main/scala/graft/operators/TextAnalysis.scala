@@ -982,4 +982,58 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"),
         round(sum(col("__kl")).cast("double"), 6).as("kl"))
   }
+
+  /** DSIR-style importance selection (Xie et al., NeurIPS 2023 — Data
+    * Selection via Importance Resampling): score every POOL document by
+    * the log-likelihood ratio of a TARGET unigram LM over the pool's own
+    * LM, and keep the `quota` highest-scoring docs — "find me the raw-web
+    * documents that look most like the high-quality target domain", the
+    * selection step a pre-training mix runs before packing. Here the
+    * target distribution comes from the rows matching `targetPred` (a
+    * production run would pass an external reference corpus's counts —
+    * swap `ct` for that table; the math is unchanged). Add-1 smoothing
+    * over the union vocabulary keeps target-only and pool-only terms
+    * finite on both sides of the ratio.
+    *
+    * Float discipline (the [[unigramLogProb]] contract): each term weight
+    * is ONE double expression over exact integer counts — identical
+    * operation order in the generated oracle SQL — rounded to 6 decimals
+    * into DECIMAL(18,6); a document's score is then an exact decimal
+    * dot-product sum(count·weight), order-free on both engines, and the
+    * top-`quota` cut compares exact decimals with a doc_id tiebreak.
+    *
+    * Scale shape: two vocab-bounded count aggregates (map-side partials
+    * absorb hot terms), the 3-scalar totals broadcast, ONE (doc, term)
+    * aggregate over the pool (the corpus-sized shuffle), a term-keyed
+    * counts-only join against the vocab-bounded weight table, a doc-keyed
+    * decimal sum, and a TakeOrdered(quota) cut — no window, nothing
+    * corpus-sized past the joins, text never shuffles.
+    * Output: doc_id, score (double; quota rows). */
+  def dsirSelect(docs: DataFrame, targetPred: Column, quota: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), targetPred.as("__t"),
+      explode(tokens(col("text"))).as("term"))
+    val ct = tok.filter(col("__t")).groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val cp = tok.filter(!col("__t")).groupBy(col("term")).agg(count(lit(1)).as("c_p"))
+    val vocab = ct.join(cp, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_p"), lit(0L)).as("c_p"))
+    val tot = vocab.agg(sum(col("c_t")).cast("double").as("n_t"),
+      sum(col("c_p")).cast("double").as("n_p"),
+      count(lit(1)).cast("double").as("v"))
+    val w = vocab.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log(((col("c_t") + 1).cast("double") / (col("n_t") + col("v"))) /
+          ((col("c_p") + 1).cast("double") / (col("n_p") + col("v")))), 6)
+          .cast("decimal(18,6)").as("w"))
+    val dt = tok.filter(!col("__t")).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    dt.join(w, "term")
+      .select(col("doc_id"),
+        (col("c").cast("decimal(12,0)") * col("w")).cast("decimal(26,6)").as("__s"))
+      .groupBy(col("doc_id")).agg(sum(col("__s")).as("__sc"))
+      .orderBy(col("__sc").desc, col("doc_id"))
+      .limit(quota)
+      .select(col("doc_id"), col("__sc").cast("double").as("score"))
+  }
 }

@@ -1006,8 +1006,19 @@ object ExtensionQueries {
     Dedup.stripBoilerplate(docs(s, dir), n = boilN, maxDf = boilMaxDf)
       .orderBy("doc_id")
 
+  /** x95 parameter, shared with the oracle SQL: how many pool docs the
+    * importance cut keeps. */
+  val dsirQuota = 100
+
+  /** x95: DSIR importance selection — English docs are the target LM,
+    * every other doc is pool; keep the pool docs whose unigram mass looks
+    * most target-like. */
+  def x95(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirSelect(docs(s, dir), col("lang") === "en", quota = dsirQuota)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x94_boilerplate"   -> (x94 _),
+    "x95_dsir_select"   -> (x95 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -2240,6 +2251,30 @@ object ExtensionQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // spans hash to md5 keys before the df aggregate, exactly as the
     // Spark operator shuffles them (32-byte keys, never span text)
+    // x95: each term weight is ONE double expression over exact integer
+    // counts (identical op order to the Spark projection), ROUND 6 →
+    // DECIMAL(18,6); the doc score is an exact decimal dot product, so
+    // the top-quota cut compares exact decimals on both engines
+    "x95_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS t,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |  FROM documents),
+         |ct AS (SELECT term, count(*)::BIGINT AS c_t FROM tok WHERE t GROUP BY term),
+         |cp AS (SELECT term, count(*)::BIGINT AS c_p FROM tok WHERE NOT t GROUP BY term),
+         |vv AS (SELECT term, COALESCE(c_t, 0) AS c_t, COALESCE(c_p, 0) AS c_p
+         |       FROM ct FULL JOIN cp USING (term)),
+         |tot AS (SELECT sum(c_t)::DOUBLE AS n_t, sum(c_p)::DOUBLE AS n_p,
+         |               count(*)::DOUBLE AS v FROM vv),
+         |w AS (SELECT term,
+         |    ROUND(ln(((c_t + 1)::DOUBLE / (n_t + v)) /
+         |             ((c_p + 1)::DOUBLE / (n_p + v))), 6)::DECIMAL(18,6) AS w
+         |  FROM vv CROSS JOIN tot),
+         |dt AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok
+         |       WHERE NOT t GROUP BY doc_id, term),
+         |s AS (SELECT doc_id, sum((c::DECIMAL(12,0) * w)::DECIMAL(26,6)) AS sc
+         |      FROM dt JOIN w USING (term) GROUP BY doc_id)
+         |SELECT doc_id, sc::DOUBLE AS score FROM s
+         |ORDER BY sc DESC, doc_id LIMIT $dsirQuota""".stripMargin,
     // x94: spans/positions are 1-based on the RAW single-space split on
     // both sides (Spark posexplode+1 == range(1, …)); reassembly is an
     // ORDER BY pos string_agg, so the comparison is byte-exact; the LEFT

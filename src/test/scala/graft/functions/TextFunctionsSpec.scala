@@ -489,6 +489,34 @@ class TextFunctionsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) == 0.0))
   }
 
+  test("dsirSelect: target-like pool docs outrank off-target; quota cuts; add-1 keeps OOV finite") {
+    import graft.operators.TextAnalysis
+    // target (t=true): {a:3, b:1}; pool: doc 1 "a a" (target-heavy),
+    // doc 2 "b z" (z is pool-only — add-1 smoothing must keep it finite),
+    // doc 3 "z z z". Vocab = {a,b,z}, N_t=4, N_p=7, so the smoothed
+    // denominators are N_t+V=7 and N_p+V=10:
+    // w(a)=ln((4/7)/(3/10)), w(b)=ln((2/7)/(2/10)), w(z)=ln((1/7)/(5/10))
+    val docs = Seq(
+      (10L, "a a a b", "en"), (1L, "a a", "fr"),
+      (2L, "b z", "fr"), (3L, "z z z", "de")
+    ).toDF("doc_id", "text", "lang")
+    def w(ct: Int, cp: Int) =
+      math.log(((ct + 1).toDouble / 7.0) / ((cp + 1).toDouble / 10.0))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp = Map(
+      1L -> 2 * r6(w(3, 2)),
+      2L -> (r6(w(1, 1)) + r6(w(0, 4))),
+      3L -> 3 * r6(w(0, 4)))
+    val out = TextAnalysis.dsirSelect(docs, col("lang") === "en", quota = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // quota=2 keeps the two highest scores: doc 1 (target-heavy) first
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), s"selection order wrong: ${out.toSeq}")
+    out.foreach { case (id, sc) =>
+      assert(math.abs(sc - exp(id)) < 1e-9, s"doc $id: got $sc want ${exp(id)}") }
+    // the target rows themselves are never selected
+    assert(!out.map(_._1).contains(10L))
+  }
+
   test("bm25Scores matches the closed form; non-matching docs absent; idf always positive") {
     import graft.operators.TextAnalysis
     val docs = Seq(
