@@ -720,11 +720,34 @@ object TextAnalysis {
     * discipline needed anywhere.
     * Output: merge_rank (1-based), lhs, rhs, cnt (pair frequency at
     * merge time). Fewer than `merges` rows when the corpus runs dry. */
-  def bpeMerges(docs: DataFrame, merges: Int = 5): DataFrame = {
+  def bpeMerges(docs: DataFrame, merges: Int = 5): DataFrame =
+    bpeLoop(docs, merges)._1.orderBy("merge_rank")
+
+  /** Apply the SAME training loop's merge chain and return the encoded
+    * vocabulary — the tokenizer-apply step that closes the train→encode
+    * loop: each distinct corpus word with its final symbol pieces after
+    * all `merges` rules ran in rank order. A corpus encode is then a
+    * broadcast word→pieces join against the token stream (words are
+    * vocab-bounded); emitting the vocabulary table rather than re-keying
+    * the corpus keeps this operator the reusable artifact a pipeline
+    * persists next to the merge rules.
+    * Output: w, cnt, n_pieces, pieces (space-joined — symbols never
+    * contain spaces because words come from the whitespace tokenizer). */
+  def bpeEncode(docs: DataFrame, merges: Int = 5): DataFrame =
+    bpeLoop(docs, merges)._2.select(col("w"), col("cnt"),
+      size(col("syms")).cast("long").as("n_pieces"),
+      array_join(col("syms"), " ").as("pieces"))
+
+  /** Shared train loop behind [[bpeMerges]]/[[bpeEncode]]: returns (the
+    * merge-rule table, the final per-word symbol sequences). The word
+    * column rides through every round — vocab-bounded, so the per-round
+    * checkpoint stays small — which is what lets encode fall out of
+    * training for free. */
+  private def bpeLoop(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
     val words = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var seqs = graft.Persist.cut(words.select(
+    var seqs = graft.Persist.cut(words.select(col("w"),
       filter(split(col("w"), ""), s => s =!= "").as("syms"), col("cnt")))
     var out: Option[DataFrame] = None
     for (r <- 1 to merges) {
@@ -739,9 +762,9 @@ object TextAnalysis {
       out = Some(out.fold(row)(_.unionByName(row)))
       val rule = broadcast(best.select(col("lhs").as("__ma"), col("rhs").as("__mb")))
       seqs = graft.Persist.cut(seqs.crossJoin(rule)
-        .select(expr(bpeMergeFold).as("syms"), col("cnt")))
+        .select(col("w"), expr(bpeMergeFold).as("syms"), col("cnt")))
     }
-    out.get.orderBy("merge_rank")
+    (out.get, seqs)
   }
 
   /** One BPE merge pass as a fold over `syms` against the (__ma, __mb)

@@ -1016,9 +1016,15 @@ object ExtensionQueries {
   def x95(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.dsirSelect(docs(s, dir), col("lang") === "en", quota = dsirQuota)
 
+  /** x96: the trained tokenizer APPLIED — every corpus word with its
+    * symbol pieces after x91's merge chain. */
+  def x96(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(docs(s, dir), merges = bpeRounds).orderBy("w")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
+    "x96_bpe_encode"    -> (x96 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -1357,7 +1363,7 @@ object ExtensionQueries {
        |$rounds""".stripMargin
   }
 
-  /** x91's generated merge chain: `bpeRounds` unrolled rounds, each =
+  /** x91/x96's generated merge chain: `bpeRounds` unrolled rounds, each =
     * pair counts over the previous symbol table → deterministic argmax
     * (count DESC, lhs, rhs) → position-wise greedy rebuild. The rebuild
     * replays the Spark fold as match flags + odd-offset acceptance
@@ -1365,22 +1371,27 @@ object ExtensionQueries {
     * positions force lhs = rhs — the PropertiesSpec fuzz pins the two
     * formulations), then drops each accepted match's second symbol and
     * fuses its first. All arithmetic is integer; string order is binary
-    * ASCII on both engines. */
+    * ASCII on both engines. Every CTE is MATERIALIZED: DuckDB 1.0
+    * otherwise INLINES multiply-referenced CTEs, and seq$k referencing
+    * m$k/acc$k three ways compounds ~3× per round — x96's final-table
+    * read goes from minutes to milliseconds with the hint (x91's
+    * 1-row-per-round reads prune enough to survive inlining, but share
+    * the hint so the chain is planned once). */
   private lazy val bpeCtes: String = {
     val rounds = (1 to bpeRounds).map { k =>
-      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r2, sum(cnt)::BIGINT AS pc
+      s"""p$k AS MATERIALIZED (SELECT s[i] AS l, s[i+1] AS r2, sum(cnt)::BIGINT AS pc
          |  FROM seq${k - 1}, UNNEST(range(1, len(s))) t(i)
          |  GROUP BY 1, 2),
-         |best$k AS (SELECT l AS ma, r2 AS mb, pc FROM p$k ORDER BY pc DESC, l, r2 LIMIT 1),
-         |m$k AS (SELECT q.w, q.cnt, t.i, q.s[t.i] AS sym,
+         |best$k AS MATERIALIZED (SELECT l AS ma, r2 AS mb, pc FROM p$k ORDER BY pc DESC, l, r2 LIMIT 1),
+         |m$k AS MATERIALIZED (SELECT q.w, q.cnt, t.i, q.s[t.i] AS sym,
          |    (t.i < len(q.s) AND q.s[t.i] = b.ma AND q.s[t.i + 1] = b.mb) AS m
          |  FROM seq${k - 1} q CROSS JOIN best$k b, UNNEST(range(1, len(q.s) + 1)) t(i)),
-         |mt$k AS (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
+         |mt$k AS MATERIALIZED (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
          |  FROM m$k WHERE m),
-         |acc$k AS (SELECT w, i FROM
+         |acc$k AS MATERIALIZED (SELECT w, i FROM
          |  (SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY i) AS rn FROM mt$k)
          |  WHERE rn % 2 = 1),
-         |seq$k AS (SELECT mm.w, mm.cnt,
+         |seq$k AS MATERIALIZED (SELECT mm.w, mm.cnt,
          |    list(CASE WHEN a1.i IS NOT NULL THEN b.ma || b.mb ELSE mm.sym END ORDER BY mm.i) AS s
          |  FROM m$k mm CROSS JOIN best$k b
          |  LEFT JOIN acc$k a1 ON mm.w = a1.w AND mm.i = a1.i
@@ -1388,11 +1399,11 @@ object ExtensionQueries {
          |  WHERE a0.i IS NULL
          |  GROUP BY mm.w, mm.cnt)""".stripMargin
     }.mkString(",\n")
-    s"""wf AS (SELECT w, count(*)::BIGINT AS cnt FROM
+    s"""wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM
        |  (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
        |   FROM documents)
        |  GROUP BY w),
-       |seq0 AS (SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS s
+       |seq0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS s
        |         FROM wf),
        |$rounds""".stripMargin
   }
@@ -2129,6 +2140,14 @@ object ExtensionQueries {
          |SELECT * FROM (
          |  $bpeUnion)
          |ORDER BY merge_rank""".stripMargin,
+    // x96: the final seq$bpeRounds CTE of the SAME generated chain IS the
+    // encoded vocabulary — train and apply share one definition, so the
+    // two oracles cannot drift from each other
+    "x96_bpe_encode" ->
+      s"""WITH $bpeCtes
+         |SELECT w, cnt, len(s)::BIGINT AS n_pieces,
+         |       array_to_string(s, ' ') AS pieces
+         |FROM seq$bpeRounds ORDER BY w""".stripMargin,
     // x19's bucket arithmetic keyed on the component label (docs in no
     // pair keep their own id) — the leakage-safe split contract
     "x92_leak_split" ->

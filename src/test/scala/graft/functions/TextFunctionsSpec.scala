@@ -576,4 +576,21 @@ class TextFunctionsSpec extends SparkSpec {
     // round 2: (aa,aa)=1, (aa,a)=1 -> tie on count, lex order: (aa,a)
     assert(out == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 1L)))
   }
+
+  test("bpeEncode applies the trained chain: pieces match the textbook trace") {
+    import graft.operators.TextAnalysis
+    // same corpus as the textbook bpeMerges test; after 3 merges
+    // (o+w, l+ow, w+ow): low->[low], lower->[low,e,r], wow->[wow]
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "low wow"),
+      (3L, "wow")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, merges = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      "low"   -> ((3L, 1L, "low")),
+      "lower" -> ((1L, 3L, "low e r")),
+      "wow"   -> ((2L, 1L, "wow"))))
+  }
 }
