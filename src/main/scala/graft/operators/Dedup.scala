@@ -441,13 +441,62 @@ object Dedup {
     * docs are a signal a curation funnel wants to SEE, not lose.
     * Output: doc_id, n_kept, n_removed, clean_text. */
   def stripBoilerplate(docs: DataFrame, n: Int = 5, maxDf: Int = 2): DataFrame = {
-    val toks = docs.select(col("doc_id"), rawTokens(col("text")).as("ts"))
-    val occ = toks.filter(size(col("ts")) >= n)
-      .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
+    val toks = tokenized(docs)
+    val occ = spanOccurrences(toks, n)
     val bp = occ.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
+    stripCovered(toks, occ, bp, n)
+  }
+
+  /** The additive store behind [[stripBoilerplateAgainst]]: per-span
+    * distinct-document counts over everything already ingested. Counts
+    * are additive over disjoint ingest batches (a document holds its
+    * spans once, and doc_ids never recur across batches), so the daily
+    * maintenance is `index ∪ boilerplateIndex(batch) → sum by h` — an
+    * append-plus-compact over (hash, count) pairs, never a re-scan of
+    * history (the [[spanIndex]]/x38 convention with a count payload). */
+  def boilerplateIndex(docs: DataFrame, n: Int = 5): DataFrame =
+    spanOccurrences(tokenized(docs), n)
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  /** Incremental [[stripBoilerplate]]: clean a DAILY BATCH against the
+    * persisted [[boilerplateIndex]] — a span is boilerplate when its
+    * historical holders plus its distinct batch holders clear `maxDf`,
+    * so a phrase that goes viral WITHIN the batch is caught the same day
+    * even if history never saw it. Only the batch tokenizes, explodes,
+    * and reassembles; the index contributes (hash, count) pairs to one
+    * hash-keyed outer join — nothing history-sized ever rescans.
+    * Output: doc_id, n_kept, n_removed, clean_text (batch docs only). */
+  def stripBoilerplateAgainst(batch: DataFrame, index: DataFrame,
+                              n: Int = 5, maxDf: Int = 2): DataFrame = {
+    val toks = tokenized(batch)
+    val occ = spanOccurrences(toks, n)
+    val batchDf = occ.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__bdf"))
+    val bp = batchDf
+      .join(index.select(col("h"), col("df").as("__idf")), Seq("h"), "full_outer")
+      .filter(coalesce(col("__bdf"), lit(0L)) + coalesce(col("__idf"), lit(0L)) > maxDf)
+      .select(col("h"))
+    stripCovered(toks, occ, bp, n)
+  }
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rawTokens(col("text")).as("ts"))
+
+  /** Every span occurrence with its 1-based start: (doc_id, i, h). NOT
+    * distinct — within-doc repeats each cover their own positions. */
+  private def spanOccurrences(toks: DataFrame, n: Int): DataFrame =
+    toks.filter(size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
+
+  /** Shared strip-and-reassemble core: drop every token position covered
+    * by an occurrence of a boilerplate hash, stitch survivors back in
+    * position order, and keep emptied docs via the left join. */
+  private def stripCovered(toks: DataFrame, occ: DataFrame, bp: DataFrame,
+                           n: Int): DataFrame = {
     val cov = occ.join(bp, "h")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))

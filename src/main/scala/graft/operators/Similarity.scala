@@ -168,6 +168,33 @@ object Similarity {
     cb
   }
 
+  /** [[refineCentroids]]' REPLAYABLE twin — the Lloyd update in exact
+    * arithmetic, in long (cluster, dim, c) format. The typed aggregator
+    * path sums raw floats in partition order (fast, but the sum's
+    * low-order bits depend on the merge tree, so no SQL oracle can
+    * replay it bit-for-bit); here each component rounds to 6 decimals
+    * into DECIMAL(18,6) BEFORE an exact order-free decimal sum — the
+    * x37 float discipline applied to vector math — and the mean divides
+    * the decimal total (as double) by the exact member count. Use this
+    * when the codebook must be reproducible across engines/runs (audit,
+    * resumable training); the aggregator when raw throughput wins.
+    *
+    * Scale shape: assignment is the broadcast-codebook max_by; the
+    * update is ONE (cluster, dim)-keyed aggregate over the posexploded
+    * corpus — |corpus|·dim rows into map-side decimal partials,
+    * |clusters|·dim out. No corpus-sized join anywhere; skew-free keys
+    * by construction (every vector contributes exactly `dim` rows).
+    * Output: cluster, dim (0-based), c (double), n (members). */
+  def refineCentroidsExact(emb: DataFrame, centroidPred: Column): DataFrame =
+    ivfAssignTo(emb, centroidsOf(emb, centroidPred))
+      .select(col("cluster"), posexplode(col("embedding")))
+      .select(col("cluster"), col("pos").cast("long").as("dim"),
+        round(col("col").cast("double"), 6).cast("decimal(18,6)").as("__v"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"),
+        (col("__s").cast("double") / col("n")).as("c"), col("n"))
+
   /** IVF search against a predicate-derived codebook (see [[ivfTopKWith]]). */
   def ivfTopK(emb: DataFrame, centroidPred: Column, queryPred: Column, k: Int,
               probes: Int = 1): DataFrame =

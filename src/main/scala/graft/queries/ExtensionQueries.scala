@@ -1021,10 +1021,31 @@ object ExtensionQueries {
   def x96(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeEncode(docs(s, dir), merges = bpeRounds).orderBy("w")
 
+  /** x97: one exact Lloyd k-means refinement step over x12's seed
+    * codebook — the centroid UPDATE oracle-pinned (the fixed-codebook
+    * queries x12/x13/x93 only ever pin the assign). */
+  def x97(s: SparkSession, dir: String): DataFrame =
+    Similarity.refineCentroidsExact(emb(s, dir), col("vec_id") < ivfCentroids)
+      .orderBy("cluster", "dim")
+
+  /** x98: incremental boilerplate — the x64 split (batch = doc_id%10==0,
+    * history = rest); batch docs cleaned against history's span-count
+    * index plus their own batch-distinct counts. */
+  def x98(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.stripBoilerplateAgainst(
+        d.filter(col("doc_id") % 10 === 0),
+        Dedup.boilerplateIndex(d.filter(col("doc_id") % 10 =!= 0), boilN),
+        boilN, boilMaxDf)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
+    "x97_kmeans_step"   -> (x97 _),
+    "x98_incr_boilerplate" -> (x98 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -2270,6 +2291,25 @@ object ExtensionQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // spans hash to md5 keys before the df aggregate, exactly as the
     // Spark operator shuffles them (32-byte keys, never span text)
+    // x97: assignment is x12's raw-sim/c_id-tiebreak read; the centroid
+    // update rounds each float component to 6 → DECIMAL(18,6) before an
+    // exact order-free sum (the x37 discipline applied to vector math),
+    // so the Lloyd step — not just the assign — is engine-replayable
+    "x97_kmeans_step" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+         |              WHERE vec_id < $ivfCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, c_id AS cluster FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |   FROM cs) WHERE rn = 1),
+         |ex AS (SELECT a.cluster, i - 1 AS dim,
+         |         ROUND(em.embedding[i]::DOUBLE, 6)::DECIMAL(18,6) AS v
+         |       FROM assign a JOIN embeddings em USING (vec_id)
+         |       CROSS JOIN UNNEST(range(1, len(em.embedding) + 1)) r(i))
+         |SELECT cluster, dim::BIGINT AS dim, (sum(v)::DOUBLE / count(*)) AS c,
+         |       count(*)::BIGINT AS n
+         |FROM ex GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
     // x95: each term weight is ONE double expression over exact integer
     // counts (identical op order to the Spark projection), ROUND 6 →
     // DECIMAL(18,6); the doc score is an exact decimal dot product, so
@@ -2294,6 +2334,38 @@ object ExtensionQueries {
          |      FROM dt JOIN w USING (term) GROUP BY doc_id)
          |SELECT doc_id, sc::DOUBLE AS score FROM s
          |ORDER BY sc DESC, doc_id LIMIT $dsirQuota""".stripMargin,
+    // x98: x94's strip replayed for the batch slice only, with df =
+    // history-index count + batch-distinct count (full outer over span
+    // hashes — a span unseen by history still trips on batch virality)
+    "x98_incr_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |           WHERE doc_id % 10 = 0),
+         |hocc AS (SELECT doc_id, md5(array_to_string(ts[i:i+${boilN - 1}], ' ')) AS h
+         |         FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |               WHERE doc_id % 10 <> 0) ht
+         |         CROSS JOIN UNNEST(range(1, len(ts) - ${boilN - 2})) r(i)
+         |         WHERE len(ts) >= $boilN),
+         |idx AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS idf FROM hocc GROUP BY h),
+         |occ AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+${boilN - 1}], ' ')) AS h
+         |        FROM t CROSS JOIN UNNEST(range(1, len(ts) - ${boilN - 2})) r(i)
+         |        WHERE len(ts) >= $boilN),
+         |bdf AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS bdf FROM occ GROUP BY h),
+         |bp AS (SELECT h FROM bdf FULL JOIN idx USING (h)
+         |       WHERE COALESCE(bdf, 0) + COALESCE(idf, 0) > $boilMaxDf),
+         |cov AS (SELECT DISTINCT o.doc_id, u.p FROM occ o JOIN bp USING (h)
+         |        CROSS JOIN UNNEST(range(o.i, o.i + $boilN)) u(p)),
+         |tok AS (SELECT doc_id, i AS pos, ts[i] AS tok FROM t
+         |        CROSS JOIN UNNEST(range(1, len(ts) + 1)) r(i)),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                           WHERE cov.doc_id = tok.doc_id AND cov.p = tok.pos)),
+         |re AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(re.n_kept, 0)::BIGINT AS n_kept,
+         |       (len(t.ts) - COALESCE(re.n_kept, 0))::BIGINT AS n_removed,
+         |       COALESCE(re.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // x94: spans/positions are 1-based on the RAW single-space split on
     // both sides (Spark posexplode+1 == range(1, …)); reassembly is an
     // ORDER BY pos string_agg, so the comparison is byte-exact; the LEFT

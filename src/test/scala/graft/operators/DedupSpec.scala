@@ -78,6 +78,29 @@ class DedupSpec extends SparkSpec {
       7L -> (1L, 2L, "a"), 8L -> (1L, 0L, "b")))
   }
 
+  test("stripBoilerplateAgainst: history counts + batch virality combine; index is additive") {
+    val history = docs(1L -> "x y a", 2L -> "b x y")        // "x y" held by 2 docs
+    val batch = docs(10L -> "c x y d", 11L -> "p q", 12L -> "p q e", 13L -> "f p q")
+    val idx = Dedup.boilerplateIndex(history, n = 2)
+    val out = Dedup.stripBoilerplateAgainst(batch, idx, n = 2, maxDf = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "x y": 2 history + 1 batch = 3 > 2 → stripped from doc 10 even
+    // though the batch alone never clears the threshold; "p q": 0 history
+    // + 3 batch = 3 > 2 → same-day virality caught with no history at all
+    assert(out == Map(
+      10L -> (2L, 2L, "c d"), 11L -> (0L, 2L, ""),
+      12L -> (1L, 2L, "e"), 13L -> (1L, 2L, "f")))
+    // only batch docs appear
+    assert(!out.contains(1L) && !out.contains(2L))
+    // additivity: index(history ∪ batch) == (index(history) ∪ index(batch)) summed
+    val whole = Dedup.boilerplateIndex(history.unionByName(batch), n = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = idx.unionByName(Dedup.boilerplateIndex(batch, n = 2))
+      .groupBy("h").agg(sum("df").as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(whole == merged)
+  }
+
   test("noveltyAgainst: batch spans score novel iff absent from the span index") {
     val prior = docs(10L -> "a b c")            // index spans: "a b", "b c"
     val batch = docs(1L -> "a b x", 2L -> "p q")

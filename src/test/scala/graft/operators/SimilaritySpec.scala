@@ -234,6 +234,29 @@ class SimilaritySpec extends SparkSpec {
     assert(cents(10L).zip(Seq(0.0f, 0.8f)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("refineCentroidsExact agrees with the aggregator path and is repartition-stable") {
+    val emb = Seq(
+      0L  -> Seq(1.0f, 0.0f),
+      1L  -> Seq(0.8f, 0.2f),
+      2L  -> Seq(0.6f, 0.0f),
+      10L -> Seq(0.0f, 1.0f),
+      11L -> Seq(0.0f, 0.6f)
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.refineCentroidsExact(df, col("vec_id") % 10 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val exact = run(emb)
+    // same closed-form means as the aggregator test (up to the double
+    // division at the end: e.g. 2.4/3 = 0.7999…9): cluster 0 = (0.8,
+    // 0.2/3) over 3 members, cluster 10 = (0, 0.8) over 2
+    assert(math.abs(exact((0L, 0L))._1 - 0.8) < 1e-9 && exact((0L, 0L))._2 == 3L)
+    assert(math.abs(exact((0L, 1L))._1 - 0.2 / 3) < 1e-6)
+    assert(exact((10L, 0L)) == ((0.0, 2L)))
+    assert(math.abs(exact((10L, 1L))._1 - 0.8) < 1e-9 && exact((10L, 1L))._2 == 2L)
+    // the exact path's whole point: bit-identical under re-partitioning
+    assert(run(emb.repartition(7)) == exact)
+  }
+
   test("randomProject: shape, determinism, and zero exchanges") {
     val emb = (1L to 30L).map(i =>
       (i, (1 to 16).map(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")
