@@ -436,6 +436,49 @@ object Main {
       .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
   }
 
+  /** Incremental boilerplate cleaning — x98's ops twin on the
+    * [[runIncrementalNovelty]] chassis: each arriving batch is stripped
+    * against the span-count index of everything BEFORE it (plus its own
+    * within-batch counts — same-day virality), then appends its own
+    * per-span holder counts as a `batch=<id>` partial. Counts are
+    * additive over disjoint batches (DedupSpec pins it), so the
+    * published index is `sum by h` over partials — compaction is an
+    * optimization, never a correctness step; retry-idempotence comes
+    * from the overwrite dirs + excluding the running id on read. */
+  def runIncrementalBoilerplate(spark: SparkSession, docsDir: String,
+                                outRoot: String, n: Int = 5,
+                                maxDf: Int = 2): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeBoilerplateBatch(batch.toDF(), batchId, outRoot, n, maxDf)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/boilerplate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalBoilerplate]] micro-batch, exposed for direct
+    * retry testing. */
+  private[graft] def mergeBoilerplateBatch(batch: DataFrame, batchId: Long,
+                                           outRoot: String, n: Int,
+                                           maxDf: Int): Unit = {
+    val s = batch.sparkSession
+    val idxDir = s"$outRoot/bp_index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val idx =
+      if (fs.exists(new org.apache.hadoop.fs.Path(idxDir)))
+        s.read.parquet(idxDir).filter(col("batch") =!= batchId)
+          .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      else graft.operators.Dedup.boilerplateIndex(batch.limit(0), n)
+    graft.operators.Dedup.stripBoilerplateAgainst(batch, idx, n, maxDf)
+      .write.mode("overwrite").parquet(s"$outRoot/clean/batch=$batchId")
+    graft.operators.Dedup.boilerplateIndex(batch, n)
+      .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+  }
+
   /** Incremental KMV sketch maintenance — x74's ops twin: each arriving
     * batch of documents writes ITS OWN per-stratum sketch into a
     * `batch=<id>` directory (overwrite ⇒ retry-idempotent, the

@@ -493,6 +493,41 @@ class PipelineSpec extends SparkSpec {
     assert(retried == got, "retry diverged: the batch saw its own spans")
   }
 
+  test("O2 streaming: incremental boilerplate strips wave 2 against wave 1's counts + batch virality") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_boil_in").toString
+    val root = Files.createTempDirectory("graft_boil_out").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val w1 = Seq(doc(1L, "x y a"), doc(2L, "b x y"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w2 = Seq(doc(10L, "c x y d"), doc(11L, "p q"), doc(12L, "p q e"), doc(13L, "f p q"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    w1.write.mode("append").parquet(src)
+    Main.runIncrementalBoilerplate(spark, src, root, n = 2, maxDf = 2)
+    w2.write.mode("append").parquet(src)
+    Main.runIncrementalBoilerplate(spark, src, root, n = 2, maxDf = 2)
+    val got = spark.read.parquet(s"$root/clean")
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // wave 1 cleans against an empty index ("x y" df 2 is NOT > 2);
+    // wave 2: "x y" = 2 history + 1 batch > 2 → stripped from doc 10;
+    // "p q" = 0 history + 3 batch > 2 → same-day virality
+    assert(got == Map(1L -> "x y a", 2L -> "b x y",
+      10L -> "c d", 11L -> "", 12L -> "e", 13L -> "f"))
+    // == the batch twin over the same split
+    val twin = graft.operators.Dedup.stripBoilerplateAgainst(
+        w2, graft.operators.Dedup.boilerplateIndex(w1, 2), 2, 2)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twin == Map(10L -> "c d", 11L -> "", 12L -> "e", 13L -> "f"))
+    // a RETRY of batch 1 (its counts already landed) must not see itself
+    Main.mergeBoilerplateBatch(w2, 1L, root, 2, 2)
+    val retried = spark.read.parquet(s"$root/clean")
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(retried == got, "retry diverged: the batch saw its own counts")
+  }
+
   test("O2 streaming: incremental KMV estimates equal the whole-corpus sketch across waves") {
     import spark.implicits._
     import graft.sources.Tables
