@@ -1059,4 +1059,66 @@ object TextAnalysis {
       .limit(quota)
       .select(col("doc_id"), col("__sc").cast("double").as("score"))
   }
+
+  /** Distributed training of a fastText-style quality classifier —
+    * full-batch logistic regression by gradient descent over cheap
+    * surface features (token count, char count, digit ratio + bias),
+    * labels from a trusted stratum (here `lang = 'en'`; a production run
+    * labels with a curated-positive / random-negative split). Every
+    * iteration is EXACTLY one corpus pass: features cross-join the
+    * 1-row broadcast weight frame, per-doc gradient terms aggregate with
+    * map-side partials, and the update lands back in a new 1-row frame —
+    * zero driver round-trips (the [[bpeMerges]] argmax convention), so
+    * iteration cost is O(corpus)/pass with a 4-value broadcast between
+    * passes, the shape that holds at any corpus size.
+    *
+    * Determinism across engines: features are doubles derived from
+    * integers by identical expressions; each doc's gradient contribution
+    * rounds to 6 decimals into DECIMAL(18,6) BEFORE the sum (exact,
+    * order-free — the x37 discipline), and the weight update
+    * w += ROUND(0.1·g, 6) stays in exact decimal arithmetic, so the
+    * trained weights are bit-replayable by the generated oracle chain.
+    * Output: iter (1-based), j (0=bias, 1..3 features), w (double). */
+  def logisticQualityWeights(docs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val feats = graft.Persist.cut(docs.select(
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      (size(tokens(col("text"))).cast("double") / lit(100)).as("x1"),
+      (col("n_chars").cast("double") / lit(1000)).as("x2"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("double") / greatest(col("n_chars"), lit(1L)).cast("double")).as("x3")))
+    val lr = new java.math.BigDecimal("0.1")
+    var w = feats.sparkSession.range(1).select(
+      (0 to 3).map(j => lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(18,6)").as(s"w$j")): _*)
+    var out: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      val m = col("w0").cast("double") +
+        col("w1").cast("double") * col("x1") +
+        col("w2").cast("double") * col("x2") +
+        col("w3").cast("double") * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-m))
+      val scored = feats.crossJoin(broadcast(w))
+        .select(col("x1"), col("x2"), col("x3"), (col("y") - p).as("r"))
+      val g = scored.select(
+          round(col("r"), 6).cast("decimal(18,6)").as("g0"),
+          round(col("r") * col("x1"), 6).cast("decimal(18,6)").as("g1"),
+          round(col("r") * col("x2"), 6).cast("decimal(18,6)").as("g2"),
+          round(col("r") * col("x3"), 6).cast("decimal(18,6)").as("g3"))
+        .agg(sum(col("g0")).cast("decimal(18,6)").as("g0"),
+          (1 to 3).map(j =>
+            sum(col(s"g$j")).cast("decimal(18,6)").as(s"g$j")): _*)
+      w = graft.Persist.cut(w.crossJoin(broadcast(g)).select(
+        (0 to 3).map(j =>
+          (col(s"w$j") + round(lit(lr) * col(s"g$j"), 6).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as(s"w$j")): _*))
+      val row = w
+        .select(lit(it.toLong).as("iter"),
+          posexplode(array(col("w0"), col("w1"), col("w2"), col("w3"))))
+        .select(col("iter"), col("pos").cast("long").as("j"),
+          col("col").cast("double").as("w"))
+      out = Some(out.fold(row)(_.unionByName(row)))
+    }
+    out.get
+  }
 }

@@ -1040,12 +1040,23 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** x99 parameter, shared with the generated oracle chain: 3 full-batch
+    * gradient-descent iterations. */
+  val lrIters = 3
+
+  /** x99: logistic-regression quality-classifier training — the learned
+    * weights after each iteration. */
+  def x99(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.logisticQualityWeights(docs(s, dir), iters = lrIters)
+      .orderBy("iter", "j")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
     "x97_kmeans_step"   -> (x97 _),
     "x98_incr_boilerplate" -> (x98 _),
+    "x99_quality_lr"    -> (x99 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -1428,6 +1439,50 @@ object ExtensionQueries {
        |         FROM wf),
        |$rounds""".stripMargin
   }
+
+  /** x99's generated gradient-descent chain: `lrIters` unrolled
+    * iterations over the feature CTE. Per round: a per-doc sigmoid
+    * projection against the previous 1-row weight CTE, ROUND-6→DECIMAL
+    * per-doc gradient terms into exact order-free sums, and an exact
+    * decimal weight update w += ROUND(0.1·g, 6) — mirroring
+    * `TextAnalysis.logisticQualityWeights` expression for expression
+    * (the margin's left-associated add chain included). MATERIALIZED for
+    * the same inlining reason as the BPE chain. */
+  private lazy val lrCtes: String = {
+    val rounds = (1 to lrIters).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT y, x1, x2, x3,
+         |    (y - 1.0/(1.0 + exp(-(w0::DOUBLE + w1::DOUBLE * x1
+         |        + w2::DOUBLE * x2 + w3::DOUBLE * x3)))) AS r
+         |  FROM f CROSS JOIN wt${k - 1}),
+         |g$k AS MATERIALIZED (SELECT
+         |    sum(ROUND(r, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g0,
+         |    sum(ROUND(r * x1, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g1,
+         |    sum(ROUND(r * x2, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g2,
+         |    sum(ROUND(r * x3, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g3
+         |  FROM p$k),
+         |wt$k AS MATERIALIZED (SELECT
+         |    (w0 + ROUND(0.1 * g0, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w0,
+         |    (w1 + ROUND(0.1 * g1, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w1,
+         |    (w2 + ROUND(0.1 * g2, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w2,
+         |    (w3 + ROUND(0.1 * g3, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w3
+         |  FROM wt${k - 1} CROSS JOIN g$k)""".stripMargin
+    }.mkString(",\n")
+    s"""f AS MATERIALIZED (SELECT
+       |    CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+       |    (len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE / 100) AS x1,
+       |    (n_chars::DOUBLE / 1000) AS x2,
+       |    ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+       |      / GREATEST(n_chars, 1)::DOUBLE) AS x3
+       |  FROM documents),
+       |wt0 AS MATERIALIZED (SELECT 0.000000::DECIMAL(18,6) AS w0,
+       |  0.000000::DECIMAL(18,6) AS w1, 0.000000::DECIMAL(18,6) AS w2,
+       |  0.000000::DECIMAL(18,6) AS w3),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val lrUnion: String = (1 to lrIters).flatMap { k =>
+    (0 to 3).map(j => s"SELECT $k::BIGINT AS iter, $j::BIGINT AS j, w$j::DOUBLE AS w FROM wt$k")
+  }.mkString("\n  UNION ALL ")
 
   private lazy val bpeUnion: String = (1 to bpeRounds)
     .map(k => s"SELECT $k::BIGINT AS merge_rank, ma AS lhs, mb AS rhs, pc AS cnt FROM best$k")
@@ -2169,6 +2224,11 @@ object ExtensionQueries {
          |SELECT w, cnt, len(s)::BIGINT AS n_pieces,
          |       array_to_string(s, ' ') AS pieces
          |FROM seq$bpeRounds ORDER BY w""".stripMargin,
+    "x99_quality_lr" ->
+      s"""WITH $lrCtes
+         |SELECT * FROM (
+         |  $lrUnion)
+         |ORDER BY iter, j""".stripMargin,
     // x19's bucket arithmetic keyed on the component label (docs in no
     // pair keep their own id) — the leakage-safe split contract
     "x92_leak_split" ->

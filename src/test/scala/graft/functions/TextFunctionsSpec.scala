@@ -577,6 +577,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 1L)))
   }
 
+  test("logisticQualityWeights: iteration-1 closed form, separating direction, partition-stable") {
+    import graft.operators.TextAnalysis
+    // en docs are long (many tokens), others short — x1 should separate
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en"), (2L, "a b c d e f", "en"),
+      (3L, "a b", "fr"), (4L, "c", "de")
+    ).toDF("doc_id", "text", "lang").withColumn("n_chars", length(col("text")))
+    val out = TextAnalysis.logisticQualityWeights(docs, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 12)
+    // iteration 1 closed form: w=0 -> p=0.5 for every doc, r = y-0.5 =
+    // ±0.5; g1 = Σ round(r·x1, 6) = 0.5(.08+.06-.02-.01) = 0.055;
+    // w1 after = round(0.1·0.055, 6) = 0.0055
+    assert(out((1L, 1L)) == 0.0055, s"w1 iter1 = ${out((1L, 1L))}")
+    // bias: r sums to 0.5+0.5-0.5-0.5 = 0 -> bias stays 0 at iter 1
+    assert(out((1L, 0L)) == 0.0)
+    // the token-count weight keeps growing: en docs are longer
+    assert(out((2L, 1L)) > out((1L, 1L)) && out((3L, 1L)) > out((2L, 1L)))
+    // exact decimal discipline: bit-identical under re-partitioning
+    val rep = TextAnalysis.logisticQualityWeights(docs.repartition(5), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rep == out)
+  }
+
   test("bpeEncode applies the trained chain: pieces match the textbook trace") {
     import graft.operators.TextAnalysis
     // same corpus as the textbook bpeMerges test; after 3 merges
