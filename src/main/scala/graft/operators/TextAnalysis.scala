@@ -1079,14 +1079,25 @@ object TextAnalysis {
     * w += ROUND(0.1·g, 6) stays in exact decimal arithmetic, so the
     * trained weights are bit-replayable by the generated oracle chain.
     * Output: iter (1-based), j (0=bias, 1..3 features), w (double). */
-  def logisticQualityWeights(docs: DataFrame, iters: Int = 3): DataFrame = {
-    require(iters >= 1, "need at least one iteration")
-    val feats = graft.Persist.cut(docs.select(
+  def logisticQualityWeights(docs: DataFrame, iters: Int = 3): DataFrame =
+    lrLoop(docs, iters)._1
+
+  /** Surface features shared by the train and apply passes — doubles
+    * derived from integers by identical expressions on both engines. */
+  private def lrFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
       (size(tokens(col("text"))).cast("double") / lit(100)).as("x1"),
       (col("n_chars").cast("double") / lit(1000)).as("x2"),
       ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-        .cast("double") / greatest(col("n_chars"), lit(1L)).cast("double")).as("x3")))
+        .cast("double") / greatest(col("n_chars"), lit(1L)).cast("double")).as("x3"))
+
+  /** Shared train loop behind [[logisticQualityWeights]] /
+    * [[qualityClassifierScores]]: (the per-iteration weight trace, the
+    * final 1-row DECIMAL weight frame). */
+  private def lrLoop(docs: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "need at least one iteration")
+    val feats = graft.Persist.cut(lrFeatures(docs).drop("doc_id"))
     val lr = new java.math.BigDecimal("0.1")
     var w = feats.sparkSession.range(1).select(
       (0 to 3).map(j => lit(java.math.BigDecimal.ZERO)
@@ -1107,11 +1118,16 @@ object TextAnalysis {
           round(col("r") * col("x3"), 6).cast("decimal(18,6)").as("g3"))
         .agg(sum(col("g0")).cast("decimal(18,6)").as("g0"),
           (1 to 3).map(j =>
-            sum(col(s"g$j")).cast("decimal(18,6)").as(s"g$j")): _*)
+            sum(col(s"g$j")).cast("decimal(18,6)").as(s"g$j")) :+
+            count(lit(1)).cast("double").as("n"): _*)
+      // MEAN gradient: lr·Σg is exact decimal, the /N lands in double
+      // (identical on both engines) and re-rounds to 6 — an unnormalized
+      // sum would scale the step by corpus size and diverge (observed:
+      // lr·N ≈ 30 oscillates; the mean keeps the step corpus-invariant)
       w = graft.Persist.cut(w.crossJoin(broadcast(g)).select(
         (0 to 3).map(j =>
-          (col(s"w$j") + round(lit(lr) * col(s"g$j"), 6).cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as(s"w$j")): _*))
+          (col(s"w$j") + round((lit(lr) * col(s"g$j")).cast("double") / col("n"), 6)
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as(s"w$j")): _*))
       val row = w
         .select(lit(it.toLong).as("iter"),
           posexplode(array(col("w0"), col("w1"), col("w2"), col("w3"))))
@@ -1119,6 +1135,39 @@ object TextAnalysis {
           col("col").cast("double").as("w"))
       out = Some(out.fold(row)(_.unionByName(row)))
     }
-    out.get
+    (out.get, w)
+  }
+
+  /** Score-and-gate with the classifier [[logisticQualityWeights]] just
+    * trained — the apply half of the train→apply pair (the [[bpeEncode]]
+    * convention): every document's sigmoid quality probability under the
+    * final iteration's weights, gated at the corpus's `dropQuantile`
+    * score percentile — the DCLM/FineWeb-style "keep the top (1−q) by
+    * classifier score" cut, which stays meaningful whatever base rate
+    * the classifier converged to (an absolute 0.5 gate is one-sided
+    * whenever the label prior is off-center, as it is here).
+    * Scoring is one stateless projection against the 1-row broadcast
+    * weight frame — embarrassingly parallel; the threshold is one
+    * grouped-percentile scalar broadcast back (the
+    * [[Similarity.prototypicalityPrune]] shape). Determinism: weights
+    * are exact decimals, p rounds to 6, and the gate compares ROUND-4
+    * values against a ROUND-4 quantile over them (the property-pinned
+    * percentile parity). Output: doc_id, p (round 6), kept. */
+  def qualityClassifierScores(docs: DataFrame, iters: Int = 3,
+                              dropQuantile: Double = 0.5): DataFrame = {
+    require(0 < dropQuantile && dropQuantile < 1, "quantile must be in (0, 1)")
+    val w = lrLoop(docs, iters)._2
+    val m = col("w0").cast("double") +
+      col("w1").cast("double") * col("x1") +
+      col("w2").cast("double") * col("x2") +
+      col("w3").cast("double") * col("x3")
+    val scored = lrFeatures(docs).crossJoin(broadcast(w))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-m)), 6).as("p"))
+      .select(col("doc_id"), col("p"), round(col("p"), 4).as("__p4"))
+    val thr = scored.agg(
+      round(expr(s"percentile(__p4, $dropQuantile)"), 4).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("p"), (col("__p4") >= col("__thr")).as("kept"))
   }
 }

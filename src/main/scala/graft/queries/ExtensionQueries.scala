@@ -1050,6 +1050,12 @@ object ExtensionQueries {
     TextAnalysis.logisticQualityWeights(docs(s, dir), iters = lrIters)
       .orderBy("iter", "j")
 
+  /** x100: the trained classifier APPLIED — per-doc quality probability
+    * under x99's final weights and the keep/drop gate at 0.5. */
+  def x100(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassifierScores(docs(s, dir), iters = lrIters)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -1057,6 +1063,7 @@ object ExtensionQueries {
     "x97_kmeans_step"   -> (x97 _),
     "x98_incr_boilerplate" -> (x98 _),
     "x99_quality_lr"    -> (x99 _),
+    "x100_quality_gate" -> (x100 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -1458,16 +1465,17 @@ object ExtensionQueries {
          |    sum(ROUND(r, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g0,
          |    sum(ROUND(r * x1, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g1,
          |    sum(ROUND(r * x2, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g2,
-         |    sum(ROUND(r * x3, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g3
+         |    sum(ROUND(r * x3, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g3,
+         |    count(*)::DOUBLE AS n
          |  FROM p$k),
          |wt$k AS MATERIALIZED (SELECT
-         |    (w0 + ROUND(0.1 * g0, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w0,
-         |    (w1 + ROUND(0.1 * g1, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w1,
-         |    (w2 + ROUND(0.1 * g2, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w2,
-         |    (w3 + ROUND(0.1 * g3, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w3
+         |    (w0 + ROUND((0.1 * g0)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w0,
+         |    (w1 + ROUND((0.1 * g1)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w1,
+         |    (w2 + ROUND((0.1 * g2)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w2,
+         |    (w3 + ROUND((0.1 * g3)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w3
          |  FROM wt${k - 1} CROSS JOIN g$k)""".stripMargin
     }.mkString(",\n")
-    s"""f AS MATERIALIZED (SELECT
+    s"""f AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
        |    (len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE / 100) AS x1,
        |    (n_chars::DOUBLE / 1000) AS x2,
@@ -2229,6 +2237,19 @@ object ExtensionQueries {
          |SELECT * FROM (
          |  $lrUnion)
          |ORDER BY iter, j""".stripMargin,
+    // x100: the SAME chain's final weight row scores every doc — train
+    // and apply share one definition (the x91/x96 convention); the gate
+    // is a ROUND-4 median over ROUND-4 scores (x93's pinned percentile
+    // parity), keeping the top half by classifier score
+    "x100_quality_gate" ->
+      s"""WITH $lrCtes,
+         |sc AS MATERIALIZED (SELECT doc_id,
+         |    ROUND(1.0/(1.0 + exp(-(w0::DOUBLE + w1::DOUBLE * x1
+         |      + w2::DOUBLE * x2 + w3::DOUBLE * x3))), 6) AS p
+         |  FROM f CROSS JOIN wt$lrIters),
+         |thr AS (SELECT ROUND(quantile_cont(ROUND(p, 4), 0.5), 4) AS t FROM sc)
+         |SELECT doc_id, p, (ROUND(p, 4) >= t) AS kept
+         |FROM sc CROSS JOIN thr ORDER BY doc_id""".stripMargin,
     // x19's bucket arithmetic keyed on the component label (docs in no
     // pair keep their own id) — the leakage-safe split contract
     "x92_leak_split" ->

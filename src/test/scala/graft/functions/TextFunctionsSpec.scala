@@ -589,8 +589,8 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.size == 12)
     // iteration 1 closed form: w=0 -> p=0.5 for every doc, r = y-0.5 =
     // ±0.5; g1 = Σ round(r·x1, 6) = 0.5(.08+.06-.02-.01) = 0.055;
-    // w1 after = round(0.1·0.055, 6) = 0.0055
-    assert(out((1L, 1L)) == 0.0055, s"w1 iter1 = ${out((1L, 1L))}")
+    // w1 after = round(0.1·0.055/4, 6) = 0.001375 (MEAN gradient)
+    assert(out((1L, 1L)) == 0.001375, s"w1 iter1 = ${out((1L, 1L))}")
     // bias: r sums to 0.5+0.5-0.5-0.5 = 0 -> bias stays 0 at iter 1
     assert(out((1L, 0L)) == 0.0)
     // the token-count weight keeps growing: en docs are longer
@@ -599,6 +599,24 @@ class TextFunctionsSpec extends SparkSpec {
     val rep = TextAnalysis.logisticQualityWeights(docs.repartition(5), iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(rep == out)
+  }
+
+  test("qualityClassifierScores: median gate splits, score order follows the learned direction") {
+    import graft.operators.TextAnalysis
+    // en docs are long: the classifier learns length ∝ quality, so the
+    // top-half gate keeps the longer docs
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en"), (2L, "a b c d e f", "en"),
+      (3L, "a b", "fr"), (4L, "c", "de")
+    ).toDF("doc_id", "text", "lang").withColumn("n_chars", length(col("text")))
+    val out = TextAnalysis.qualityClassifierScores(docs, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out.size == 4)
+    // scores are monotone in doc length (x1/x2 weights are positive)
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1 && out(3L)._1 > out(4L)._1)
+    // ROUND-4 median of 4 scores: the two above it pass, the two below drop
+    assert(out(1L)._2 && out(2L)._2 && !out(3L)._2 && !out(4L)._2,
+      s"median gate did not split: $out")
   }
 
   test("bpeEncode applies the trained chain: pieces match the textbook trace") {
