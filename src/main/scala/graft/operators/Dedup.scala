@@ -442,7 +442,9 @@ object Dedup {
     * Output: doc_id, n_kept, n_removed, clean_text. */
   def stripBoilerplate(docs: DataFrame, n: Int = 5, maxDf: Int = 2): DataFrame = {
     val toks = tokenized(docs)
-    val occ = spanOccurrences(toks, n)
+    // occ feeds the df aggregate AND the coverage join: one materialized
+    // pass instead of re-tokenizing the corpus per consumer
+    val occ = graft.Persist.cut(spanOccurrences(toks, n))
     val bp = occ.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
@@ -472,7 +474,7 @@ object Dedup {
   def stripBoilerplateAgainst(batch: DataFrame, index: DataFrame,
                               n: Int = 5, maxDf: Int = 2): DataFrame = {
     val toks = tokenized(batch)
-    val occ = spanOccurrences(toks, n)
+    val occ = graft.Persist.cut(spanOccurrences(toks, n))
     val batchDf = occ.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("__bdf"))
     val bp = batchDf
@@ -493,29 +495,30 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
 
   /** Shared strip-and-reassemble core: drop every token position covered
-    * by an occurrence of a boilerplate hash, stitch survivors back in
-    * position order, and keep emptied docs via the left join. */
+    * by an occurrence of a boilerplate hash and stitch survivors back in
+    * position order. The covered positions aggregate into ONE array per
+    * AFFECTED doc (bounded by doc length), so the only join is doc-keyed
+    * with an affected-docs build side, and the strip itself is a narrow
+    * per-row HOF — no corpus-wide token posexplode, no |tokens|-row
+    * anti-join, no collect_list reassembly shuffle. Untouched docs pass
+    * through the left join with a null coverage array. */
   private def stripCovered(toks: DataFrame, occ: DataFrame, bp: DataFrame,
                            n: Int): DataFrame = {
-    val cov = occ.join(bp, "h")
+    val covArr = occ.join(bp, "h")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
-      .distinct()
-    val tok = toks
-      .select(col("doc_id"), posexplode(col("ts")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-    val re = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_sort(collect_list(struct(col("pos"), col("tok")))).as("__k"))
-      .select(col("doc_id"), col("n_kept"),
-        array_join(transform(col("__k"), e => e.getField("tok")), " ").as("__clean"))
-    toks.select(col("doc_id"), size(col("ts")).cast("long").as("__total"))
-      .join(re, Seq("doc_id"), "left_outer")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__cov"))
+    toks.join(covArr, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("__cov"), array().cast("array<int>")).as("__cov"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("__total"),
+        expr("""filter(transform(sequence(1, size(ts)), i ->
+                  IF(array_contains(__cov, i), NULL, element_at(ts, i))),
+                x -> x IS NOT NULL)""").as("__kept"))
       .select(col("doc_id"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("__clean"), lit("")).as("clean_text"))
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__total") - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
   }
 
   /** K-minimum-values (KMV) distinct-shingle estimate per stratum — the
