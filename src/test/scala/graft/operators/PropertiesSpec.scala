@@ -547,6 +547,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate == driver-side reference for arbitrary corpora") {
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    val gen = Gen.listOf(docGen)
+    val (n, maxDf) = (2, 2)
+    cases(gen).foreach { texts =>
+      val all = texts ++ Seq("a b a b", "a b c", "b c a")  // guaranteed overlap
+      val docs = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = all.map(_.split(" ", -1).toSeq)
+      val occ = toks.zipWithIndex.flatMap { case (ts, d) =>
+        if (ts.length >= n)
+          (0 to ts.length - n).map(i => (d.toLong, i + 1, ts.slice(i, i + n).mkString(" ")))
+        else Nil
+      }
+      val bp = occ.groupBy(_._3).collect {
+        case (s, os) if os.map(_._1).distinct.size > maxDf => s
+      }.toSet
+      val expected = toks.zipWithIndex.map { case (ts, d) =>
+        val cov = occ.filter(o => o._1 == d && bp(o._3))
+          .flatMap(o => o._2 until o._2 + n).toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i + 1) => t }
+        d.toLong -> ((kept.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.stripBoilerplate(docs, n, maxDf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expected, s"corpus: $all")
+    }
+  }
+
   test("containmentPairs blocking stays under the rare-df closed form (boilerplate fuzz)") {
     // Adversarial corpora for the x67 shape: every doc opens with the SAME
     // boilerplate run (its shingles have df = corpus size > maxDf, so

@@ -317,4 +317,25 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).isEmpty, p)
     assert(p.contains("partial_"), p)
   }
+
+  test("x94: boilerplate strip is window-free and never collect_list-reassembles tokens") {
+    val p = plan(ExtensionQueries.x94)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    // reassembly is the narrow coverage-array HOF, not a token-table
+    // collect_list shuffle (the shape this operator shipped with)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x95: the DSIR cut is TakeOrdered, never a global sort or window") {
+    val p = plan(ExtensionQueries.x95)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("x100: classifier scoring is broadcast-only past the aggregates — no window, no SMJ") {
+    val p = plan(ExtensionQueries.x100)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
