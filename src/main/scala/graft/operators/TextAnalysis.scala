@@ -1060,6 +1060,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("__sc").cast("double").as("score"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank authority over the corpus's adjacent-token co-occurrence
+    * graph; the top-k terms are the corpus keywords — the unsupervised
+    * summarization signal a curation report wants next to frequency
+    * (rank rewards terms that CONNECT hub vocabulary, not just hot ones).
+    * Composed entirely from audited primitives: pairs derive positionally
+    * from the staged token array (the bigram/PMI discipline — zero
+    * Window nodes), canonicalize via LEAST/GREATEST, count-prune at
+    * `minCount` (the graph is vocab-bounded and Zipf-pruned, never
+    * corpus-sized), then ride [[Dedup.pageRank]]'s exact-decimal power
+    * iteration; the cut is TakeOrdered(k).
+    * Output: term, pr (double; k rows). */
+  def textRankKeywords(docs: DataFrame, minCount: Int = 5, iters: Int = 5,
+                       damping: Double = 0.85, k: Int = 20): DataFrame = {
+    val pairs = docs.select(tokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ts)-2), i -> struct(__ts[i] AS a, __ts[i+1] AS b))")).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .select(least(col("p.a"), col("p.b")).as("a_id"),
+        greatest(col("p.a"), col("p.b")).as("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("a_id"), col("b_id"))
+    Dedup.pageRank(pairs, iters, damping)
+      .orderBy(col("pr").desc, col("id")).limit(k)
+      .select(col("id").as("term"), col("pr"))
+  }
+
   /** Distributed training of a fastText-style quality classifier —
     * full-batch logistic regression by gradient descent over cheap
     * surface features (token count, char count, digit ratio + bias),

@@ -1056,6 +1056,19 @@ object ExtensionQueries {
     TextAnalysis.qualityClassifierScores(docs(s, dir), iters = lrIters)
       .orderBy("doc_id")
 
+  /** x101 parameters, shared with the generated oracle chain: the x90
+    * damping/iteration constants over the co-occurrence graph, count
+    * floor 5, top-20 keyword cut. */
+  val trIters = prIters
+  val trMinCount = 5
+  val trK = 20
+
+  /** x101: TextRank keywords — PageRank over adjacent-token
+    * co-occurrence. */
+  def x101(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRankKeywords(docs(s, dir), minCount = trMinCount,
+      iters = trIters, damping = prDamping, k = trK)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -1064,6 +1077,7 @@ object ExtensionQueries {
     "x98_incr_boilerplate" -> (x98 _),
     "x99_quality_lr"    -> (x99 _),
     "x100_quality_gate" -> (x100 _),
+    "x101_textrank"     -> (x101 _),
     "x89_bm25"          -> (x89 _),
     "x90_pagerank"      -> (x90 _),
     "x91_bpe_merges"    -> (x91 _),
@@ -1384,23 +1398,45 @@ object ExtensionQueries {
     * `1 - 0.85`
     * is printed from the Scala double so both engines divide the
     * identical complement. The symmetric graph has no dangling nodes. */
-  private lazy val pageRankCtes: String = {
-    val rounds = (1 to prIters).map { k =>
-      s"""r$k AS (SELECT g.id, (pb.base + g.s)::DECIMAL(18,10) AS pr
+  /** The power-iteration chain over an `${p}edges` CTE the caller
+    * defines, every generated name prefixed with `p` so two instances
+    * (x90's dup graph, x101's co-occurrence graph) coexist in one
+    * namespace. */
+  private def prChainCtes(iters: Int, p: String): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""${p}r$k AS (SELECT g.id, (pb.base + g.s)::DECIMAL(18,10) AS pr
          |  FROM (SELECT e.dst AS id,
          |          SUM(ROUND($prDamping * r.pr::DOUBLE / dg.deg, 10)::DECIMAL(18,10)) AS s
-         |        FROM edges e JOIN r${k - 1} r ON e.src = r.id
-         |        JOIN deg dg ON e.src = dg.src
-         |        GROUP BY e.dst) g CROSS JOIN pb)""".stripMargin
+         |        FROM ${p}edges e JOIN ${p}r${k - 1} r ON e.src = r.id
+         |        JOIN ${p}deg dg ON e.src = dg.src
+         |        GROUP BY e.dst) g CROSS JOIN ${p}pb pb)""".stripMargin
     }.mkString(",\n")
-    s"""$pairEdgeCtes,
-       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
-       |pb AS (SELECT ROUND(${1 - prDamping} / n, 10)::DECIMAL(18,10) AS base FROM nn),
-       |r0 AS (SELECT d.src AS id, ROUND(1.0 / nn.n, 10)::DECIMAL(18,10) AS pr
-       |       FROM deg d CROSS JOIN nn),
+    s"""${p}deg AS (SELECT src, count(*)::BIGINT AS deg FROM ${p}edges GROUP BY src),
+       |${p}nn AS (SELECT count(*)::DOUBLE AS n FROM ${p}deg),
+       |${p}pb AS (SELECT ROUND(${1 - prDamping} / n, 10)::DECIMAL(18,10) AS base FROM ${p}nn),
+       |${p}r0 AS (SELECT d.src AS id, ROUND(1.0 / nn.n, 10)::DECIMAL(18,10) AS pr
+       |       FROM ${p}deg d CROSS JOIN ${p}nn nn),
        |$rounds""".stripMargin
   }
+
+  private lazy val pageRankCtes: String =
+    s"""$pairEdgeCtes,
+       |${prChainCtes(prIters, "")}""".stripMargin
+
+  /** x101's co-occurrence edge set + its own power-iteration chain
+    * (prefix t): adjacent-token pairs, canonicalized LEAST/GREATEST,
+    * count-pruned — the same positional derivation the Spark operator
+    * uses (0-based `__ts[i]` == 1-based `ts[i]` slices here). */
+  private lazy val textRankCtes: String =
+    s"""ttok AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |         FROM documents),
+       |tp AS (SELECT LEAST(ts[i], ts[i+1]) AS a, GREATEST(ts[i], ts[i+1]) AS b
+       |       FROM ttok CROSS JOIN UNNEST(range(1, len(ts))) r(i)
+       |       WHERE len(ts) >= 2 AND ts[i] <> ts[i+1]
+       |       GROUP BY 1, 2 HAVING count(*) >= $trMinCount),
+       |tedges AS (SELECT a AS src, b AS dst FROM tp
+       |           UNION ALL SELECT b, a FROM tp),
+       |${prChainCtes(trIters, "t")}""".stripMargin
 
   /** x91/x96's generated merge chain: `bpeRounds` unrolled rounds, each =
     * pair counts over the previous symbol table → deterministic argmax
@@ -2219,6 +2255,12 @@ object ExtensionQueries {
     "x90_pagerank" ->
       s"""WITH $pageRankCtes
          |SELECT id, pr::DOUBLE AS pr FROM r$prIters ORDER BY id""".stripMargin,
+    // x101: the x90 chain instanced over the co-occurrence graph; the
+    // top-k cut orders the CAST double (what Spark sorts), term tiebreak
+    "x101_textrank" ->
+      s"""WITH $textRankCtes
+         |SELECT id AS term, pr::DOUBLE AS pr FROM tr$trIters
+         |ORDER BY pr DESC, term LIMIT $trK""".stripMargin,
     "x91_bpe_merges" ->
       s"""WITH $bpeCtes
          |SELECT * FROM (

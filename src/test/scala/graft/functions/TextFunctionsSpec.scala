@@ -545,6 +545,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(idf(n) > 0)
   }
 
+  test("textRankKeywords: the connector term outranks leaves; minCount prunes; k cuts") {
+    import graft.operators.TextAnalysis
+    // "hub" is adjacent to p/q/r/s (a star); each leaf only touches hub.
+    // "x y" co-occurs often but only with each other (a 2-clique):
+    // hub must outrank every leaf (it concentrates their rank mass)
+    val docs = Seq(
+      (1L, "p hub q hub r hub s hub p hub q hub r hub s"),
+      (2L, "hub p hub q hub r hub s hub p hub q hub r"),
+      (3L, "x y x y x y x y x y")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, minCount = 2, iters = 5, k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val m = out.toMap
+    assert(out.head._1 == "hub", s"top term was ${out.head}")
+    Seq("p", "q", "r", "s").foreach(t => assert(m("hub") > m(t), s"hub !> $t"))
+    // the 2-clique's members rank equally (symmetric positions)
+    assert(m("x") == m("y"))
+    // a pair seen once (p-q never adjacent) is pruned by minCount: only
+    // the 7 connected terms appear
+    assert(out.length == 7, out.toSeq.toString)
+  }
+
   test("bpeMerges learns the textbook merge sequence on a hand corpus") {
     import graft.operators.TextAnalysis
     // word freqs: "low" x3, "lower" x1, "wow" x2
