@@ -1145,10 +1145,15 @@ object TextAnalysis {
           round(col("r") * col("x1"), 6).cast("decimal(18,6)").as("g1"),
           round(col("r") * col("x2"), 6).cast("decimal(18,6)").as("g2"),
           round(col("r") * col("x3"), 6).cast("decimal(18,6)").as("g3"))
-        .agg(sum(col("g0")).cast("decimal(18,6)").as("g0"),
+        // COALESCE + count floor keep the trainer total on an empty
+        // corpus: zero gradient over max(n,1) docs = weights stay 0,
+        // never null (sum over nothing is null, 0/0 is NaN)
+        .agg(coalesce(sum(col("g0")), lit(java.math.BigDecimal.ZERO))
+            .cast("decimal(18,6)").as("g0"),
           (1 to 3).map(j =>
-            sum(col(s"g$j")).cast("decimal(18,6)").as(s"g$j")) :+
-            count(lit(1)).cast("double").as("n"): _*)
+            coalesce(sum(col(s"g$j")), lit(java.math.BigDecimal.ZERO))
+              .cast("decimal(18,6)").as(s"g$j")) :+
+            greatest(count(lit(1)), lit(1L)).cast("double").as("n"): _*)
       // MEAN gradient: lr·Σg is exact decimal, the /N lands in double
       // (identical on both engines) and re-rounds to 6 — an unnormalized
       // sum would scale the step by corpus size and diverge (observed:

@@ -1498,11 +1498,11 @@ object ExtensionQueries {
          |        + w2::DOUBLE * x2 + w3::DOUBLE * x3)))) AS r
          |  FROM f CROSS JOIN wt${k - 1}),
          |g$k AS MATERIALIZED (SELECT
-         |    sum(ROUND(r, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g0,
-         |    sum(ROUND(r * x1, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g1,
-         |    sum(ROUND(r * x2, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g2,
-         |    sum(ROUND(r * x3, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS g3,
-         |    count(*)::DOUBLE AS n
+         |    COALESCE(sum(ROUND(r, 6)::DECIMAL(18,6)), 0)::DECIMAL(18,6) AS g0,
+         |    COALESCE(sum(ROUND(r * x1, 6)::DECIMAL(18,6)), 0)::DECIMAL(18,6) AS g1,
+         |    COALESCE(sum(ROUND(r * x2, 6)::DECIMAL(18,6)), 0)::DECIMAL(18,6) AS g2,
+         |    COALESCE(sum(ROUND(r * x3, 6)::DECIMAL(18,6)), 0)::DECIMAL(18,6) AS g3,
+         |    GREATEST(count(*), 1)::DOUBLE AS n
          |  FROM p$k),
          |wt$k AS MATERIALIZED (SELECT
          |    (w0 + ROUND((0.1 * g0)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w0,

@@ -394,7 +394,16 @@ class PropertiesSpec extends SparkSpec {
       "compSplit"   -> (() => Dedup.splitByComponent(d,
         Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()),
       "protoPrune"  -> (() => Similarity.prototypicalityPrune(
-        e, col("vec_id") < 4, q = 0.25).count()))
+        e, col("vec_id") < 4, q = 0.25).count()),
+      "boilStrip"   -> (() => Dedup.stripBoilerplate(d).count()),
+      "boilIncr"    -> (() => Dedup.stripBoilerplateAgainst(d,
+        Dedup.boilerplateIndex(d)).count()),
+      "dsir"        -> (() => TextAnalysis.dsirSelect(d, col("lang") === "en", 5).count()),
+      "bpeEncode"   -> (() => TextAnalysis.bpeEncode(d).count()),
+      "kmeansExact" -> (() => Similarity.refineCentroidsExact(e, col("vec_id") < 4).count()),
+      "qualityGate" -> (() => TextAnalysis.qualityClassifierScores(
+        d.withColumn("n_chars", length(col("text")).cast("long"))).count()),
+      "textRank"    -> (() => TextAnalysis.textRankKeywords(d).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
