@@ -476,7 +476,11 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("__c"))
     contrib.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
-        round(sum(col("__c")).cast("double"), 4).as("score"))
+        // round the EXACT decimal, cast after: a sum like 0.266350 cast
+        // to double first becomes 0.26634999…, and the two engines then
+        // disagree at the half boundary (Spark rounds the shortest repr,
+        // DuckDB the binary value — bit this at sf0.1)
+        round(sum(col("__c")), 4).cast("double").as("score"))
   }
 
   /** Unigram language-model scoring (the CCNet-style curation signal:
@@ -1003,7 +1007,8 @@ object TextAnalysis {
       .groupBy(col("stratum"))
       .agg(max(col("n_s")).as("n_tokens"),
         count(lit(1)).as("n_terms"),
-        round(sum(col("__kl")).cast("double"), 6).as("kl"))
+        // decimal-first round (the bm25Scores half-boundary note)
+        round(sum(col("__kl")), 6).cast("double").as("kl"))
   }
 
   /** DSIR-style importance selection (Xie et al., NeurIPS 2023 — Data

@@ -1693,7 +1693,7 @@ object ExtensionQueries {
         |      / (n_s::DOUBLE * c_t::DOUBLE)), 9)::DECIMAL(26,9) AS kl
         |  FROM cst JOIN ct USING (term) JOIN ns USING (stratum) CROSS JOIN n)
         |SELECT stratum, max(n_s)::BIGINT AS n_tokens, count(*)::BIGINT AS n_terms,
-        |  ROUND(sum(kl)::DOUBLE, 6) AS kl
+        |  ROUND(sum(kl), 6)::DOUBLE AS kl
         |FROM k GROUP BY stratum ORDER BY stratum""".stripMargin,
     // JL projection: the SAME plane literals as x69's fingerprints (one
     // srpPlanes definition prints both), shared fold dots, ROUND(·,6)
@@ -2643,7 +2643,7 @@ object ExtensionQueries {
          |      6)::DECIMAL(18,6) AS c
          |  FROM tf JOIN dfq d USING (term) CROSS JOIN stats s)
          |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
-         |  ROUND(sum(c)::DOUBLE, 4) AS score
+         |  ROUND(sum(c), 4)::DOUBLE AS score
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x19_split" ->
