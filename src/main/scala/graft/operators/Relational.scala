@@ -731,4 +731,58 @@ object Relational {
           .when(col("__oh") =!= col("__nh"), "changed").as("change"): _*)
       .filter(col("change").isNotNull)
   }
+
+  /** Population-stability-index drift report between two corpus
+    * snapshots — the monitoring statistic a production pipeline
+    * computes per numeric feature after every ingest (PSI < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 act): bucket the BASELINE
+    * distribution into `buckets` exact quantile bins, count both
+    * sides into those FIXED bins, and score Σ (p−q)·ln(p/q). The
+    * complement to [[snapshotDiff]] (row-level) and x79's source KL
+    * (term-level): distribution-level drift on any numeric column.
+    *
+    * Determinism: thresholds are exact percentiles over the baseline
+    * rounded to 4 (the pinned quantile_cont parity), bucket assignment
+    * is an integer `size(filter(thr, t -> v > t))` — no float compare
+    * ambiguity beyond the rounded thresholds — and the add-½ smoothed
+    * shares (empty bins stay finite) feed identical double expressions
+    * on both engines, each ROUND-6. Per-bucket terms are published, so
+    * the total is an exact client-side sum of 6-decimal values.
+    *
+    * Scale shape: one percentile aggregate over the baseline (the
+    * thresholds broadcast as ONE array row), two bucket-count
+    * aggregates with map-side partials (≤ `buckets` groups), a
+    * `buckets`-row spine join, and a 2-scalar totals broadcast —
+    * nothing corpus-sized past the counts, no window, no sort.
+    * Output: bucket (0-based), p_old, p_new, psi_term (round 6). */
+  def psiDrift(baseline: DataFrame, recent: DataFrame, value: String,
+               buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val pcts = (1 until buckets).map(i => i.toDouble / buckets)
+    val thr = baseline
+      .agg(expr(s"percentile($value, array(${pcts.mkString(", ")}))").as("__t"))
+      .select(transform(col("__t"), t => round(t, 4)).as("__t"))
+    def bucketCounts(df: DataFrame, as: String) =
+      df.crossJoin(broadcast(thr))
+        .select(size(filter(col("__t"),
+          t => col(value).cast("double") > t)).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as(as))
+    val spine = baseline.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("__b"))
+    val joined = spine
+      .join(bucketCounts(baseline, "__co"), Seq("__b"), "left_outer")
+      .join(bucketCounts(recent, "__cn"), Seq("__b"), "left_outer")
+      .select(col("__b"),
+        coalesce(col("__co"), lit(0L)).as("__co"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val tot = joined.agg(sum(col("__co")).cast("double").as("__no"),
+      sum(col("__cn")).cast("double").as("__nn"))
+    val smooth = 0.5 * buckets  // folded once, printed into the oracle
+    val p = (col("__co").cast("double") + lit(0.5)) / (col("__no") + lit(smooth))
+    val q = (col("__cn").cast("double") + lit(0.5)) / (col("__nn") + lit(smooth))
+    joined.crossJoin(broadcast(tot))
+      .select(col("__b").cast("long").as("bucket"),
+        round(p, 6).as("p_old"), round(q, 6).as("p_new"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+  }
 }

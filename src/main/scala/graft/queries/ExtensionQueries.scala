@@ -1069,7 +1069,23 @@ object ExtensionQueries {
     TextAnalysis.textRankKeywords(docs(s, dir), minCount = trMinCount,
       iters = trIters, damping = prDamping, k = trK)
 
+  /** x102 parameter, shared with the oracle SQL: decile bins. */
+  val psiBuckets = 10
+
+  /** x102: PSI drift of the token-count distribution, batch slice
+    * (doc_id%10==0, the x64/x98 split) vs the baseline corpus. */
+  def x102(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val d = docs(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("v"))
+    Relational.psiDrift(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "v", buckets = psiBuckets)
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x102_psi_drift"    -> (x102 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -2414,6 +2430,39 @@ object ExtensionQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // spans hash to md5 keys before the df aggregate, exactly as the
     // Spark operator shuffles them (32-byte keys, never span text)
+    // x102: thresholds are baseline deciles at the pinned ROUND-4
+    // quantile parity; bucket assignment is integer list-filter
+    // counting; shares + psi terms are identical double expressions
+    // (add-½ smoothing keeps empty bins finite) — psi_term is a
+    // ROUND of a long-mantissa product, not a pure decimal cast
+    "x102_psi_drift" -> {
+      val pcts = (1 until psiBuckets).map(i => i.toDouble / psiBuckets).mkString(", ")
+      val sm = 0.5 * psiBuckets
+      s"""WITH dv AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS v
+         |  FROM documents),
+         |o AS (SELECT v FROM dv WHERE doc_id % 10 <> 0),
+         |nw AS (SELECT v FROM dv WHERE doc_id % 10 = 0),
+         |t AS (SELECT list_transform(quantile_cont(v, [$pcts]),
+         |                            x -> ROUND(x, 4)) AS thr FROM o),
+         |ob AS (SELECT len(list_filter(t.thr, x -> o.v::DOUBLE > x)) AS b
+         |       FROM o CROSS JOIN t),
+         |oc AS (SELECT b, count(*)::BIGINT AS co FROM ob GROUP BY b),
+         |nb AS (SELECT len(list_filter(t.thr, x -> nw.v::DOUBLE > x)) AS b
+         |       FROM nw CROSS JOIN t),
+         |nc AS (SELECT b, count(*)::BIGINT AS cn FROM nb GROUP BY b),
+         |sp AS (SELECT unnest(range(0, $psiBuckets)) AS b),
+         |j AS (SELECT sp.b, COALESCE(oc.co, 0) AS co, COALESCE(nc.cn, 0) AS cn
+         |      FROM sp LEFT JOIN oc USING (b) LEFT JOIN nc USING (b)),
+         |tt AS (SELECT sum(co)::DOUBLE AS no, sum(cn)::DOUBLE AS nn FROM j)
+         |SELECT b::BIGINT AS bucket,
+         |  ROUND((co::DOUBLE + 0.5) / (no + $sm), 6) AS p_old,
+         |  ROUND((cn::DOUBLE + 0.5) / (nn + $sm), 6) AS p_new,
+         |  ROUND(((co::DOUBLE + 0.5) / (no + $sm) - (cn::DOUBLE + 0.5) / (nn + $sm))
+         |    * ln(((co::DOUBLE + 0.5) / (no + $sm)) / ((cn::DOUBLE + 0.5) / (nn + $sm))),
+         |    6) AS psi_term
+         |FROM j CROSS JOIN tt ORDER BY bucket""".stripMargin
+    },
     // x97: assignment is x12's raw-sim/c_id-tiebreak read; the centroid
     // update rounds each float component to 6 → DECIMAL(18,6) before an
     // exact order-free sum (the x37 discipline applied to vector math),

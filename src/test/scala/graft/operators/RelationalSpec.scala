@@ -429,4 +429,26 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1))).toSet
     assert(out == Set(Some(1) -> "a", Some(2) -> "b", None -> "orphan"))
   }
+
+  test("psiDrift: identical snapshots score 0 everywhere; a shift moves mass where expected") {
+    import spark.implicits._
+    val base = (1L to 100L).map(v => Tuple1(v)).toDF("v")
+    // identical distributions: every term is exactly 0 (p == q bucket-wise)
+    val same = Relational.psiDrift(base, base, "v", buckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+    assert(same.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    same.foreach { case (b, (p, q, t)) =>
+      assert(p == q && t == 0.0, s"bucket $b: p=$p q=$q term=$t") }
+    // recent mass concentrated above the baseline's top quartile: the top
+    // bucket over-represents (q > p, term > 0), the bottom under-represents
+    val high = (80L to 120L).map(v => Tuple1(v)).toDF("v")
+    val drift = Relational.psiDrift(base, high, "v", buckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(drift(3L)._2 > drift(3L)._1, s"top bucket: $drift")
+    assert(drift(0L)._2 < drift(0L)._1, s"bottom bucket: $drift")
+    // every psi term is non-negative by construction ((p-q) and ln(p/q)
+    // share sign), and the drifted total is clearly nonzero
+    drift.values.foreach { case (_, _, t) => assert(t >= 0.0) }
+    assert(drift.values.map(_._3).sum > 0.1)
+  }
 }
