@@ -479,6 +479,58 @@ object Main {
       .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
   }
 
+  /** Incremental quality-model maintenance — x99's ops twin: each
+    * arriving batch WARM-STARTS gradient descent from the latest stored
+    * weight row, runs its iterations over the batch only, and publishes
+    * the updated model next to the batch's gate scores. Carried state is
+    * the 4-value weight row — gradient descent needs nothing else — so
+    * history is never re-featurized (the same "state, not history"
+    * discipline as the novelty/KMV/CC runners). Retry-idempotent via
+    * overwrite `batch=<id>` dirs + excluding the running id when picking
+    * the warm-start row. */
+  def runIncrementalQualityModel(spark: SparkSession, docsDir: String,
+                                 outRoot: String, iters: Int = 3): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeQualityModelBatch(batch.toDF(), batchId, outRoot, iters)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/quality_model")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalQualityModel]] micro-batch, exposed for direct
+    * retry testing. */
+  private[graft] def mergeQualityModelBatch(batch: DataFrame, batchId: Long,
+                                            outRoot: String, iters: Int): Unit = {
+    val s = batch.sparkSession
+    val modelDir = s"$outRoot/model"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(modelDir))) {
+        val hist = s.read.parquet(modelDir).filter(col("batch") =!= batchId)
+        // a RETRY of the first batch sees an empty history (its own row
+        // is excluded) and must fall back to the cold start; the 1-row
+        // probe is driver-side orchestration like the fs.exists above
+        if (hist.limit(1).count() > 0) {
+          // warm-start from the LATEST persisted row (batch is the
+          // partition column of the batch=<id> layout)
+          val latest = hist.agg(max(col("batch")).as("b"))
+          Some(hist.join(org.apache.spark.sql.functions.broadcast(latest),
+            col("batch") === col("b")).drop("batch", "b"))
+        } else None
+      } else None
+    val model = prior match {
+      case Some(p) => graft.operators.TextAnalysis.logisticQualityModelFrom(batch, p, iters)
+      case None    => graft.operators.TextAnalysis.logisticQualityModel(batch, iters)
+    }
+    graft.Persist.cut(model)
+      .write.mode("overwrite").parquet(s"$modelDir/batch=$batchId")
+  }
+
   /** Incremental KMV sketch maintenance — x74's ops twin: each arriving
     * batch of documents writes ITS OWN per-stratum sketch into a
     * `batch=<id>` directory (overwrite ⇒ retry-idempotent, the

@@ -1116,6 +1116,24 @@ object TextAnalysis {
   def logisticQualityWeights(docs: DataFrame, iters: Int = 3): DataFrame =
     lrLoop(docs, iters)._1
 
+  /** The trained model as a persistable artifact: the final 1-row
+    * DECIMAL weight frame (w0..w3). Feed it back through
+    * [[logisticQualityWeightsFrom]] to WARM-START training on the next
+    * ingest batch — incremental model maintenance without ever
+    * re-reading history (gradient descent only needs the current
+    * parameters, so the weight row IS the whole carried state). */
+  def logisticQualityModel(docs: DataFrame, iters: Int = 3): DataFrame =
+    lrLoop(docs, iters)._2
+
+  /** [[logisticQualityModel]] continued from stored weights: run `iters`
+    * further mean-gradient iterations over `docs` starting from `init`
+    * (a (w0..w3) DECIMAL(18,6) row, e.g. yesterday's model). Exactly
+    * equivalent to having run those iterations inline — the spec pins
+    * batch-wise warm-start == one continuous loop on the same data. */
+  def logisticQualityModelFrom(docs: DataFrame, init: DataFrame,
+                               iters: Int = 3): DataFrame =
+    lrLoop(docs, iters, Some(init))._2
+
   /** Surface features shared by the train and apply passes — doubles
     * derived from integers by identical expressions on both engines. */
   private def lrFeatures(docs: DataFrame): DataFrame =
@@ -1129,13 +1147,16 @@ object TextAnalysis {
   /** Shared train loop behind [[logisticQualityWeights]] /
     * [[qualityClassifierScores]]: (the per-iteration weight trace, the
     * final 1-row DECIMAL weight frame). */
-  private def lrLoop(docs: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+  private def lrLoop(docs: DataFrame, iters: Int,
+                     init: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one iteration")
     val feats = graft.Persist.cut(lrFeatures(docs).drop("doc_id"))
     val lr = new java.math.BigDecimal("0.1")
-    var w = feats.sparkSession.range(1).select(
-      (0 to 3).map(j => lit(java.math.BigDecimal.ZERO)
-        .cast("decimal(18,6)").as(s"w$j")): _*)
+    var w = init.map(_.select(
+      (0 to 3).map(j => col(s"w$j").cast("decimal(18,6)").as(s"w$j")): _*))
+      .getOrElse(feats.sparkSession.range(1).select(
+        (0 to 3).map(j => lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(18,6)").as(s"w$j")): _*))
     var out: Option[DataFrame] = None
     for (it <- 1 to iters) {
       val m = col("w0").cast("double") +

@@ -528,6 +528,39 @@ class PipelineSpec extends SparkSpec {
     assert(retried == got, "retry diverged: the batch saw its own counts")
   }
 
+  test("O2 streaming: incremental quality model warm-starts from the prior wave's weights") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_lr_in").toString
+    val root = Files.createTempDirectory("graft_lr_out").toString
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, "src0", text.length.toLong)
+    val w1 = Seq(doc(1L, "a b c d e f", "en"), doc(2L, "a b", "fr"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w2 = Seq(doc(3L, "a b c d e f g h", "en"), doc(4L, "c", "de"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    w1.write.mode("append").parquet(src)
+    Main.runIncrementalQualityModel(spark, src, root, iters = 2)
+    w2.write.mode("append").parquet(src)
+    Main.runIncrementalQualityModel(spark, src, root, iters = 2)
+    def weights(df: org.apache.spark.sql.DataFrame) = df
+      .select("w0", "w1", "w2", "w3").collect().map(r =>
+        (0 to 3).map(j => r.getDecimal(j)).toSeq).toSeq
+    val stored = spark.read.parquet(s"$root/model")
+    val latest = stored.filter(col("batch") === 1).drop("batch")
+    // == the batch twin: wave-2 training warm-started from wave-1's model
+    val twin = graft.operators.TextAnalysis.logisticQualityModelFrom(
+      w2, graft.operators.TextAnalysis.logisticQualityModel(w1, 2), 2)
+    assert(weights(latest) == weights(twin), "warm-start diverged from the twin")
+    // warm-start actually carried state: cold-trained wave 2 differs
+    val cold = graft.operators.TextAnalysis.logisticQualityModel(w2, 2)
+    assert(weights(latest) != weights(cold), "wave-2 model ignored wave 1")
+    // a RETRY of batch 1 must re-derive the same model (not see itself)
+    Main.mergeQualityModelBatch(w2, 1L, root, 2)
+    val retried = spark.read.parquet(s"$root/model")
+      .filter(col("batch") === 1).drop("batch")
+    assert(weights(retried) == weights(twin), "retry diverged")
+  }
+
   test("O2 streaming: incremental KMV estimates equal the whole-corpus sketch across waves") {
     import spark.implicits._
     import graft.sources.Tables
