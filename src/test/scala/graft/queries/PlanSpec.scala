@@ -338,4 +338,20 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).isEmpty, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x97: the exact Lloyd update is partial-aggregated, window-free") {
+    val p = plan(ExtensionQueries.x97)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
+    val p = plan(ExtensionQueries.x102)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    // an NTILE formulation would rangepartition the CORPUS on the value
+    // column; the threshold-array formulation's only range exchange is
+    // the 10-row output ORDER BY bucket
+    val rp = "rangepartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(rp.subsetOf(Set("bucket")), s"corpus-side range exchange: $rp\n$p")
+  }
 }
