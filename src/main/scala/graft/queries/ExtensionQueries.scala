@@ -1084,8 +1084,17 @@ object ExtensionQueries {
       .orderBy("bucket")
   }
 
+  /** x103: ICLM-style semantic packing — x25's bin rule with the x13
+    * 16-entry fixed codebook's cluster as the shard key (subShards = 1:
+    * whole-cluster adjacency). */
+  def x103(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packBySimilarity(docs(s, dir), emb(s, dir),
+        col("vec_id") < nearDupCentroids, budgetTokens = packBudget)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
+    "x103_semantic_pack" -> (x103 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -2430,6 +2439,27 @@ object ExtensionQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // spans hash to md5 keys before the df aggregate, exactly as the
     // Spark operator shuffles them (32-byte keys, never span text)
+    // x103: x25's exact window bin rule, shard := x13's assignment
+    // cluster (subShards = 1 ⇒ shard IS the cluster)
+    "x103_semantic_pack" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+         |              WHERE vec_id < $nearDupCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, c_id AS cluster FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |   FROM cs) WHERE rn = 1),
+         |t AS (SELECT d.doc_id,
+         |  len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         |  a.cluster AS shard
+         | FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  (COALESCE(SUM(GREATEST(n_tokens, 1)) OVER (PARTITION BY shard ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   // $packBudget)::BIGINT AS bin
+         | FROM t)
+         |SELECT doc_id, shard AS cluster, bin, n_tokens FROM p
+         |ORDER BY doc_id""".stripMargin,
     // x102: thresholds are baseline deciles at the pinned ROUND-4
     // quantile parity; bucket assignment is integer list-filter
     // counting; shares + psi terms are identical double expressions

@@ -623,6 +623,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("packBySimilarity: same-cluster docs share bins; sub-sharding splits deterministically") {
+    import graft.operators.TextAnalysis
+    // two orthogonal clusters (seeds 0 and 1); docs 0,2,3 near seed 0,
+    // docs 1,4 near seed 1; 3-token docs, budget 6 -> 2 docs per bin
+    val emb = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.8f, 0.2f), 4L -> Seq(0.1f, 0.9f)
+    ).toDF("vec_id", "embedding")
+    val docs = (0L to 4L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.packBySimilarity(docs, emb, col("vec_id") < 2, 6L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // cluster 0 = {0,2,3}: bins (0,0,1) in doc_id order; cluster 1 = {1,4}: (0,0)
+    assert(out == Map(0L -> (0L, 0L), 2L -> (0L, 0L), 3L -> (0L, 1L),
+      1L -> (1L, 0L), 4L -> (1L, 0L)), out.toString)
+    // subShards=2: cluster recovered identically, bins only ever split finer
+    val sub = TextAnalysis.packBySimilarity(docs, emb, col("vec_id") < 2, 6L, subShards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sub.view.mapValues(_._1).toMap == out.view.mapValues(_._1).toMap,
+      "sub-sharding changed cluster attribution")
+  }
+
   test("qualityClassifierScores: median gate splits, score order follows the learned direction") {
     import graft.operators.TextAnalysis
     // en docs are long: the classifier learns length ∝ quality, so the
