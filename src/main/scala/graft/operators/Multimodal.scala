@@ -121,6 +121,56 @@ object Multimodal {
           col("total_chunks"), 4).as("dup_ratio"))
   }
 
+  /** Content-defined chunking (CDC) — the insertion-resilient binary
+    * dedup cut a production media/backup pipeline uses instead of fixed
+    * windows: a boundary falls wherever the fingerprint of the LAST
+    * `window` bytes lands on 0 mod `mask`, so an insertion near the
+    * start re-synchronizes within one window and every downstream chunk
+    * hash still matches ([[chunkBinary]]'s fixed grid would shift every
+    * chunk after the edit). Expected chunk size ≈ `mask` bytes;
+    * `maxChunk` force-splits pathological cut droughts POST-HOC (a pure
+    * per-segment computation, so it stays expression-level; a minimum
+    * size would suppress cuts SEQUENTIALLY and is deliberately out of
+    * scope). The fingerprint is the md5Mod discipline over the window
+    * bytes — O(n·window) hashing, the expression-level stand-in whose
+    * cut semantics match a rolling Gear/Rabin hash; at 100 TB swap the
+    * fingerprint for a codegen'd rolling-hash `Expression` (the
+    * HexParityMask precedent), leaving every cut position identical.
+    *
+    * Scale shape: the per-byte explode is narrow (offsets + window
+    * hashes, content never shuffles); cut→segment stitching is a LEAD
+    * window over each payload's cut list (bounded by n_bytes/mask rows
+    * per payload); chunk hashes ship 32 bytes. Payloads shorter than
+    * one window emit a single whole-payload chunk via the sentinel cut
+    * at 0. Output: doc_id, off_bytes (0-based), chunk_bytes, h. */
+  def cdcChunks(bin: DataFrame, window: Int = 8, mask: Int = 64,
+                maxChunk: Int = 256): DataFrame = {
+    require(window >= 1 && mask >= 2 && maxChunk >= 1, "degenerate CDC parameters")
+    val base = bin.filter(col("meta.n_bytes") > 0)
+      .select(col("doc_id"), col("content"), col("meta.n_bytes").as("__nb"))
+    def fp(c: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(mask.toLong))
+    val cuts = base.filter(col("__nb") >= window)
+      .select(col("doc_id"), col("content"), col("__nb"),
+        explode(sequence(lit(window.toLong), col("__nb"))).as("__i"))
+      // a cut at the very end delimits nothing
+      .filter(col("__i") < col("__nb") &&
+        fp(expr(s"substring(content, __i - ${window - 1}, $window)")) === 0)
+      .select(col("doc_id"), col("content"), col("__nb"), col("__i").as("cut"))
+    val sentinel = base.select(col("doc_id"), col("content"), col("__nb"),
+      lit(0L).as("cut"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cut"))
+    sentinel.unionByName(cuts)
+      .withColumn("__end", coalesce(lead(col("cut"), 1).over(wd), col("__nb")))
+      .filter(col("__end") > col("cut"))
+      .select(col("doc_id"), col("content"), col("__end"),
+        explode(expr(s"sequence(cut, __end - 1, $maxChunk)")).as("off"))
+      .select(col("doc_id"), col("off").as("off_bytes"),
+        least(lit(maxChunk.toLong), col("__end") - col("off")).as("chunk_bytes"),
+        md5(expr(s"substring(content, off + 1, least($maxChunk, __end - off))")).as("h"))
+  }
+
   /** Output row of the partition-batched decoder. */
   final case class DecodedFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
                                    features: Array[Float])

@@ -1092,9 +1092,22 @@ object ExtensionQueries {
         col("vec_id") < nearDupCentroids, budgetTokens = packBudget)
       .orderBy("doc_id")
 
+  /** x104 parameters, shared with the oracle SQL: 8-byte fingerprint
+    * window, expected chunk ≈ 64 bytes, 256-byte force-split. */
+  val cdcWindow = 8
+  val cdcMask = 64
+  val cdcMax = 256
+
+  /** x104: content-defined chunking over the binary payload table. */
+  def x104(s: SparkSession, dir: String): DataFrame =
+    Multimodal.cdcChunks(Multimodal.asBinaryTable(docs(s, dir)),
+        window = cdcWindow, mask = cdcMask, maxChunk = cdcMax)
+      .orderBy("doc_id", "off_bytes")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
     "x103_semantic_pack" -> (x103 _),
+    "x104_cdc_chunks"   -> (x104 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -2439,6 +2452,29 @@ object ExtensionQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // spans hash to md5 keys before the df aggregate, exactly as the
     // Spark operator shuffles them (32-byte keys, never span text)
+    // x104: the fixture payload is ASCII text encoded to bytes, so the
+    // oracle's VARCHAR substrings hash the identical bytes Spark's
+    // BINARY substrings do; fingerprint is the md5Mod twin expression
+    "x104_cdc_chunks" ->
+      s"""WITH b AS (SELECT doc_id, text AS content, length(text)::BIGINT AS nb
+         |           FROM documents WHERE length(text) > 0),
+         |cuts AS (SELECT doc_id, i::BIGINT AS cut FROM b
+         |  CROSS JOIN UNNEST(range($cdcWindow, nb + 1)) r(i)
+         |  WHERE i < nb AND ('0x' || substring(md5(
+         |      substring(content, (i - ${cdcWindow - 1})::INT, $cdcWindow)), 1, 15))::BIGINT
+         |    % $cdcMask = 0),
+         |allc AS (SELECT doc_id, 0::BIGINT AS cut FROM b
+         |         UNION ALL SELECT doc_id, cut FROM cuts),
+         |seg AS (SELECT a.doc_id, a.cut,
+         |    COALESCE(LEAD(a.cut) OVER (PARTITION BY a.doc_id ORDER BY a.cut), b.nb) AS e,
+         |    b.content
+         |  FROM allc a JOIN b USING (doc_id))
+         |SELECT doc_id, off::BIGINT AS off_bytes,
+         |  LEAST($cdcMax, e - off)::BIGINT AS chunk_bytes,
+         |  md5(substring(content, (off + 1)::INT, LEAST($cdcMax, e - off)::INT)) AS h
+         |FROM seg CROSS JOIN UNNEST(range(cut, e, $cdcMax)) u(off)
+         |WHERE e > cut
+         |ORDER BY doc_id, off_bytes""".stripMargin,
     // x103: x25's exact window bin rule, shard := x13's assignment
     // cluster (subShards = 1 ⇒ shard IS the cluster)
     "x103_semantic_pack" ->

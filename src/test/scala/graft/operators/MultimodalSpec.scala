@@ -99,4 +99,32 @@ class MultimodalSpec extends SparkSpec {
     // doc 3: nothing shared, nothing repeated
     assert(out(3L)._1 == 0L && out(3L)._2 == 3L)
   }
+
+  test("cdcChunks: exact coverage, max-size bound, boundaries resynchronize after insertion") {
+    // deterministic pseudo-random ASCII payload (LCG) so cuts actually fire
+    val payload = {
+      var s = 12345L
+      (1 to 400).map { _ => s = (s * 1103515245L + 12345L) & 0x7fffffffL
+        ('a' + (s % 26)).toChar }.mkString
+    }
+    def chunks(text: String) = Multimodal.cdcChunks(
+        Multimodal.asBinaryTable(Seq((1L, text)).toDF("doc_id", "text")),
+        window = 4, mask = 16, maxChunk = 64)
+      .orderBy("off_bytes").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    val a = chunks(payload)
+    // exact coverage: contiguous offsets, sizes sum to the payload, cap respected
+    assert(a.head._1 == 0L)
+    a.sliding(2).foreach { case Array((o1, s1, _), (o2, _, _)) =>
+      assert(o1 + s1 == o2, s"gap at $o1+$s1 != $o2"); case _ => }
+    assert(a.map(_._2).sum == payload.length.toLong)
+    assert(a.forall(_._2 <= 64L))
+    assert(a.length > 3, s"fixture produced too few chunks (${a.length}) to exercise resync")
+    // insertion resilience: prepend 3 bytes; all chunks after the first
+    // resynchronized boundary hash identically (a fixed grid shifts ALL)
+    val b = chunks("XYZ" + payload)
+    val shared = a.map(_._3).toSet intersect b.map(_._3).toSet
+    assert(shared.size >= a.length - 2,
+      s"only ${shared.size}/${a.length} chunk hashes survived the insertion")
+  }
 }
