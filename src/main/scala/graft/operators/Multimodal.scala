@@ -171,6 +171,29 @@ object Multimodal {
         md5(expr(s"substring(content, off + 1, least($maxChunk, __end - off))")).as("h"))
   }
 
+  /** [[duplicateChunks]] on [[cdcChunks]]' cut grid — the dedup ratio
+    * CDC exists to compute: because boundaries are content-defined, a
+    * re-uploaded payload with a few inserted bytes still shares almost
+    * every chunk hash with the original, so the ratio SEES the mirror
+    * (the fixed grid's ratio collapses to ~0 after one insertion).
+    * Instance counting, shared discipline and output shape with
+    * duplicateChunks: doc_id, dup_chunks, total_chunks, dup_ratio. */
+  def cdcDuplicateStats(bin: DataFrame, window: Int = 8, mask: Int = 64,
+                        maxChunk: Int = 256, minDf: Int = 2): DataFrame = {
+    val ch = graft.Persist.cut(
+      cdcChunks(bin, window, mask, maxChunk).select(col("doc_id"), col("h")))
+    val dup = ch.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"))
+    val dupPerDoc = ch.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_chunks"))
+    ch.groupBy(col("doc_id")).agg(count(lit(1)).as("total_chunks"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        col("total_chunks"),
+        round(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
+          col("total_chunks"), 4).as("dup_ratio"))
+  }
+
   /** Output row of the partition-batched decoder. */
   final case class DecodedFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
                                    features: Array[Float])

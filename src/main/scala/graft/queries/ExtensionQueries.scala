@@ -1104,10 +1104,17 @@ object ExtensionQueries {
         window = cdcWindow, mask = cdcMask, maxChunk = cdcMax)
       .orderBy("doc_id", "off_bytes")
 
+  /** x105: CDC-grid dedup ratio per payload. */
+  def x105(s: SparkSession, dir: String): DataFrame =
+    Multimodal.cdcDuplicateStats(Multimodal.asBinaryTable(docs(s, dir)),
+        window = cdcWindow, mask = cdcMask, maxChunk = cdcMax)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
     "x103_semantic_pack" -> (x103 _),
     "x104_cdc_chunks"   -> (x104 _),
+    "x105_cdc_dedup"    -> (x105 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -1475,6 +1482,30 @@ object ExtensionQueries {
        |tedges AS (SELECT a AS src, b AS dst FROM tp
        |           UNION ALL SELECT b, a FROM tp),
        |${prChainCtes(trIters, "t")}""".stripMargin
+
+  /** x104/x105's shared CDC chunk table (doc_id, off_bytes, chunk_bytes,
+    * h): content-defined cuts + sentinel + max split — ONE definition so
+    * the chunk listing and the dup ratio cannot drift. MATERIALIZED:
+    * x105 reads ch three ways. */
+  private lazy val cdcCtes: String =
+    s"""b AS MATERIALIZED (SELECT doc_id, text AS content, length(text)::BIGINT AS nb
+       |           FROM documents WHERE length(text) > 0),
+       |cuts AS MATERIALIZED (SELECT doc_id, i::BIGINT AS cut FROM b
+       |  CROSS JOIN UNNEST(range($cdcWindow, nb + 1)) r(i)
+       |  WHERE i < nb AND ('0x' || substring(md5(
+       |      substring(content, (i - ${cdcWindow - 1})::INT, $cdcWindow)), 1, 15))::BIGINT
+       |    % $cdcMask = 0),
+       |allc AS MATERIALIZED (SELECT doc_id, 0::BIGINT AS cut FROM b
+       |         UNION ALL SELECT doc_id, cut FROM cuts),
+       |seg AS MATERIALIZED (SELECT a.doc_id, a.cut,
+       |    COALESCE(LEAD(a.cut) OVER (PARTITION BY a.doc_id ORDER BY a.cut), b.nb) AS e,
+       |    b.content
+       |  FROM allc a JOIN b USING (doc_id)),
+       |ch AS MATERIALIZED (SELECT doc_id, off::BIGINT AS off_bytes,
+       |    LEAST($cdcMax, e - off)::BIGINT AS chunk_bytes,
+       |    md5(substring(content, (off + 1)::INT, LEAST($cdcMax, e - off)::INT)) AS h
+       |  FROM seg CROSS JOIN UNNEST(range(cut, e, $cdcMax)) u(off)
+       |  WHERE e > cut)""".stripMargin
 
   /** x91/x96's generated merge chain: `bpeRounds` unrolled rounds, each =
     * pair counts over the previous symbol table → deterministic argmax
@@ -2456,25 +2487,21 @@ object ExtensionQueries {
     // oracle's VARCHAR substrings hash the identical bytes Spark's
     // BINARY substrings do; fingerprint is the md5Mod twin expression
     "x104_cdc_chunks" ->
-      s"""WITH b AS (SELECT doc_id, text AS content, length(text)::BIGINT AS nb
-         |           FROM documents WHERE length(text) > 0),
-         |cuts AS (SELECT doc_id, i::BIGINT AS cut FROM b
-         |  CROSS JOIN UNNEST(range($cdcWindow, nb + 1)) r(i)
-         |  WHERE i < nb AND ('0x' || substring(md5(
-         |      substring(content, (i - ${cdcWindow - 1})::INT, $cdcWindow)), 1, 15))::BIGINT
-         |    % $cdcMask = 0),
-         |allc AS (SELECT doc_id, 0::BIGINT AS cut FROM b
-         |         UNION ALL SELECT doc_id, cut FROM cuts),
-         |seg AS (SELECT a.doc_id, a.cut,
-         |    COALESCE(LEAD(a.cut) OVER (PARTITION BY a.doc_id ORDER BY a.cut), b.nb) AS e,
-         |    b.content
-         |  FROM allc a JOIN b USING (doc_id))
-         |SELECT doc_id, off::BIGINT AS off_bytes,
-         |  LEAST($cdcMax, e - off)::BIGINT AS chunk_bytes,
-         |  md5(substring(content, (off + 1)::INT, LEAST($cdcMax, e - off)::INT)) AS h
-         |FROM seg CROSS JOIN UNNEST(range(cut, e, $cdcMax)) u(off)
-         |WHERE e > cut
+      s"""WITH $cdcCtes
+         |SELECT doc_id, off_bytes, chunk_bytes, h FROM ch
          |ORDER BY doc_id, off_bytes""".stripMargin,
+    // x105: the SAME chunk CTE aggregated to the per-payload dup ratio
+    // (instance counting — the x85 convention on the CDC grid)
+    "x105_cdc_dedup" ->
+      s"""WITH $cdcCtes,
+         |d AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
+         |dp AS (SELECT ch.doc_id, count(*)::BIGINT AS dup_chunks
+         |       FROM ch JOIN d USING (h) GROUP BY ch.doc_id),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS total_chunks FROM ch GROUP BY doc_id)
+         |SELECT tot.doc_id, COALESCE(dp.dup_chunks, 0)::BIGINT AS dup_chunks,
+         |  tot.total_chunks,
+         |  ROUND(COALESCE(dp.dup_chunks, 0)::DOUBLE / tot.total_chunks, 4) AS dup_ratio
+         |FROM tot LEFT JOIN dp USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     // x103: x25's exact window bin rule, shard := x13's assignment
     // cluster (subShards = 1 ⇒ shard IS the cluster)
     "x103_semantic_pack" ->

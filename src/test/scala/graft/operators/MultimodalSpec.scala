@@ -127,4 +127,23 @@ class MultimodalSpec extends SparkSpec {
     assert(shared.size >= a.length - 2,
       s"only ${shared.size}/${a.length} chunk hashes survived the insertion")
   }
+
+  test("cdcDuplicateStats: an inserted-bytes mirror still scores as a near-duplicate") {
+    val payload = {
+      var s = 98765L
+      (1 to 400).map { _ => s = (s * 1103515245L + 12345L) & 0x7fffffffL
+        ('a' + (s % 26)).toChar }.mkString
+    }
+    val docs = Seq(
+      (1L, payload), (2L, "XYZ" + payload),  // a mirror with 3 bytes inserted
+      (3L, payload.reverse)                  // unrelated content
+    ).toDF("doc_id", "text")
+    val out = Multimodal.cdcDuplicateStats(Multimodal.asBinaryTable(docs),
+        window = 4, mask = 16, maxChunk = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // both sides of the mirror share almost every CDC chunk
+    assert(out(1L) > 0.5 && out(2L) > 0.5, s"mirror not detected: $out")
+    // unrelated content stays clean
+    assert(out(3L) == 0.0, s"false positive: $out")
+  }
 }
