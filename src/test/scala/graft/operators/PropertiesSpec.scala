@@ -586,6 +586,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: exact coverage, contiguity, and size cap for arbitrary payloads") {
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    cases(gen).foreach { base =>
+      // nonempty tail guarantees at least one chunk and exercises the
+      // short-payload sentinel path when base is tiny
+      val texts = Seq(base + "x", base.take(2) + "y", "z")
+      val bin = Multimodal.asBinaryTable(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      val out = Multimodal.cdcChunks(bin, window = 3, mask = 4, maxChunk = 8)
+        .orderBy("doc_id", "off_bytes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val mine = out.filter(_._1 == i.toLong).map(c => (c._2, c._3))
+        assert(mine.head._1 == 0L, s"doc $i first chunk not at 0")
+        mine.sliding(2).foreach {
+          case Array((o1, s1), (o2, _)) => assert(o1 + s1 == o2, s"doc $i gap at $o1")
+          case _ =>
+        }
+        assert(mine.map(_._2).sum == t.length.toLong, s"doc $i coverage")
+        assert(mine.forall(_._2 <= 8L), s"doc $i cap")
+      }
+    }
+  }
+
   test("containmentPairs blocking stays under the rare-df closed form (boilerplate fuzz)") {
     // Adversarial corpora for the x67 shape: every doc opens with the SAME
     // boilerplate run (its shingles have df = corpus size > maxDf, so
