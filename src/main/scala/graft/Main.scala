@@ -531,6 +531,53 @@ object Main {
       .write.mode("overwrite").parquet(s"$modelDir/batch=$batchId")
   }
 
+  /** Incremental PSI drift monitoring — x102's ops twin: the FIRST batch
+    * establishes the persisted [[graft.operators.Relational.psiBaseline]]
+    * (thresholds + per-bucket counts, a `buckets`-row artifact); every
+    * later batch scores its token-count distribution against that stored
+    * reference via `psiAgainst` — no percentile pass, no history re-read
+    * (the fixed-reference-window monitoring shape). Retry-idempotent:
+    * the baseline lives in a `batch=<id>` overwrite dir and the running
+    * id is excluded on read, so a retried first batch re-establishes
+    * rather than drifting against itself. */
+  def runIncrementalPsi(spark: SparkSession, docsDir: String,
+                        outRoot: String, buckets: Int = 10): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergePsiBatch(batch.toDF(), batchId, outRoot, buckets)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/psi")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalPsi]] micro-batch, exposed for direct retry
+    * testing. */
+  private[graft] def mergePsiBatch(batch: DataFrame, batchId: Long,
+                                   outRoot: String, buckets: Int): Unit = {
+    val s = batch.sparkSession
+    val v = batch.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v"))
+    val baseDir = s"$outRoot/psi_baseline"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val priorExists = fs.exists(new org.apache.hadoop.fs.Path(baseDir)) && {
+      val hist = s.read.parquet(baseDir).filter(col("batch") =!= batchId)
+      hist.limit(1).count() > 0
+    }
+    if (!priorExists)
+      graft.Persist.cut(graft.operators.Relational.psiBaseline(v, "v", buckets))
+        .write.mode("overwrite").parquet(s"$baseDir/batch=$batchId")
+    else {
+      val base = s.read.parquet(baseDir).filter(col("batch") =!= batchId)
+        .drop("batch")
+      graft.operators.Relational.psiAgainst(v, base, "v")
+        .write.mode("overwrite").parquet(s"$outRoot/drift/batch=$batchId")
+    }
+  }
+
   /** Incremental KMV sketch maintenance — x74's ops twin: each arriving
     * batch of documents writes ITS OWN per-stratum sketch into a
     * `batch=<id>` directory (overwrite ⇒ retry-idempotent, the

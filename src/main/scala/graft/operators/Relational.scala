@@ -756,33 +756,59 @@ object Relational {
     * nothing corpus-sized past the counts, no window, no sort.
     * Output: bucket (0-based), p_old, p_new, psi_term (round 6). */
   def psiDrift(baseline: DataFrame, recent: DataFrame, value: String,
-               buckets: Int = 10): DataFrame = {
+               buckets: Int = 10): DataFrame =
+    psiAgainst(recent, psiBaseline(baseline, value, buckets), value)
+
+  /** The persistable PSI reference: per-bucket baseline counts with the
+    * ROUND-4 quantile thresholds replicated onto every row (one small
+    * artifact a monitoring runner stores ONCE and probes daily — the
+    * "state, not history" discipline applied to drift: scoring a new
+    * batch never re-reads the reference corpus). Schema: bucket, co,
+    * thr ARRAY<DOUBLE>. */
+  def psiBaseline(baseline: DataFrame, value: String,
+                  buckets: Int = 10): DataFrame = {
     require(buckets >= 2, "need at least two buckets")
     val pcts = (1 until buckets).map(i => i.toDouble / buckets)
     val thr = baseline
       .agg(expr(s"percentile($value, array(${pcts.mkString(", ")}))").as("__t"))
       .select(transform(col("__t"), t => round(t, 4)).as("__t"))
-    def bucketCounts(df: DataFrame, as: String) =
-      df.crossJoin(broadcast(thr))
-        .select(size(filter(col("__t"),
-          t => col(value).cast("double") > t)).as("__b"))
-        .groupBy(col("__b")).agg(count(lit(1)).as(as))
-    val spine = baseline.sparkSession.range(buckets)
-      .select(col("id").cast("int").as("__b"))
-    val joined = spine
-      .join(bucketCounts(baseline, "__co"), Seq("__b"), "left_outer")
-      .join(bucketCounts(recent, "__cn"), Seq("__b"), "left_outer")
-      .select(col("__b"),
-        coalesce(col("__co"), lit(0L)).as("__co"),
-        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    baseline.sparkSession.range(buckets).select(col("id").cast("int").as("__b"))
+      .join(bucketCounts(baseline, thr, value, "__co"), Seq("__b"), "left_outer")
+      .crossJoin(broadcast(thr))
+      .select(col("__b").cast("long").as("bucket"),
+        coalesce(col("__co"), lit(0L)).as("co"), col("__t").as("thr"))
+  }
+
+  /** Score a batch against a STORED [[psiBaseline]] — the incremental
+    * monitoring read: thresholds come off the artifact (no percentile
+    * pass), the batch buckets in one narrow projection, and the PSI
+    * formula runs over (stored count, batch count) pairs. Exactly
+    * equals [[psiDrift]] over the original frames (spec-pinned). */
+  def psiAgainst(recent: DataFrame, baseline: DataFrame,
+                 value: String): DataFrame = {
+    // every artifact row replicates the same thresholds; any one row works
+    val thr = broadcast(baseline.select(col("thr").as("__t")).limit(1))
+    val joined = baseline
+      .select(col("bucket").cast("int").as("__b"), col("co").as("__co"))
+      .join(bucketCounts(recent, thr, value, "__cn"), Seq("__b"), "left_outer")
+      .select(col("__b"), col("__co"), coalesce(col("__cn"), lit(0L)).as("__cn"))
     val tot = joined.agg(sum(col("__co")).cast("double").as("__no"),
-      sum(col("__cn")).cast("double").as("__nn"))
-    val smooth = 0.5 * buckets  // folded once, printed into the oracle
-    val p = (col("__co").cast("double") + lit(0.5)) / (col("__no") + lit(smooth))
-    val q = (col("__cn").cast("double") + lit(0.5)) / (col("__nn") + lit(smooth))
+      sum(col("__cn")).cast("double").as("__nn"),
+      count(lit(1)).cast("double").as("__k"))
+    val p = (col("__co").cast("double") + lit(0.5)) /
+      (col("__no") + lit(0.5) * col("__k"))
+    val q = (col("__cn").cast("double") + lit(0.5)) /
+      (col("__nn") + lit(0.5) * col("__k"))
     joined.crossJoin(broadcast(tot))
       .select(col("__b").cast("long").as("bucket"),
         round(p, 6).as("p_old"), round(q, 6).as("p_new"),
         round((p - q) * log(p / q), 6).as("psi_term"))
   }
+
+  private def bucketCounts(df: DataFrame, thr: DataFrame, value: String,
+                           as: String): DataFrame =
+    df.crossJoin(broadcast(thr))
+      .select(size(filter(col("__t"),
+        t => col(value).cast("double") > t)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as(as))
 }

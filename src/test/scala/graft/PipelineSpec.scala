@@ -561,6 +561,40 @@ class PipelineSpec extends SparkSpec {
     assert(weights(retried) == weights(twin), "retry diverged")
   }
 
+  test("O2 streaming: incremental PSI scores wave 2 against wave 1's stored baseline") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_psi_in").toString
+    val root = Files.createTempDirectory("graft_psi_out").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val w1 = (1L to 20L).map(i => doc(i, ("t " * i.toInt).trim))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w2 = (21L to 30L).map(i => doc(i, ("t " * 25).trim))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    w1.write.mode("append").parquet(src)
+    Main.runIncrementalPsi(spark, src, root, buckets = 4)
+    w2.write.mode("append").parquet(src)
+    Main.runIncrementalPsi(spark, src, root, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("bucket", "p_old", "p_new", "psi_term").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val got = rows(spark.read.parquet(s"$root/drift"))
+    // == the batch twin over token counts
+    def v(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v"))
+    val twin = rows(graft.operators.Relational.psiDrift(v(w1), v(w2), "v", buckets = 4))
+    assert(got == twin, s"runner drift diverged:\n$got\n$twin")
+    // w2 is all long docs: the top bucket over-represents
+    assert(got.last._3 > got.last._2)
+    // a RETRY of the drift batch reproduces itself
+    Main.mergePsiBatch(w2, 1L, root, 4)
+    assert(rows(spark.read.parquet(s"$root/drift")) == twin, "retry diverged")
+    // a RETRY of the BASELINE batch must re-establish, not self-drift
+    Main.mergePsiBatch(w1, 0L, root, 4)
+    val base = spark.read.parquet(s"$root/psi_baseline")
+    assert(base.count() == 4, "baseline retry corrupted the artifact")
+  }
+
   test("O2 streaming: incremental KMV estimates equal the whole-corpus sketch across waves") {
     import spark.implicits._
     import graft.sources.Tables
