@@ -345,6 +345,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("round-7 queries: no CartesianProduct anywhere (crossJoins are 1-row broadcasts)") {
+    val r7 = Seq(ExtensionQueries.x94 _, ExtensionQueries.x95 _,
+      ExtensionQueries.x96 _, ExtensionQueries.x97 _, ExtensionQueries.x98 _,
+      ExtensionQueries.x99 _, ExtensionQueries.x100 _, ExtensionQueries.x101 _,
+      ExtensionQueries.x102 _, ExtensionQueries.x103 _, ExtensionQueries.x104 _,
+      ExtensionQueries.x105 _)
+    r7.zipWithIndex.foreach { case (q, i) =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"query x${94 + i}:\n$p")
+    }
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
