@@ -31,10 +31,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] shares ONE driver heap across 32 executor threads: at 8g
-  // that is ~150MB of execution memory per task slot, and the bench's
-  // 2x113 query executions showed 2-4x per-query swings from GC pauses
-  // landing inside timed windows. 24g on the 128GiB box gives slots
-  // honest headroom; still overridable for constrained environments.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ {
+  // local[32] shares ONE driver heap across 32 executor threads: a small
+  // fixed -Xmx (~150MB of execution memory per slot at 8g) showed 2-4x
+  // per-query bench swings from GC pauses landing inside timed windows.
+  // But a fixed LARGE -Xmx over-commits small contributor machines, so
+  // the default SCALES WITH THE BOX: 20% of physical RAM (the 128GiB
+  // bench box -> ~25g, a 16GiB laptop -> ~3g, never a failed JVM start).
+  // SPARK_DRIVER_MEM pins an explicit size when you know better.
+  sys.env.get("SPARK_DRIVER_MEM") match {
+    case Some(m) => Seq(s"-Xmx$m")
+    case None    => Seq("-XX:MaxRAMPercentage=20.0")
+  }
+}

@@ -159,11 +159,16 @@ object OrderFlatten {
         (sid, poly, seg)
       }
     }.toDF("__fb_sid", "__fb_poly", "__fb_seg")
+    // pin the HTTP resolution pass: without a cut, every action on the
+    // returned frame (count-then-write, stage retry) would re-fire the
+    // whole rate-limited resolution — doubling network cost and risking
+    // inconsistent enrichment if the service's answers drift mid-run
+    val resolvedDim = graft.Persist.cut(resolved)
     // miss keys are disjoint from lookup hits (the lookup join matched on
     // the same (sid, poly) equality), so the coalesce can never overwrite
     // an already-enriched value
     enriched
-      .join(broadcast(resolved.filter(col("__fb_seg").isNotNull)),
+      .join(broadcast(resolvedDim.filter(col("__fb_seg").isNotNull)),
         col("destination_structure_id").cast("long") === col("__fb_sid") &&
           // the key frame stringified the polygon (a stable resolver key
           // whatever the source type); compare through the same cast
@@ -180,6 +185,9 @@ object OrderFlatten {
     * caller's retry/give-up policy applies — transport only, no policy
     * (the [[graft.sources.Extract.httpFetchPage]] contract). A 404 maps
     * to None (the service knows the key and has no polygon for it).
+    * The reference gates on the response's `contained` flag
+    * (app.py:63-65: segmentation is used only when contained is truthy)
+    * — an uncontained answer maps to None, never an enrichment.
     * Client and mapper build lazily PER EXECUTOR ([[transient]] — the
     * resolver ships serialized into the mapPartitions closure). */
   final case class HttpSegmentationResolver(
@@ -202,8 +210,12 @@ object OrderFlatten {
       if (resp.statusCode() == 404) None
       else {
         require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for ($sid, $poly)")
-        val seg = mapper.readTree(resp.body()).path("segmentation")
-        if (seg.isTextual) Some(seg.asText()) else None
+        val root = mapper.readTree(resp.body())
+        val seg = root.path("segmentation")
+        // contained falsy (false / missing / non-boolean) => no enrichment
+        if (root.path("contained").asBoolean(false) && seg.isTextual)
+          Some(seg.asText())
+        else None
       }
     }
   }

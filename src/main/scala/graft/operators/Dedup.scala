@@ -827,8 +827,14 @@ object Dedup {
     * Scale: the label frame ships (id, lbl) longs (the CC loop's
     * discipline); the split itself is the same narrow md5 arithmetic as
     * x19. On a non-converged iteration cap labels partition FINER than
-    * true components (residual leak possible but never new merges) —
-    * the same safe-direction caveat as [[dropNearDuplicatesCC]].
+    * true components — which for THIS operator is the unsafe direction:
+    * a cluster split across labels can still straddle a split boundary,
+    * the exact leak the operator exists to prevent. So unlike
+    * [[dropNearDuplicatesCC]] the flag is SURFACED, not swallowed:
+    * `spark.graft.cc.onNonConverged` = `warn` (default — log and accept
+    * the residual-leak labeling) | `error` (throw; the setting a
+    * leakage-audited training run wants, telling the operator to raise
+    * maxIters instead).
     * Output: doc_id, split ('train'|'val'|'test'). */
   def splitByComponent(docs: DataFrame, pairs: DataFrame,
                        trainPct: Int = 90, valPct: Int = 5,
@@ -836,7 +842,17 @@ object Dedup {
     require(trainPct + valPct < 100, "train+val must leave room for test")
     val keyed = componentLabels(pairs, maxIters) match {
       case None => docs.select(col("doc_id"), col("doc_id").as("__k"))
-      case Some((labels, _)) =>
+      case Some((labels, converged)) =>
+        if (!converged) {
+          val msg = s"splitByComponent: component labels did NOT converge " +
+            s"within maxIters=$maxIters — labels partition finer than true " +
+            "components and near-dup pairs may straddle split boundaries " +
+            "(train/test leakage). Raise maxIters."
+          docs.sparkSession.conf.get("spark.graft.cc.onNonConverged", "warn") match {
+            case "error" => throw new IllegalStateException(msg)
+            case _ => org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+          }
+        }
         docs.join(labels, docs("doc_id") === labels("id"), "left_outer")
           .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("__k"))
     }

@@ -776,7 +776,10 @@ object TextAnalysis {
     * the corpus keeps this operator the reusable artifact a pipeline
     * persists next to the merge rules.
     * Output: w, cnt, n_pieces, pieces (space-joined — symbols never
-    * contain spaces because words come from the whitespace tokenizer). */
+    * contain spaces because words come from the whitespace tokenizer).
+    * If the corpus dries out before `merges` rounds (no pair left to
+    * merge) the loop stops and the LAST symbol table is returned — the
+    * vocabulary is never emptied by an empty argmax. */
   def bpeEncode(docs: DataFrame, merges: Int = 5): DataFrame =
     bpeLoop(docs, merges)._2.select(col("w"), col("cnt"),
       size(col("syms")).cast("long").as("n_pieces"),
@@ -789,26 +792,40 @@ object TextAnalysis {
     * training for free. */
   private def bpeLoop(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     var seqs = graft.Persist.cut(words.select(col("w"),
       filter(split(col("w"), ""), s => s =!= "").as("syms"), col("cnt")))
-    var out: Option[DataFrame] = None
-    for (r <- 1 to merges) {
+    // the argmax is a 1-row driver probe (the mergeQualityModelBatch
+    // scalar convention): it BOTH supplies the rule as a literal (no
+    // per-round recompute of the TakeOrdered when the rule table is
+    // re-evaluated downstream) AND detects a dried-out corpus — without
+    // the probe an empty argmax crossJoined into seqs would silently
+    // empty the entire vocabulary
+    val ranks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= merges && !dry) {
       val prs = seqs.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
         .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
         .agg(sum(col("cnt")).as("cnt"))
-      val best = prs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
-      val row = best.select(lit(r.toLong).as("merge_rank"),
-        col("lhs"), col("rhs"), col("cnt"))
-      out = Some(out.fold(row)(_.unionByName(row)))
-      val rule = broadcast(best.select(col("lhs").as("__ma"), col("rhs").as("__mb")))
-      seqs = graft.Persist.cut(seqs.crossJoin(rule)
-        .select(col("w"), expr(bpeMergeFold).as("syms"), col("cnt")))
+      val best = prs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
+      if (best.isEmpty) dry = true // corpus dried out — keep current seqs
+      else {
+        val b = best(0)
+        val (lhs, rhs, cnt) = (b.getString(0), b.getString(1), b.getLong(2))
+        ranks += ((r.toLong, lhs, rhs, cnt))
+        val rule = broadcast(Seq((lhs, rhs)).toDF("__ma", "__mb"))
+        seqs = graft.Persist.cut(seqs.crossJoin(rule)
+          .select(col("w"), expr(bpeMergeFold).as("syms"), col("cnt")))
+        r += 1
+      }
     }
-    (out.get, seqs)
+    (ranks.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt"), seqs)
   }
 
   /** One BPE merge pass as a fold over `syms` against the (__ma, __mb)

@@ -87,6 +87,51 @@ class OrderFlattenFallbackSpec extends SparkSpec {
     assert(withFb == plain)
   }
 
+  test("HttpSegmentationResolver honours the reference's contained gate (app.py:63-65)") {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/seg", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val resp =
+        if (body.contains("\"structure_id\":1")) // contained => enrich
+          """{"contained":true,"segmentation":"URBAN-A"}"""
+        else if (body.contains("\"structure_id\":2")) // NOT contained => None
+          """{"contained":false,"segmentation":"URBAN-B"}"""
+        else if (body.contains("\"structure_id\":3")) // flag missing => None
+          """{"segmentation":"URBAN-C"}"""
+        else """{"contained":true}""" // contained but no segmentation => None
+      val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val resolver = OrderFlatten.HttpSegmentationResolver(
+        s"http://127.0.0.1:${server.getAddress.getPort}/seg")
+      assert(resolver((1L, "p")) == Some("URBAN-A"))
+      assert(resolver((2L, "p")) == None) // uncontained answer never enriches
+      assert(resolver((3L, "p")) == None)
+      assert(resolver((4L, "p")) == None)
+    } finally server.stop(0)
+  }
+
+  test("resolved dimension is pinned: downstream multi-action consumers re-use one resolution pass") {
+    FallbackCounters.calls.set(0)
+    val resolve: OrderFlatten.ResolveSegmentation = { case (sid, poly) =>
+      FallbackCounters.calls.incrementAndGet()
+      Some(s"SEG-$sid-$poly")
+    }
+    val out = OrderFlatten.enrichPolygonLabWithFallback(flatFixture, lookup, resolve)
+    out.count() // action 1
+    out.filter(col("destination_polygon_lab").isNotNull).count() // action 2
+    // 2 distinct missing keys, resolved ONCE despite two actions — the
+    // Persist.cut pin; without it this would be 4
+    assert(FallbackCounters.calls.get() == 2,
+      s"expected 2 resolver calls across two actions, saw ${FallbackCounters.calls.get()}")
+  }
+
   test("rate limiter spaces calls at the configured rps") {
     spark.conf.set("spark.graft.polygon.fallback.rps", "20") // 50ms spacing
     try {

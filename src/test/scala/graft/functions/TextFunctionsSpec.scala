@@ -678,4 +678,18 @@ class TextFunctionsSpec extends SparkSpec {
       "lower" -> ((1L, 3L, "low e r")),
       "wow"   -> ((2L, 1L, "wow"))))
   }
+
+  test("bpe loop survives a dried-out corpus: merges stop early, encode keeps the final vocab") {
+    import graft.operators.TextAnalysis
+    // single word "ab": round 1 merges a+b -> [ab]; round 2 finds NO pair.
+    // the loop must break keeping the merged vocab, not empty it
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, merges = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1L, "a", "b", 2L)), s"expected 1 merge then dry, got $m")
+    val enc = TextAnalysis.bpeEncode(docs, merges = 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(enc == Map("ab" -> ((2L, 1L, "ab"))),
+      s"dried corpus must keep the final symbol table, got $enc")
+  }
 }

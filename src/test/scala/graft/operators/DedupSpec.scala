@@ -49,6 +49,27 @@ class DedupSpec extends SparkSpec {
     assert(same == plain)
   }
 
+  test("splitByComponent surfaces a non-converged labeling per spark.graft.cc.onNonConverged") {
+    val d = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 12-node chain: min-label propagation with pointer jumping covers
+    // distance 3^k after k rounds, so maxIters = 1 cannot converge
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // default (warn): accepts the finer labeling, still total over docs
+    val out = Dedup.splitByComponent(d, chain, maxIters = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == (1L to 12L).toSet)
+    // error mode: the leakage-audited setting throws instead
+    spark.conf.set("spark.graft.cc.onNonConverged", "error")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.splitByComponent(d, chain, maxIters = 1).collect()
+      }
+      assert(ex.getMessage.contains("did NOT converge"))
+      // a converged run under the same setting is untouched
+      assert(Dedup.splitByComponent(d, chain, maxIters = 10).count() == 12)
+    } finally spark.conf.unset("spark.graft.cc.onNonConverged")
+  }
+
   test("noveltyScores: the minimum-id holder of a span scores it novel") {
     val d = docs(1L -> "a b c", 2L -> "a b x", 3L -> "b c")
     // 2-token spans: doc1 {a b, b c} introduces both; doc2 {a b, b x}
