@@ -234,6 +234,85 @@ object ExtensionQueries {
       .orderBy("event_id")
   }
 
+  /** w05: Structured Streaming watermark/late-data semantics END-TO-END —
+    * the one contract query that actually runs a streaming engine pass
+    * (everything else pins streaming twins == batch at spec level, which
+    * can't see watermark drops). The events fixture is split into THREE
+    * parquet files landed with ordered mtimes — file 0 "on-time" (80%),
+    * file 1 a small "advancer" batch (event_id % 10 = 1), file 2 a
+    * "replay/backfill" batch (event_id % 10 = 0) — and fed through
+    * [[graft.streaming.EventStream.hourlyCounts]] (watermark 2 h, append
+    * mode) via `maxFilesPerTrigger=1` + `Trigger.AvailableNow`.
+    *
+    * Three batches are LOAD-BEARING (WatermarkProbeSpec pins this):
+    * Spark's dual-watermark discipline (SPARK-40925) filters batch N's
+    * late rows against the watermark as of the END of batch N-1, while
+    * eviction uses batch N's own — so a two-batch feed never drops
+    * anything (replay rows merge before their windows are evicted). With
+    * three:
+    *   - batch 0 (on-time): watermark epoch — all rows land in state;
+    *   - batch 1 (advancer): late-filter watermark still epoch; its rows
+    *     merge, and the watermark advances to max(files 0-1) - 2 h;
+    *   - batch 2 (replay): rows whose hour-window END is STRICTLY BELOW
+    *     that watermark are DROPPED (probe: end == watermark survives) —
+    *     on this fixture that is most of them; the final ~2 h survive;
+    *   - final no-data batch: append mode emits exactly the windows with
+    *     end <= max(all ts) - 2 h (probe: inclusive); the last ~2 h of
+    *     windows stay open and never emit.
+    * The oracle replays the drop rule and the emit rule in SQL from the
+    * same max(ts) aggregates. Output is counts only: the float `s`
+    * column would re-open the x89 float-sum half-boundary class for zero
+    * extra streaming coverage.
+    *
+    * (The round-7 verdict sketched this over the x14 SESSIONIZER; that
+    * operator's emission surface — inline closes on gap-advance,
+    * batch-local straggler sessions, event-time timeouts — would make the
+    * oracle a replica of implementation internals rather than of
+    * watermark semantics. The tumbling-window aggregate pins the same
+    * engine behavior (late-row drop + watermark-gated append emission)
+    * with a semantics-level oracle; the sessionizer's own late-event
+    * handling is spec-pinned in EventStreamSpec.)
+    *
+    * Scale: the memory sink is the ORACLE surface (verify-scale only; the
+    * production path is the parquet/AvailableNow runners in Main). State
+    * is watermark-bounded, counts-only rows. */
+  def w05(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val e = Tables(s, dir, "events").select("event_id", "ts", "event_type", "value")
+    val root = Files.createTempDirectory("graft_w05")
+    val streamDir = root.resolve("stream"); Files.createDirectories(streamDir)
+    def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val f = p.getFileName.toString
+        f.startsWith("part-") && f.endsWith(".parquet")
+      }.findFirst.get
+      val dst = streamDir.resolve(name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // mtimes far apart: FileStreamSource orders by (mtime, path), and the
+    // three-batch split IS the semantics under test
+    land(e.filter(col("event_id") % 10 >= 2), "00_ontime.parquet", 1000000L)
+    land(e.filter(col("event_id") % 10 === 1), "01_advance.parquet", 2000000L)
+    land(e.filter(col("event_id") % 10 === 0), "02_replay.parquet", 3000000L)
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val sink = "w05_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).select(col("h"), col("event_type"), col("c"))
+      .orderBy("h", "event_type")
+  }
+
   /** w04: the COMPLETE stored-procedure chain Q1→Q18 end-to-end — the
     * reference's actual deliverable (DOC:129, the delivery_order_work
     * table) hash-pinned as ONE query instead of per-proc specs. Inputs
@@ -1220,6 +1299,7 @@ object ExtensionQueries {
     "w02_upsert_events" -> (w02 _),
     "w03_asof_join"     -> (w03 _),
     "w04_sp_chain"      -> (w04 _),
+    "w05_stream_watermark" -> (w05 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -2878,6 +2958,28 @@ object ExtensionQueries {
         |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events)
         | WHERE rn = 2 ORDER BY delivery_order_id""".stripMargin,
+    // the watermark rules of the three-batch streaming run in SQL
+    // (boundaries probe-pinned, WatermarkProbeSpec): (1) batch-2 replay
+    // rows are dropped when their hour window's END is STRICTLY below the
+    // post-batch-1 watermark (max non-replay ts - 2 h); (2) append mode
+    // emits exactly the windows whose end is AT OR below the final
+    // watermark (max all ts - 2 h); (3) everything else stays in state
+    // and never reaches the sink
+    "w05_stream_watermark" ->
+      """WITH am AS (SELECT ts, event_type FROM events WHERE event_id % 10 <> 0),
+        |b AS (SELECT ts, event_type FROM events WHERE event_id % 10 = 0),
+        |wm1 AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM am),
+        |wmf AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+        |kept AS (
+        |  SELECT ts, event_type FROM am
+        |  UNION ALL
+        |  SELECT ts, event_type FROM b
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR >= (SELECT w FROM wm1))
+        |SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS c
+        |FROM kept
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+        |GROUP BY h, event_type
+        |ORDER BY h, event_type""".stripMargin,
     // the full Q1→Q18 chain as one CTE pipeline: each CTE is one proc's
     // semantics (m=Q1, q4/q6/q7/q11/q16=their joins, vr+vis=the fused
     // Q14+Q15 double row_number); the final SELECT is Q3's seed plus every
