@@ -205,6 +205,17 @@ object Similarity {
     * as assignment, so probe-1 is exactly "the query's own cluster").
     * Probing more clusters trades compute for recall without touching the
     * corpus assignment — the standard IVF knob.
+    *
+    * PARTIAL RESULTS are inherent to IVF: a query whose probed clusters
+    * hold fewer than k other vectors returns fewer than k rows (down to
+    * zero for a singleton cluster). By default that is the documented
+    * contract (`allow` — the operator stays a pure plan). Set
+    * `spark.graft.ivf.onPartialK` to `warn` or `error` to make it
+    * VISIBLE: the result is pinned (Persist.cut) and probed with one
+    * extra queries-sized action counting under-k queries — `warn` logs
+    * and returns, `error` throws with the count (the setting for an
+    * evaluation harness where a silent recall hole would skew metrics;
+    * the fix is more probes or a coarser codebook).
     * Output: q_id, n_id, sim. */
   def ivfTopKWith(emb: DataFrame, centroids: DataFrame, queryPred: Column,
                   k: Int, probes: Int = 1): DataFrame = {
@@ -224,7 +235,23 @@ object Similarity {
     val scored = broadcast(qp).join(c, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), simCol(emb)(col("q_emb"), col("n_emb")).as("sim"))
-    topKPerQuery(scored, k)
+    val result = topKPerQuery(scored, k)
+    emb.sparkSession.conf.get("spark.graft.ivf.onPartialK", "allow") match {
+      case "allow" => result
+      case mode =>
+        val pinned = graft.Persist.cut(result)
+        val nQueries = q.select(col("q_id")).distinct().count()
+        val fullK = pinned.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") >= k).count()
+        if (fullK < nQueries) {
+          val msg = s"ivfTopKWith: ${nQueries - fullK} of $nQueries queries " +
+            s"returned fewer than k=$k neighbors (probed clusters too small " +
+            s"at probes=$probes) — raise probes or coarsen the codebook."
+          if (mode == "error") throw new IllegalStateException(msg)
+          else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+        }
+        pinned
+    }
   }
 
   /** Int8 scalar quantization (the classic IVF+SQ8 companion): per-vector

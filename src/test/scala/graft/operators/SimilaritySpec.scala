@@ -219,6 +219,64 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"refined probe-1 recall@$k = $recall")
   }
 
+  test("IVF centroid collapse degrades to in-cluster brute force, never garbage") {
+    // pathological seeding: every seed is the SAME vector, so all 3
+    // centroids are identical and the c_id tie-break funnels the WHOLE
+    // corpus into one cluster — probe-1 IVF must then equal brute force
+    // exactly (recall 1.0 at full in-cluster cost: graceful, not wrong)
+    val vecs = for (i <- 0L until 30L) yield
+      i -> Seq.tabulate(4)(j => (math.sin(i * 2.1 + j) / 2 + 0.6).toFloat)
+    val emb = vecs.toDF("vec_id", "embedding").repartition(3)
+    val collapsed = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(3).select(col("id")))
+      .select(col("id").as("vec_id"), col("embedding"))
+    val codebook = Similarity.centroidsOf(
+      collapsed.unionByName(emb.filter(col("vec_id") > 100)), lit(true))
+    assert(codebook.count() == 3)
+    val k = 4
+    val qp = col("vec_id") % 10 === 0
+    val ivf = Similarity.ivfTopKWith(emb, codebook, qp, k, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, qp, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute,
+      s"collapsed-codebook IVF diverged from brute force: $ivf vs $brute")
+  }
+
+  test("ivfTopKWith partial-k: silent by default (documented), visible via spark.graft.ivf.onPartialK") {
+    // two well-separated clusters; the small one holds the query + ONE
+    // mate, so probe-1 top-5 can only ever return 1 row for it
+    val emb = Seq(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.95f, 0.05f),
+      10L -> Seq(0.0f, 1.0f), 11L -> Seq(0.05f, 0.95f),
+      12L -> Seq(0.1f, 0.9f), 13L -> Seq(0.02f, 0.98f)
+    ).toDF("vec_id", "embedding")
+    val codebook = Similarity.centroidsOf(emb, col("vec_id").isin(1L, 10L))
+    val k = 5
+    // default: partial result, documented contract
+    val dflt = Similarity.ivfTopKWith(emb, codebook, col("vec_id") === 1, k)
+      .collect()
+    assert(dflt.map(_.getLong(1)).toSeq == Seq(2L),
+      s"probe-1 from the 2-member cluster must return exactly its mate")
+    // warn: same rows, no throw
+    spark.conf.set("spark.graft.ivf.onPartialK", "warn")
+    try {
+      val warned = Similarity.ivfTopKWith(emb, codebook, col("vec_id") === 1, k)
+        .collect()
+      assert(warned.map(_.getLong(1)).toSeq == Seq(2L))
+      // error: the under-k query is surfaced with its count
+      spark.conf.set("spark.graft.ivf.onPartialK", "error")
+      val ex = intercept[IllegalStateException] {
+        Similarity.ivfTopKWith(emb, codebook, col("vec_id") === 1, k).collect()
+      }
+      assert(ex.getMessage.contains("1 of 1 queries"), ex.getMessage)
+      // a full-k run under the same setting is untouched
+      assert(Similarity.ivfTopKWith(emb, codebook, col("vec_id") === 10, 3,
+        probes = 1).collect().length == 3)
+    } finally spark.conf.unset("spark.graft.ivf.onPartialK")
+  }
+
   test("CentroidAggregator + refineCentroids: cluster means, partial-agg safe") {
     val emb = Seq(
       0L  -> Seq(1.0f, 0.0f),

@@ -357,6 +357,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x57/x100: parquet scans stay pruned — filters pushed, ReadSchema only what the query uses") {
+    // a refactor that re-selects '*' upstream or wraps the filter in an
+    // opaque expression silently un-prunes the scan; pin the scan strings
+    // of two representative non-OQ queries (OQ01 pins the third above)
+    val p57 = plan(ExtensionQueries.x57)
+    // the quantity filter must reach the lineitem scan...
+    assert(p57.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,"), p57)
+    // ...and each side reads ONLY its join/aggregate columns
+    assert(p57.contains("ReadSchema: struct<l_quantity:double,l_shipdate:timestamp_ntz>"), p57)
+    assert(p57.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>"), p57)
+    val p100 = plan(ExtensionQueries.x100)
+    // the gate reads (doc_id, text, n_chars); the training pass inside it
+    // doesn't even carry doc_id — never the full documents row
+    assert(p100.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), p100)
+    assert(p100.contains("ReadSchema: struct<text:string,n_chars:bigint>"), p100)
+    assert(!p100.contains("lang") && !p100.contains("source:"),
+      s"x100 scan widened to unused columns:\n$p100")
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
