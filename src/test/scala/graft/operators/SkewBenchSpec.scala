@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Adversarial-SCALE skew harness — the closest local[32] gets to the
+  * 100× question. The §8.1 closed forms are fuzz-checked at toy sizes in
+  * PropertiesSpec; here the same bounds are asserted on an sf0.1-scale
+  * corpus (5,000 docs — the size of the driver's sf0.1 documents table)
+  * deliberately shaped like the production nightmare:
+  *   - ONE hot boilerplate cluster = 20% of the corpus (1,000 byte-equal
+  *     docs — every LSH band bucket is a mega-bucket);
+  *   - ONE hot join/graph key (a 1,000-member star component, plus a
+  *     700-member chain = the worst DIAMETER case for label propagation);
+  *   - a hot fact-join key owning 20% of a 100k-row fact table.
+  * Each case asserts the candidate-count / output-size CEILING the §8.1
+  * closed form predicts AND a generous wall-clock ceiling (loose enough
+  * for a contended sandbox, tight enough that a quadratic or
+  * driver-collect regression cannot pass). Measured times are printed
+  * via info() and recorded in SURVEY §8.1. */
+class SkewBenchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hotN = 1000
+  private val coldN = 4000
+  private val pairN = 50 // 50 legitimate 2-doc near-dup clusters
+
+  // 20% boilerplate: 1,000 byte-identical docs; 4,000 unique-token docs;
+  // 50 two-doc duplicate clusters that a correct cap must KEEP finding
+  private lazy val skewedDocs = graft.Persist.cut((
+    (0 until hotN).map(i => (i.toLong,
+      "breaking news subscribe to our newsletter terms of service apply today")) ++
+    (0 until coldN).map(i => (hotN + i.toLong,
+      s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i u${i}j")) ++
+    (0 until 2 * pairN).map(i => (10000L + i,
+      s"p${i / 2}a p${i / 2}b p${i / 2}c p${i / 2}d p${i / 2}e p${i / 2}f p${i / 2}g"))
+  ).toDF("doc_id", "text").repartition(32))
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("x08 shape: LSH maxBucket holds candidates to the closed form under a 20% mega-cluster") {
+    val (bands, cap) = (4, 16)
+    val n = hotN + coldN + 2 * pairN
+    val ((capped, uncapped), secs) = timed {
+      val c = Dedup.lshCandidatePairs(skewedDocs, n = 3, k = 12,
+        bands = bands, maxBucket = cap).count()
+      val u = Dedup.lshCandidatePairs(skewedDocs, n = 3, k = 12,
+        bands = bands).count()
+      (c, u)
+    }
+    info(f"lsh capped=$capped uncapped=$uncapped in $secs%.1f s")
+    // uncapped: the mega-cluster alone is C(1000,2) = 499,500 pairs — the
+    // quadratic cost the cap exists to refuse
+    assert(uncapped >= hotN.toLong * (hotN - 1) / 2, s"uncapped=$uncapped")
+    // capped: every mega-bucket (size 1000 > 16) dropped wholesale; the
+    // §8.1 ceiling bands·n·(cap-1)/2 must hold with 20% skew...
+    assert(capped <= bands.toLong * n * (cap - 1) / 2, s"capped=$capped")
+    // ...while the 50 LEGITIMATE 2-doc clusters (bucket size 2 <= cap)
+    // all survive — the cap refuses the mega-bucket, not recall
+    assert(capped >= pairN, s"cap ate the legitimate pairs: $capped")
+    assert(capped < uncapped / 3, s"cap did not bite: $capped vs $uncapped")
+    assert(secs < 120, f"LSH pass took $secs%.1f s on 5k docs")
+  }
+
+  test("x21/x47/x92 shape: CC over a 1000-star + 700-chain converges and stays (id,lbl)-sized") {
+    // star: hot node 0 pairs with 1..999 (one hot join key in the edges
+    // frame); chain: 2000-2699 linked in sequence (max diameter)
+    val pairs = (
+      (1 until hotN).map(i => (0L, i.toLong)) ++
+      (2000 until 2699).map(i => (i.toLong, i.toLong + 1))
+    ).toDF("a_id", "b_id").repartition(32)
+    val ((dropped, best, split), secs) = timed {
+      val d = Dedup.dropNearDuplicatesCC(skewedDocs, pairs).count()
+      val b = Dedup.keepBestPerCluster(skewedDocs, pairs,
+        Seq(length(col("text")).desc, col("doc_id"))).count()
+      val s = Dedup.splitByComponent(skewedDocs, pairs)
+        .join(skewedDocs.select(col("doc_id")), Seq("doc_id"))
+        .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (d, b, s)
+    }
+    val total = hotN + coldN + 2L * pairN
+    info(f"cc dropped->$dropped keepBest->$best split=$split in $secs%.1f s")
+    // total docs - 999 star non-canonicals - 699 chain non-canonicals
+    assert(dropped == total - 999 - 699, s"dropped=$dropped")
+    assert(best == dropped)
+    assert(split.values.sum == total)
+    // convergence within default maxIters: error mode must NOT throw
+    spark.conf.set("spark.graft.cc.onNonConverged", "error")
+    try Dedup.splitByComponent(skewedDocs, pairs).count()
+    finally spark.conf.unset("spark.graft.cc.onNonConverged")
+    assert(secs < 240, f"CC stack took $secs%.1f s on the skew fixture")
+  }
+
+  test("x86 shape: incremental CC merge touches labels+batch only and equals recompute") {
+    val oldPairs = (1 until hotN).map(i => (0L, i.toLong)).toDF("a_id", "b_id")
+    // day-2 batch: a bridge from the star into the chain's head + fresh chain
+    val newPairs = ((2000 until 2699).map(i => (i.toLong, i.toLong + 1L)) ++
+      Seq((999L, 2000L))).toDF("a_id", "b_id")
+    val (merged, secs) = timed {
+      val oldLabels = Dedup.mergeComponentLabels(
+        Seq.empty[(Long, Long)].toDF("id", "lbl"), oldPairs)
+      Dedup.mergeComponentLabels(graft.Persist.cut(oldLabels), newPairs)
+        .groupBy(col("lbl")).count().collect()
+    }
+    info(f"incremental merge in $secs%.1f s")
+    // the bridge fuses star+chain into ONE 1700-node component, label 0
+    assert(merged.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 1700L), merged.mkString(","))
+    assert(secs < 240, f"incremental CC took $secs%.1f s")
+  }
+
+  test("x77 shape: salted join spreads a 20%-hot fact key and matches the plain join") {
+    // 100k-row fact table; key 7 owns 20% of it. dim: 50 keys
+    val fact = spark.range(100000).select(
+      when(col("id") % 5 === 0, 7L).otherwise(col("id") % 50).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(50).select(col("id").as("k"), (col("id") * 10).as("w"))
+    val ((salted, plain), secs) = timed {
+      val s = Relational.saltedJoin(fact, dim, "k", saltBuckets = 8)
+      (s.count(), fact.join(dim, Seq("k")).count())
+    }
+    info(f"salted join $salted rows in $secs%.1f s")
+    assert(salted == plain && salted == 100000L)
+    val p = Relational.saltedJoin(fact, dim, "k", saltBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p)
+    assert(secs < 120, f"salted join took $secs%.1f s")
+  }
+}
