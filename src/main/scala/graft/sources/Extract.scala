@@ -136,4 +136,49 @@ object Extract {
       // fetches must not keep writing files / holding the JVM open
     } finally pool.shutdownNow()
   }
+
+  /** O2: the orchestrator's AUTHENTICATED extract trigger
+    * (Composer/DAG_cloudrun_dataflow_sp.py:25-32) — fetch an identity
+    * token for the service's audience, GET the endpoint with
+    * `Authorization: Bearer <token>`, return the response body; the
+    * orchestrator-level retry (DAG default_args: retries with a delay)
+    * wraps the whole call.
+    *
+    * The token fetch is INJECTED ([[TokenProvider]]): in the reference it
+    * is the platform's OIDC metadata flow — environment glue, not engine
+    * capability, exactly like [[FetchPage]] injecting HTTP transport. The
+    * provider is consulted PER ATTEMPT (identity tokens expire; a retry
+    * minutes later must not replay a stale one). Non-2xx throws so the
+    * retry loop engages; exhausted retries rethrow the last failure —
+    * the DAG marks the task failed and nothing downstream runs. */
+  type TokenProvider = String => String // audience => bearer token
+
+  def authenticatedTrigger(endpoint: java.net.URI, audience: String,
+                           tokenFor: TokenProvider,
+                           retries: Int = 2, retryDelayMs: Long = 0L,
+                           client: java.net.http.HttpClient =
+                             java.net.http.HttpClient.newBuilder()
+                               .connectTimeout(java.time.Duration.ofSeconds(30)).build(),
+                           requestTimeout: java.time.Duration =
+                             java.time.Duration.ofSeconds(300)): String = {
+    require(retries >= 1, "at least one attempt")
+    import java.net.http.{HttpRequest, HttpResponse}
+    var last: Try[String] = Failure(new IllegalStateException("unattempted"))
+    var attempt = 0
+    while (attempt < retries && last.isFailure) {
+      if (attempt > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+      attempt += 1
+      last = Try {
+        val req = HttpRequest.newBuilder(endpoint)
+          .timeout(requestTimeout)
+          .header("Authorization", s"Bearer ${tokenFor(audience)}")
+          .GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() / 100 == 2,
+          s"trigger HTTP ${resp.statusCode()} from $endpoint")
+        resp.body()
+      }
+    }
+    last.get
+  }
 }

@@ -82,4 +82,42 @@ class ExtractSpec extends SparkSpec {
       assert(requests.get() == 3) // 1 failed + 2 pages
     } finally server.stop(0)
   }
+
+  test("O2: authenticatedTrigger sends a per-attempt Bearer token and retries through failures") {
+    import com.sun.net.httpserver.HttpServer
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tokens = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seenAuth = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/extract", ex => {
+      val n = hits.incrementAndGet()
+      seenAuth.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val resp = if (n == 1) """{"err":"cold start"}""" else """{"ok":true}"""
+      val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(if (n == 1) 503 else 200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/extract")
+      // provider mints a FRESH token per attempt (identity tokens expire)
+      val provider: Extract.TokenProvider =
+        aud => s"tok-$aud-${tokens.incrementAndGet()}"
+      val body = Extract.authenticatedTrigger(uri, "https://extract.svc",
+        provider, retries = 3)
+      assert(body == """{"ok":true}""")
+      assert(hits.get() == 2) // 503 then success — retried, then stopped
+      assert(tokens.get() == 2, "token must be minted per attempt, not cached")
+      assert(seenAuth.toArray.toSeq == Seq(
+        "Bearer tok-https://extract.svc-1", "Bearer tok-https://extract.svc-2"))
+      // exhausted retries rethrow (the DAG's task-failed semantics)
+      val down = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/nope")
+      intercept[Exception] {
+        Extract.authenticatedTrigger(down, "a", _ => "t", retries = 2)
+      }
+    } finally server.stop(0)
+  }
 }
