@@ -1041,7 +1041,47 @@ object Dedup {
     // assignment feeds both the size count and the pair join: materialize
     // once instead of re-running the broadcast-assign shuffle per consumer
     val assigned = graft.Persist.cut(Similarity.ivfAssign(emb, centroidPred))
-    // one row per centroid — broadcast-small by the fixed-codebook contract
+    embeddingNearDupPairsFrom(assigned, emb, threshold, maxClusterSize)
+  }
+
+  /** SemDeDup-style semantic dedup VERDICT: the per-vector kept/dropped
+    * decision over [[embeddingNearDupPairs]]' cluster-blocked candidate
+    * graph — cluster the corpus by embedding, then inside each cluster
+    * drop every vector that has a LOWER-id near-duplicate above
+    * `threshold` (the greedy lowest-id-representative rule, the
+    * embedding-space twin of [[dropNearDuplicates]]; one distinct + one
+    * left join, no iteration). The paper's pipeline (k-means → within-
+    * cluster cosine → keep one per duplicate group) maps exactly: pass a
+    * [[Similarity.kmeansCodebook]] predicate for the clustering, and the
+    * greedy rule realizes "keep one" deterministically — a dropped
+    * vector always has a kept near-dup within 2 hops (the documented
+    * [[dropNearDuplicates]] chain bound).
+    *
+    * Scale: the pair stage inherits embeddingNearDupPairs' whole story —
+    * fixed broadcast codebook, within-cluster pairs only, clusters over
+    * `maxClusterSize` md5-sub-blocked — and the verdict adds one
+    * 8-byte-key distinct (dropped ids) plus one left join against the
+    * id column, nothing embedding-width past the pair stage.
+    * Output: (vec_id, cluster, kept) for EVERY corpus vector — the
+    * audit-friendly shape (filter kept for the survivor list, group by
+    * kept for the drop-rate dashboard). */
+  def semDedup(emb: DataFrame, centroidPred: Column, threshold: Double,
+               maxClusterSize: Int = 4096): DataFrame = {
+    val assigned = graft.Persist.cut(Similarity.ivfAssign(emb, centroidPred))
+    val dropped = embeddingNearDupPairsFrom(assigned, emb, threshold, maxClusterSize)
+      .select(col("b_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped, col("vec_id") === col("b_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("b_id").isNull.as("kept"))
+  }
+
+  /** [[embeddingNearDupPairs]] over a PRECOMPUTED assignment frame
+    * (vec_id, embedding, cluster) — the shared core that lets
+    * [[semDedup]] reuse one assign pass for both the verdict join and
+    * the pair stage instead of re-running the broadcast assign. */
+  private def embeddingNearDupPairsFrom(assigned: DataFrame, emb: DataFrame,
+                                        threshold: Double,
+                                        maxClusterSize: Int): DataFrame = {
     val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
     val blocked = assigned.join(broadcast(sizes), Seq("cluster"))
       .withColumn("__blk", md5Mod(col("vec_id"),

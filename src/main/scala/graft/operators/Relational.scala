@@ -665,6 +665,33 @@ object Relational {
           transform(array_sort(collect_list(col("__e"))), e => md5(e.getField("t"))),
           "")).as("transcript_md5"))
 
+  /** Event-type transition counts — the Markov-chain read of the event
+    * stream (the raw material behind funnel design: which step actually
+    * follows which, corpus-wide). Each user's events are totally ordered
+    * by `order` (pass (ts, tieBreak) — the [[sessionize]] ordering
+    * contract, so ties are deterministic and the oracle's LEAD sees the
+    * identical sequence); a transition is (type, next type) for
+    * CONSECUTIVE events of the same user, counted over all users. A
+    * user's last event has no successor and contributes nothing.
+    *
+    * Scale: one shuffle — the lead window is partitioned BY USER (never
+    * a global order), and the closing count over (from, to) is at most
+    * |types|² rows with map-side partials. A hot user serializes only
+    * that user's window pass, the same bounded-partition trade as
+    * [[sessionize]]. Output: from_type, to_type, n. */
+  def transitionCounts(events: DataFrame, user: Column, order: Seq[Column],
+                       typeCol: Column): DataFrame = {
+    val ordered = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    events
+      .select(user.as("__u") +: typeCol.as("from_type") +: ordered: _*)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-group robust outliers via median/MAD — the heavy-tail-safe twin
     * of z-scoring: mean and stddev are themselves dragged by the
     * outliers they're supposed to find (one 10⁶-token doc inflates σ

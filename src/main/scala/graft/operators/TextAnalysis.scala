@@ -896,6 +896,45 @@ object TextAnalysis {
         round(col("weight") / round(share, 6), 6).as("rate"))
   }
 
+  /** Absolute token-budget allocation — the mixing PLAN in tokens (the
+    * unit a training run is actually budgeted in), downstream of
+    * [[mixReport]]'s share diagnosis and [[temperatureWeights]]' relative
+    * re-weighting: each stratum is allotted `budget·target(stratum)`
+    * tokens; `epochs` is allotment/available (how many passes over the
+    * stratum the plan implies — the >1 region is where upsampling-driven
+    * memorization risk lives), and `rate` caps it at 1 (the downsample-
+    * only read to feed [[stratifiedSample]] when repeating data is off
+    * the table). `planned_tokens` floors min(allotment, available) —
+    * what rate-capped sampling can actually deliver; the gap between
+    * Σ planned and `budget` is the shortfall the run must cover by
+    * raising other strata or accepting repeats. Strata missing from
+    * `target` surface with null plan columns, never silently dropped
+    * (the mixReport contract).
+    *
+    * Scale: one token-sum aggregate with map-side partials; everything
+    * after is |strata| rows of literal-map arithmetic. Determinism:
+    * tokens is an exact BIGINT sum; the derived doubles are identical
+    * expressions over identical operands on both engines, rounded to 6.
+    * Output: stratum, tokens, target_share, rate, epochs, planned_tokens. */
+  def tokenBudgetPlan(docs: DataFrame, stratum: Column, tokens: Column,
+                      target: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(target.values.forall(_ > 0), "target shares must be positive")
+    val avail = docs.groupBy(stratum.as("stratum"))
+      .agg(sum(tokens).cast("long").as("tokens"))
+    val tgt = element_at(typedLit(target), col("stratum"))
+    val alloc = lit(budget.toDouble) * tgt
+    avail
+      .withColumn("target_share", tgt)
+      .withColumn("rate",
+        round(least(lit(1.0), alloc / col("tokens").cast("double")), 6))
+      .withColumn("epochs", round(alloc / col("tokens").cast("double"), 6))
+      .withColumn("planned_tokens",
+        floor(least(alloc, col("tokens").cast("double"))).cast("long"))
+      .select(col("stratum"), col("tokens"), col("target_share"),
+        col("rate"), col("epochs"), col("planned_tokens"))
+  }
+
   /** Token-id encoding against the corpus [[vocabulary]] — the bridge
     * between vocabulary training and sequence assembly: every token maps
     * to its vocabulary id (1-based, ordered by count desc then term — the

@@ -1189,11 +1189,47 @@ object ExtensionQueries {
         window = cdcWindow, mask = cdcMask, maxChunk = cdcMax)
       .orderBy("doc_id")
 
+  /** x106: SemDeDup verdict — x13's cluster-blocked candidate graph
+    * (same 16-entry codebook, threshold, skew cap) closed into the
+    * per-vector kept/dropped decision under the greedy lowest-id rule. */
+  def x106(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(emb(s, dir),
+        centroidPred = col("vec_id") < nearDupCentroids,
+        threshold = nearDupThreshold, maxClusterSize = nearDupMaxCluster)
+      .orderBy("vec_id")
+
+  /** x107: event-type transition counts — the Markov read of the event
+    * stream; per-user LEAD over the (ts, event_id) total order. */
+  def x107(s: SparkSession, dir: String): DataFrame =
+    Relational.transitionCounts(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull)
+          .select("user_id", "event_id", "ts", "event_type"),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+      .orderBy("from_type", "to_type")
+
+  /** x108 parameter, shared with the oracle SQL: the absolute token
+    * budget the x59 target mixture is allocated against. Deliberately
+    * smaller than the corpus's total token count so BOTH plan regimes
+    * are exercised — over-allocated strata (epochs > 1, rate capped at
+    * 1) and under-allocated ones (rate < 1). */
+  val planBudgetTokens = 100000L
+
+  /** x108: absolute token-budget allocation over the x59 target mix. */
+  def x108(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    TextAnalysis.tokenBudgetPlan(docs(s, dir), col("source"),
+        size(tokens(col("text"))).cast("long"), mixTargets, planBudgetTokens)
+      .orderBy("stratum")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
     "x103_semantic_pack" -> (x103 _),
     "x104_cdc_chunks"   -> (x104 _),
     "x105_cdc_dedup"    -> (x105 _),
+    "x106_semdedup"     -> (x106 _),
+    "x107_transitions"  -> (x107 _),
+    "x108_budget_plan"  -> (x108 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
