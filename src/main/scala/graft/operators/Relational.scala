@@ -578,6 +578,69 @@ object Relational {
       .drop("__b")
   }
 
+  /** Bucketed interval-OVERLAP join — the interval×interval sibling of
+    * [[rangeJoinBucketed]] (campaign windows × session spans, speech
+    * segments × transcript chunks). Overlap is the closed-interval test
+    * `lLo <= rHi AND rLo <= lHi`; Spark again plans the raw non-equi
+    * predicate as a nested-loop/cartesian scan, so both sides explode
+    * onto the coarse buckets they cover and the join runs as an
+    * equi-join on (keys…, bucket) plus the residual overlap filter.
+    *
+    * Unlike the point case, an overlapping pair shares EVERY bucket in
+    * `[bucket(max(lLo,rLo)), bucket(min(lHi,rHi))]` and would duplicate
+    * once per shared bucket; the first-shared-bucket identity — keep the
+    * pair only where `bucket == bucket(max(lLo,rLo))` — restores
+    * exactly-once emission as a per-row filter, with no distinct (a
+    * distinct here would be a second full shuffle of the matched set).
+    *
+    * Scale: replication is `span/bucketWidth + 1` copies per row on BOTH
+    * sides, so size `bucketWidth` near the typical span of the WIDER
+    * side. `keys` (equi-columns present in both frames, joined by name)
+    * sharpen the join key to (keys…, bucket): per-user/per-day overlap
+    * joins shuffle-partition by key and bucket together, which also
+    * splits a hot key's pairs across its buckets. Empty intervals
+    * (`lo > hi`) drop; values must be integral (the [[rangeJoinBucketed]]
+    * contract). Both frames keep all their columns; caller avoids name
+    * collisions. */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                          right: DataFrame, rLo: String, rHi: String,
+                          bucketWidth: Long,
+                          keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: String): Column =
+      floor(col(c).cast("long").cast("double") / bucketWidth).cast("long")
+    def spread(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.where(col(lo) <= col(hi))
+        .withColumn("__b", explode(sequence(bucket(lo), bucket(hi))))
+    spread(left, lLo, lHi).join(spread(right, rLo, rHi), keys :+ "__b")
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .where(col("__b") ===
+        floor(greatest(col(lLo), col(rLo)).cast("long").cast("double") / bucketWidth)
+          .cast("long"))
+      .drop("__b")
+  }
+
+  /** Exact heavy-hitter report — the skew DIAGNOSTIC that decides when
+    * [[saltedJoin]]/sub-blocking is worth its overhead: top-k keys by
+    * row count with each key's share of all rows and its skew ratio
+    * (count/mean-count — 1.0 is perfectly uniform; the >10 region is
+    * where a single reducer partition melts). Exact, not sketched: the
+    * per-key count is one map-side-combined groupBy (the count frame is
+    * |keys| rows, far smaller than the input), the 2-scalar total rides
+    * a 1-row broadcast, and top-k plans as TakeOrderedAndProject — no
+    * global sort, no collect. Null keys count as a key (a null-heavy
+    * join column IS the classic skew case). Output: key, n, share, skew. */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__nk"))
+    topK(counts.crossJoin(broadcast(tot)), Seq(col("n").desc, col("key")), k)
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("share"),
+        round(col("n").cast("double") * col("__nk") / col("__tot"), 6).as("skew"))
+  }
+
   /** Cohort retention matrix — the product-analytics read every events
     * pipeline ends at: users are grouped into the cohort of their FIRST
     * active `unit` bucket, and each (cohort, offset) cell counts how many

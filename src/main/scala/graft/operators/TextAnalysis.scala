@@ -924,13 +924,16 @@ object TextAnalysis {
       .agg(sum(tokens).cast("long").as("tokens"))
     val tgt = element_at(typedLit(target), col("stratum"))
     val alloc = lit(budget.toDouble) * tgt
+    // least() SKIPS nulls on both engines, so the cap must be gated on
+    // the share explicitly or an unmapped stratum would silently plan
+    // rate=1 / planned=tokens ("take everything") instead of null
     avail
       .withColumn("target_share", tgt)
-      .withColumn("rate",
-        round(least(lit(1.0), alloc / col("tokens").cast("double")), 6))
+      .withColumn("rate", when(tgt.isNotNull,
+        round(least(lit(1.0), alloc / col("tokens").cast("double")), 6)))
       .withColumn("epochs", round(alloc / col("tokens").cast("double"), 6))
-      .withColumn("planned_tokens",
-        floor(least(alloc, col("tokens").cast("double"))).cast("long"))
+      .withColumn("planned_tokens", when(tgt.isNotNull,
+        floor(least(alloc, col("tokens").cast("double"))).cast("long")))
       .select(col("stratum"), col("tokens"), col("target_share"),
         col("rate"), col("epochs"), col("planned_tokens"))
   }

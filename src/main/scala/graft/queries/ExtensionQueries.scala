@@ -1222,6 +1222,30 @@ object ExtensionQueries {
       .orderBy("stratum")
   }
 
+  /** x109: per-user interval-overlap join — 10-min-padded view windows
+    * against ±5-min purchase windows, bucketed hourly. Exercises the
+    * two-sided explode, the equi-key sharpening, AND the first-shared-
+    * bucket dedup (pads straddle hour boundaries by construction). */
+  def x109(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").filter(col("user_id").isNotNull)
+    val us = unix_micros(col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        us.as("v_lo"), (us + 600000000L).as("v_hi"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        (us - 300000000L).as("p_lo"), (us + 300000000L).as("p_hi"))
+    Relational.intervalOverlapJoin(views, "v_lo", "v_hi", buys, "p_lo", "p_hi",
+        bucketWidth = 3600000000L, keys = Seq("user_id"))
+      .select(col("user_id"), col("v_id"), col("p_id"))
+      .orderBy("user_id", "v_id", "p_id")
+  }
+
+  /** x110: exact heavy-hitter/skew report over the orders→customer key. */
+  def x110(s: SparkSession, dir: String): DataFrame =
+    Relational.heavyHitters(Tables(s, dir, "orders"), col("o_custkey"), k = 20)
+      .orderBy(col("n").desc, col("key"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
     "x103_semantic_pack" -> (x103 _),
@@ -1230,6 +1254,8 @@ object ExtensionQueries {
     "x106_semdedup"     -> (x106 _),
     "x107_transitions"  -> (x107 _),
     "x108_budget_plan"  -> (x108 _),
+    "x109_interval_join" -> (x109 _),
+    "x110_heavy_keys"   -> (x110 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -3189,5 +3215,82 @@ object ExtensionQueries {
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
          |SELECT a_id, b_id, sim FROM pairs WHERE sim >= $nearDupThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+    // x106: x13's assignment + blocked-pair chain verbatim, closed into
+    // the greedy lowest-id verdict — dropped = distinct higher-id side
+    // of an over-threshold pair; every corpus vector surfaces with its
+    // cluster and kept flag
+    "x106_semdedup" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $nearDupCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cluster FROM
+         |  (SELECT vec_id, c_id AS cluster,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM cs)
+         |  WHERE rn = 1),
+         |sizes AS (SELECT cluster, count(*) AS csz FROM assign GROUP BY cluster),
+         |blocked AS (SELECT a.vec_id, a.cluster,
+         |    ('0x' || substring(md5(a.vec_id::VARCHAR), 1, 15))::BIGINT
+         |      % ((s.csz + ${nearDupMaxCluster - 1}) // $nearDupMaxCluster) AS blk
+         |  FROM assign a JOIN sizes s USING (cluster)),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM blocked a JOIN blocked b
+         |    ON a.cluster = b.cluster AND a.blk = b.blk AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |dropped AS (SELECT DISTINCT b_id FROM pairs WHERE sim >= $nearDupThreshold)
+         |SELECT a.vec_id, a.cluster, (d.b_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.b_id
+         |ORDER BY a.vec_id""".stripMargin,
+    // x107: per-user LEAD over the (ts, event_id) total order — the
+    // x14/x46 ordering contract, so both engines see identical sequences
+    "x107_transitions" ->
+      """WITH o AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT from_type, to_type, count(*)::BIGINT AS n
+        |FROM o WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // x108: exact BIGINT token sums per stratum; the derived doubles are
+    // the identical (budget·share)/tokens expression on both engines,
+    // rounded to 6 (the x59 arms/ROUND discipline)
+    "x108_budget_plan" -> {
+      val arms = mixTargets.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"WHEN '$k' THEN ${v}::DOUBLE" }.mkString(" ")
+      s"""WITH a AS (SELECT source AS stratum,
+         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT stratum, tokens, (CASE stratum $arms END) AS target_share FROM a)
+         |SELECT stratum, tokens, target_share,
+         |  CASE WHEN target_share IS NULL THEN NULL
+         |    ELSE ROUND(least(1.0, ($planBudgetTokens::DOUBLE * target_share) / tokens::DOUBLE), 6) END AS rate,
+         |  ROUND(($planBudgetTokens::DOUBLE * target_share) / tokens::DOUBLE, 6) AS epochs,
+         |  CASE WHEN target_share IS NULL THEN NULL
+         |    ELSE floor(least($planBudgetTokens::DOUBLE * target_share, tokens::DOUBLE))::BIGINT END AS planned_tokens
+         |FROM s ORDER BY stratum""".stripMargin
+    },
+    // x109: the oracle states overlap directly — DuckDB's optimizer may
+    // nested-loop it, but at sf0.01 that's fine; Spark's bucketed rewrite
+    // must emit the identical pair set exactly once
+    "x109_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id AS v_id,
+        |    epoch_us(ts) AS v_lo, epoch_us(ts) + 600000000 AS v_hi
+        |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |p AS (SELECT user_id AS p_user, event_id AS p_id,
+        |    epoch_us(ts) - 300000000 AS p_lo, epoch_us(ts) + 300000000 AS p_hi
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT user_id, v_id, p_id
+        |FROM v JOIN p ON user_id = p_user AND v_lo <= p_hi AND p_lo <= v_hi
+        |ORDER BY user_id, v_id, p_id""".stripMargin,
+    // x110: exact counts; share/skew are the identical
+    // n::DOUBLE/tot and (n::DOUBLE*nk)/tot expressions, rounded to 6
+    "x110_heavy_keys" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS tot, count(*)::DOUBLE AS nk FROM c)
+        |SELECT key, n, ROUND(n::DOUBLE / tot, 6) AS share,
+        |  ROUND((n::DOUBLE * nk) / tot, 6) AS skew
+        |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
   )
 }

@@ -105,4 +105,39 @@ object TableSink {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Small-file compaction — the maintenance pass every append-heavy
+    * lake needs at scale: a year of day-partitioned micro-batch appends
+    * leaves thousands of KB-sized files per directory, and at 100 TB the
+    * NameNode/listing pressure plus one task per tiny file dominates scan
+    * cost long before the bytes do. Rewrites `path` into
+    * `ceil(totalBytes / targetBytes)` files (file count derives from the
+    * MEASURED on-disk footprint, so compaction is idempotent: re-running
+    * on an already-compact directory keeps the same file count).
+    *
+    * The rewrite round-robins rows (`repartition(n)` with no columns —
+    * no range sampling, no key skew: equal-sized output files by
+    * construction); callers who also want clustering should instead
+    * re-run [[writeSorted]]/[[writeZOrder]], which subsume compaction.
+    * The swap (write tmp → delete → rename) is the LOCAL/HDFS analogue
+    * of a transactional replace; under concurrent readers use
+    * [[SnapshotStore.compact]] (A/B rotation — readers
+    * never see a half-swapped directory) or a manifest-tracking table
+    * format's rewrite-files commit — the compaction plan itself is
+    * identical. Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(files)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    files
+  }
 }

@@ -22,9 +22,21 @@ object Tables {
   val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // legacy ns fixture surfaced as raw long (nanosAsLongKey): ns→µs by
+      // integer division, truncation matching DuckDB's narrowing
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // µs fixture written without isAdjustedToUTC (pyarrow default) reads
+      // as TIMESTAMP_NTZ; normalize to TIMESTAMP so downstream epoch
+      // arithmetic (unix_micros etc.) type-checks. Sessions run UTC, so
+      // the cast reinterprets the same microsecond value, bit-for-bit —
+      // exactly how DuckDB reads the identical column as TIMESTAMP.
+      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
   }
 }

@@ -128,6 +128,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out("z") == (1L, 0.125, None)) // unmapped: surfaced, kl null
   }
 
+  test("tokenBudgetPlan: under- and over-allocated regimes; unmapped stratum -> null plan") {
+    // a: 100 tokens vs 60 allotted (under, rate<1); b: 20 vs 40 (over,
+    // rate capped, epochs 2); z: unmapped — surfaced, plan columns null
+    val docs = Seq((1L, "a", 60L), (2L, "a", 40L), (3L, "b", 20L), (4L, "z", 10L))
+      .toDF("doc_id", "src", "n")
+    val out = graft.operators.TextAnalysis
+      .tokenBudgetPlan(docs, col("src"), col("n"), Map("a" -> 0.6, "b" -> 0.4), 100L)
+      .collect().map { r =>
+        def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getString(0) -> (r.getLong(1), d(2), d(3), d(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      }.toMap
+    assert(out("a") == (100L, Some(0.6), Some(0.6), Some(0.6), Some(60L)))
+    assert(out("b") == (20L, Some(0.4), Some(1.0), Some(2.0), Some(20L)))
+    assert(out("z") == (10L, None, None, None, None),
+      "unmapped stratum must surface with a null plan, not rate=1/take-all")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.tokenBudgetPlan(
+        docs, col("src"), col("n"), Map("a" -> 0.0), 100L)
+    }
+  }
+
   test("encodeTokens: vocab-order ids, OOV -> 0, sequence preserves token order") {
     // counts: b=3, a=2, c=1 → ids b=1, a=2, c=3; topV=2 cuts c → OOV
     val docs = Seq((1L, "a b c b"), (2L, "b a")).toDF("doc_id", "text")

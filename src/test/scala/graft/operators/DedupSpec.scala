@@ -381,6 +381,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((11L, 12L)), "orthogonal vectors scored as dups")
   }
 
+  test("semDedup: greedy lowest-id keeps one per dup group; every vector surfaces") {
+    import spark.implicits._
+    // same fixture as embeddingNearDupPairs: dup groups {0,1,2} and
+    // {10,11}; 12 is orthogonal to everything
+    val emb = Seq(
+      0L  -> Seq(1.0f, 0.0f, 0.0f),
+      1L  -> Seq(0.999f, 0.001f, 0.0f),
+      2L  -> Seq(0.998f, 0.002f, 0.0f),
+      10L -> Seq(0.0f, 1.0f, 0.0f),
+      11L -> Seq(0.0f, 0.999f, 0.001f),
+      12L -> Seq(0.0f, 0.0f, 1.0f)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb,
+        centroidPred = col("vec_id") % 10 === 0, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L), "a vector went missing")
+    assert(out.filter(_._2).keySet == Set(0L, 10L, 12L),
+      "greedy rule must keep exactly the lowest id of each group + singletons")
+  }
+
   test("LSH maxBucket drops hot buckets wholesale but keeps under-cap pairs") {
     // 20 identical "hot" docs (every band bucket holds all 20) plus one
     // under-cap identical pair with disjoint vocabulary

@@ -255,6 +255,56 @@ class RelationalSpec extends SparkSpec {
     assert(sess == Seq(("u1", 1, 1L), ("u1", 2, 1L), ("u1", 3, 2L), ("u2", 4, 1L)))
   }
 
+  test("intervalOverlapJoin: closed-interval overlap, exactly-once across shared buckets, per-key") {
+    val left = Seq(
+      ("k1", 1L, 0L, 35L),    // spans buckets 0-3
+      ("k1", 2L, 0L, 100L),   // wide: shares MANY buckets with any match
+      ("k1", 4L, 50L, 60L),   // touches right 9 at exactly 50 (closed)
+      ("k1", 5L, 200L, 210L), // no overlap
+      ("k1", 7L, 10L, 5L),    // empty interval: dropped
+      ("k2", 6L, 30L, 50L)    // other key: must never pair with k1
+    ).toDF("k", "lid", "llo", "lhi")
+    val right = Seq(
+      ("k1", 9L, 30L, 50L),
+      ("k1", 8L, 5L, 95L)
+    ).toDF("k", "rid", "rlo", "rhi")
+    val out = Relational.intervalOverlapJoin(left, "llo", "lhi",
+        right, "rlo", "rhi", bucketWidth = 10L, keys = Seq("k"))
+      .groupBy("lid", "rid").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.values.forall(_ == 1L), s"duplicate emission: $out") // exactly-once
+    assert(out.keySet == Set(
+      (1L, 9L), (1L, 8L),  // [0,35]×[30,50], [0,35]×[5,95]
+      (2L, 9L), (2L, 8L),  // the wide interval overlaps both
+      (4L, 9L), (4L, 8L))) // boundary touch at 50 counts (closed intervals)
+  }
+
+  test("heavyHitters: exact top-k with share and skew ratio; null keys surface") {
+    val df = (Seq.fill(6)(Option(7L)) ++ Seq.fill(3)(None) ++
+      Seq.fill(2)(Option(1L)) ++ Seq(Option(2L))).toDF("k")
+    val out = Relational.heavyHitters(df, col("k"), k = 2).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // tot=12, nk=4, mean=3: key 7 (n=6) share 0.5 skew 2; null (n=3) skew 1
+    assert(out.toSeq == Seq(
+      (Some(7L), 6L, 0.5, 2.0), (None, 3L, 0.25, 1.0)))
+  }
+
+  test("transitionCounts: consecutive-only, per-user, tie broken by the order columns") {
+    val df = Seq(
+      // u1: A@1 B@2 A@3 C@4 — transitions A→B, B→A, A→C
+      ("u1", 1L, 1L, "A"), ("u1", 2L, 2L, "B"), ("u1", 3L, 3L, "A"), ("u1", 4L, 4L, "C"),
+      // u2: two same-ts events — event_id tie-break fixes X→Y, never Y→X
+      ("u2", 5L, 1L, "X"), ("u2", 5L, 2L, "Y")
+    ).toDF("user", "ts", "eid", "etype")
+    val out = Relational.transitionCounts(df, col("user"),
+        Seq(col("ts"), col("eid")), col("etype"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("A", "C") -> 1L,
+      ("X", "Y") -> 1L))
+    assert(!out.contains(("C", "X")), "transitions must never cross users")
+  }
+
   test("topK plans as TakeOrderedAndProject (no global sort at scale)") {
     val df = spark.range(1000).toDF("x")
     val top = Relational.topK(df, Seq(col("x").desc), 5)

@@ -44,6 +44,16 @@ class ContractSchemaSpec extends SparkSpec {
       s"hash-fragile output columns (cast to DOUBLE/BIGINT/STRING before the final select):\n  ${bad.mkString("\n  ")}")
   }
 
+  test("every contract query has an oracle SQL entry (no silent rows-only checks)") {
+    // the driver downgrades oracle-less queries to a weaker rows>0 check;
+    // the contract policy is every query oracle-pinned, so a queries/sql
+    // key drift is a bug at test time, not a silent grade downgrade
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: ${noOracle.toSeq.sorted}")
+    assert(orphaned.isEmpty, s"oracle SQL without a query: ${orphaned.toSeq.sorted}")
+  }
+
   test("the lint itself catches a DECIMAL output column") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

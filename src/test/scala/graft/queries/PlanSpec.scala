@@ -244,6 +244,21 @@ class PlanSpec extends SparkSpec {
     assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"), np)
   }
 
+  test("x109: interval-overlap join plans an EQUI-join on (key, bucket), never nested-loop") {
+    val p = plan(ExtensionQueries.x109)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the overlap test and first-bucket guard are residual FILTERS on an
+    // equi-join, not join strategies of their own
+    assert(p.contains("Join") || p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x110: heavy-hitter report is TakeOrdered over partial counts, no global sort") {
+    val p = plan(ExtensionQueries.x110)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle

@@ -136,6 +136,23 @@ class TableSinkSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, proot).get.count() == 100)
   }
 
+  test("compact: collapses a many-file directory, idempotent, data intact") {
+    val out = Files.createTempDirectory("graft_tscompact").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(32).write.parquet(out)
+    def files() = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 32)
+    assert(TableSink.compact(spark, out, targetBytes = 1L << 30) == 1)
+    assert(files() == 1)
+    // idempotent: measured footprint now fits one target file already
+    assert(TableSink.compact(spark, out, targetBytes = 1L << 30) == 1)
+    assert(files() == 1)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (1L to 2000L).map(i => (i, s"v$i")).toSet)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
