@@ -654,6 +654,87 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/kl")
   }
 
+  /** Incremental event-type transition counts — x107's streaming twin:
+    * each AvailableNow pass writes the batch's WITHIN-batch transition
+    * counts and its per-user boundary digest (first/last type + stitch
+    * key) to `batch=<id>` overwrite directories — both derive from the
+    * batch alone, so a retry overwrites itself (the [[runIncrementalKmv]]
+    * convention) — then republishes merged counts: Σ within-batch
+    * partials + cross-batch stitches from the boundary digests. Under
+    * time-ordered append ingest the published table is EXACTLY the batch
+    * [[graft.operators.Relational.transitionCounts]] over everything
+    * ingested (spec-asserted across waves); history is re-read only as
+    * |types|²-per-batch count rows plus |users|-per-batch digests, never
+    * as raw events. */
+  def runIncrementalTransitions(spark: SparkSession, eventsDir: String,
+                                outRoot: String): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeTransitionsBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/transitions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalTransitions]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeTransitionsBatch(batch: DataFrame, batchId: Long,
+                                           outRoot: String): Unit = {
+    val s = batch.sparkSession
+    val e = batch.filter(col("user_id").isNotNull)
+    val order = Seq(col("ts"), col("event_id"))
+    graft.operators.Relational.transitionCounts(
+        e, col("user_id"), order, col("event_type"))
+      .write.mode("overwrite").parquet(s"$outRoot/within/batch=$batchId")
+    graft.operators.Relational.transitionBoundaries(
+        e, col("user_id"), order, col("event_type"))
+      .write.mode("overwrite").parquet(s"$outRoot/bounds/batch=$batchId")
+    val within = s.read.parquet(s"$outRoot/within").drop("batch")
+    val stitched = graft.operators.Relational.stitchTransitions(
+      s.read.parquet(s"$outRoot/bounds").drop("batch"))
+    within.unionByName(stitched)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n"))
+      .write.mode("overwrite").parquet(s"$outRoot/transitions")
+  }
+
+  /** Incremental heavy-hitter monitoring — x110's streaming twin: the
+    * skew diagnostic stays current as the lake grows, so a key turning
+    * hot is caught between batches, not at the next full scan. Per-batch
+    * (key, n) count partials land in `batch=<id>` overwrite directories
+    * (additive, batch-derived, retry-overwrites-itself — the
+    * [[runIncrementalKmv]] convention); the published report is
+    * [[graft.operators.Relational.heavyHittersFromCounts]] over the
+    * summed partials, EXACTLY the batch report over everything ingested
+    * (spec-asserted). History is re-read as |keys|-per-batch count rows
+    * only. */
+  def runIncrementalHeavyKeys(spark: SparkSession, eventsDir: String,
+                              outRoot: String, k: Int = 20): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeHeavyKeysBatch(batch.toDF(), batchId, outRoot, k)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/heavy_keys")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalHeavyKeys]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeHeavyKeysBatch(batch: DataFrame, batchId: Long,
+                                         outRoot: String, k: Int): Unit = {
+    val s = batch.sparkSession
+    batch.groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.Relational.heavyHittersFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("key")).agg(sum(col("n")).as("n")), k)
+      .write.mode("overwrite").parquet(s"$outRoot/heavy_keys")
+  }
+
   /** Incremental dedup-graph maintenance: candidate-pair batches fold
     * into a SnapshotStore-rotated label table via
     * [[graft.operators.Dedup.mergeComponentLabels]] — per pass the loop

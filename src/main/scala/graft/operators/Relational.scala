@@ -630,9 +630,15 @@ object Relational {
     * a 1-row broadcast, and top-k plans as TakeOrderedAndProject — no
     * global sort, no collect. Null keys count as a key (a null-heavy
     * join column IS the classic skew case). Output: key, n, share, skew. */
-  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame =
+    heavyHittersFromCounts(
+      df.groupBy(key.as("key")).agg(count(lit(1)).as("n")), k)
+
+  /** [[heavyHitters]] over a PRECOMPUTED (key, n) count table — the
+    * shared core that lets the incremental runner fold additive per-batch
+    * count partials and publish the identical report shape. */
+  def heavyHittersFromCounts(counts: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum(col("n")).cast("double").as("__tot"),
       count(lit(1)).cast("double").as("__nk"))
     topK(counts.crossJoin(broadcast(tot)), Seq(col("n").desc, col("key")), k)
@@ -751,6 +757,44 @@ object Relational {
       .select(user.as("__u") +: typeCol.as("from_type") +: ordered: _*)
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-user batch BOUNDARY digest for incremental [[transitionCounts]]:
+    * each user's first/last event type in this batch plus the first
+    * event's order key (the stitch sort key). A batch's digest derives
+    * from the batch ALONE — the retry-stability property the
+    * `batch=<id>` overwrite convention needs — and is |users in batch|
+    * rows, never event-sized. One map-side-combined aggregate;
+    * min_by/max_by over the struct-of-order-columns key, so ties break
+    * exactly as [[transitionCounts]]' window order does.
+    * Output: user, first_key (struct), first_type, last_type. */
+  def transitionBoundaries(events: DataFrame, user: Column,
+                           order: Seq[Column], typeCol: Column): DataFrame = {
+    val key = struct(order: _*)
+    events.groupBy(user.as("user")).agg(
+      min(key).as("first_key"),
+      min_by(typeCol, key).as("first_type"),
+      max_by(typeCol, key).as("last_type"))
+  }
+
+  /** Stitch cross-batch transitions from a union of per-batch
+    * [[transitionBoundaries]] digests: per user, order the batch digests
+    * by `first_key` and count (earlier batch's last_type → next batch's
+    * first_type) for consecutive digests. Within-batch partials plus
+    * these stitches equal the one-pass [[transitionCounts]] over the
+    * whole corpus EXACTLY WHEN batches partition each user's timeline
+    * into contiguous runs (time-ordered append ingest — the incremental
+    * runners' standing contract; an interleaved backfill belongs on the
+    * batch path). The window is per-user over |batches| rows, not
+    * events. Output: from_type, to_type, n. */
+  def stitchTransitions(boundaries: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user")).orderBy(col("first_key"))
+    boundaries
+      .withColumn("to_type", lead(col("first_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("last_type").as("from_type"), col("to_type"))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
   }

@@ -1512,7 +1512,13 @@ object ExtensionQueries {
     * ROUND-to-4 behaves identically on it (verified empirically), so sims
     * compare EXACTLY under the driver's 9-significant-digit canon. */
   private def cosSql(a: String, b: String): String =
-    s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+    // trailing `+ 0.0` normalizes the ZERO SIGN only (x + 0.0 is the
+    // identity for every other double): Spark's round() goes through
+    // BigDecimal and emits +0.0 for a -0.0 cosine (orthogonal vectors
+    // with negative zero products — first seen at sf0.3, x62 row 281),
+    // while DuckDB's ROUND preserves -0.0; repr-strict compare then
+    // fails on '0.0' vs '-0.0' with values numerically equal
+    s"(ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4) + 0.0)"
 
   /** Shared SQ8 CTEs (sq = per-vector scale, qz = quantized vectors) —
     * one generated definition of `Similarity.quantizeInt8`'s rule for the
@@ -1789,7 +1795,7 @@ object ExtensionQueries {
          |   ROWS BETWEEN $zWindow PRECEDING AND 1 PRECEDING))
          |SELECT user_id, bucket, n_events,
          |  CASE WHEN cnt*sq - sm*sm > 0
-         |    THEN ROUND((cnt*n_events - sm)::DOUBLE / sqrt((cnt*sq - sm*sm)::DOUBLE), 4)
+         |    THEN (ROUND((cnt*n_events - sm)::DOUBLE / sqrt((cnt*sq - sm*sm)::DOUBLE), 4) + 0.0)
          |  END AS z,
          |  (CASE WHEN (cnt*sq - sm*sm > 0 AND (cnt*n_events - sm)*(cnt*n_events - sm)
          |       > ${zK.toLong * zK}*(cnt*sq - sm*sm))
@@ -2265,7 +2271,7 @@ object ExtensionQueries {
          |  FROM documents GROUP BY source),
          |t AS (SELECT count(*)::DOUBLE AS tot FROM documents)
          |SELECT stratum, n, ROUND(n / tot, 6) AS share,
-         |  ROUND((n / tot) * ln((n / tot) / (CASE stratum $arms END)), 6) AS kl_term
+         |  (ROUND((n / tot) * ln((n / tot) / (CASE stratum $arms END)), 6) + 0.0) AS kl_term
          |FROM c CROSS JOIN t ORDER BY stratum""".stripMargin
     },
     // distinct (user, day) pairs vote for the 7 buckets they keep the
@@ -2334,8 +2340,8 @@ object ExtensionQueries {
          |        HAVING count(*) >= $pmiMinCount),
          |tt AS (SELECT count(*)::DOUBLE AS t, count(prev)::DOUBLE AS tb FROM tok)
          |SELECT big.prev, big.term, big.n,
-         |  ROUND(ln((big.n::DOUBLE / tb) /
-         |    ((up.cu::DOUBLE / t) * (ut.cu::DOUBLE / t))), 4) AS pmi
+         |  (ROUND(ln((big.n::DOUBLE / tb) /
+         |    ((up.cu::DOUBLE / t) * (ut.cu::DOUBLE / t))), 4) + 0.0) AS pmi
          |FROM big JOIN uni up ON big.prev = up.term
          |JOIN uni ut ON big.term = ut.term
          |CROSS JOIN tt
@@ -2693,9 +2699,9 @@ object ExtensionQueries {
          |SELECT b::BIGINT AS bucket,
          |  ROUND((co::DOUBLE + 0.5) / (no + $sm), 6) AS p_old,
          |  ROUND((cn::DOUBLE + 0.5) / (nn + $sm), 6) AS p_new,
-         |  ROUND(((co::DOUBLE + 0.5) / (no + $sm) - (cn::DOUBLE + 0.5) / (nn + $sm))
+         |  (ROUND(((co::DOUBLE + 0.5) / (no + $sm) - (cn::DOUBLE + 0.5) / (nn + $sm))
          |    * ln(((co::DOUBLE + 0.5) / (no + $sm)) / ((cn::DOUBLE + 0.5) / (nn + $sm))),
-         |    6) AS psi_term
+         |    6) + 0.0) AS psi_term
          |FROM j CROSS JOIN tt ORDER BY bucket""".stripMargin
     },
     // x97: assignment is x12's raw-sim/c_id-tiebreak read; the centroid
@@ -2896,8 +2902,8 @@ object ExtensionQueries {
     "x88_weighted_sample" -> {
       val m = 1L << 30
       s"""WITH p AS (SELECT lang AS stratum, doc_id,
-         |    ROUND(ln((('0x' || substring(md5(doc_id::VARCHAR || '$wsSalt'), 1, 15))::BIGINT
-         |        % $m + 1)::DOUBLE / ${(m + 1L).toDouble}) / n_chars::DOUBLE, 6) AS priority
+         |    (ROUND(ln((('0x' || substring(md5(doc_id::VARCHAR || '$wsSalt'), 1, 15))::BIGINT
+         |        % $m + 1)::DOUBLE / ${(m + 1L).toDouble}) / n_chars::DOUBLE, 6) + 0.0) AS priority
          |  FROM documents),
          |r AS (SELECT stratum, doc_id, priority,
          |  ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY priority DESC, doc_id) AS rn

@@ -617,6 +617,54 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published estimates")
   }
 
+  test("O2 streaming: incremental transitions equal the batch pass across time-ordered waves") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_tr_in").toString
+    val root = Files.createTempDirectory("graft_tr_out").toString
+    val events = Tables(spark, sf("sf0.01"), "events").filter(col("user_id").isNotNull)
+    // time split: waves partition each user's timeline contiguously (the
+    // stitch contract); ties at the cut land wholly in wave 1
+    val cut = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect().head.getDouble(0).toLong
+    events.filter(unix_micros(col("ts")) <= cut).write.mode("append").parquet(src)
+    Main.runIncrementalTransitions(spark, src, root)
+    events.filter(unix_micros(col("ts")) > cut).write.mode("append").parquet(src)
+    Main.runIncrementalTransitions(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = rows(spark.read.parquet(s"$root/transitions"))
+    val batch = rows(graft.operators.Relational.transitionCounts(events,
+      col("user_id"), Seq(col("ts"), col("event_id")), col("event_type")))
+    assert(streamed == batch, "incremental transitions diverged from the batch pass")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeTransitionsBatch(events.filter(unix_micros(col("ts")) > cut), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/transitions")) == streamed,
+      "retry changed the published transitions")
+  }
+
+  test("O2 streaming: incremental heavy keys equal the batch report across waves") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_hk_in").toString
+    val root = Files.createTempDirectory("graft_hk_out").toString
+    val events = Tables(spark, sf("sf0.01"), "events")
+    // count partials are additive, so ANY split works (no time contract)
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalHeavyKeys(spark, src, root, k = 10)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalHeavyKeys(spark, src, root, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val streamed = rows(spark.read.parquet(s"$root/heavy_keys"))
+    val batch = rows(graft.operators.Relational.heavyHitters(
+      events, col("user_id"), k = 10))
+    assert(streamed == batch, "incremental heavy keys diverged from the batch report")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeHeavyKeysBatch(events.filter(col("event_id") % 2 === 1), 1L, root, 10)
+    assert(rows(spark.read.parquet(s"$root/heavy_keys")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental source-KL equals the batch divergence across waves") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_kl_in").toString
