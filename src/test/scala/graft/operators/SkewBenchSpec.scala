@@ -96,6 +96,35 @@ class SkewBenchSpec extends SparkSpec {
     assert(secs < 240, f"CC stack took $secs%.1f s on the skew fixture")
   }
 
+  test("x109 shape: interval-overlap join under ONE hot key equals the naive join, bucket-bounded") {
+    // the nightmare: a single user owns 2,000 intervals on EACH side —
+    // the equi-key alone degenerates to one 4M-pair reducer; bucketing
+    // must split that key across its ~1,000 time buckets instead
+    val span = 100000L
+    val width = 10L
+    val nIv = 2000
+    def los = (0 until nIv).map(i => (i.toLong * 7919) % span)
+    val left = los.zipWithIndex
+      .map { case (lo, i) => (7L, i.toLong, lo, lo + width) }
+      .toDF("u", "lid", "llo", "lhi").repartition(32)
+    val right = los.zipWithIndex
+      .map { case (lo, i) => (7L, 100000L + i, lo, lo + width) }
+      .toDF("u", "rid", "rlo", "rhi").repartition(32)
+    val (bucketed, secs) = timed {
+      graft.operators.Relational.intervalOverlapJoin(
+        left, "llo", "lhi", right, "rlo", "rhi",
+        bucketWidth = 100L, keys = Seq("u")).count()
+    }
+    info(f"interval join matched=$bucketed in $secs%.1f s")
+    // ground truth from the naive quadratic join (fine at 2k x 2k, and
+    // exactly what the rewrite must reproduce pair-for-pair)
+    val naive = left.join(right.withColumnRenamed("u", "u2"),
+      col("u") === col("u2") && col("llo") <= col("rhi") && col("rlo") <= col("lhi")).count()
+    assert(bucketed == naive, s"bucketed=$bucketed naive=$naive")
+    assert(bucketed >= nIv, "every identical-interval pair must match")
+    assert(secs < 60, f"hot-key interval join took $secs%.1f s")
+  }
+
   test("x86 shape: incremental CC merge touches labels+batch only and equals recompute") {
     val oldPairs = (1 until hotN).map(i => (0L, i.toLong)).toDF("a_id", "b_id")
     // day-2 batch: a bridge from the star into the chain's head + fresh chain
