@@ -709,4 +709,85 @@ class PropertiesSpec extends SparkSpec {
       assert(queried == withCand, "query coverage != docs with candidates")
     }
   }
+
+  test("intervalOverlapJoin equals the naive overlap join, exactly once (random intervals)") {
+    // negative lows included: bucket() must floor-divide, not truncate
+    val iv = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1, 3), Gen.choose(-50L, 50L), Gen.choose(0L, 30L)))
+    val gen = Gen.zip(Gen.choose(1L, 20L), iv, iv)
+    cases(gen).foreach { case (w, lr, rr) =>
+      val left = lr.zipWithIndex
+        .map { case ((k, lo, len), i) => (k, i.toLong, lo, lo + len) }
+        .toDF("k", "lid", "llo", "lhi")
+      val right = rr.zipWithIndex
+        .map { case ((k, lo, len), i) => (k, 1000L + i, lo, lo + len) }
+        .toDF("k", "rid", "rlo", "rhi")
+      val got = Relational.intervalOverlapJoin(left, "llo", "lhi",
+          right, "rlo", "rhi", bucketWidth = w, keys = Seq("k"))
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = left.join(right.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") &&
+            col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // sorted SEQ compare: multiplicity matters — a pair emitted twice
+      // (first-bucket dedup broken) fails even if the set matches
+      assert(got == want, s"w=$w: got ${got.size} pairs, naive ${want.size}")
+    }
+  }
+
+  test("transition boundaries+stitch over any time split equal the one-pass counts") {
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 50L),
+        Gen.oneOf("A", "B", "C"))),
+      Gen.choose(0L, 50L))
+    cases(gen).foreach { case (evs, cut) =>
+      val df = evs.zipWithIndex
+        .map { case ((u, ts, t), i) => (u, ts, i.toLong, t) }
+        .toDF("u", "ts", "eid", "t")
+      val order = Seq(col("ts"), col("eid"))
+      def counts(d: org.apache.spark.sql.DataFrame) =
+        Relational.transitionCounts(d, col("u"), order, col("t"))
+      // a time split keeps each user's runs contiguous (ties stay left)
+      val (b0, b1) = (df.filter(col("ts") <= cut), df.filter(col("ts") > cut))
+      val bounds = Relational.transitionBoundaries(b0, col("u"), order, col("t"))
+        .unionByName(Relational.transitionBoundaries(b1, col("u"), order, col("t")))
+      val merged = counts(b0).unionByName(counts(b1))
+        .unionByName(Relational.stitchTransitions(bounds))
+        .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val whole = counts(df)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(merged == whole, s"cut=$cut diverged")
+    }
+  }
+
+  test("tokenBudgetPlan: rate caps at 1, planned <= min(allotment, tokens), unmapped -> null") {
+    val gen = Gen.zip(
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b", "c", "z"), Gen.choose(1L, 500L))),
+      Gen.choose(100L, 2000L))
+    cases(gen).foreach { case (rows, budget) =>
+      val target = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+      val df = rows.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+        .toDF("doc_id", "src", "n")
+      val out = TextAnalysis.tokenBudgetPlan(df, col("src"), col("n"), target, budget)
+        .collect()
+      out.foreach { r =>
+        val (stratum, tokens) = (r.getString(0), r.getLong(1))
+        if (target.contains(stratum)) {
+          val (rate, planned) = (r.getDouble(3), r.getLong(5))
+          assert(rate > 0 && rate <= 1.0, s"$stratum rate=$rate")
+          assert(planned <= tokens, s"$stratum planned exceeds available")
+          assert(planned <= math.floor(budget * target(stratum)).toLong + 1,
+            s"$stratum planned exceeds allotment")
+          if (rate == 1.0) assert(r.getDouble(4) >= 1.0 - 1e-9, "capped rate implies epochs >= 1")
+        } else {
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+            s"unmapped $stratum must surface null plan columns")
+          assert(tokens > 0, "tokens still reported for unmapped strata")
+        }
+      }
+    }
+  }
 }
