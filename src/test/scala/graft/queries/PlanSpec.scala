@@ -244,6 +244,23 @@ class PlanSpec extends SparkSpec {
     assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"), np)
   }
 
+  test("x107: transitions plan ONE user-key window shuffle + a partial-aggregated count") {
+    val p = plan(ExtensionQueries.x107)
+    // the lead window partitions BY USER — a global-order Window would
+    // single-thread the corpus
+    assert(p.contains("windowspecdefinition(__u"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x108: budget plan is one partial-aggregated token sum; scan prunes to 2 columns") {
+    val p = plan(ExtensionQueries.x108)
+    assert(p.contains("partial_"), p)
+    // only the stratum + text columns feed the plan — the scan must not
+    // drag the full documents schema
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"), p)
+  }
+
   test("x109: interval-overlap join plans an EQUI-join on (key, bucket), never nested-loop") {
     val p = plan(ExtensionQueries.x109)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
