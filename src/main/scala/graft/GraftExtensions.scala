@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expr.{CosineSimilarity, DotProduct, HexParityMask, RewriteDotProduct}
+import graft.functions.expr.{CdcCuts, CosineSimilarity, DotProduct, HexParityMask, RewriteDotProduct}
 
 /** Registration surface for the engine's custom Catalyst expressions.
   *
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.hexParityMaskDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.cdcCutsDescriptor)
     // evaluation-mode upgrade for the idiomatic HOF dot-product pattern
     // (zip_with+aggregate cannot codegen) — see RewriteDotProduct
     ext.injectOptimizerRule(_ => RewriteDotProduct)
@@ -80,6 +81,23 @@ object GraftFunctions {
       DotProduct(children.head, children(1))
     })
 
+  /** One-pass CDC cut finder (see [[graft.functions.expr.CdcCuts]]):
+    * replaces the per-byte explode + LEAD-window segment assembly with an
+    * output-sized cut array, cut-for-cut identical to the SQL fingerprint. */
+  val cdcCutsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cdc_cuts"),
+    new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_cdc_cuts(content, window, mask) takes exactly 3 arguments")
+      def intArg(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"graft_cdc_cuts: $name must be an INT literal")
+      }
+      CdcCuts(children.head, intArg(children(1), "window"), intArg(children(2), "mask"))
+    })
+
   /** Idempotent imperative registration into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -90,6 +108,8 @@ object GraftFunctions {
       "graft_hex_parity_mask", es => hexParityMaskDescriptor._3(es), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", es => dotDescriptor._3(es), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_cuts", es => cdcCutsDescriptor._3(es), "internal")
     // the imperative twin of injectOptimizerRule for sessions built
     // without the extension (idempotent like the registrations above)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
@@ -122,5 +142,14 @@ object GraftFunctions {
   def bloomContains(df: DataFrame, bloom: Column, value: Column): Column = {
     register(df.sparkSession)
     call_function("graft_bloom_contains", bloom, value)
+  }
+
+  /** Column-level CDC cut array: ascending `[0, c1, c2, …]` offsets for
+    * the (window, mask) fingerprint over a binary payload. */
+  def cdcCuts(df: DataFrame, content: Column, window: Int, mask: Int): Column = {
+    register(df.sparkSession)
+    call_function("graft_cdc_cuts", content,
+      org.apache.spark.sql.functions.lit(window),
+      org.apache.spark.sql.functions.lit(mask))
   }
 }

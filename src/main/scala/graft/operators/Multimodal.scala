@@ -131,38 +131,34 @@ object Multimodal {
     * `maxChunk` force-splits pathological cut droughts POST-HOC (a pure
     * per-segment computation, so it stays expression-level; a minimum
     * size would suppress cuts SEQUENTIALLY and is deliberately out of
-    * scope). The fingerprint is the md5Mod discipline over the window
-    * bytes — O(n·window) hashing, the expression-level stand-in whose
-    * cut semantics match a rolling Gear/Rabin hash; at 100 TB swap the
-    * fingerprint for a codegen'd rolling-hash `Expression` (the
-    * HexParityMask precedent), leaving every cut position identical.
+    * scope). The fingerprint is the top-60-bits-of-md5 discipline over
+    * the window bytes, computed by the codegen'd
+    * [[graft.functions.expr.CdcCuts]] expression — one local pass per
+    * payload returning the output-sized cut array, cut-for-cut identical
+    * to the SQL formulation the oracle replays (parity spec-pinned).
     *
-    * Scale shape: the per-byte explode is narrow (offsets + window
-    * hashes, content never shuffles); cut→segment stitching is a LEAD
-    * window over each payload's cut list (bounded by n_bytes/mask rows
-    * per payload); chunk hashes ship 32 bytes. Payloads shorter than
-    * one window emit a single whole-payload chunk via the sentinel cut
-    * at 0. Output: doc_id, off_bytes (0-based), chunk_bytes, h. */
+    * Scale shape: NO per-byte rows and NO window shuffle — cuts arrive
+    * as an array (~n_bytes/mask entries), segments are a narrow
+    * zip-with-shifted-self, and only real chunk rows are ever exploded;
+    * chunk hashes ship 32 bytes, content never shuffles. Payloads
+    * shorter than one window emit a single whole-payload chunk via the
+    * sentinel cut at 0. Output: doc_id, off_bytes (0-based),
+    * chunk_bytes, h. */
   def cdcChunks(bin: DataFrame, window: Int = 8, mask: Int = 64,
                 maxChunk: Int = 256): DataFrame = {
     require(window >= 1 && mask >= 2 && maxChunk >= 1, "degenerate CDC parameters")
     val base = bin.filter(col("meta.n_bytes") > 0)
       .select(col("doc_id"), col("content"), col("meta.n_bytes").as("__nb"))
-    def fp(c: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(mask.toLong))
-    val cuts = base.filter(col("__nb") >= window)
-      .select(col("doc_id"), col("content"), col("__nb"),
-        explode(sequence(lit(window.toLong), col("__nb"))).as("__i"))
-      // a cut at the very end delimits nothing
-      .filter(col("__i") < col("__nb") &&
-        fp(expr(s"substring(content, __i - ${window - 1}, $window)")) === 0)
-      .select(col("doc_id"), col("content"), col("__nb"), col("__i").as("cut"))
-    val sentinel = base.select(col("doc_id"), col("content"), col("__nb"),
-      lit(0L).as("cut"))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cut"))
-    sentinel.unionByName(cuts)
-      .withColumn("__end", coalesce(lead(col("cut"), 1).over(wd), col("__nb")))
+    base
+      .withColumn("__cuts",
+        graft.GraftFunctions.cdcCuts(base, col("content"), window, mask))
+      // segment ends: the cut list shifted left by one, nb closing the last
+      .withColumn("__ends", concat(
+        slice(col("__cuts"), lit(2), size(col("__cuts")) - 1), array(col("__nb"))))
+      .select(col("doc_id"), col("content"),
+        explode(arrays_zip(col("__cuts"), col("__ends"))).as("__seg"))
+      .select(col("doc_id"), col("content"),
+        col("__seg.__cuts").as("cut"), col("__seg.__ends").as("__end"))
       .filter(col("__end") > col("cut"))
       .select(col("doc_id"), col("content"), col("__end"),
         explode(expr(s"sequence(cut, __end - 1, $maxChunk)")).as("off"))

@@ -128,6 +128,47 @@ class MultimodalSpec extends SparkSpec {
       s"only ${shared.size}/${a.length} chunk hashes survived the insertion")
   }
 
+  test("CdcCuts expression equals the per-byte SQL fingerprint formulation (fuzz)") {
+    // random payloads incl. shorter-than-window and cut-free ones; the
+    // expression must reproduce the SQL cut set EXACTLY (it is what the
+    // DuckDB oracle replays), plus the 0 sentinel, ascending
+    val (window, mask) = (4, 8)
+    var s = 424242L
+    def payload(n: Int): String = (1 to n).map { _ =>
+      s = (s * 1103515245L + 12345L) & 0x7fffffffL
+      ('a' + (s % 26)).toChar }.mkString
+    val docs = ((1 to 12).map(i => (i.toLong, payload(i * 17 % 200 + 1))) :+
+      (99L, payload(3)))  // shorter than one window: sentinel only
+      .toDF("doc_id", "text")
+    val bin = Multimodal.asBinaryTable(docs)
+      .select(col("doc_id"), col("content"), col("meta.n_bytes").as("nb"))
+    val got = bin.select(col("doc_id"),
+        graft.GraftFunctions.cdcCuts(bin, col("content"), window, mask).as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val legacy = bin
+      .select(col("doc_id"), col("content"), col("nb"),
+        explode(sequence(lit(window.toLong), col("nb"))).as("i"))
+      .filter(col("i") < col("nb") &&
+        pmod(conv(substring(md5(expr(
+          s"substring(content, i - ${window - 1}, $window)")), 1, 15), 16, 10)
+          .cast("long"), lit(mask.toLong)) === 0)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got.foreach { case (id, cuts) =>
+      assert(cuts.head == 0L && cuts == cuts.sorted, s"doc $id malformed: $cuts")
+      assert(cuts.tail == legacy.getOrElse(id, Seq.empty[Long]),
+        s"doc $id: expr ${cuts.tail} != sql ${legacy.getOrElse(id, Nil)}")
+    }
+    assert(got(99L) == Seq(0L), "short payload must yield the sentinel only")
+    // SQL registration path works too
+    bin.createOrReplaceTempView("graft_cdc_bin")
+    graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT size(graft_cdc_cuts(content, $window, $mask)) FROM graft_cdc_bin WHERE doc_id = 1")
+      .collect().head.getInt(0)
+    assert(viaSql == got(1L).size)
+  }
+
   test("cdcDuplicateStats: an inserted-bytes mirror still scores as a near-duplicate") {
     val payload = {
       var s = 98765L

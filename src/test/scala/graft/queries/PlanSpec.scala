@@ -276,6 +276,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("x104: CDC chunking has ZERO Window nodes and no per-byte position explode") {
+    val p = plan(ExtensionQueries.x104)
+    // the CdcCuts expression replaced the per-byte sequence explode +
+    // per-doc LEAD window; only segment/offset explodes (output-sized)
+    // may remain, and no shuffle-backed Window at all
+    assert(!p.contains("Window"), p)
+    assert(p.contains("graft_cdc_cuts"), p)
+  }
+
   test("x01: exact dedup shuffles 32-byte hashes, not document text") {
     val p = plan(ExtensionQueries.x01)
     // the exchange key is the md5 helper column, derived before the shuffle
