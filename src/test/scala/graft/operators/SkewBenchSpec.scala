@@ -125,6 +125,35 @@ class SkewBenchSpec extends SparkSpec {
     assert(secs < 60, f"hot-key interval join took $secs%.1f s")
   }
 
+  test("x104 shape: one giant payload stays an output-sized cut array, full coverage") {
+    // 2 MB single payload — the old per-byte formulation would explode
+    // ~2M rows and LEAD-window them; the expression path must hold the
+    // payload to ONE local pass + ~n/mask cut entries
+    val n = 2 * 1024 * 1024
+    val bytes = {
+      var s = 777L
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) { s = s * 6364136223846793005L + 1442695040888963407L
+        a(i) = (s >>> 40).toByte; i += 1 }
+      a
+    }
+    val bin = Seq((1L, bytes)).toDF("doc_id", "content")
+      .select(col("doc_id"), col("content"),
+        struct(lit("application/octet-stream").as("mime"),
+          lit(n.toLong).as("n_bytes")).as("meta"))
+    val (rows, secs) = timed {
+      Multimodal.cdcChunks(bin, window = 8, mask = 64, maxChunk = 256)
+        .agg(count(lit(1)), sum(col("chunk_bytes"))).collect().head
+    }
+    info(f"giant-payload CDC: ${rows.getLong(0)} chunks in $secs%.1f s")
+    assert(rows.getLong(1) == n.toLong, "chunks must cover every byte exactly once")
+    // expected chunks ~ max(n/mask cuts, n/maxChunk splits) — sanity band
+    assert(rows.getLong(0) >= n / 256 && rows.getLong(0) <= n / 8,
+      s"chunk count ${rows.getLong(0)} outside the plausible band")
+    assert(secs < 60, f"giant payload took $secs%.1f s")
+  }
+
   test("x86 shape: incremental CC merge touches labels+batch only and equals recompute") {
     val oldPairs = (1 until hotN).map(i => (0L, i.toLong)).toDF("a_id", "b_id")
     // day-2 batch: a bridge from the star into the chain's head + fresh chain
