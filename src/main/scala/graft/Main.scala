@@ -735,6 +735,49 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/heavy_keys")
   }
 
+  /** Incremental CDC chunk index — x105's streaming twin: each
+    * AvailableNow pass chunks ONLY the batch's payloads (the CdcCuts
+    * expression, one local pass per payload) and lands their (doc_id, h)
+    * chunk hashes in a `batch=<id>` overwrite directory (batch-derived,
+    * retry-overwrites-itself — the [[runIncrementalKmv]] convention),
+    * then republishes the corpus dup-ratio report from the merged hash
+    * partials. Because CDC boundaries are content-defined, a mirror
+    * arriving in a LATER batch still collides with the original's chunk
+    * hashes — cross-batch dedup without re-chunking history; the
+    * published report is EXACTLY the batch
+    * [[graft.operators.Multimodal.cdcDuplicateStats]] over everything
+    * ingested (spec-asserted). History is re-read as 32-byte hash rows
+    * only; content is chunked once, ever. */
+  def runIncrementalCdcIndex(spark: SparkSession, docsDir: String,
+                             outRoot: String, window: Int = 8,
+                             mask: Int = 64, maxChunk: Int = 256): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeCdcIndexBatch(batch.toDF(), batchId, outRoot, window, mask, maxChunk)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/cdc_index")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalCdcIndex]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeCdcIndexBatch(batch: DataFrame, batchId: Long,
+                                        outRoot: String, window: Int,
+                                        mask: Int, maxChunk: Int): Unit = {
+    val s = batch.sparkSession
+    graft.operators.Multimodal.cdcChunks(
+        graft.operators.Multimodal.asBinaryTable(batch), window, mask, maxChunk)
+      .select(col("doc_id"), col("h"))
+      .write.mode("overwrite").parquet(s"$outRoot/chunks/batch=$batchId")
+    graft.operators.Multimodal.cdcDuplicateStatsFromChunks(
+        s.read.parquet(s"$outRoot/chunks").drop("batch"))
+      .write.mode("overwrite").parquet(s"$outRoot/dup_stats")
+  }
+
   /** Incremental dedup-graph maintenance: candidate-pair batches fold
     * into a SnapshotStore-rotated label table via
     * [[graft.operators.Dedup.mergeComponentLabels]] — per pass the loop

@@ -175,9 +175,16 @@ object Multimodal {
     * Instance counting, shared discipline and output shape with
     * duplicateChunks: doc_id, dup_chunks, total_chunks, dup_ratio. */
   def cdcDuplicateStats(bin: DataFrame, window: Int = 8, mask: Int = 64,
-                        maxChunk: Int = 256, minDf: Int = 2): DataFrame = {
-    val ch = graft.Persist.cut(
-      cdcChunks(bin, window, mask, maxChunk).select(col("doc_id"), col("h")))
+                        maxChunk: Int = 256, minDf: Int = 2): DataFrame =
+    cdcDuplicateStatsFromChunks(graft.Persist.cut(
+      cdcChunks(bin, window, mask, maxChunk).select(col("doc_id"), col("h"))),
+      minDf)
+
+  /** [[cdcDuplicateStats]] over a PRECOMPUTED (doc_id, h) chunk table —
+    * the shared core that lets the incremental runner fold additive
+    * per-batch chunk-hash partials (32-byte hashes, content chunked
+    * exactly once ever) and publish the identical report shape. */
+  def cdcDuplicateStatsFromChunks(ch: DataFrame, minDf: Int = 2): DataFrame = {
     val dup = ch.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("h"))
     val dupPerDoc = ch.join(dup, "h")

@@ -642,6 +642,30 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published transitions")
   }
 
+  test("O2 streaming: incremental CDC index equals the batch dup report; cross-batch mirrors collide") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_cdc_in").toString
+    val root = Files.createTempDirectory("graft_cdc_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    // chunk-hash partials are additive: any split works, and a mirror in
+    // a LATER wave must still collide with wave-1 chunk hashes
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalCdcIndex(spark, src, root, window = 8, mask = 64, maxChunk = 256)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalCdcIndex(spark, src, root, window = 8, mask = 64, maxChunk = 256)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val streamed = rows(spark.read.parquet(s"$root/dup_stats"))
+    val batch = rows(graft.operators.Multimodal.cdcDuplicateStats(
+      graft.operators.Multimodal.asBinaryTable(docs),
+      window = 8, mask = 64, maxChunk = 256))
+    assert(streamed == batch, "incremental CDC index diverged from the batch report")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeCdcIndexBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root, 8, 64, 256)
+    assert(rows(spark.read.parquet(s"$root/dup_stats")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental heavy keys equal the batch report across waves") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_hk_in").toString
