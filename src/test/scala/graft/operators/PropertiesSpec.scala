@@ -403,7 +403,26 @@ class PropertiesSpec extends SparkSpec {
       "kmeansExact" -> (() => Similarity.refineCentroidsExact(e, col("vec_id") < 4).count()),
       "qualityGate" -> (() => TextAnalysis.qualityClassifierScores(
         d.withColumn("n_chars", length(col("text")).cast("long"))).count()),
-      "textRank"    -> (() => TextAnalysis.textRankKeywords(d).count()))
+      "textRank"    -> (() => TextAnalysis.textRankKeywords(d).count()),
+      "semDedup"    -> (() => Dedup.semDedup(e, col("vec_id") < 4, 0.9).count()),
+      "transitions" -> (() => Relational.transitionCounts(ev, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_id").cast("string")).count()),
+      "transStitch" -> (() => Relational.stitchTransitions(
+        Relational.transitionBoundaries(ev, col("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_id").cast("string"))).count()),
+      "budgetPlan"  -> (() => TextAnalysis.tokenBudgetPlan(d, col("lang"),
+        length(col("text")).cast("long"), Map("en" -> 1.0), 100L).count()),
+      "intervalJoin" -> (() => Relational.intervalOverlapJoin(
+        ev.select(col("user_id").as("k"), col("event_id").as("llo"),
+          (col("event_id") + 2).as("lhi")), "llo", "lhi",
+        ev.select(col("user_id").as("k"), col("event_id").as("rlo"),
+          (col("event_id") + 2).as("rhi")), "rlo", "rhi",
+        4L, Seq("k")).count()),
+      "heavyKeys"   -> (() => Relational.heavyHitters(ev, col("user_id"), 5).count()),
+      "cdcChunks"   -> (() => Multimodal.cdcChunks(
+        Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()),
+      "cdcDup"      -> (() => Multimodal.cdcDuplicateStats(
+        Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
