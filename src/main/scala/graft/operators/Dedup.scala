@@ -1313,4 +1313,43 @@ object Dedup {
         round(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
       .filter(col("j") >= threshold)
   }
+
+  /** Structure report over a candidate-pair graph (edges `a_id < b_id`,
+    * distinct — the [[lshCandidatePairs]] contract): per-node degree,
+    * triangle count, and local clustering coefficient `2T/(d(d−1))`.
+    * High-clustering nodes sit in dense near-dup communities (template
+    * families — CC dedup will collapse them); degree-high/clustering-low
+    * nodes are hub FALSE POSITIVES stitching unrelated docs (the pairs a
+    * threshold tune should kill before [[dropNearDuplicatesCC]] merges
+    * their components).
+    *
+    * Triangles enumerate once per oriented a<b<c via two edge self-joins —
+    * the standard distributed formulation; candidate volume is bounded by
+    * the generator's own df/band caps (the §8.1 LSH bound), degree² never
+    * materializes. The edge frame is persisted once and drives all three
+    * passes. Clustering rounds to 4 on a double whose numerator/denominator
+    * are exact small integers — cross-engine identical.
+    * Output: doc_id, degree, triangles, clustering. */
+  def pairGraphStats(pairs: DataFrame): DataFrame = {
+    val e = graft.Persist.cut(pairs.select(col("a_id"), col("b_id")))
+    val deg = e.select(col("a_id").as("id"))
+      .unionAll(e.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .join(e.as("e3"),
+        col("e1.a_id") === col("e3.a_id") && col("e2.b_id") === col("e3.b_id"))
+      .select(col("e1.a_id").as("x"), col("e1.b_id").as("y"),
+        col("e2.b_id").as("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2,
+            coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+              (col("degree").cast("double") * (col("degree") - 1).cast("double")))
+          .otherwise(0.0), 4).as("clustering"))
+  }
 }

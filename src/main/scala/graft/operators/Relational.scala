@@ -945,4 +945,42 @@ object Relational {
       .select(size(filter(col("__t"),
         t => col(value).cast("double") > t)).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as(as))
+
+  /** Per-key inter-arrival profile: event count, min/mean/median/max gap
+    * (µs) between consecutive events under the `order` total order, and the
+    * count of BURST gaps (≤ `burstUs`) — the bot/scraper-cadence signal a
+    * data pipeline filters traffic sources on (human sessions arrive in
+    * hours, scripts in seconds).
+    *
+    * One key-partitioned LAG window ([[transitionCounts]]' exact
+    * discipline — partition size is a key's own event count, never the
+    * stream) feeding one map-side-combined aggregate. Gaps are exact
+    * BIGINT µs; mean and median convert to DOUBLE directly with NO
+    * output-side ROUND (the x90 rule): a ROUND(·, 6) at 1e10-µs magnitude
+    * is sub-ulp, where the engines' rounding implementations differ —
+    * whereas the raw quotient (IEEE division of identical exact integers)
+    * and the raw interpolated median (µs midpoints are exactly `.0`/`.5`,
+    * both representable) are bit-identical by construction. Keys with a
+    * single event emit null gap stats and 0 bursts — surfaced, never
+    * dropped.
+    * Output: key, n_events, min_gap_us, max_gap_us, mean_gap_us,
+    *         p50_gap_us, bursts. */
+  def interArrival(events: DataFrame, key: Column, order: Seq[Column],
+                   tsUs: Column, burstUs: Long): DataFrame = {
+    require(burstUs >= 0, "burst threshold must be non-negative")
+    val ordered = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    events
+      .select(key.as("__u") +: tsUs.as("__t") +: ordered: _*)
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .groupBy(col("__u").as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"),
+        (sum(col("__gap")).cast("double") /
+          count(col("__gap")).cast("double")).as("mean_gap_us"),
+        expr("percentile(__gap, 0.5)").as("p50_gap_us"),
+        sum(when(col("__gap") <= burstUs, 1L).otherwise(0L)).as("bursts"))
+  }
 }

@@ -483,4 +483,62 @@ object Similarity {
     q.select(col("vec_id"),
       transform(col("qvec"),
         x => (x.cast("double") * col("scale")).cast("float")).as("embedding"))
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k vectors balancing relevance to the query against
+    * redundancy with what's already picked —
+    * `score = λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — the standard
+    * diverse-examples / dedup-aware retrieval primitive.
+    *
+    * Shape: the relevance frame (|corpus| rows: id, embedding, rel) is
+    * computed ONCE and persisted; each of the k rounds is one pass over it
+    * against a ≤k-row BROADCAST of the already-selected vectors (≤ k·|corpus|
+    * pair dot products total, never all-pairs), closed by a TakeOrdered(1)
+    * argmax whose single row lands on the driver — the bpeLoop 1-row probe
+    * convention, k scalar rows total. Selection state never exceeds k rows.
+    *
+    * Determinism: rel and pair sims are ROUND(cos, 4); the score combines
+    * those rounded doubles with λ literals and re-rounds to 4 — identical
+    * IEEE arithmetic on both engines — and ties break on vec_id. If fewer
+    * than k candidates exist, all of them are returned (rank stops early).
+    * Output: rank (1-based), vec_id, rel, score; for rank 1, score = rel. */
+  def mmrSelect(emb: DataFrame, queryPred: Column, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(0.0 <= lambda && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(queryPred).select(col("embedding").as("q_emb"))
+    val cands = graft.Persist.cut(
+      emb.filter(!queryPred).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          simCol(emb)(col("embedding"), col("q_emb")).as("rel")))
+    var picked = Vector.empty[(Long, Long, Double, Double)]
+    var done = false
+    while (picked.size < k && !done) {
+      val selIds = picked.map(_._2)
+      val scored =
+        if (selIds.isEmpty)
+          cands.select(col("vec_id"), col("rel"), col("rel").as("score"))
+        else {
+          val selVecs = broadcast(
+            cands.filter(col("vec_id").isInCollection(selIds))
+              .select(col("embedding").as("s_emb")))
+          cands.filter(!col("vec_id").isInCollection(selIds))
+            .crossJoin(selVecs)
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(simCol(emb)(col("embedding"), col("s_emb"))).as("__ms"))
+            .select(col("vec_id"), col("rel"),
+              round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"), 4)
+                .as("score"))
+        }
+      val top = scored.orderBy(col("score").desc, col("vec_id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top(0)
+        picked :+= ((picked.size + 1L, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      }
+    }
+    picked.toDF("rank", "vec_id", "rel", "score")
+  }
 }

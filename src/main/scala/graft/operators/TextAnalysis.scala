@@ -1329,4 +1329,111 @@ object TextAnalysis {
     scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("p"), (col("__p4") >= col("__thr")).as("kept"))
   }
+
+  /** Gopher-style rule thresholds — shared verbatim with the x111 oracle
+    * SQL. Bounds are tuned so the synthetic corpus exercises BOTH branches
+    * of every rule (the vacuous rules of the real Gopher set — symbol
+    * ratio, bullet/ellipsis lines — have no material in a
+    * lowercase-words-only fixture and are deliberately omitted rather than
+    * shipped untestable). */
+  val gopherMinWords = 30L
+  val gopherMaxWords = 90L
+  val gopherMinWordLen = 4.0
+  val gopherMaxWordLen = 10.0
+  val gopherMinStop = 2L
+  val gopherMinUniq = 0.4
+
+  /** Per-document Gopher-rule diagnostics (Rae et al. 2021, §A1.1): the
+    * raw signals, one boolean PER RULE, and the composite gate — rule-level
+    * diagnosis is what a curation pipeline tunes against, where x04/x18
+    * only emit a fused score. Entirely narrow: one staged-token projection,
+    * zero exchanges. Word length is the mean of per-token lengths (not
+    * x04's chars/token, which counts separators); uniqueness is
+    * distinct/total tokens (the templated-text signal, cf. x22's n-gram
+    * form). Empty docs emit null signals and null rule verdicts — never a
+    * fabricated pass/fail. Rules compare the ROUNDED 4-decimal signals, so
+    * verdicts are reproducible cross-engine by construction.
+    * Output: doc_id, n_words, mean_word_len, stop_n, uniq_ratio,
+    *         r_words, r_wordlen, r_stop, r_uniq, pass. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val nw = col("n_words")
+    val base = stagedText(docs).select(
+      col("doc_id"),
+      size(col("__ts")).cast("long").as("n_words"),
+      expr("aggregate(__ts, CAST(0 AS BIGINT), (a, x) -> a + length(x))").as("__sl"),
+      wordSetCount(col("__ts"), lexicons.head._2).cast("long").as("stop_n"),
+      size(array_distinct(col("__ts"))).cast("long").as("__uq"))
+    base.select(
+        col("doc_id"), nw,
+        when(nw > 0, round(col("__sl").cast("double") / nw.cast("double"), 4))
+          .as("mean_word_len"),
+        col("stop_n"),
+        when(nw > 0, round(col("__uq").cast("double") / nw.cast("double"), 4))
+          .as("uniq_ratio"))
+      .withColumn("r_words", nw.between(gopherMinWords, gopherMaxWords))
+      .withColumn("r_wordlen",
+        col("mean_word_len").between(gopherMinWordLen, gopherMaxWordLen))
+      .withColumn("r_stop", col("stop_n") >= gopherMinStop)
+      .withColumn("r_uniq", col("uniq_ratio") >= gopherMinUniq)
+      .withColumn("pass",
+        col("r_words") && col("r_wordlen") && col("r_stop") && col("r_uniq"))
+  }
+
+  /** Per-source corpus scorecard — the per-dump/per-crawl health report a
+    * FineWeb-style pipeline runs after every ingest: volume (docs, tokens,
+    * token share), exact-duplicate rate (md5 text groups, the x01 rule),
+    * and mean x04 quality. One md5 aggregate + one source aggregate + a
+    * 1-row total broadcast; the dup join ships (doc-key, 32-byte hash)
+    * only, never text. The quality mean sums DECIMAL(18,4) casts of the
+    * round-4 scores — exact, order-independent (the x61 discipline) — and
+    * divides as double only at the end.
+    * Output: source, n_docs, n_tokens, token_share, dup_docs, dup_rate,
+    *         mean_quality. */
+  def sourceHealth(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+        nTokExpr.as("__n"),
+        qualityScoreExpr(nTokExpr, nCharExpr, digitsExpr).as("__q"))
+    val dupCnt = staged.groupBy(col("__h")).agg(count(lit(1)).as("__hc"))
+    val per = staged.join(dupCnt, "__h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum(when(col("__hc") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("__q").cast("decimal(18,4)")).as("__qs"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("__T"))
+    per.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      round(col("n_tokens").cast("double") / col("__T"), 6).as("token_share"),
+      col("dup_docs"),
+      round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+        .as("dup_rate"),
+      round(col("__qs").cast("double") / col("n_docs").cast("double"), 6)
+        .as("mean_quality"))
+  }
+
+  /** Tokenizer fertility by language: pieces-per-word under the x91/x96
+    * BPE merge chain — the cross-lingual tokenizer-equity report (a
+    * tokenizer trained on a skewed mix over-segments the minority
+    * languages; fertility is the standard measure). Rides [[bpeEncode]]'s
+    * vocab-bounded symbol table: the corpus side aggregates to (lang,
+    * word) counts first, then joins the BROADCAST vocabulary — nothing
+    * corpus-sized crosses the join. The symbol table covers every corpus
+    * word by construction (bpeLoop trains on the full distinct-word
+    * table), so the inner join is total.
+    * Output: lang, n_words, n_pieces, fertility. */
+  def bpeFertility(docs: DataFrame, merges: Int = 5): DataFrame = {
+    val vocab = bpeEncode(docs, merges).select(col("w"), col("n_pieces"))
+    val langWords = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("__c"))
+    langWords.join(broadcast(vocab), "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("n_pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+  }
 }

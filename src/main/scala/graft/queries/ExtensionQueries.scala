@@ -1246,6 +1246,56 @@ object ExtensionQueries {
     Relational.heavyHitters(Tables(s, dir, "orders"), col("o_custkey"), k = 20)
       .orderBy(col("n").desc, col("key"))
 
+  /** x111: per-document Gopher-rule diagnostics — rule-level booleans +
+    * the composite gate (thresholds are TextAnalysis constants the oracle
+    * replays verbatim). */
+  def x111(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")
+
+  /** x112: per-source corpus scorecard — volume, exact-dup rate, mean
+    * quality. */
+  def x112(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceHealth(docs(s, dir)).orderBy("source")
+
+  /** x113 parameters, shared with the generated oracle chain: 8 MMR
+    * picks, λ = 0.7, query = vec_id 0. */
+  val mmrK = 8
+  val mmrLambda = 0.7
+
+  /** x113: Maximal Marginal Relevance diverse top-k against the vec_id-0
+    * query. */
+  def x113(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(emb(s, dir), col("vec_id") === 0, k = mmrK,
+        lambda = mmrLambda)
+      .orderBy("rank")
+
+  /** x114: degree / triangle / clustering-coefficient report over x08's
+    * LSH candidate-pair graph (same n/k/bands). */
+  def x114(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairGraphStats(Dedup.lshCandidatePairs(docs(s, dir), n = 3, k = 12,
+        bands = 4))
+      .orderBy("doc_id")
+
+  /** x115 parameter, shared with the oracle SQL: gaps ≤ 1 hour count as
+    * bursts (median inter-arrival on this fixture is ~7 h, so both
+    * branches carry real rows). */
+  val burstGapUs = 3600000000L
+
+  /** x115: per-user inter-arrival profile over the event stream — the
+    * x107 (ts, event_id) total order. */
+  def x115(s: SparkSession, dir: String): DataFrame =
+    Relational.interArrival(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), Seq(col("ts"), col("event_id")),
+        unix_micros(col("ts")), burstUs = burstGapUs)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+
+  /** x116: BPE tokenizer fertility by language — pieces-per-word under
+    * the x91/x96 merge chain. */
+  def x116(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeFertility(docs(s, dir), merges = bpeRounds).orderBy("lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
     "x103_semantic_pack" -> (x103 _),
@@ -1256,6 +1306,12 @@ object ExtensionQueries {
     "x108_budget_plan"  -> (x108 _),
     "x109_interval_join" -> (x109 _),
     "x110_heavy_keys"   -> (x110 _),
+    "x111_gopher_rules" -> (x111 _),
+    "x112_source_health" -> (x112 _),
+    "x113_mmr_select"   -> (x113 _),
+    "x114_graph_stats"  -> (x114 _),
+    "x115_interarrival" -> (x115 _),
+    "x116_fertility"    -> (x116 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -1519,6 +1575,41 @@ object ExtensionQueries {
     // while DuckDB's ROUND preserves -0.0; repr-strict compare then
     // fails on '0.0' vs '-0.0' with values numerically equal
     s"(ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4) + 0.0)"
+
+  /** Generated x113 chain: greedy MMR unrolled to [[mmrK]] steps — step
+    * t's argmax scores the not-yet-picked candidates against the union of
+    * picks 1..t-1, the Spark driver loop verbatim. The λ arithmetic
+    * interpolates the SAME Scala doubles the Spark side uses (including
+    * the last-ulp 1−λ = 0.30000000000000004 for λ = 0.7), so the two
+    * engines combine identical IEEE values; the `+ 0.0` is cosSql's zero-
+    * sign normalization for a score that rounds to −0.0. */
+  private lazy val mmrSql: String = {
+    val lam = mmrLambda
+    val oneMinus = 1.0 - mmrLambda
+    val steps = new StringBuilder
+    steps ++= s"""rel AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+      |    ${cosSql("e.embedding", "q.q_emb")} AS rel
+      |  FROM embeddings e CROSS JOIN
+      |    (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0),
+      |s1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score FROM rel
+      |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    for (t <- 2 to mmrK) {
+      val sel = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      steps ++= s""",
+      |s$t AS MATERIALIZED (SELECT c.vec_id, c.rel,
+      |    (ROUND($lam * c.rel - $oneMinus *
+      |      (SELECT max(${cosSql("c.embedding", "r2.embedding")})
+      |       FROM rel r2 WHERE r2.vec_id IN ($sel)), 4) + 0.0) AS score
+      |  FROM rel c WHERE c.vec_id NOT IN ($sel)
+      |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val out = (1 to mmrK)
+      .map(t => s"SELECT $t::BIGINT AS rank, vec_id, rel, score FROM s$t")
+      .mkString("\n UNION ALL ")
+    s"WITH ${steps.toString}\n$out ORDER BY rank"
+  }
 
   /** Shared SQ8 CTEs (sq = per-vector scale, qz = quantized vectors) —
     * one generated definition of `Similarity.quantizeInt8`'s rule for the
@@ -3298,5 +3389,108 @@ object ExtensionQueries {
         |SELECT key, n, ROUND(n::DOUBLE / tot, 6) AS share,
         |  ROUND((n::DOUBLE * nk) / tot, 6) AS skew
         |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
+    // x111: rules compare the ROUNDED 4-decimal signals on both engines;
+    // thresholds are the TextAnalysis constants, interpolated once here
+    "x111_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |  list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sl,
+         |  len(list_filter(toks, x -> ${lexiconFilter(TextAnalysis.lexicons.head._2)}))::BIGINT AS stop_n,
+         |  len(list_distinct(toks))::BIGINT AS uq FROM t),
+         |r AS (SELECT doc_id, n_words,
+         |  CASE WHEN n_words > 0 THEN ROUND(sl::DOUBLE / n_words::DOUBLE, 4) END AS mean_word_len,
+         |  stop_n,
+         |  CASE WHEN n_words > 0 THEN ROUND(uq::DOUBLE / n_words::DOUBLE, 4) END AS uniq_ratio
+         | FROM c)
+         |SELECT doc_id, n_words, mean_word_len, stop_n, uniq_ratio,
+         |  (n_words BETWEEN ${TextAnalysis.gopherMinWords} AND ${TextAnalysis.gopherMaxWords}) AS r_words,
+         |  (mean_word_len BETWEEN ${TextAnalysis.gopherMinWordLen} AND ${TextAnalysis.gopherMaxWordLen}) AS r_wordlen,
+         |  (stop_n >= ${TextAnalysis.gopherMinStop}) AS r_stop,
+         |  (uniq_ratio >= ${TextAnalysis.gopherMinUniq}) AS r_uniq,
+         |  ((n_words BETWEEN ${TextAnalysis.gopherMinWords} AND ${TextAnalysis.gopherMaxWords})
+         |    AND (mean_word_len BETWEEN ${TextAnalysis.gopherMinWordLen} AND ${TextAnalysis.gopherMaxWordLen})
+         |    AND (stop_n >= ${TextAnalysis.gopherMinStop})
+         |    AND (uniq_ratio >= ${TextAnalysis.gopherMinUniq})) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // x112: the x04 quality expression verbatim; the mean sums exact
+    // DECIMAL(18,4) casts (the x61 order-independence discipline) and
+    // divides as double only at the end
+    "x112_source_health" ->
+      """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n,
+        |  length(text)::DOUBLE AS nc,
+        |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg FROM documents),
+        |q AS (SELECT doc_id, source, h, n,
+        |  ROUND(least(n / 100.0, 1.0) * (1.0 - dg / nc), 4) AS qs FROM t),
+        |d AS (SELECT h, count(*)::BIGINT AS hc FROM q GROUP BY h),
+        |p AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+        |  sum(CAST(qs AS DECIMAL(18,4))) AS qsum
+        | FROM q JOIN d USING (h) GROUP BY source),
+        |tt AS (SELECT sum(n_tokens)::DOUBLE AS T FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(n_tokens::DOUBLE / T, 6) AS token_share,
+        |  dup_docs, ROUND(dup_docs::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
+        |  ROUND(qsum::DOUBLE / n_docs::DOUBLE, 6) AS mean_quality
+        |FROM p CROSS JOIN tt ORDER BY source""".stripMargin,
+    // x113: the greedy chain unrolled — step t's argmax sees steps 1..t-1
+    // through explicit CTE references, exactly the Spark driver loop
+    "x113_mmr_select" -> mmrSql,
+    // x114: x08's pair set verbatim (same generated lshCtes), then
+    // degree / oriented-triangle / clustering over it
+    "x114_graph_stats" ->
+      s"""WITH $lshCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |deg AS (SELECT id, count(*)::BIGINT AS degree FROM (
+         |    SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs)
+         |  GROUP BY id),
+         |tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+         |  FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
+         |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |tpn AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT deg.id AS doc_id, degree,
+         |  coalesce(triangles, 0)::BIGINT AS triangles,
+         |  ROUND(CASE WHEN degree >= 2
+         |    THEN coalesce(triangles, 0)::DOUBLE * 2.0 /
+         |         (degree::DOUBLE * (degree - 1)::DOUBLE)
+         |    ELSE 0.0 END, 4) AS clustering
+         |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
+         |ORDER BY doc_id""".stripMargin,
+    // x115: LAG over the x107 (ts, event_id) per-user order; exact BIGINT
+    // gaps. Mean and median carry NO output ROUND (the x90 rule): at
+    // 1e10-µs magnitude a 6-decimal round is sub-ulp (engine rounding
+    // paths diverge — seen at sf0.001), while the raw double quotient and
+    // the exact `.0`/`.5` interpolated midpoint are bit-identical
+    "x115_interarrival" ->
+      s"""WITH g AS (SELECT user_id,
+         |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events WHERE user_id IS NOT NULL)
+         |SELECT user_id, count(*)::BIGINT AS n_events,
+         |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us,
+         |  sum(gap)::DOUBLE / count(gap)::DOUBLE AS mean_gap_us,
+         |  quantile_cont(gap, 0.5) AS p50_gap_us,
+         |  sum(CASE WHEN gap <= $burstGapUs THEN 1 ELSE 0 END)::BIGINT AS bursts
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // x116: the corpus re-keyed per (lang, word) against the SAME
+    // generated BPE chain x91/x96 pin — fertility cannot drift from the
+    // tokenizer it measures
+    "x116_fertility" ->
+      s"""WITH $bpeCtes,
+         |lw AS (SELECT d.lang, t.w AS w, count(*)::BIGINT AS c
+         |  FROM documents d,
+         |    unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS t(w)
+         |  GROUP BY d.lang, t.w)
+         |SELECT lang, sum(c)::BIGINT AS n_words,
+         |  sum(c * len(s))::BIGINT AS n_pieces,
+         |  ROUND(sum(c * len(s))::DOUBLE / sum(c)::DOUBLE, 6) AS fertility
+         |FROM lw JOIN seq$bpeRounds sq ON sq.w = lw.w
+         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

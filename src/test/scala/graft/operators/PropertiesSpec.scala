@@ -422,7 +422,16 @@ class PropertiesSpec extends SparkSpec {
       "cdcChunks"   -> (() => Multimodal.cdcChunks(
         Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()),
       "cdcDup"      -> (() => Multimodal.cdcDuplicateStats(
-        Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()))
+        Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()),
+      "gopher"      -> (() => TextAnalysis.gopherRules(d).count()),
+      "srcHealth"   -> (() => TextAnalysis.sourceHealth(
+        d.withColumn("source", col("lang"))).count()),
+      "mmr"         -> (() => Similarity.mmrSelect(e, col("vec_id") === 0, 3).count()),
+      "graphStats"  -> (() => Dedup.pairGraphStats(
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()),
+      "interArrival" -> (() => Relational.interArrival(ev, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_id"), 10L).count()),
+      "fertility"   -> (() => TextAnalysis.bpeFertility(d).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

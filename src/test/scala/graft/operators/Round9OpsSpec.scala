@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: Gopher-rule diagnostics, per-source health,
+  * MMR selection, pair-graph structure, inter-arrival profiling, and BPE
+  * fertility — each pinned against a hand fixture or an independent
+  * driver-side reference implementation. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Spark's Round(double, 4) semantics for driver-side references
+  private def r4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    r4(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+  }
+
+  test("gopherRules: each rule fails on exactly the doc built to break it") {
+    val mid = (1 to 50).map(i => s"word$i alpha").mkString(" ") // 100 distinct-ish words
+    val docs = Seq(
+      // 0: passes everything — 38 distinct 7-char words + 2 stopword hits
+      (0L, (1 to 38).map(i => f"toka$i%03d").mkString(" ") + " the office of", "en"),
+      // 1: too short (10 words)
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+      // 2: too long (100 words)
+      (2L, mid, "en"),
+      // 3: word length below 4.0 — 40 two-char words + "the"
+      (3L, (1 to 39).map(i => f"a$i%01d".take(2)).mkString(" ") + " the the", "en"),
+      // 4: no stopwords — 40 long words
+      (4L, (1 to 40).map(i => f"zok$i%04d").mkString(" "), "en"),
+      // 5: low uniqueness — one word 40 times + stopwords
+      (5L, Array.fill(38)("template").mkString(" ") + " the them", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(9), s"doc 0 should pass: ${out(0L)}")
+    def failsOnly(id: Long, idx: Int): Unit = {
+      val r = out(id)
+      assert(!r.getBoolean(idx), s"doc $id should fail rule at $idx: $r")
+      assert(!r.getBoolean(9), s"doc $id should fail the gate: $r")
+    }
+    failsOnly(1L, 5) // r_words
+    failsOnly(2L, 5)
+    failsOnly(3L, 6) // r_wordlen
+    failsOnly(4L, 7) // r_stop
+    failsOnly(5L, 8) // r_uniq
+  }
+
+  test("sourceHealth: dup counting, token shares, and the decimal-exact quality mean") {
+    val docs = Seq(
+      (0L, "the alpha beta gamma delta", "en", "a"),
+      (1L, "the alpha beta gamma delta", "en", "a"), // dup of 0, same source
+      (2L, "the alpha beta gamma delta", "en", "b"), // dup of 0, other source
+      (3L, "one two three four five six", "en", "b"),
+      (4L, "unique text entirely its own", "en", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.sourceHealth(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 2 && out("a").getLong(4) == 2) // both docs dup'd
+    assert(out("b").getLong(4) == 1, s"b has one dup'd doc: ${out("b")}")
+    assert(out("c").getLong(4) == 0)
+    val shares = out.values.map(_.getDouble(3)).sum
+    assert(math.abs(shares - 1.0) < 1e-9, s"token shares must sum to 1: $shares")
+    // mean quality equals the driver-side mean of the x04 scores
+    // (decimal-exact sum, double division, round 6)
+    val q = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    def wantMean(ids: Seq[Long]): Double = {
+      val s = ids.map(i => BigDecimal(q(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      java.math.BigDecimal.valueOf(s.toDouble / ids.size)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(out("a").getDouble(6) == wantMean(Seq(0L, 1L)))
+    assert(out("b").getDouble(6) == wantMean(Seq(2L, 3L)))
+    assert(out("c").getDouble(6) == wantMean(Seq(4L)))
+  }
+
+  test("mmrSelect equals the driver-side greedy reference (fixed seed)") {
+    val rnd = new scala.util.Random(1234)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val k = 6; val lam = 0.7
+    val got = Similarity.mmrSelect(emb, col("vec_id") === 0, k, lam).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    // independent reference: same rounding discipline, pure driver loop
+    val q = vecs.head._2
+    val cands = vecs.tail.map { case (i, v) => (i, v, cos(v, q)) }
+    var sel = Vector.empty[(Long, Array[Float], Double, Double)]
+    while (sel.size < k) {
+      val rest = cands.filterNot(c => sel.exists(_._1 == c._1))
+      val scored = rest.map { case (i, v, rel) =>
+        val score = if (sel.isEmpty) rel
+          else r4(lam * rel - (1 - lam) * sel.map(s => cos(v, s._2)).max)
+        (i, v, rel, score)
+      }
+      val best = scored.minBy { case (i, _, _, s) => (-s, i) }
+      sel :+= ((best._1, best._2, best._3, best._4))
+    }
+    val want = sel.zipWithIndex.map { case ((i, _, rel, sc), t) =>
+      (t + 1L, i, rel, sc) }
+    assert(got.toSeq == want, s"\ngot  ${got.toSeq}\nwant $want")
+  }
+
+  test("pairGraphStats equals the naive degree/triangle reference on a random graph") {
+    val rnd = new scala.util.Random(99)
+    val edges = (for (a <- 0L until 20L; b <- (a + 1) until 20L
+                      if rnd.nextDouble() < 0.25) yield (a, b)).toVector
+    val out = Dedup.pairGraphStats(edges.toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val eset = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { n =>
+      val deg = edges.count(e => e._1 == n || e._2 == n).toLong
+      val nbrs = edges.collect { case (a, b) if a == n => b
+                                 case (a, b) if b == n => a }
+      val tri = (for (i <- nbrs.indices; j <- (i + 1) until nbrs.size
+                      if eset.contains((math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j)))))
+                 yield 1).size.toLong
+      val cl = if (deg >= 2) r4(tri * 2.0 / (deg * (deg - 1.0))) else 0.0
+      assert(out(n) == ((deg, tri, cl)), s"node $n: ${out(n)} vs ($deg, $tri, $cl)")
+    }
+    // global sanity: each triangle counts once per corner
+    val triTotal = out.values.map(_._2).sum
+    assert(triTotal % 3 == 0, s"corner counts must be divisible by 3: $triTotal")
+  }
+
+  test("interArrival: gaps, median, bursts, and the single-event null row") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(12), 3L), (1L, ts(100), 4L),
+      (2L, ts(50), 5L) // single event — null gap stats
+    ).toDF("user_id", "ts", "event_id")
+    val out = Relational.interArrival(ev, col("user_id"),
+        Seq(col("ts"), col("event_id")), unix_micros(col("ts")),
+        burstUs = 5000000L) // 5 s
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) == 4)
+    assert(u1.getLong(2) == 2000000L && u1.getLong(3) == 88000000L)
+    // gaps: 10s, 2s, 88s → mean 100/3 s, median 10s, bursts: the 2 s gap
+    assert(math.abs(u1.getDouble(4) - 100000000.0 / 3) < 1e-6)
+    assert(u1.getDouble(5) == 10000000.0)
+    assert(u1.getLong(6) == 1)
+    val u2 = out(2L)
+    assert(u2.getLong(1) == 1 && u2.isNullAt(2) && u2.isNullAt(4) && u2.isNullAt(5))
+    assert(u2.getLong(6) == 0)
+  }
+
+  test("bpeFertility equals the driver-side join of bpeEncode over the corpus words") {
+    val docs = Seq(
+      (0L, "lower lower lowest newer", "en"),
+      (1L, "newer newest lowest", "de"),
+      (2L, "wider wider wide", "en")
+    ).toDF("doc_id", "text", "lang")
+    val pieces = TextAnalysis.bpeEncode(docs, merges = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val words = docs.collect().flatMap(r =>
+      r.getString(1).split(" ").filter(_.nonEmpty).map(w => (r.getString(2), w)))
+    val want = words.groupBy(_._1).map { case (lang, ws) =>
+      val nw = ws.length.toLong
+      val np = ws.map(w => pieces(w._2)).sum
+      (lang, nw, np,
+        java.math.BigDecimal.valueOf(np.toDouble / nw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toSet
+    val got = TextAnalysis.bpeFertility(docs, merges = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // fertility ≥ 1: a word is at least one piece
+    got.foreach { case (_, _, _, f) => assert(f >= 1.0) }
+  }
+}

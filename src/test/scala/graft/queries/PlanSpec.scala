@@ -276,6 +276,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("x111: gopher rules are one narrow projection — zero exchanges, 2-column scan") {
+    // pin the OPERATOR (the query's orderBy is presentation-only)
+    val df = graft.operators.TextAnalysis.gopherRules(
+      graft.sources.Tables(spark, sf(), "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("x112: source health shuffles hashes + source keys only; total is a 1-row broadcast") {
+    val p = plan(ExtensionQueries.x112)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("x114: graph stats joins stay equi-joins — no nested-loop over the pair set") {
+    val p = plan(ExtensionQueries.x114)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x115: inter-arrival window partitions BY USER; one partial-aggregated pass after") {
+    val p = plan(ExtensionQueries.x115)
+    assert(p.contains("windowspecdefinition(__u"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x116: fertility joins the BROADCAST vocab — the corpus side never sort-merges") {
+    val p = plan(ExtensionQueries.x116)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x104: CDC chunking has ZERO Window nodes and no per-byte position explode") {
     val p = plan(ExtensionQueries.x104)
     // the CdcCuts expression replaced the per-byte sequence explode +
