@@ -1323,24 +1323,41 @@ object Dedup {
     * threshold tune should kill before [[dropNearDuplicatesCC]] merges
     * their components).
     *
-    * Triangles enumerate once per oriented a<b<c via two edge self-joins —
-    * the standard distributed formulation; candidate volume is bounded by
-    * the generator's own df/band caps (the §8.1 LSH bound), degree² never
-    * materializes. The edge frame is persisted once and drives all three
-    * passes. Clustering rounds to 4 on a double whose numerator/denominator
-    * are exact small integers — cross-engine identical.
+    * Triangles enumerate once per oriented wedge via two edge self-joins —
+    * the standard distributed formulation — but oriented by DEGREE RANK,
+    * not id: under id-orientation a hot mid-id node owns indeg·outdeg ≈
+    * (d/2)² wedges (quadratic in the hot degree), while rank-orientation
+    * (edges point low→high (degree, id)) bounds total wedges by O(m^1.5)
+    * (Schank & Wagner 2005) — every wedge pivots on its LOWEST-degree
+    * corner. Triangle counts are orientation-invariant, so the SQL oracle
+    * keeps the naive id-orientation and the outputs still match exactly.
+    * Candidate volume itself is bounded by the generator's df/band caps
+    * (the §8.1 LSH bound). The edge frame is persisted once and drives
+    * all passes. Clustering rounds to 4 on a double whose
+    * numerator/denominator are exact small integers — cross-engine
+    * identical.
     * Output: doc_id, degree, triangles, clustering. */
   def pairGraphStats(pairs: DataFrame): DataFrame = {
     val e = graft.Persist.cut(pairs.select(col("a_id"), col("b_id")))
-    val deg = e.select(col("a_id").as("id"))
-      .unionAll(e.select(col("b_id").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
-      .join(e.as("e3"),
-        col("e1.a_id") === col("e3.a_id") && col("e2.b_id") === col("e3.b_id"))
-      .select(col("e1.a_id").as("x"), col("e1.b_id").as("y"),
-        col("e2.b_id").as("z"))
+    val deg = graft.Persist.cut(
+      e.select(col("a_id").as("id"))
+        .unionAll(e.select(col("b_id").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree")))
+    // re-orient: u→v iff (deg(u), u) < (deg(v), v); ship (id, degree)
+    // pairs only — the orientation join is long-keyed and rank-balanced
+    val da = deg.select(col("id").as("a_id"), col("degree").as("__da"))
+    val db = deg.select(col("id").as("b_id"), col("degree").as("__db"))
+    val ranked = e.join(da, "a_id").join(db, "b_id")
+    val oriented = graft.Persist.cut(ranked.select(
+      when(struct(col("__da"), col("a_id")) < struct(col("__db"), col("b_id")),
+        col("a_id")).otherwise(col("b_id")).as("u"),
+      when(struct(col("__da"), col("a_id")) < struct(col("__db"), col("b_id")),
+        col("b_id")).otherwise(col("a_id")).as("v")))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
     val triPerNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))

@@ -135,6 +135,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(triTotal % 3 == 0, s"corner counts must be divisible by 3: $triTotal")
   }
 
+  test("pairGraphStats: a hot MID-ID star stays triangle-free and exact (rank orientation)") {
+    // under id-orientation a center with a mid-range id owns
+    // indeg·outdeg ≈ (d/2)² wedges; rank orientation gives it zero.
+    // 400 leaves (ids 0..199 and 301..500), center id 250, plus one
+    // genuine triangle (600, 601, 602) to keep the count path honest.
+    val center = 250L
+    val leaves = ((0L until 200L) ++ (301L to 500L)).toVector
+    val star = leaves.map(l => if (l < center) (l, center) else (center, l))
+    val tri = Vector((600L, 601L), (601L, 602L), (600L, 602L))
+    val out = Dedup.pairGraphStats((star ++ tri).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(center) == ((400L, 0L)), s"center: ${out(center)}")
+    leaves.foreach(l => assert(out(l) == ((1L, 0L)), s"leaf $l: ${out(l)}"))
+    Seq(600L, 601L, 602L).foreach(n =>
+      assert(out(n) == ((2L, 1L)), s"triangle corner $n: ${out(n)}"))
+  }
+
   test("interArrival: gaps, median, bursts, and the single-event null row") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val ev = Seq(
