@@ -735,6 +735,84 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/heavy_keys")
   }
 
+  /** Incremental source-health monitoring — x112's streaming twin: the
+    * per-source scorecard (volume, dup rate, mean quality) stays current
+    * as the lake grows. Per-batch (source, content-hash) digests land in
+    * `batch=<id>` overwrite directories (batch-derived,
+    * retry-overwrites-itself); the published report is
+    * [[graft.operators.TextAnalysis.sourceHealthFromPartials]] over the
+    * merged digests — the SAME fold the batch operator uses, so the twin
+    * equals the batch report by shared definition (spec-asserted), and a
+    * mirror ingested in a LATER batch still marks both copies duplicated
+    * (per-hash totals sum across batches before the >1 test). History is
+    * re-read as hash-digest rows only; text is hashed once, ever. */
+  def runIncrementalSourceHealth(spark: SparkSession, docsDir: String,
+                                 outRoot: String): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeSourceHealthBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/source_health")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalSourceHealth]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeSourceHealthBatch(batch: DataFrame, batchId: Long,
+                                            outRoot: String): Unit = {
+    val s = batch.sparkSession
+    graft.operators.TextAnalysis.sourceHealthPartials(batch)
+      .write.mode("overwrite").parquet(s"$outRoot/partials/batch=$batchId")
+    graft.operators.TextAnalysis.sourceHealthFromPartials(
+        s.read.parquet(s"$outRoot/partials").drop("batch"))
+      .write.mode("overwrite").parquet(s"$outRoot/source_health")
+  }
+
+  /** Incremental inter-arrival monitoring — x115's streaming twin: the
+    * bot/scraper-cadence profile stays current as the event lake grows.
+    * Per-batch foldable digests (gap count/sum/min/max/bursts + the batch
+    * boundary keys) land in `batch=<id>` overwrite directories
+    * (batch-derived, retry-overwrites-itself — the
+    * [[runIncrementalTransitions]] convention); the published report folds
+    * the digests and STITCHES the cross-batch gaps from the boundary
+    * columns — exact vs the batch
+    * [[graft.operators.Relational.interArrival]] on every foldable column
+    * under time-ordered ingest (spec-asserted; the exact median is
+    * batch-only by design — it does not fold). History is re-read as
+    * |users|-per-batch digest rows, never events. */
+  def runIncrementalInterArrival(spark: SparkSession, eventsDir: String,
+                                 outRoot: String,
+                                 burstUs: Long = 3600000000L): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeInterArrivalBatch(batch.toDF(), batchId, outRoot, burstUs)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/interarrival")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalInterArrival]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeInterArrivalBatch(batch: DataFrame, batchId: Long,
+                                            outRoot: String,
+                                            burstUs: Long): Unit = {
+    val s = batch.sparkSession
+    val e = batch.filter(col("user_id").isNotNull)
+    graft.operators.Relational.interArrivalPartials(
+        e, col("user_id"), Seq(col("ts"), col("event_id")),
+        unix_micros(col("ts")), burstUs)
+      .write.mode("overwrite").parquet(s"$outRoot/partials/batch=$batchId")
+    graft.operators.Relational.interArrivalFromPartials(
+        s.read.parquet(s"$outRoot/partials").drop("batch"), burstUs)
+      .write.mode("overwrite").parquet(s"$outRoot/interarrival")
+  }
+
   /** Incremental CDC chunk index — x105's streaming twin: each
     * AvailableNow pass chunks ONLY the batch's payloads (the CdcCuts
     * expression, one local pass per payload) and lands their (doc_id, h)

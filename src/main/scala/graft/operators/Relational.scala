@@ -965,6 +965,65 @@ object Relational {
     * dropped.
     * Output: key, n_events, min_gap_us, max_gap_us, mean_gap_us,
     *         p50_gap_us, bursts. */
+  /** Per-key, per-batch FOLDABLE digest for incremental [[interArrival]]:
+    * within-batch gap partials (count/sum/min/max/bursts) plus the batch
+    * boundary (first order key, first/last µs) — derived from the batch
+    * ALONE (retry-stable under the `batch=<id>` overwrite convention) and
+    * |keys in batch| rows, never event-sized. The exact MEDIAN is
+    * deliberately absent: it does not fold from bounded partials, so it
+    * stays a batch-report column ([[interArrival]]) rather than shipping
+    * an approximation that would silently diverge.
+    * Output: key, n, gap_sum, gap_cnt, gap_min, gap_max, bursts,
+    *         first_key (struct), first_us, last_us. */
+  def interArrivalPartials(events: DataFrame, key: Column, order: Seq[Column],
+                           tsUs: Column, burstUs: Long): DataFrame = {
+    val ordered = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    events
+      .select(key.as("__u") +: tsUs.as("__t") +: ordered: _*)
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .groupBy(col("__u").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__gap")).as("gap_sum"),
+        count(col("__gap")).as("gap_cnt"),
+        min(col("__gap")).as("gap_min"),
+        max(col("__gap")).as("gap_max"),
+        sum(when(col("__gap") <= burstUs, 1L).otherwise(0L)).as("bursts"),
+        min(struct(order.indices.map(i => col(s"__o$i")): _*)).as("first_key"),
+        min(col("__t")).as("first_us"),
+        max(col("__t")).as("last_us"))
+  }
+
+  /** Fold a union of per-batch [[interArrivalPartials]] digests into the
+    * inter-arrival report: within-batch partials merge additively, and the
+    * CROSS-batch gaps (a key's first event of batch t against its last of
+    * batch t−1, digests ordered by `first_key`) stitch in — the
+    * [[stitchTransitions]] contract, exact when batches partition each
+    * key's timeline contiguously (time-ordered ingest). The window is
+    * per-key over |batches| digest rows, never events. Equal to
+    * [[interArrival]] minus the median column (see
+    * [[interArrivalPartials]] for why the median stays batch-only).
+    * Output: key, n_events, min_gap_us, max_gap_us, mean_gap_us, bursts. */
+  def interArrivalFromPartials(parts: DataFrame, burstUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("first_key"))
+    val stitched = parts
+      .withColumn("__sg", col("first_us") - lag(col("last_us"), 1).over(w))
+    val sumTotal = when(
+      sum(col("gap_sum")).isNull && sum(col("__sg")).isNull, lit(null))
+      .otherwise(coalesce(sum(col("gap_sum")), lit(0L)) +
+        coalesce(sum(col("__sg")), lit(0L)))
+    val cntTotal = coalesce(sum(col("gap_cnt")), lit(0L)) + count(col("__sg"))
+    stitched.groupBy(col("key"))
+      .agg(sum(col("n")).as("n_events"),
+        least(min(col("gap_min")), min(col("__sg"))).as("min_gap_us"),
+        greatest(max(col("gap_max")), max(col("__sg"))).as("max_gap_us"),
+        when(cntTotal > 0, sumTotal.cast("double") / cntTotal.cast("double"))
+          .as("mean_gap_us"),
+        (coalesce(sum(col("bursts")), lit(0L)) +
+          sum(when(col("__sg") <= burstUs, 1L).otherwise(0L))).as("bursts"))
+  }
+
   def interArrival(events: DataFrame, key: Column, order: Seq[Column],
                    tsUs: Column, burstUs: Long): DataFrame = {
     require(burstUs >= 0, "burst threshold must be non-negative")

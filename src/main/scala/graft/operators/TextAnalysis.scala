@@ -1389,19 +1389,46 @@ object TextAnalysis {
     * divides as double only at the end.
     * Output: source, n_docs, n_tokens, token_share, dup_docs, dup_rate,
     *         mean_quality. */
-  def sourceHealth(docs: DataFrame): DataFrame = {
-    val staged = docs.select(col("doc_id"), col("source"), col("text"),
+  def sourceHealth(docs: DataFrame): DataFrame =
+    sourceHealthFromPartials(sourceHealthPartials(docs))
+
+  /** Per-(source, content-hash) FOLDABLE digest behind [[sourceHealth]]
+    * and its incremental twin: doc count, exact token sum, and the
+    * DECIMAL(18,4) quality sum per content group. Everything is additive —
+    * partials from any corpus split merge by summation into exactly the
+    * whole-corpus digest (counts and decimal sums are associative), which
+    * is what lets the batch report and the `batch=<id>` streaming fold
+    * share ONE definition. |distinct (source, text)| rows, 32-byte hashes,
+    * never text.
+    * Output: source, h, n_docs, tokens, qsum. */
+  def sourceHealthPartials(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"),
         tokens(col("text")).as("__ts"))
-      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+      .select(col("source"), md5(col("text")).as("h"),
         nTokExpr.as("__n"),
         qualityScoreExpr(nTokExpr, nCharExpr, digitsExpr).as("__q"))
-    val dupCnt = staged.groupBy(col("__h")).agg(count(lit(1)).as("__hc"))
-    val per = staged.join(dupCnt, "__h")
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("tokens"),
+        sum(col("__q").cast("decimal(18,4)")).as("qsum"))
+
+  /** Fold [[sourceHealthPartials]] digests (one batch or a union of
+    * `batch=<id>` directories) into the per-source scorecard. Duplicate
+    * detection is CROSS-batch by construction: per-hash totals sum over
+    * every batch before the >1 test, so a mirror ingested weeks after the
+    * original still marks both sources. Same aggregate discipline as the
+    * direct pass (hash-group totals → source rollup → 1-row token-total
+    * broadcast). */
+  def sourceHealthFromPartials(parts: DataFrame): DataFrame = {
+    val byHash = parts.groupBy(col("source"), col("h"))
+      .agg(sum(col("n_docs")).as("__nd"), sum(col("tokens")).as("__tk"),
+        sum(col("qsum")).as("__qs"))
+    val hTot = byHash.groupBy(col("h")).agg(sum(col("__nd")).as("__hc"))
+    val per = byHash.join(hTot, "h")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__n")).as("n_tokens"),
-        sum(when(col("__hc") > 1, 1L).otherwise(0L)).as("dup_docs"),
-        sum(col("__q").cast("decimal(18,4)")).as("__qs"))
+      .agg(sum(col("__nd")).as("n_docs"),
+        sum(col("__tk")).as("n_tokens"),
+        sum(when(col("__hc") > 1, col("__nd")).otherwise(0L)).as("dup_docs"),
+        sum(col("__qs")).as("__qsum"))
     val tot = per.agg(sum(col("n_tokens")).cast("double").as("__T"))
     per.crossJoin(broadcast(tot)).select(
       col("source"), col("n_docs"), col("n_tokens"),
@@ -1409,7 +1436,7 @@ object TextAnalysis {
       col("dup_docs"),
       round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6)
         .as("dup_rate"),
-      round(col("__qs").cast("double") / col("n_docs").cast("double"), 6)
+      round(col("__qsum").cast("double") / col("n_docs").cast("double"), 6)
         .as("mean_quality"))
   }
 

@@ -642,6 +642,65 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published transitions")
   }
 
+  test("O2 streaming: incremental source health equals the batch scorecard; cross-batch dups collide") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_sh_in").toString
+    val root = Files.createTempDirectory("graft_sh_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    // hash digests are additive: a parity split works, and exact-dup
+    // pairs the split separates must still be flagged in the fold
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalSourceHealth(spark, src, root)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalSourceHealth(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    val streamed = rows(spark.read.parquet(s"$root/source_health"))
+    val batch = rows(graft.operators.TextAnalysis.sourceHealth(docs))
+    assert(streamed == batch, "incremental source health diverged from the batch scorecard")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeSourceHealthBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/source_health")) == streamed,
+      "retry changed the published scorecard")
+  }
+
+  test("O2 streaming: incremental inter-arrival equals the batch profile across time-ordered waves") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_ia_in").toString
+    val root = Files.createTempDirectory("graft_ia_out").toString
+    val events = Tables(spark, sf("sf0.01"), "events").filter(col("user_id").isNotNull)
+    val burst = 3600000000L
+    // time split at the median — contiguous per-user runs (stitch contract)
+    val cut = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect().head.getDouble(0).toLong
+    events.filter(unix_micros(col("ts")) <= cut).write.mode("append").parquet(src)
+    Main.runIncrementalInterArrival(spark, src, root, burst)
+    events.filter(unix_micros(col("ts")) > cut).write.mode("append").parquet(src)
+    Main.runIncrementalInterArrival(spark, src, root, burst)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5)))
+    }.toMap
+    val streamed = rows(spark.read.parquet(s"$root/interarrival")
+      .select("key", "n_events", "min_gap_us", "max_gap_us", "mean_gap_us", "bursts"))
+    // the batch profile, foldable columns only (median is batch-only)
+    val batch = rows(graft.operators.Relational.interArrival(events,
+        col("user_id"), Seq(col("ts"), col("event_id")),
+        unix_micros(col("ts")), burst)
+      .select("key", "n_events", "min_gap_us", "max_gap_us", "mean_gap_us", "bursts"))
+    assert(streamed == batch, "incremental inter-arrival diverged from the batch profile")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeInterArrivalBatch(events.filter(unix_micros(col("ts")) > cut), 1L, root, burst)
+    assert(rows(spark.read.parquet(s"$root/interarrival")
+        .select("key", "n_events", "min_gap_us", "max_gap_us", "mean_gap_us", "bursts")) == streamed,
+      "retry changed the published profile")
+  }
+
   test("O2 streaming: incremental CDC index equals the batch dup report; cross-batch mirrors collide") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_cdc_in").toString
