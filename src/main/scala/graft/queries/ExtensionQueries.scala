@@ -1296,6 +1296,72 @@ object ExtensionQueries {
   def x116(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeFertility(docs(s, dir), merges = bpeRounds).orderBy("lang")
 
+  /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
+    * search against the x11 exact baseline (same codebook, probes, and
+    * query set). The recall report is how a pipeline decides probes/
+    * centroids are still adequate as the corpus drifts; both top-k sets
+    * are already oracle-pinned, so the report is exactly their join. */
+  def x117(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val b = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10)
+      .select("q_id", "n_id")
+    val i = Similarity.ivfTopK(e, centroidPred = col("vec_id") < ivfCentroids,
+        queryPred = col("vec_id") % 100 === 0, k = 10, probes = ivfProbes)
+      .select("q_id", "n_id")
+    val kk = b.groupBy(col("q_id")).agg(count(lit(1)).as("__k"))
+    val m = b.join(i, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("matched"))
+    kk.join(m, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("matched"), lit(0L)).as("matched"),
+        round(coalesce(col("matched"), lit(0L)).cast("double") /
+          col("__k").cast("double"), 6).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** x118: the dedup CASCADE report — corpus size surviving each stage of
+    * the standard pipeline order (raw → byte-exact → normalized-exact →
+    * LSH+CC near-dup), each stage applied to the previous stage's
+    * survivors. Four count aggregates unioned; the expensive stages ride
+    * the audited x01/x53/x21 operators unchanged. */
+  def x118(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val s2 = Dedup.exact(d, col("doc_id"), col("text"))
+    val s3 = Dedup.exactNormalized(s2, col("doc_id"), col("text"))
+    val s4 = Dedup.dropNearDuplicatesCC(s3,
+      Dedup.lshCandidatePairs(s3, n = 3, k = 12, bands = 4))
+    def st(i: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("kept"))
+        .select(lit(i).as("stage"), lit(name).as("name"), col("kept"))
+    st(1, "raw", d).unionAll(st(2, "exact", s2))
+      .unionAll(st(3, "normalized", s3)).unionAll(st(4, "near_cc", s4))
+      .orderBy("stage")
+  }
+
+  /** x119: the Gopher-rule WATERFALL — docs dropped AT each rule when the
+    * x111 rules apply in order (words → wordlen → stop → uniq), plus the
+    * cumulative survivor count; null verdicts (empty docs) drop at the
+    * first rule that cannot be verified. One narrow aggregate over the
+    * x111 frame, reshaped by stack — the filter-attribution report a
+    * curation pipeline tunes thresholds against. */
+  def x119(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seq("r_words", "r_wordlen", "r_stop", "r_uniq")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        val prevOk = rules.take(i)
+          .map(p => coalesce(col(p), lit(false)))
+          .foldLeft(lit(true))(_ && _)
+        sum(when(prevOk && !coalesce(col(r), lit(false)), 1L).otherwise(0L))
+          .as(s"__d$i")
+      }
+    val one = TextAnalysis.gopherRules(docs(s, dir)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      val kept = (0 to i).map(j => s" - __d$j").mkString
+      s"CAST(${i + 1} AS BIGINT), '$r', __d$i, __n$kept"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule_idx, rule, dropped, kept)")
+      .orderBy("rule_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x102_psi_drift"    -> (x102 _),
     "x103_semantic_pack" -> (x103 _),
@@ -1312,6 +1378,9 @@ object ExtensionQueries {
     "x114_graph_stats"  -> (x114 _),
     "x115_interarrival" -> (x115 _),
     "x116_fertility"    -> (x116 _),
+    "x117_ann_recall"   -> (x117 _),
+    "x118_dedup_cascade" -> (x118 _),
+    "x119_rule_waterfall" -> (x119 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -1575,6 +1644,60 @@ object ExtensionQueries {
     // while DuckDB's ROUND preserves -0.0; repr-strict compare then
     // fails on '0.0' vs '-0.0' with values numerically equal
     s"(ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4) + 0.0)"
+
+  /** ONE definition of the x111 signal CTEs (`r`) and the four rule
+    * predicates — shared by x111 (per-doc verdicts) and x119 (the ordered
+    * waterfall attribution), so the report cannot drift from the gate. */
+  private lazy val gopherCtes: String =
+    s"""t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+       |c AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+       |  list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sl,
+       |  len(list_filter(toks, x -> ${lexiconFilter(TextAnalysis.lexicons.head._2)}))::BIGINT AS stop_n,
+       |  len(list_distinct(toks))::BIGINT AS uq FROM t),
+       |r AS (SELECT doc_id, n_words,
+       |  CASE WHEN n_words > 0 THEN ROUND(sl::DOUBLE / n_words::DOUBLE, 4) END AS mean_word_len,
+       |  stop_n,
+       |  CASE WHEN n_words > 0 THEN ROUND(uq::DOUBLE / n_words::DOUBLE, 4) END AS uniq_ratio
+       | FROM c)""".stripMargin
+  private lazy val gopherRuleWords =
+    s"(n_words BETWEEN ${TextAnalysis.gopherMinWords} AND ${TextAnalysis.gopherMaxWords})"
+  private lazy val gopherRuleWordLen =
+    s"(mean_word_len BETWEEN ${TextAnalysis.gopherMinWordLen} AND ${TextAnalysis.gopherMaxWordLen})"
+  private lazy val gopherRuleStop = s"(stop_n >= ${TextAnalysis.gopherMinStop})"
+  private lazy val gopherRuleUniq = s"(uniq_ratio >= ${TextAnalysis.gopherMinUniq})"
+
+  /** ONE definition of the x11 exact-top-k chain (`bf`), shared by the
+    * x11 entry and the x117 recall report — the baseline a recall metric
+    * is measured against cannot drift from the baseline query itself. */
+  private lazy val bruteKnnCtes: String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+       |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q.qe", "e.embedding")} AS sim
+       |      FROM q JOIN embeddings e ON q.q_id <> e.vec_id),
+       |bf AS (SELECT q_id, n_id, sim FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+       | WHERE rn <= 10)""".stripMargin
+
+  /** ONE definition of the x12 IVF-top-k chain (`iv`) — same sharing
+    * contract as [[bruteKnnCtes]]. */
+  private lazy val ivfKnnCtes: String =
+    s"""cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $ivfCentroids),
+       |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, c_id AS cluster FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, c_id AS cluster FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+       |   FROM cs WHERE vec_id % 100 = 0)
+       |  WHERE rn <= $ivfProbes),
+       |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${cosSql("qe.embedding", "ne.embedding")} AS sim
+       |       FROM probe p JOIN assign a ON p.cluster = a.cluster AND p.q_id <> a.vec_id
+       |       JOIN embeddings qe ON qe.vec_id = p.q_id
+       |       JOIN embeddings ne ON ne.vec_id = a.vec_id),
+       |iv AS (SELECT q_id, n_id, sim FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+       | WHERE rn <= 10)""".stripMargin
 
   /** Generated x113 chain: greedy MMR unrolled to [[mmrK]] steps — step
     * t's argmax scores the not-yet-picked candidates against the union of
@@ -3251,30 +3374,11 @@ object ExtensionQueries {
     // flipped by float drift — and the drift itself is zero because the
     // fold order is shared (see cosSql).
     "x11_knn_brute" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
-         |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q.qe", "e.embedding")} AS sim
-         |      FROM q JOIN embeddings e ON q.q_id <> e.vec_id)
-         |SELECT q_id, n_id, sim FROM
-         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
-         |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
+      s"""WITH $bruteKnnCtes
+         |SELECT q_id, n_id, sim FROM bf ORDER BY q_id, sim DESC, n_id""".stripMargin,
     "x12_knn_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $ivfCentroids),
-         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
-         |       FROM embeddings e CROSS JOIN cent c),
-         |assign AS (SELECT vec_id, c_id AS cluster FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM cs)
-         |  WHERE rn = 1),
-         |probe AS (SELECT vec_id AS q_id, c_id AS cluster FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-         |   FROM cs WHERE vec_id % 100 = 0)
-         |  WHERE rn <= $ivfProbes),
-         |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${cosSql("qe.embedding", "ne.embedding")} AS sim
-         |       FROM probe p JOIN assign a ON p.cluster = a.cluster AND p.q_id <> a.vec_id
-         |       JOIN embeddings qe ON qe.vec_id = p.q_id
-         |       JOIN embeddings ne ON ne.vec_id = a.vec_id)
-         |SELECT q_id, n_id, sim FROM
-         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
-         |WHERE rn <= 10 ORDER BY q_id, sim DESC, n_id""".stripMargin,
+      s"""WITH $ivfKnnCtes
+         |SELECT q_id, n_id, sim FROM iv ORDER BY q_id, sim DESC, n_id""".stripMargin,
     // x93: assignment is x12's rn=1 read (raw-sim DESC, c_id tiebreak —
     // matching max_by(struct(sim, -c_id))); thresholds are ROUND-4
     // quantile_cont over the round-4 sims (percentile parity is
@@ -3390,28 +3494,17 @@ object ExtensionQueries {
         |  ROUND((n::DOUBLE * nk) / tot, 6) AS skew
         |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
     // x111: rules compare the ROUNDED 4-decimal signals on both engines;
-    // thresholds are the TextAnalysis constants, interpolated once here
+    // thresholds are the TextAnalysis constants (interpolated once, in
+    // the shared gopherCtes)
     "x111_gopher_rules" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-         |c AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
-         |  list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sl,
-         |  len(list_filter(toks, x -> ${lexiconFilter(TextAnalysis.lexicons.head._2)}))::BIGINT AS stop_n,
-         |  len(list_distinct(toks))::BIGINT AS uq FROM t),
-         |r AS (SELECT doc_id, n_words,
-         |  CASE WHEN n_words > 0 THEN ROUND(sl::DOUBLE / n_words::DOUBLE, 4) END AS mean_word_len,
-         |  stop_n,
-         |  CASE WHEN n_words > 0 THEN ROUND(uq::DOUBLE / n_words::DOUBLE, 4) END AS uniq_ratio
-         | FROM c)
+      s"""WITH $gopherCtes
          |SELECT doc_id, n_words, mean_word_len, stop_n, uniq_ratio,
-         |  (n_words BETWEEN ${TextAnalysis.gopherMinWords} AND ${TextAnalysis.gopherMaxWords}) AS r_words,
-         |  (mean_word_len BETWEEN ${TextAnalysis.gopherMinWordLen} AND ${TextAnalysis.gopherMaxWordLen}) AS r_wordlen,
-         |  (stop_n >= ${TextAnalysis.gopherMinStop}) AS r_stop,
-         |  (uniq_ratio >= ${TextAnalysis.gopherMinUniq}) AS r_uniq,
-         |  ((n_words BETWEEN ${TextAnalysis.gopherMinWords} AND ${TextAnalysis.gopherMaxWords})
-         |    AND (mean_word_len BETWEEN ${TextAnalysis.gopherMinWordLen} AND ${TextAnalysis.gopherMaxWordLen})
-         |    AND (stop_n >= ${TextAnalysis.gopherMinStop})
-         |    AND (uniq_ratio >= ${TextAnalysis.gopherMinUniq})) AS pass
+         |  $gopherRuleWords AS r_words,
+         |  $gopherRuleWordLen AS r_wordlen,
+         |  $gopherRuleStop AS r_stop,
+         |  $gopherRuleUniq AS r_uniq,
+         |  ($gopherRuleWords AND $gopherRuleWordLen AND $gopherRuleStop
+         |    AND $gopherRuleUniq) AS pass
          |FROM r ORDER BY doc_id""".stripMargin,
     // x112: the x04 quality expression verbatim; the mean sums exact
     // DECIMAL(18,4) casts (the x61 order-independence discipline) and
@@ -3478,6 +3571,75 @@ object ExtensionQueries {
          |  quantile_cont(gap, 0.5) AS p50_gap_us,
          |  sum(CASE WHEN gap <= $burstGapUs THEN 1 ELSE 0 END)::BIGINT AS bursts
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // x117: both top-k chains verbatim (shared CTEs with x11/x12);
+    // recall is small-integer division, ROUND-6 safe
+    "x117_ann_recall" ->
+      s"""WITH $bruteKnnCtes,
+         |$ivfKnnCtes,
+         |k AS (SELECT q_id, count(*)::BIGINT AS kk FROM bf GROUP BY q_id),
+         |m AS (SELECT bf.q_id, count(*)::BIGINT AS matched
+         |  FROM bf JOIN iv ON bf.q_id = iv.q_id AND bf.n_id = iv.n_id
+         |  GROUP BY bf.q_id)
+         |SELECT k.q_id, coalesce(matched, 0)::BIGINT AS matched,
+         |  ROUND(coalesce(matched, 0)::DOUBLE / kk::DOUBLE, 6) AS recall
+         |FROM k LEFT JOIN m ON k.q_id = m.q_id ORDER BY k.q_id""".stripMargin,
+    // x118: each stage dedups the PREVIOUS stage's survivors; the LSH
+    // pair graph restricted to stage-3 survivors equals Spark's
+    // lshCandidatePairs over that corpus (per-doc banding is
+    // corpus-independent and the fixture path is uncapped)
+    "x118_dedup_cascade" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |ex AS (SELECT doc_id, text FROM
+         |  (SELECT doc_id, text,
+         |     ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |   FROM documents) WHERE rn = 1),
+         |nx AS (SELECT doc_id, text FROM
+         |  (SELECT doc_id, text,
+         |     ROW_NUMBER() OVER (PARTITION BY md5(trim(regexp_replace(
+         |       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+         |       ORDER BY doc_id) AS rn
+         |   FROM ex) WHERE rn = 1),
+         |cpairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM nx)
+         |    AND b.doc_id IN (SELECT doc_id FROM nx)),
+         |cedges AS (SELECT a_id AS src, b_id AS dst FROM cpairs
+         |           UNION ALL SELECT b_id, a_id FROM cpairs),
+         |creach(id, lbl) AS (
+         |  SELECT src, src FROM cedges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM cedges e JOIN creach r ON e.dst = r.id),
+         |ccomp AS (SELECT id, min(lbl) AS lbl FROM creach GROUP BY id),
+         |cc AS (SELECT doc_id FROM nx
+         |  WHERE doc_id NOT IN (SELECT id FROM ccomp WHERE id <> lbl))
+         |SELECT 1::BIGINT AS stage, 'raw' AS name,
+         |  (SELECT count(*) FROM documents)::BIGINT AS kept
+         |UNION ALL SELECT 2::BIGINT, 'exact', (SELECT count(*) FROM ex)::BIGINT
+         |UNION ALL SELECT 3::BIGINT, 'normalized', (SELECT count(*) FROM nx)::BIGINT
+         |UNION ALL SELECT 4::BIGINT, 'near_cc', (SELECT count(*) FROM cc)::BIGINT
+         |ORDER BY stage""".stripMargin,
+    // x119: the x111 rules applied IN ORDER over the shared gopherCtes;
+    // null verdicts drop at the first unverifiable rule
+    "x119_rule_waterfall" ->
+      s"""WITH $gopherCtes,
+         |f AS (SELECT doc_id,
+         |  coalesce($gopherRuleWords, false) AS r1,
+         |  coalesce($gopherRuleWordLen, false) AS r2,
+         |  coalesce($gopherRuleStop, false) AS r3,
+         |  coalesce($gopherRuleUniq, false) AS r4 FROM r),
+         |a AS (SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+         |  sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+         |  sum(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+         |  sum(CASE WHEN r1 AND r2 AND r3 AND NOT r4 THEN 1 ELSE 0 END)::BIGINT AS d4
+         | FROM f)
+         |SELECT 1::BIGINT AS rule_idx, 'r_words' AS rule, d1 AS dropped,
+         |  (n - d1)::BIGINT AS kept FROM a
+         |UNION ALL SELECT 2::BIGINT, 'r_wordlen', d2, (n - d1 - d2)::BIGINT FROM a
+         |UNION ALL SELECT 3::BIGINT, 'r_stop', d3, (n - d1 - d2 - d3)::BIGINT FROM a
+         |UNION ALL SELECT 4::BIGINT, 'r_uniq', d4, (n - d1 - d2 - d3 - d4)::BIGINT FROM a
+         |ORDER BY rule_idx""".stripMargin,
     // x116: the corpus re-keyed per (lang, word) against the SAME
     // generated BPE chain x91/x96 pin — fertility cannot drift from the
     // tokenizer it measures

@@ -174,6 +174,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(u2.getLong(6) == 0)
   }
 
+  test("report invariants: recall in [0,1], cascade monotone, waterfall conserves the corpus") {
+    val s = spark; val dir = sf()
+    val rec = graft.queries.ExtensionQueries.x117(s, dir).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10, s"matched out of range: $r")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, s"recall out of range: $r")
+    }
+    val casc = graft.queries.ExtensionQueries.x118(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val total = graft.sources.Tables(s, dir, "documents").count()
+    assert(casc(1L) == total)
+    assert(casc(1L) >= casc(2L) && casc(2L) >= casc(3L) && casc(3L) >= casc(4L),
+      s"cascade must be monotone: $casc")
+    val wf = graft.queries.ExtensionQueries.x119(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val dropped = wf.map(_._2).sum
+    val keptLast = wf.maxBy(_._1)._3
+    assert(dropped + keptLast == total,
+      s"waterfall must conserve the corpus: $dropped dropped + $keptLast kept != $total")
+    wf.sliding(2).foreach { case Array((_, _, k1), (i2, d2, k2)) =>
+      assert(k2 == k1 - d2, s"kept must fall by exactly the rule-$i2 drops")
+    case _ => }
+  }
+
   test("bpeFertility equals the driver-side join of bpeEncode over the corpus words") {
     val docs = Seq(
       (0L, "lower lower lowest newer", "en"),
