@@ -186,14 +186,55 @@ object Similarity {
     * by construction (every vector contributes exactly `dim` rows).
     * Output: cluster, dim (0-based), c (double), n (members). */
   def refineCentroidsExact(emb: DataFrame, centroidPred: Column): DataFrame =
-    ivfAssignTo(emb, centroidsOf(emb, centroidPred))
+    exactClusterMeans(emb, centroidsOf(emb, centroidPred))
+      .select(col("cluster"), col("dim"), col("m").as("c"), col("n"))
+
+  /** Shared exact per-(cluster, dim) mean behind [[refineCentroidsExact]]
+    * and [[centroidDrift]]: components round to 6 decimals into
+    * DECIMAL(18,6) partials (order-free exact sums, the x37 discipline),
+    * mean = exact-sum ÷ count as double — bit-identical cross-engine.
+    * Output: cluster, dim, m, n. */
+  private def exactClusterMeans(emb: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignTo(emb, centroids)
       .select(col("cluster"), posexplode(col("embedding")))
       .select(col("cluster"), col("pos").cast("long").as("dim"),
         round(col("col").cast("double"), 6).cast("decimal(18,6)").as("__v"))
       .groupBy(col("cluster"), col("dim"))
       .agg(sum(col("__v")).as("__s"), count(lit(1)).as("n"))
       .select(col("cluster"), col("dim"),
-        (col("__s").cast("double") / col("n")).as("c"), col("n"))
+        (col("__s").cast("double") / col("n")).as("m"), col("n"))
+
+  /** Embedding-space drift monitor — the x102-PSI analog for vector
+    * columns: both corpus slices assign to the SAME fixed codebook, each
+    * side's exact per-cluster mean vector is computed ([[exactClusterMeans]]'
+    * decimal discipline), and the report is the per-cluster squared L2
+    * distance between the two means plus both occupancy counts — the
+    * after-every-ingest check that a retrained embedder or a shifted
+    * source hasn't silently moved a region of the space.
+    *
+    * Scale: two |corpus|·dim partial-aggregated passes (map-side combine,
+    * skew-free (cluster, dim) keys) + one codebook-bounded join; nothing
+    * embedding-width shuffles after the aggregates. Determinism: per-dim
+    * squared diffs of the (bit-identical) double means round to 10
+    * decimals into DECIMAL(18,10) and sum exactly (the x90 convention) —
+    * the final cast to DOUBLE carries no output-side ROUND. Clusters
+    * empty on either side surface with null drift and a null count,
+    * never silently drop.
+    * Output: cluster, n_base, n_batch, drift. */
+  def centroidDrift(embBase: DataFrame, embBatch: DataFrame,
+                    centroids: DataFrame): DataFrame = {
+    val a = exactClusterMeans(embBase, centroids)
+      .select(col("cluster"), col("dim"), col("m").as("__ma"), col("n").as("__na"))
+    val b = exactClusterMeans(embBatch, centroids)
+      .select(col("cluster"), col("dim"), col("m").as("__mb"), col("n").as("__nb"))
+    val diff = col("__ma") - col("__mb")
+    a.join(b, Seq("cluster", "dim"), "full_outer")
+      .groupBy(col("cluster"))
+      .agg(max(col("__na")).as("n_base"), max(col("__nb")).as("n_batch"),
+        sum(round(diff * diff, 10).cast("decimal(18,10)")).as("__d"))
+      .select(col("cluster"), col("n_base"), col("n_batch"),
+        col("__d").cast("double").as("drift"))
+  }
 
   /** IVF search against a predicate-derived codebook (see [[ivfTopKWith]]). */
   def ivfTopK(emb: DataFrame, centroidPred: Column, queryPred: Column, k: Int,

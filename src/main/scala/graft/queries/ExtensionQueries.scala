@@ -1296,6 +1296,19 @@ object ExtensionQueries {
   def x116(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeFertility(docs(s, dir), merges = bpeRounds).orderBy("lang")
 
+  /** x120: embedding-space drift — the x102 split (vec_id%10==0 as the
+    * incoming batch) against the baseline, both assigned to the x97
+    * 32-entry codebook; per-cluster squared-L2 mean displacement plus
+    * occupancy. Clusters the small batch never reaches surface with null
+    * drift. */
+  def x120(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.centroidDrift(
+        e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0),
+        Similarity.centroidsOf(e, col("vec_id") < ivfCentroids))
+      .orderBy("cluster")
+  }
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1381,6 +1394,7 @@ object ExtensionQueries {
     "x117_ann_recall"   -> (x117 _),
     "x118_dedup_cascade" -> (x118 _),
     "x119_rule_waterfall" -> (x119 _),
+    "x120_centroid_drift" -> (x120 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -3640,6 +3654,42 @@ object ExtensionQueries {
          |UNION ALL SELECT 3::BIGINT, 'r_stop', d3, (n - d1 - d2 - d3)::BIGINT FROM a
          |UNION ALL SELECT 4::BIGINT, 'r_uniq', d4, (n - d1 - d2 - d3 - d4)::BIGINT FROM a
          |ORDER BY rule_idx""".stripMargin,
+    // x120: x97's assign + exact-decimal mean chain instanced per side
+    // (shared cent/cs); per-dim squared diffs ROUND-10 into
+    // DECIMAL(18,10) and sum exactly; the final ::DOUBLE carries no
+    // output ROUND (the x90 rule). A side missing a cluster leaves its
+    // count and the drift null
+    "x120_centroid_drift" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+         |              WHERE vec_id < $ivfCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |aa AS (SELECT vec_id, c_id AS cluster FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |   FROM cs WHERE vec_id % 10 <> 0) WHERE rn = 1),
+         |ab AS (SELECT vec_id, c_id AS cluster FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |   FROM cs WHERE vec_id % 10 = 0) WHERE rn = 1),
+         |ea AS (SELECT a.cluster, i - 1 AS dim,
+         |         ROUND(em.embedding[i]::DOUBLE, 6)::DECIMAL(18,6) AS v
+         |       FROM aa a JOIN embeddings em USING (vec_id)
+         |       CROSS JOIN UNNEST(range(1, len(em.embedding) + 1)) r(i)),
+         |eb AS (SELECT a.cluster, i - 1 AS dim,
+         |         ROUND(em.embedding[i]::DOUBLE, 6)::DECIMAL(18,6) AS v
+         |       FROM ab a JOIN embeddings em USING (vec_id)
+         |       CROSS JOIN UNNEST(range(1, len(em.embedding) + 1)) r(i)),
+         |ma AS (SELECT cluster, dim, sum(v)::DOUBLE / count(*) AS m, count(*)::BIGINT AS n
+         |       FROM ea GROUP BY cluster, dim),
+         |mb AS (SELECT cluster, dim, sum(v)::DOUBLE / count(*) AS m, count(*)::BIGINT AS n
+         |       FROM eb GROUP BY cluster, dim),
+         |j AS (SELECT coalesce(ma.cluster, mb.cluster) AS cluster,
+         |        ma.n AS na, mb.n AS nb,
+         |        ROUND((ma.m - mb.m) * (ma.m - mb.m), 10)::DECIMAL(18,10) AS d2
+         |      FROM ma FULL OUTER JOIN mb
+         |        ON ma.cluster = mb.cluster AND ma.dim = mb.dim)
+         |SELECT cluster, max(na)::BIGINT AS n_base, max(nb)::BIGINT AS n_batch,
+         |  sum(d2)::DOUBLE AS drift
+         |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin,
     // x116: the corpus re-keyed per (lang, word) against the SAME
     // generated BPE chain x91/x96 pin — fertility cannot drift from the
     // tokenizer it measures

@@ -431,7 +431,9 @@ class PropertiesSpec extends SparkSpec {
         Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count()),
       "interArrival" -> (() => Relational.interArrival(ev, col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_id"), 10L).count()),
-      "fertility"   -> (() => TextAnalysis.bpeFertility(d).count()))
+      "fertility"   -> (() => TextAnalysis.bpeFertility(d).count()),
+      "centDrift"   -> (() => Similarity.centroidDrift(e, e,
+        Similarity.centroidsOf(e, col("vec_id") < 4)).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

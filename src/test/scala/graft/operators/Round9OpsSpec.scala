@@ -199,6 +199,34 @@ class Round9OpsSpec extends SparkSpec {
     case _ => }
   }
 
+  test("centroidDrift: zero for identical slices, exact squared-L2 for a known shift, null for empty clusters") {
+    // codebook: two unit axes; base sits on them, batch shifts cluster 0
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("c_id", "c_emb")
+    val base = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(1f, 0.2f, 0f, 0f)),
+      (12L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    // identical slices → drift exactly 0 everywhere
+    Similarity.centroidDrift(base, base, cents).collect().foreach { r =>
+      assert(r.getDouble(3) == 0.0, s"self-drift must be zero: $r")
+    }
+    // batch only populates cluster 0, mean shifted by (0, 0.1, 0, 0)
+    val batch = Seq(
+      (20L, Seq(1f, 0.1f, 0f, 0f)), (21L, Seq(1f, 0.3f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.centroidDrift(base, batch, cents).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // base cluster 0 mean = (1, 0.1, 0, 0); batch mean = (1, 0.2, 0, 0)
+    val want = { val d = 0.1 - 0.2; val sq = BigDecimal(d * d)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble; sq }
+    assert(out(0L).getLong(1) == 2 && out(0L).getLong(2) == 2)
+    assert(out(0L).getDouble(3) == want, s"cluster 0: ${out(0L).getDouble(3)} vs $want")
+    // cluster 1: no batch vectors — drift and n_batch surface as null
+    assert(out(1L).getLong(1) == 1 && out(1L).isNullAt(2) && out(1L).isNullAt(3))
+  }
+
   test("bpeFertility equals the driver-side join of bpeEncode over the corpus words") {
     val docs = Seq(
       (0L, "lower lower lowest newer", "en"),

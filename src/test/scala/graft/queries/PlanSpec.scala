@@ -311,6 +311,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x120: centroid drift joins AGGREGATED means only — corpus passes end in partial aggs") {
+    val p = plan(ExtensionQueries.x120)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only sort-merge allowed is the codebook·dim-sized full-outer of
+    // the two mean frames — a corpus-sized SMJ would key on vec_id
+    val smj = "SortMergeJoin \\[([a-z_#0-9L]+), ([a-z_#0-9L]+)\\]".r
+    smj.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1).startsWith("cluster") && m.group(2).startsWith("dim"),
+        s"unexpected SMJ keys: ${m.matched}")
+    }
+    assert(!p.contains("SortMergeJoin [vec_id"), p)
+  }
+
   test("x104: CDC chunking has ZERO Window nodes and no per-byte position explode") {
     val p = plan(ExtensionQueries.x104)
     // the CdcCuts expression replaced the per-byte sequence explode +
