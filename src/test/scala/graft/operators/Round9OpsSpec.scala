@@ -84,36 +84,39 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("c").getDouble(6) == wantMean(Seq(4L)))
   }
 
-  test("mmrSelect equals the driver-side greedy reference (fixed seed)") {
-    val rnd = new scala.util.Random(1234)
-    val vecs = (0L until 40L).map(i =>
-      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
-    val emb = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
-    val k = 6; val lam = 0.7
-    val got = Similarity.mmrSelect(emb, col("vec_id") === 0, k, lam).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+  test("mmrSelect equals the driver-side greedy reference (fuzz: 3 seeds, varied λ/k)") {
+    for (((seed, k, lam), n) <- Seq((1234, 6, 0.7), (77, 4, 0.5), (4096, 8, 0.9))
+           .zip(Seq(40L, 25L, 60L))) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0L until n).map(i =>
+        (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      val emb = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+      val got = Similarity.mmrSelect(emb, col("vec_id") === 0, k, lam).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
 
-    // independent reference: same rounding discipline, pure driver loop
-    val q = vecs.head._2
-    val cands = vecs.tail.map { case (i, v) => (i, v, cos(v, q)) }
-    var sel = Vector.empty[(Long, Array[Float], Double, Double)]
-    while (sel.size < k) {
-      val rest = cands.filterNot(c => sel.exists(_._1 == c._1))
-      val scored = rest.map { case (i, v, rel) =>
-        val score = if (sel.isEmpty) rel
-          else r4(lam * rel - (1 - lam) * sel.map(s => cos(v, s._2)).max)
-        (i, v, rel, score)
+      // independent reference: same rounding discipline, pure driver loop
+      val q = vecs.head._2
+      val cands = vecs.tail.map { case (i, v) => (i, v, cos(v, q)) }
+      var sel = Vector.empty[(Long, Array[Float], Double, Double)]
+      while (sel.size < k) {
+        val rest = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = rest.map { case (i, v, rel) =>
+          val score = if (sel.isEmpty) rel
+            else r4(lam * rel - (1 - lam) * sel.map(s => cos(v, s._2)).max)
+          (i, v, rel, score)
+        }
+        val best = scored.minBy { case (i, _, _, s) => (-s, i) }
+        sel :+= ((best._1, best._2, best._3, best._4))
       }
-      val best = scored.minBy { case (i, _, _, s) => (-s, i) }
-      sel :+= ((best._1, best._2, best._3, best._4))
+      val want = sel.zipWithIndex.map { case ((i, _, rel, sc), t) =>
+        (t + 1L, i, rel, sc) }
+      assert(got.toSeq == want, s"seed $seed:\ngot  ${got.toSeq}\nwant $want")
     }
-    val want = sel.zipWithIndex.map { case ((i, _, rel, sc), t) =>
-      (t + 1L, i, rel, sc) }
-    assert(got.toSeq == want, s"\ngot  ${got.toSeq}\nwant $want")
   }
 
-  test("pairGraphStats equals the naive degree/triangle reference on a random graph") {
-    val rnd = new scala.util.Random(99)
+  test("pairGraphStats equals the naive degree/triangle reference on random graphs") {
+    for (seed <- Seq(99, 7, 313)) {
+    val rnd = new scala.util.Random(seed)
     val edges = (for (a <- 0L until 20L; b <- (a + 1) until 20L
                       if rnd.nextDouble() < 0.25) yield (a, b)).toVector
     val out = Dedup.pairGraphStats(edges.toDF("a_id", "b_id")).collect()
@@ -133,6 +136,7 @@ class Round9OpsSpec extends SparkSpec {
     // global sanity: each triangle counts once per corner
     val triTotal = out.values.map(_._2).sum
     assert(triTotal % 3 == 0, s"corner counts must be divisible by 3: $triTotal")
+    }
   }
 
   test("pairGraphStats: a hot MID-ID star stays triangle-free and exact (rank orientation)") {

@@ -172,6 +172,27 @@ class SkewBenchSpec extends SparkSpec {
     assert(secs < 240, f"incremental CC took $secs%.1f s")
   }
 
+  test("x114 shape: a 3000-leaf MID-ID star + clique fringe stays wedge-bounded and exact") {
+    // under id-orientation the mid-id center owns ~(3000/2)² = 2.25M
+    // wedges; rank orientation gives it ZERO (every leaf out-ranks into
+    // the center, whose outdeg is 0). The 30-clique fringe keeps the
+    // triangle path honest: C(30,3) = 4060 triangles must all surface.
+    val center = 1500L
+    val leaves = ((0L until 1500L) ++ (1501L to 3000L)).toVector
+    val star = leaves.map(l => if (l < center) (l, center) else (center, l))
+    val clique = (for (a <- 5000L until 5030L; b <- (a + 1) until 5030L)
+      yield (a, b)).toVector
+    val (out, secs) = timed {
+      Dedup.pairGraphStats((star ++ clique).toDF("a_id", "b_id")).collect()
+    }
+    info(f"graph stats over ${star.size + clique.size} edges in $secs%.1f s")
+    val m = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(center) == ((3000L, 0L)), s"center: ${m(center)}")
+    assert(m(5000L) == ((29L, 406L)), s"clique corner: ${m(5000L)}") // C(28,2)
+    assert(m.values.map(_._2).sum == 3L * 4060L, "triangle corner conservation")
+    assert(secs < 120, f"graph stats took $secs%.1f s")
+  }
+
   test("x77 shape: salted join spreads a 20%-hot fact key and matches the plain join") {
     // 100k-row fact table; key 7 owns 20% of it. dim: 50 keys
     val fact = spark.range(100000).select(
