@@ -735,6 +735,54 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/heavy_keys")
   }
 
+  /** Incremental embedding-drift monitoring — x120's streaming twin,
+    * closing the monitoring family (PSI x102, source-KL x79, and now
+    * vector-space drift all have `batch=<id>` twins): the baseline
+    * snapshot's (cluster, dim) decimal digests are materialized ONCE;
+    * each arriving embedding batch assigns to the SAME fixed codebook and
+    * lands its own additive digests; the published report is
+    * [[graft.operators.Similarity.centroidDriftFromPartials]] — the
+    * direct pass's arithmetic over folded digests, so the twin equals
+    * the batch [[graft.operators.Similarity.centroidDrift]] exactly
+    * (spec-asserted, retry-stable). History is re-read as codebook·dim
+    * digest rows; vectors are assigned once, ever. */
+  def runIncrementalCentroidDrift(spark: SparkSession, embDir: String,
+                                  outRoot: String, baselineDir: String,
+                                  nCentroids: Int = 32): Unit =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeCentroidDriftBatch(batch.toDF(), batchId, outRoot, baselineDir, nCentroids)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/centroid_drift")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalCentroidDrift]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeCentroidDriftBatch(batch: DataFrame, batchId: Long,
+                                             outRoot: String,
+                                             baselineDir: String,
+                                             nCentroids: Int): Unit = {
+    val s = batch.sparkSession
+    val baseEmb = s.read.parquet(baselineDir)
+    val cents = graft.operators.Similarity.centroidsOf(
+      baseEmb, col("vec_id") < nCentroids)
+    val basePath = s"$outRoot/baseline_partials"
+    if (!new java.io.File(basePath).exists())
+      graft.operators.Similarity.clusterMeanPartials(baseEmb, cents)
+        .write.mode("overwrite").parquet(basePath)
+    graft.operators.Similarity.clusterMeanPartials(batch, cents)
+      .write.mode("overwrite").parquet(s"$outRoot/partials/batch=$batchId")
+    graft.operators.Similarity.centroidDriftFromPartials(
+        s.read.parquet(basePath),
+        s.read.parquet(s"$outRoot/partials").drop("batch"))
+      .write.mode("overwrite").parquet(s"$outRoot/drift")
+  }
+
   /** Incremental source-health monitoring — x112's streaming twin: the
     * per-source scorecard (volume, dup rate, mean quality) stays current
     * as the lake grows. Per-batch (source, content-hash) digests land in

@@ -195,14 +195,24 @@ object Similarity {
     * mean = exact-sum ÷ count as double — bit-identical cross-engine.
     * Output: cluster, dim, m, n. */
   private def exactClusterMeans(emb: DataFrame, centroids: DataFrame): DataFrame =
+    clusterMeanPartials(emb, centroids)
+      .select(col("cluster"), col("dim"),
+        (col("vsum").cast("double") / col("n")).as("m"), col("n"))
+
+  /** Per-(cluster, dim) ADDITIVE digest behind [[exactClusterMeans]] and
+    * the incremental drift twin: exact DECIMAL(18,6) component sums +
+    * counts. Partials from any corpus split fold by summation into
+    * exactly the whole-corpus digest (decimal sums and counts are
+    * associative), so the batch monitor and the `batch=<id>` streaming
+    * fold share one arithmetic. |codebook|·dim rows, never corpus-sized.
+    * Output: cluster, dim, vsum, n. */
+  def clusterMeanPartials(emb: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssignTo(emb, centroids)
       .select(col("cluster"), posexplode(col("embedding")))
       .select(col("cluster"), col("pos").cast("long").as("dim"),
         round(col("col").cast("double"), 6).cast("decimal(18,6)").as("__v"))
       .groupBy(col("cluster"), col("dim"))
-      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("n"))
-      .select(col("cluster"), col("dim"),
-        (col("__s").cast("double") / col("n")).as("m"), col("n"))
+      .agg(sum(col("__v")).as("vsum"), count(lit(1)).as("n"))
 
   /** Embedding-space drift monitor — the x102-PSI analog for vector
     * columns: both corpus slices assign to the SAME fixed codebook, each
@@ -222,10 +232,32 @@ object Similarity {
     * never silently drop.
     * Output: cluster, n_base, n_batch, drift. */
   def centroidDrift(embBase: DataFrame, embBatch: DataFrame,
-                    centroids: DataFrame): DataFrame = {
-    val a = exactClusterMeans(embBase, centroids)
+                    centroids: DataFrame): DataFrame =
+    driftBetweenMeans(exactClusterMeans(embBase, centroids),
+      exactClusterMeans(embBatch, centroids))
+
+  /** The [[centroidDrift]] fold over STORED digests — the incremental
+    * twin's publish step: both sides' `batch=<id>` [[clusterMeanPartials]]
+    * unions fold by summation (exact — decimal sums and counts are
+    * associative) into the same means the direct pass computes, then the
+    * shared drift tail runs. History is re-read as codebook·dim digest
+    * rows only; embeddings are assigned once, ever. */
+  def centroidDriftFromPartials(baseParts: DataFrame,
+                                batchParts: DataFrame): DataFrame = {
+    def fold(p: DataFrame): DataFrame = p
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("vsum")).as("__s"), sum(col("n")).as("__n"))
+      .select(col("cluster"), col("dim"),
+        (col("__s").cast("double") / col("__n")).as("m"), col("__n").as("n"))
+    driftBetweenMeans(fold(baseParts), fold(batchParts))
+  }
+
+  /** Shared drift tail: full-outer the two (cluster, dim, m, n) mean
+    * frames, ROUND-10 DECIMAL squared-diff sums per cluster. */
+  private def driftBetweenMeans(base: DataFrame, batch: DataFrame): DataFrame = {
+    val a = base
       .select(col("cluster"), col("dim"), col("m").as("__ma"), col("n").as("__na"))
-    val b = exactClusterMeans(embBatch, centroids)
+    val b = batch
       .select(col("cluster"), col("dim"), col("m").as("__mb"), col("n").as("__nb"))
     val diff = col("__ma") - col("__mb")
     a.join(b, Seq("cluster", "dim"), "full_outer")

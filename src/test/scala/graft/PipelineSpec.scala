@@ -642,6 +642,37 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published transitions")
   }
 
+  test("O2 streaming: incremental centroid drift equals the batch monitor across waves") {
+    import graft.sources.Tables
+    val baseDir = Files.createTempDirectory("graft_cd_base").toString
+    val src = Files.createTempDirectory("graft_cd_in").toString
+    val root = Files.createTempDirectory("graft_cd_out").toString
+    val emb = Tables(spark, sf("sf0.01"), "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batchAll = emb.filter(col("vec_id") % 10 === 0)
+    base.write.mode("overwrite").parquet(baseDir)
+    // two waves; digests are additive so any split works
+    batchAll.filter(col("vec_id") < 250).write.mode("append").parquet(src)
+    Main.runIncrementalCentroidDrift(spark, src, root, baseDir)
+    batchAll.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    Main.runIncrementalCentroidDrift(spark, src, root, baseDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    val streamed = rows(spark.read.parquet(s"$root/drift"))
+    // the runner derives the codebook from the BASELINE snapshot — the
+    // batch comparator must share it
+    val batch = rows(graft.operators.Similarity.centroidDrift(base, batchAll,
+      graft.operators.Similarity.centroidsOf(base, col("vec_id") < 32)))
+    assert(streamed == batch, "incremental centroid drift diverged from the batch monitor")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeCentroidDriftBatch(batchAll.filter(col("vec_id") >= 250), 1L, root, baseDir, 32)
+    assert(rows(spark.read.parquet(s"$root/drift")) == streamed,
+      "retry changed the published drift")
+  }
+
   test("O2 streaming: incremental source health equals the batch scorecard; cross-batch dups collide") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_sh_in").toString
