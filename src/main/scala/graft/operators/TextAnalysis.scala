@@ -1440,6 +1440,37 @@ object TextAnalysis {
         .as("mean_quality"))
   }
 
+  /** Cross-source exact-duplication matrix — the provenance report behind
+    * [[sourceHealth]]'s dup counts: for every unordered pair of sources
+    * sharing at least one byte-identical text, how many distinct CONTENT
+    * GROUPS they share and how many documents sit in those groups on each
+    * side. The who-copies-whom diagnostic that decides which feed is the
+    * mirror and which the origin.
+    *
+    * The group `key` is caller-chosen: `md5(text)` for byte-exact
+    * provenance, the md5 of a token prefix for the truncated-mirror class
+    * (the x52 blocking key — re-crawls and pagination cuts share prefixes,
+    * not whole bytes), or the x53 normalized-text hash.
+    *
+    * Ships (source, 32-byte hash, per-source count) digests only — never
+    * text; the pair join is hash-keyed and emits ≤ C(|sources in group|, 2)
+    * rows per group, bounded by |sources|² regardless of how many
+    * DOCUMENTS a hot group holds (the count rides the digest, not a doc
+    * explode). Output: source_a, source_b (a < b), shared_groups,
+    * docs_a, docs_b. */
+  def crossSourceDups(docs: DataFrame, key: Column): DataFrame = {
+    val g = docs
+      .select(col("source"), key.as("h"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("nd"))
+    val a = g.select(col("h"), col("source").as("source_a"), col("nd").as("__na"))
+    val b = g.select(col("h"), col("source").as("source_b"), col("nd").as("__nb"))
+    a.join(b, "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_groups"),
+        sum(col("__na")).as("docs_a"), sum(col("__nb")).as("docs_b"))
+  }
+
   /** Tokenizer fertility by language: pieces-per-word under the x91/x96
     * BPE merge chain — the cross-lingual tokenizer-equity report (a
     * tokenizer trained on a skewed mix over-segments the minority

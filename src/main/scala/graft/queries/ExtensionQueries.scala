@@ -1309,6 +1309,22 @@ object ExtensionQueries {
       .orderBy("cluster")
   }
 
+  /** x121 parameter, shared with the oracle SQL: the prefix length of the
+    * provenance key (the x52 truncated-mirror class — this fixture has
+    * cross-source PREFIX mirrors but no byte-exact ones, so the prefix key
+    * is what makes the matrix non-trivial at every SF). */
+  val xsrcPrefix = 8
+
+  /** x121: cross-source duplication provenance matrix over the
+    * prefix-[[xsrcPrefix]] key — which source pairs share (possibly
+    * truncated) mirrors, with per-side doc counts. */
+  def x121(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    TextAnalysis.crossSourceDups(docs(s, dir),
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, xsrcPrefix))))
+      .orderBy("source_a", "source_b")
+  }
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1395,6 +1411,7 @@ object ExtensionQueries {
     "x118_dedup_cascade" -> (x118 _),
     "x119_rule_waterfall" -> (x119 _),
     "x120_centroid_drift" -> (x120 _),
+    "x121_cross_source_dups" -> (x121 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -3690,6 +3707,18 @@ object ExtensionQueries {
          |SELECT cluster, max(na)::BIGINT AS n_base, max(nb)::BIGINT AS n_batch,
          |  sum(d2)::DOUBLE AS drift
          |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // x121: (source, prefix-key hash, count) digests self-joined on the
+    // hash; pair rows bounded by |sources in group| choose 2, never docs
+    "x121_cross_source_dups" ->
+      s"""WITH g AS (SELECT
+         |    md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:$xsrcPrefix], ' ')) AS h,
+         |    source, count(*)::BIGINT AS nd
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*)::BIGINT AS shared_groups,
+         |  sum(a.nd)::BIGINT AS docs_a, sum(b.nd)::BIGINT AS docs_b
+         |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin,
     // x116: the corpus re-keyed per (lang, word) against the SAME
     // generated BPE chain x91/x96 pin — fertility cannot drift from the
     // tokenizer it measures

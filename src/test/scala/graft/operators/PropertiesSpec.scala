@@ -433,7 +433,9 @@ class PropertiesSpec extends SparkSpec {
         Seq(col("ts"), col("event_id")), col("event_id"), 10L).count()),
       "fertility"   -> (() => TextAnalysis.bpeFertility(d).count()),
       "centDrift"   -> (() => Similarity.centroidDrift(e, e,
-        Similarity.centroidsOf(e, col("vec_id") < 4)).count()))
+        Similarity.centroidsOf(e, col("vec_id") < 4)).count()),
+      "xsrcDups"    -> (() => TextAnalysis.crossSourceDups(
+        d.withColumn("source", col("lang")), md5(col("text"))).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")

@@ -114,6 +114,16 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect: fewer candidates than k returns all of them, ranks contiguous") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, col("vec_id") === 0, k = 10).collect()
+    assert(out.length == 3, s"must stop at the candidate count: ${out.length}")
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "ranks must stay contiguous")
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("pairGraphStats equals the naive degree/triangle reference on random graphs") {
     for (seed <- Seq(99, 7, 313)) {
     val rnd = new scala.util.Random(seed)
@@ -201,6 +211,24 @@ class Round9OpsSpec extends SparkSpec {
     wf.sliding(2).foreach { case Array((_, _, k1), (i2, d2, k2)) =>
       assert(k2 == k1 - d2, s"kept must fall by exactly the rule-$i2 drops")
     case _ => }
+  }
+
+  test("crossSourceDups: shared groups and per-side doc counts on a hand provenance fixture") {
+    val docs = Seq(
+      (0L, "mirrored story one", "en", "a"),
+      (1L, "mirrored story one", "en", "b"),   // a↔b share group 1
+      (2L, "mirrored story one", "en", "b"),   // b holds it twice
+      (3L, "mirrored story two", "en", "a"),
+      (4L, "mirrored story two", "en", "c"),   // a↔c share group 2
+      (5L, "unshared", "en", "a"),
+      (6L, "also unshared", "en", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.crossSourceDups(docs, md5(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 1L, 2L)),
+      ("a", "c") -> ((1L, 1L, 1L))), s"got $out")
   }
 
   test("centroidDrift: zero for identical slices, exact squared-L2 for a known shift, null for empty clusters") {
