@@ -1369,4 +1369,87 @@ object Dedup {
               (col("degree").cast("double") * (col("degree") - 1).cast("double")))
           .otherwise(0.0), 4).as("clustering"))
   }
+
+  /** Per-document contamination SCORE against a benchmark set — the
+    * graded form of [[contaminationPairs]]' binary verdict (the GPT-3
+    * appendix-C discipline: report the FRACTION of a doc's n-grams that
+    * appear anywhere in the eval set, then threshold). Pairwise attribution
+    * (which bench doc matched) is x26's job; this operator answers "how
+    * much of this doc is eval text", which is what a removal policy
+    * thresholds on — a doc quoting one bench sentence among a thousand
+    * clean ones should survive, and the binary minShared verdict cannot
+    * express that.
+    *
+    * Scale shape: the bench side collapses to its DISTINCT shingle set
+    * before the join (eval suites are ≪ corpus, broadcastable by
+    * assumption — the [[contaminationPairs]] broadcast contract; for a
+    * non-broadcastable bench set, prefilter with
+    * [[contaminationPairsBloom]]'s sketch and score only possible
+    * matches). The corpus side ships one row per DISTINCT doc shingle
+    * into a broadcast-hash lookup — no shuffle beyond the per-doc count
+    * aggregate, whose group state is two longs. No df-cap: hot shingles
+    * must count here (boilerplate shared with the bench set IS
+    * contamination), and the broadcast join's cost is df-independent.
+    * Docs with fewer than n tokens have no shingles and are absent
+    * (nothing to test — the [[shingleSet]] contract).
+    * Output: doc_id, n_shingles, matched, overlap_frac (ROUND 6),
+    * flagged (overlap_frac >= threshold, decided on the ROUNDED value so
+    * the verdict replays cross-engine). */
+  def contaminationScores(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                          threshold: Double = 0.2): DataFrame = {
+    val bs = shingleSet(bench, n).select(col("s")).distinct()
+      .withColumn("__hit", lit(1L))
+    val frac = round(col("matched").cast("double") /
+      col("n_shingles").cast("double"), 6)
+    shingleSet(docs, n)
+      .join(broadcast(bs), Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("matched"))
+      .select(col("doc_id"), col("n_shingles"), col("matched"),
+        frac.as("overlap_frac"), (frac >= lit(threshold)).as("flagged"))
+  }
+
+  /** Near-dup clusters ranked by WASTED token mass — the prioritization
+    * read over the CC dedup graph: each multi-doc component's total token
+    * count minus its representative's (the minimum-id doc,
+    * [[dropNearDuplicatesCC]]'s keep rule) is exactly the token volume a
+    * dedup pass would reclaim there. Cluster COUNT (x82's histogram)
+    * says how fragmented the graph is; token MASS says where the training
+    * budget is leaking — a 2-doc component of 100k-token mirrors
+    * outranks a 50-doc component of tweets, and this is the order a
+    * curation team works the queue in.
+    *
+    * Scale shape: rides the shared CC label loop ((id, lbl) longs only);
+    * the one extra join ships (doc_id, n_tokens) against the label frame
+    * — never text. Per-cluster state is four longs (count, sum, min_by
+    * pair); the k-row cut is TakeOrdered (saved DESC, cluster ASC), no
+    * global sort. Under a non-converged iteration cap clusters read
+    * FINER than truth, so savings are UNDER-estimated — the safe
+    * direction for a reclamation estimate. Singleton docs never enter
+    * (no pair ⇒ nothing to save). Output: cluster, n_docs, total_tokens,
+    * kept_tokens, saved_tokens. */
+  def clusterTokenSavings(docs: DataFrame, pairs: DataFrame, k: Int = 20,
+                          maxIters: Int = 10): DataFrame = {
+    val empty = docs.sparkSession.range(0).select(
+      col("id").as("cluster"), col("id").as("n_docs"),
+      col("id").as("total_tokens"), col("id").as("kept_tokens"),
+      col("id").as("saved_tokens"))
+    componentLabels(pairs, maxIters) match {
+      case None => empty
+      case Some((labels, _)) =>
+        val tok = docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("__nt"))
+        labels.join(tok, labels("id") === tok("doc_id"))
+          .groupBy(col("lbl").as("cluster"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__nt")).as("total_tokens"),
+            min_by(col("__nt"), col("doc_id")).as("kept_tokens"))
+          .select(col("cluster"), col("n_docs"), col("total_tokens"),
+            col("kept_tokens"),
+            (col("total_tokens") - col("kept_tokens")).as("saved_tokens"))
+          .orderBy(col("saved_tokens").desc, col("cluster"))
+          .limit(k)
+    }
+  }
 }

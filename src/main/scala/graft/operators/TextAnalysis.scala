@@ -1494,4 +1494,171 @@ object TextAnalysis {
         round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
           .as("fertility"))
   }
+
+  /** Per-source Zipf-law fit — the distributional fingerprint that
+    * separates natural language from templated/machine-generated text: a
+    * natural corpus' term frequencies follow freq ∝ rank^s with s ≈ −1
+    * (Zipf 1949), while boilerplate-stuffed or synthetic sources flatten
+    * (s → 0, all terms equally common) or steepen (a few tokens looping).
+    * Per SOURCE because that is the curation unit — one bad feed shows up
+    * as the outlier slope in a 20-row report. Fit is ordinary least
+    * squares of ln(freq) on ln(rank) over each source's top-`topV` terms
+    * (the standard head-only fit: the power law holds in the head, and
+    * the tail's rank ties are meaningless anyway).
+    *
+    * Scale shape: one (source, term) count aggregate with map-side
+    * partials (hot terms absorbed exactly like [[vocabulary]]); the
+    * top-`topV` cut is the two-phase partial top-k (best topV per input
+    * partition, then per-source merge — bounded per-group state, ZERO
+    * Window nodes: rank falls out of the sorted array position). The OLS
+    * sums are four ROUND-6 DECIMAL(18,6) terms per source — order-free
+    * addition (the x37 convention), so the fit is insensitive to
+    * aggregation order on both engines; slope/intercept are one double
+    * expression over the exact sums. Sources with a single distinct term
+    * have no variance to fit and drop. Output: source, n_terms,
+    * slope (ROUND 4), intercept (ROUND 4). */
+  def zipfSlope(docs: DataFrame, topV: Int = 100): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    // sort key struct(-c, term): array_sort is field-lexicographic →
+    // count DESC, term ASC — the deterministic cut the oracle's
+    // ROW_NUMBER replays
+    val cand = struct((-col("c")).as("negc"), col("term"), col("c"))
+    val top = tc.withColumn("__p", spark_partition_id())
+      .groupBy(col("source"), col("__p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, topV).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .groupBy(col("source"))
+      .agg(slice(array_sort(collect_list(col("t"))), 1, topV).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("double").as("__r"),
+        col("col").getField("c").cast("double").as("__c"))
+    val d6 = (e: Column) => round(e, 6).cast("decimal(18,6)")
+    val fit = top.groupBy(col("source")).agg(
+      count(lit(1)).as("n_terms"),
+      sum(d6(log(col("__r")))).as("__sx"),
+      sum(d6(log(col("__c")))).as("__sy"),
+      sum(d6(log(col("__r")) * log(col("__r")))).as("__sxx"),
+      sum(d6(log(col("__r")) * log(col("__c")))).as("__sxy"))
+    val n = col("n_terms").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit.filter(col("n_terms") >= 2)
+      .select(col("source"), col("n_terms"),
+        (round(slope, 4) + 0.0).as("slope"),
+        (round((sy - slope * sx) / n, 4) + 0.0).as("intercept"))
+  }
+
+  /** Calibration (reliability) report for the [[qualityClassifierScores]]
+    * model — the diagnostic a model-in-the-loop filter needs before its
+    * scores gate data: per predicted-probability decile, how often is the
+    * label actually positive? A well-calibrated filter has mean_p ≈
+    * frac_pos per bin; systematic gaps mean the gate threshold (x100)
+    * keeps/drops different volumes than the probabilities promise. Labels
+    * are the SAME training labels the LR chain fits (in-sample
+    * calibration — the drift alarm form; held-out calibration is this
+    * operator over a [[deterministicSplit]] slice).
+    *
+    * Bins are EQUAL-MASS (score quantiles via [[Relational
+    * .quantileBuckets]]' exact-percentile thresholds), not fixed-width:
+    * an early-training or weakly-separated classifier concentrates its
+    * scores in a sliver of [0,1], where fixed deciles would collapse the
+    * whole report into one row — equal-mass binning is also the standard
+    * ECE estimator choice for exactly this reason (Nixon et al. 2019).
+    *
+    * Scale shape: scoring is the stateless 1-row-broadcast projection
+    * (the x100 path); thresholds are ONE exact-percentile aggregate
+    * broadcast back (the x51 discipline); the report is ONE aggregate
+    * with ≤`bins` groups, map-side partials, per-group state of three
+    * numbers. mean_p sums the ROUND-6 scores as exact DECIMAL
+    * (order-free, x37); frac_pos is integer counting. Thresholds are
+    * ROUND-4, so bucket membership replays cross-engine. Output: bin
+    * (1-based), n, mean_p (ROUND 4), frac_pos (ROUND 4). */
+  def calibrationReport(docs: DataFrame, iters: Int = 3,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val w = lrLoop(docs, iters)._2
+    val m = col("w0").cast("double") +
+      col("w1").cast("double") * col("x1") +
+      col("w2").cast("double") * col("x2") +
+      col("w3").cast("double") * col("x3")
+    val scored = lrFeatures(docs).crossJoin(broadcast(w))
+      .select(col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-m)), 6).as("p"))
+    Relational.quantileBuckets(scored, "p", bins, as = "bin")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(18,6)")).as("__sp"),
+        sum(col("y")).as("__sy"))
+      .select(col("bin"), col("n"),
+        round(col("__sp").cast("double") / col("n").cast("double"), 4)
+          .as("mean_p"),
+        round(col("__sy") / col("n").cast("double"), 4).as("frac_pos"))
+  }
+
+  /** Packing-efficiency report over [[packSequences]]' bins: how full do
+    * the assembled context windows actually get? Per fill-decile (bin
+    * cost as a fraction of the token budget, decided in INTEGER
+    * arithmetic — cost·10 DIV budget, capped at 10 for bins an oversize
+    * doc overflows), the number of bins, their total cost, and the
+    * padding tokens a trainer would burn on them (budget − cost, floored
+    * at 0). Padding fraction is THE packing quality number — a pipeline
+    * tunes shard count and bin budget against exactly this histogram,
+    * because every padding token at 100 TB scale is a GPU-hour of
+    * attention over nothing.
+    *
+    * Scale shape: rides the packing window (the audited per-shard
+    * arithmetic) plus two bounded aggregates: per-(shard, bin) groups are
+    * budget-bounded by construction, and the decile rollup has ≤ 11
+    * groups. Costs use the same GREATEST(n_tokens, 1) floor the bin rule
+    * charges, so fill reflects occupancy, not raw text length.
+    * Output: fill_decile, n_bins, bin_tokens, padding. */
+  def packEfficiency(docs: DataFrame, budgetTokens: Long,
+                     shards: Int = 1024): DataFrame = {
+    val perBin = packSequences(docs, budgetTokens, shards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(sum(greatest(col("n_tokens"), lit(1L))).as("__cost"))
+    perBin
+      .select(
+        least(expr(s"__cost * 10 DIV $budgetTokens"), lit(10L)).cast("long")
+          .as("fill_decile"),
+        col("__cost"),
+        greatest(lit(budgetTokens) - col("__cost"), lit(0L)).as("__pad"))
+      .groupBy(col("fill_decile"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("__cost")).as("bin_tokens"),
+        sum(col("__pad")).as("padding"))
+  }
+
+  /** Fertility-adjusted per-language token budget — the multilingual
+    * allocation step after [[bpeFertility]]: a target mixture speaks in
+    * TOKEN shares, but acquisition happens in WORDS of raw text, and the
+    * exchange rate differs per language (zh at 2 pieces/word needs half
+    * the words of en for the same token share). tokens_alloc =
+    * ⌊budget·share⌋; words_alloc = ⌊tokens_alloc / fertility⌋ — floors,
+    * not rounds, so allocations never overshoot the budget and the
+    * integer results replay cross-engine exactly. Languages outside the
+    * target map surface with null share and null allocations (the
+    * [[tokenBudgetPlan]] null-gating convention — never a fabricated
+    * "take everything").
+    *
+    * Scale shape: everything past the fertility chain (vocab-bounded by
+    * construction) is arithmetic over ≤|languages| rows against a
+    * broadcast literal map. Output: lang, n_words, fertility,
+    * target_share, tokens_alloc, words_alloc. */
+  def fertilityBudget(docs: DataFrame, target: Map[String, Double],
+                      budgetTokens: Long, merges: Int = 5): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    require(target.values.forall(_ > 0), "target shares must be positive")
+    val share = element_at(typedLit(target), col("lang"))
+    val tokAlloc = floor(lit(budgetTokens.toDouble) * share).cast("long")
+    bpeFertility(docs, merges)
+      .select(col("lang"), col("n_words"), col("fertility"),
+        share.as("target_share"),
+        when(share.isNotNull, tokAlloc).as("tokens_alloc"),
+        when(share.isNotNull,
+          floor(tokAlloc.cast("double") / col("fertility")).cast("long"))
+          .as("words_alloc"))
+  }
 }

@@ -1325,6 +1325,72 @@ object ExtensionQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** x122 head size: the standard head-only Zipf fit window. */
+  val zipfTopV = 100
+
+  /** x122: per-source Zipf-law fit — OLS of ln(freq) on ln(rank) over
+    * each source's top-[[zipfTopV]] terms; the distributional fingerprint
+    * that flags templated/synthetic feeds by slope. */
+  def x122(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(docs(s, dir), topV = zipfTopV).orderBy("source")
+
+  /** x123 flag threshold, shared with the oracle SQL: a fifth of a doc's
+    * shingles in the eval set flags it (the fixture's quoted-subset
+    * mirrors sit well above, clean docs at zero). */
+  val contamFracThr = 0.2
+
+  /** x123: per-doc contamination FRACTION against the x26 bench split
+    * (doc_id % 50 == 0) — the graded form of the x26/x36 verdict; bench
+    * members themselves are excluded from scoring. */
+  def x123(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationScores(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), n = 3, threshold = contamFracThr)
+      .orderBy("doc_id")
+  }
+
+  /** x124 cut size. */
+  val dupMassK = 20
+
+  /** x124: near-dup clusters ranked by reclaimable token mass over the
+    * x21 LSH candidate graph — the dedup work queue in priority order. */
+  def x124(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.clusterTokenSavings(d,
+      Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4), k = dupMassK)
+  }
+
+  /** x125 bin count (deciles). */
+  val calBins = 10
+
+  /** x125: reliability report of the x99/x100 quality classifier —
+    * per-decile mean predicted probability vs empirical label rate. */
+  def x125(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.calibrationReport(docs(s, dir), iters = lrIters,
+      bins = calBins).orderBy("bin")
+
+  /** x126: packing-efficiency histogram over the x25 bins — n_bins,
+    * token mass, and padding per fill decile. */
+  def x126(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packEfficiency(docs(s, dir), packBudget, packShards)
+      .orderBy("fill_decile")
+
+  /** x127 targets: token-share mixture over the fixture's five languages
+    * (en-heavy, the common pretraining shape), and the budget it divides.
+    * Share literals parse to the identical nearest-double in both engines
+    * and the product/floor are IEEE-deterministic, so the integer
+    * allocations replay bit-identically. */
+  val langTargets: Map[String, Double] = Map(
+    "en" -> 0.50, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.10, "zh" -> 0.10)
+  val langBudgetTokens = 250000L
+
+  /** x127: fertility-adjusted per-language acquisition budget — token
+    * shares converted to raw-word targets through the x116 exchange
+    * rate. */
+  def x127(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fertilityBudget(docs(s, dir), langTargets, langBudgetTokens,
+      merges = bpeRounds).orderBy("lang")
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1412,6 +1478,12 @@ object ExtensionQueries {
     "x119_rule_waterfall" -> (x119 _),
     "x120_centroid_drift" -> (x120 _),
     "x121_cross_source_dups" -> (x121 _),
+    "x122_zipf_slope"   -> (x122 _),
+    "x123_contam_frac"  -> (x123 _),
+    "x124_dup_token_mass" -> (x124 _),
+    "x125_calibration"  -> (x125 _),
+    "x126_pack_efficiency" -> (x126 _),
+    "x127_lang_budget"  -> (x127 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -3733,5 +3805,119 @@ object ExtensionQueries {
          |  ROUND(sum(c * len(s))::DOUBLE / sum(c)::DOUBLE, 6) AS fertility
          |FROM lw JOIN seq$bpeRounds sq ON sq.w = lw.w
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // OLS of ln(freq) on ln(rank) over the ROW_NUMBER head cut (count
+    // DESC, term ASC — the two-phase top-k's struct order); the four sums
+    // are ROUND-6 DECIMALs (order-free, x37), slope/intercept ONE double
+    // expression over them, +0.0 normalizing any tiny-negative zero
+    "x122_zipf_slope" ->
+      s"""WITH tok AS (SELECT source,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |  FROM documents),
+         |tc AS (SELECT source, term, count(*)::BIGINT AS c
+         |       FROM tok GROUP BY source, term),
+         |rk AS (SELECT source, c,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
+         |  FROM tc),
+         |sm AS (SELECT source, count(*)::BIGINT AS n_terms,
+         |    sum(ROUND(ln(r), 6)::DECIMAL(18,6))::DOUBLE AS sx,
+         |    sum(ROUND(ln(c), 6)::DECIMAL(18,6))::DOUBLE AS sy,
+         |    sum(ROUND(ln(r) * ln(r), 6)::DECIMAL(18,6))::DOUBLE AS sxx,
+         |    sum(ROUND(ln(r) * ln(c), 6)::DECIMAL(18,6))::DOUBLE AS sxy
+         |  FROM rk WHERE r <= $zipfTopV GROUP BY source),
+         |s2 AS (SELECT source, n_terms, n_terms::DOUBLE AS n, sx, sy, sxx, sxy
+         |       FROM sm WHERE n_terms >= 2)
+         |SELECT source, n_terms,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
+         |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         |    + 0.0 AS intercept
+         |FROM s2 ORDER BY source""".stripMargin,
+    // the x26 bench split scored per-doc: LEFT JOIN against the DISTINCT
+    // bench shingle set, fraction over the doc's distinct shingles; the
+    // verdict compares the ROUNDED fraction (cross-engine reproducible)
+    "x123_contam_frac" ->
+      s"""WITH $shingleCte,
+         |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+         |per AS (SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS matched
+         |  FROM sh LEFT JOIN bs ON sh.s = bs.s
+         |  WHERE sh.doc_id % 50 <> 0
+         |  GROUP BY sh.doc_id)
+         |SELECT doc_id, n_shingles, matched,
+         |  ROUND(matched::DOUBLE / n_shingles::DOUBLE, 6) AS overlap_frac,
+         |  (ROUND(matched::DOUBLE / n_shingles::DOUBLE, 6) >= $contamFracThr)
+         |    AS flagged
+         |FROM per ORDER BY doc_id""".stripMargin,
+    // SAME recursive component chain as x21/x47; the representative is
+    // the minimum-id member (x21's keep rule), its token count via
+    // arg_min; the cut replays TakeOrdered (saved DESC, cluster ASC)
+    "x124_dup_token_mass" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |tokc AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS nt
+         |  FROM documents),
+         |cl AS (SELECT c.lbl AS cluster, count(*)::BIGINT AS n_docs,
+         |    sum(t.nt)::BIGINT AS total_tokens,
+         |    arg_min(t.nt, c.id)::BIGINT AS kept_tokens
+         |  FROM comp c JOIN tokc t ON c.id = t.doc_id GROUP BY c.lbl)
+         |SELECT cluster, n_docs, total_tokens, kept_tokens,
+         |  (total_tokens - kept_tokens)::BIGINT AS saved_tokens
+         |FROM cl ORDER BY saved_tokens DESC, cluster LIMIT $dupMassK""".stripMargin,
+    // the x100 scoring chain bucketed EQUAL-MASS on ROUND-4 exact
+    // percentile thresholds (the x51 parity convention — quantile_cont ==
+    // Spark percentile); mean_p sums exact DECIMALs, frac_pos counts
+    // exact 0/1 doubles — both order-free
+    "x125_calibration" -> {
+      val probs = (1 until calBins).map(_.toDouble / calBins)
+      val qs = probs.zipWithIndex.map { case (pr, i) =>
+        s"ROUND(quantile_cont(p, $pr), 4) AS q$i" }.mkString(", ")
+      val cases = probs.indices.map(i =>
+        s"(CASE WHEN p > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $lrCtes,
+         |sc AS (SELECT y, ROUND(1.0/(1.0 + exp(-(w0::DOUBLE + w1::DOUBLE * x1
+         |      + w2::DOUBLE * x2 + w3::DOUBLE * x3))), 6) AS p
+         |  FROM f CROSS JOIN wt$lrIters),
+         |q AS (SELECT $qs FROM sc),
+         |bx AS (SELECT y, p, (1 + $cases)::BIGINT AS bin FROM sc CROSS JOIN q)
+         |SELECT bin, count(*)::BIGINT AS n,
+         |  ROUND(sum(p::DECIMAL(18,6))::DOUBLE / count(*)::DOUBLE, 4) AS mean_p,
+         |  ROUND(sum(y)::DOUBLE / count(*)::DOUBLE, 4) AS frac_pos
+         |FROM bx GROUP BY bin ORDER BY bin""".stripMargin
+    },
+    // per-bin costs ride the x25/x30 packing CTE (GREATEST floor — the
+    // cost the bin rule charges); decile decided in INTEGER arithmetic
+    // (cost·10 // budget), padding exact integer per bin
+    "x126_pack_efficiency" ->
+      s"""WITH $packCte,
+         |pb AS (SELECT shard, bin, sum(GREATEST(n_tokens, 1))::BIGINT AS c
+         |       FROM p GROUP BY shard, bin),
+         |d AS (SELECT LEAST(c * 10 // $packBudget, 10)::BIGINT AS fill_decile,
+         |    c, GREATEST($packBudget - c, 0)::BIGINT AS pad FROM pb)
+         |SELECT fill_decile, count(*)::BIGINT AS n_bins,
+         |  sum(c)::BIGINT AS bin_tokens, sum(pad)::BIGINT AS padding
+         |FROM d GROUP BY fill_decile ORDER BY fill_decile""".stripMargin,
+    // x116's fertility chain joined to the target-share VALUES generated
+    // from the SAME Scala map the operator broadcasts; allocations are
+    // floors of IEEE-deterministic products — integers, no repr risk
+    "x127_lang_budget" -> {
+      val tg = langTargets.toSeq.sortBy(_._1)
+        .map { case (l, v) => s"('$l', $v)" }.mkString(", ")
+      s"""WITH $bpeCtes,
+         |lw AS (SELECT d.lang, t.w AS w, count(*)::BIGINT AS c
+         |  FROM documents d,
+         |    unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS t(w)
+         |  GROUP BY d.lang, t.w),
+         |fert AS (SELECT lang, sum(c)::BIGINT AS n_words,
+         |    ROUND(sum(c * len(s))::DOUBLE / sum(c)::DOUBLE, 6) AS fertility
+         |  FROM lw JOIN seq$bpeRounds sq ON sq.w = lw.w GROUP BY lang),
+         |tg0(lang, share0) AS (VALUES $tg),
+         |tg AS (SELECT lang, share0::DOUBLE AS share FROM tg0)
+         |SELECT f.lang, f.n_words, f.fertility, tg.share AS target_share,
+         |  CASE WHEN tg.share IS NOT NULL
+         |    THEN floor($langBudgetTokens * tg.share)::BIGINT END AS tokens_alloc,
+         |  CASE WHEN tg.share IS NOT NULL
+         |    THEN floor((floor($langBudgetTokens * tg.share)::BIGINT)::DOUBLE
+         |      / f.fertility)::BIGINT END AS words_alloc
+         |FROM fert f LEFT JOIN tg USING (lang) ORDER BY f.lang""".stripMargin
+    },
   )
 }

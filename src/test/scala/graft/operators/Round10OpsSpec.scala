@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: Zipf-slope source fingerprinting, per-doc
+  * contamination fractions, dup-cluster token mass, classifier
+  * calibration, packing efficiency, and fertility-adjusted language
+  * budgets — each pinned against a hand fixture or an independent
+  * driver-side reference implementation. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+  private def d6(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+
+  /** Driver-side OLS replica of zipfSlope's decimal-sum fit over
+    * (rank, count) points already cut to the head. */
+  private def zipfFit(points: Seq[(Int, Long)]): (Double, Double) = {
+    val n = points.size.toDouble
+    def s(f: ((Int, Long)) => Double): Double =
+      points.map(p => d6(f(p))).reduce(_ add _).doubleValue
+    val sx = s(p => math.log(p._1.toDouble))
+    val sy = s(p => math.log(p._2.toDouble))
+    val sxx = s(p => math.log(p._1.toDouble) * math.log(p._1.toDouble))
+    val sxy = s(p => math.log(p._1.toDouble) * math.log(p._2.toDouble))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    (r4(slope) + 0.0, r4((sy - slope * sx) / n) + 0.0)
+  }
+
+  test("zipfSlope: matches the driver-side OLS on a geometric corpus; flat source fits 0") {
+    // source g: counts 8,4,2,1 for terms a,b,c,d; source f: 4 distinct singletons
+    val g = List.fill(8)("a") ++ List.fill(4)("b") ++ List.fill(2)("c") ++ List("d")
+    val docs = Seq(
+      (0L, g.mkString(" "), "en", "g"),
+      (1L, "w x y z", "en", "f")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.zipfSlope(docs, topV = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (es, ei) = zipfFit(Seq(1 -> 8L, 2 -> 4L, 3 -> 2L, 4 -> 1L))
+    assert(out("g") === ((4L, es, ei)))
+    assert(es < -0.5, s"geometric source must slope steeply, got $es")
+    // all-singleton source: ln(freq) identically 0 -> slope 0, intercept 0
+    assert(out("f") === ((4L, 0.0, 0.0)))
+    // and the zero is POSITIVE zero (the +0.0 normalization)
+    assert(1.0 / out("f")._2 > 0, "slope must serialize as +0.0")
+  }
+
+  test("zipfSlope: topV cut is deterministic under count ties (term-asc tiebreak)") {
+    // five tied terms; topV=3 must keep a,b,c — fit over ranks 1..3, counts 2
+    val docs = Seq((0L, "e d c b a e d c b a", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.zipfSlope(docs, topV = 3).collect()
+    assert(out.length === 1 && out(0).getLong(1) === 3L)
+    val (es, ei) = zipfFit(Seq(1 -> 2L, 2 -> 2L, 3 -> 2L))
+    assert(out(0).getDouble(2) === es && out(0).getDouble(3) === ei)
+    // single-distinct-term source has no variance and drops
+    val one = Seq((0L, "solo solo solo", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextAnalysis.zipfSlope(one, topV = 3).count() === 0L)
+  }
+
+  test("contaminationScores: mirror flags at 1.0, partial quote scores its shingle share, clean scores 0") {
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, benchText),                                    // exact mirror: frac 1.0
+      (2L, "one two three alpha beta gamma four five"),   // quotes one bench trigram run
+      (3L, "clean text with no overlap at all here"),     // frac 0
+      (4L, "too short")                                   // < 3 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(docs, bench, n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0, true)))
+    // doc 2: 6 distinct shingles, 2 of them bench ("alpha beta gamma" is a
+    // bench shingle; "beta gamma four" etc. are not; "three alpha beta" not)
+    assert(out(2L)._1 === 6L && out(2L)._2 === 1L)
+    assert(out(2L)._3 === 0.166667 && !out(2L)._4)
+    assert(out(3L) === ((6L, 0L, 0.0, false)))
+    assert(!out.contains(4L))
+  }
+
+  test("clusterTokenSavings: per-cluster mass, min-id representative, saved-desc cut") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // 5 tokens — representative of {1,2,3}
+      (2L, "a b c d e f g h"),  // 8
+      (3L, "a b"),              // 2
+      (10L, "x y z"),           // 3 — representative of {10,11}
+      (11L, "x y z w v u t s r q p o n m l k j i h g"), // 20
+      (99L, "singleton never appears")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.clusterTokenSavings(docs, pairs, k = 10)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // cluster 10 saves 20, cluster 1 saves 10 — saved DESC order
+    assert(rows.toSeq === Seq((10L, 2L, 23L, 3L, 20L), (1L, 3L, 15L, 5L, 10L)))
+    // k cut keeps the TOP saver
+    val top1 = Dedup.clusterTokenSavings(docs, pairs, k = 1).collect()
+    assert(top1.length === 1 && top1(0).getLong(0) === 10L)
+    // no pairs -> empty frame with the contract schema
+    val none = Dedup.clusterTokenSavings(docs, pairs.limit(0), k = 5)
+    assert(none.count() === 0L && none.columns.toSeq ===
+      Seq("cluster", "n_docs", "total_tokens", "kept_tokens", "saved_tokens"))
+  }
+
+  test("calibrationReport: equal-mass bins cover the corpus; mean_p nondecreasing; rates bounded") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val out = TextAnalysis.calibrationReport(docs, iters = 2, bins = 5)
+      .orderBy("bin").collect()
+    assert(out.length >= 2, "score spread must fill more than one quantile bin")
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    val means = out.map(_.getDouble(2))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"quantile-bin mean_p must be nondecreasing: ${means.mkString(",")}")
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("packEfficiency: deciles, mass, and padding equal the driver-side rollup of packSequences") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val budget = 128L
+    val perBin = TextAnalysis.packSequences(docs, budget, shards = 4)
+      .collect()
+      .groupBy(r => (r.getLong(1), r.getLong(2)))
+      .map { case (_, rs) => rs.map(r => math.max(r.getLong(3), 1L)).sum }
+    val expected = perBin.groupBy(c => math.min(c * 10 / budget, 10L))
+      .map { case (d, cs) =>
+        d -> (cs.size.toLong, cs.sum, cs.map(c => math.max(budget - c, 0L)).sum) }
+    val out = TextAnalysis.packEfficiency(docs, budget, shards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === expected)
+  }
+
+  test("fertilityBudget: floors of budget·share through the fertility exchange rate; unmapped lang nulls") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val target = Map("en" -> 0.6, "fr" -> 0.4) // de/es/zh unmapped
+    val budget = 10000L
+    val fert = TextAnalysis.bpeFertility(docs, merges = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val out = TextAnalysis.fertilityBudget(docs, target, budget, merges = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((lang, share) <- target) {
+      val row = out(lang)
+      val tok = math.floor(budget.toDouble * share).toLong
+      assert(row.getLong(4) === tok)
+      assert(row.getLong(5) === math.floor(tok.toDouble / fert(lang)).toLong)
+    }
+    for (lang <- out.keySet -- target.keySet) {
+      assert(out(lang).isNullAt(3) && out(lang).isNullAt(4) && out(lang).isNullAt(5))
+    }
+  }
+}
