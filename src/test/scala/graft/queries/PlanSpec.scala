@@ -466,6 +466,53 @@ class PlanSpec extends SparkSpec {
       s"x100 scan widened to unused columns:\n$p100")
   }
 
+  test("x122: the Zipf head cut is two-phase aggregation — zero Window nodes, partial counts") {
+    val p = plan(ExtensionQueries.x122)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the fit reads exactly (text, source) — scan stays 2-column pruned
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"), p)
+  }
+
+  test("x123: the bench shingle set broadcasts; the corpus side never sort-merges") {
+    val p = plan(ExtensionQueries.x123)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("x124: the mass cut is TakeOrdered over the CC chain — no global sort, no cartesian") {
+    val p = plan(ExtensionQueries.x124)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x125: calibration is broadcast thresholds over the scoring chain — window-free, no SMJ") {
+    val p = plan(ExtensionQueries.x125)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x126: pack efficiency rides only the shard-keyed packing window; rollups are partial-aggregated") {
+    val p = plan(ExtensionQueries.x126)
+    // every Window node in the (AQE-duplicated) plan string is the
+    // packing window partitioned by shard — no second window key sneaks in
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows >= 1, p)
+    assert("windowspecdefinition\\(shard".r.findAllIn(p).size === windows, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x127: the fertility vocab join broadcasts — corpus never sort-merges") {
+    val p = plan(ExtensionQueries.x127)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
