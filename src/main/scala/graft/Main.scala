@@ -904,6 +904,42 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/dup_stats")
   }
 
+  /** Incremental Zipf-fingerprint monitoring: per-batch (source, term)
+    * count partials are ADDITIVE (sum-by-key folds any batch split), so
+    * each day ships only its own token counts; the head cut + OLS fit
+    * re-derive from the folded counts via [[graft.operators.TextAnalysis
+    * .zipfSlopeFromCounts]] — the fit itself is NOT additive (ranks shift
+    * as counts grow), which is exactly why the persisted state is the
+    * count table, never the fit. Partials land under `batch=<id>` so a
+    * retry overwrites itself (the established at-least-once discipline).
+    * State size is the per-source vocabulary, never the corpus. */
+  def runIncrementalZipf(spark: SparkSession, docsDir: String,
+                         outRoot: String, topV: Int = 100): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeZipfBatch(batch.toDF(), batchId, outRoot, topV)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/zipf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalZipf]] micro-batch, exposed for retry testing. */
+  private[graft] def mergeZipfBatch(batch: DataFrame, batchId: Long,
+                                    outRoot: String, topV: Int): Unit = {
+    val s = batch.sparkSession
+    graft.operators.TextAnalysis.zipfCounts(batch)
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.TextAnalysis.zipfSlopeFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("source"), col("term")).agg(sum(col("c")).as("c")),
+        topV)
+      .write.mode("overwrite").parquet(s"$outRoot/zipf")
+  }
+
   /** Incremental dedup-graph maintenance: candidate-pair batches fold
     * into a SnapshotStore-rotated label table via
     * [[graft.operators.Dedup.mergeComponentLabels]] — per pass the loop

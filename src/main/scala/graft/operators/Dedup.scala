@@ -1370,6 +1370,80 @@ object Dedup {
           .otherwise(0.0), 4).as("clustering"))
   }
 
+  /** Calibration report for the MinHash Jaccard ESTIMATOR — the
+    * self-evaluation that decides whether k signatures are enough before
+    * a threshold tune trusts j_est at scale (the x117-for-LSH): per
+    * estimate decile, how far is the signature agreement from the exact
+    * shingle Jaccard? Pairs are the LSH banding candidates joined against
+    * the rare-shingle blocking's exact scores ([[ngramJaccardPairs]] at
+    * threshold 0 — every blocked pair, unthresholded); pairs only one
+    * blocking surfaces drop (both sides are candidate approximations; the
+    * report grades the estimator on the pairs both can see). mean error
+    * columns sum ROUNDED values as exact DECIMAL (order-free, x37).
+    *
+    * Scale shape: both inputs are the audited bounded-candidate chains
+    * (band caps resp. maxDf); the join ships (pair, score) rows; the
+    * report aggregate has ≤ 10 groups with map-side partials. Bucket
+    * membership is decided on the ROUND-4 estimate, cross-engine
+    * reproducible. Output: bucket, n_pairs, mean_est, mean_exact, mae
+    * (all ROUND 4). */
+  def jaccardEstimateError(docs: DataFrame, n: Int = 3, k: Int = 12,
+                           bands: Int = 4, maxDf: Int = 1000): DataFrame = {
+    val est = estimatedJaccardPairs(docs, n, k, bands)
+    val exact = ngramJaccardPairs(docs, n, threshold = 0.0, maxDf = maxDf)
+    val d6 = (e: Column) => round(e, 6).cast("decimal(18,6)")
+    est.join(exact, Seq("a_id", "b_id"))
+      .select(
+        least(floor(col("j_est") * lit(10.0)), lit(9.0)).cast("long")
+          .as("bucket"),
+        col("j_est"), col("j"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d6(col("j_est"))).as("__se"),
+        sum(d6(col("j"))).as("__sx"),
+        sum(d6(abs(col("j_est") - col("j")))).as("__sa"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("__se").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("mean_est"),
+        round(col("__sx").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("mean_exact"),
+        round(col("__sa").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("mae"))
+  }
+
+  /** Dedup threshold SWEEP — the tuning curve a pipeline reads before
+    * committing a near-dup pass: for each candidate threshold, how many
+    * scored pairs survive and how many documents they touch. Thresholds
+    * that change the doc count by little are safe to tighten; the knee is
+    * where the dedup gets aggressive. Input is any scored pair frame
+    * (a_id, b_id, `scoreCol`) — [[estimatedJaccardPairs]],
+    * [[ngramJaccardPairs]], [[simhashNearDupPairs]] — so one candidate
+    * generation pays for the whole curve.
+    *
+    * Scale shape: the pair frame is persisted once and amplified
+    * |thresholds|× against a broadcast threshold list (bounded constant
+    * factor); doc counting is one distinct over (threshold, id) longs.
+    * Thresholds with no surviving pair still emit (0, 0) rows — a sweep
+    * that silently omits its aggressive end reads as "nothing to drop".
+    * Output: thr, n_pairs, n_docs, ordered by thr. */
+  def dedupSweep(pairs: DataFrame, scoreCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val base = graft.Persist.cut(
+      pairs.select(col("a_id"), col("b_id"), col(scoreCol).as("__j")))
+    val thr = broadcast(base.sparkSession.range(1)
+      .select(posexplode(typedLit(thresholds)).as(Seq("idx", "thr"))))
+    val f = base.crossJoin(thr).filter(col("__j") >= col("thr"))
+    val np = f.groupBy(col("idx")).agg(count(lit(1)).as("__np"))
+    val nd = f.select(col("idx"), explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct()
+      .groupBy(col("idx")).agg(count(lit(1)).as("__nd"))
+    thr.join(np, Seq("idx"), "left_outer").join(nd, Seq("idx"), "left_outer")
+      .select(col("thr"), coalesce(col("__np"), lit(0L)).as("n_pairs"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"))
+      .orderBy(col("thr"))
+  }
+
   /** Per-document contamination SCORE against a benchmark set — the
     * graded form of [[contaminationPairs]]' binary verdict (the GPT-3
     * appendix-C discipline: report the FRACTION of a doc's n-grams that

@@ -1517,10 +1517,24 @@ object TextAnalysis {
     * expression over the exact sums. Sources with a single distinct term
     * have no variance to fit and drop. Output: source, n_terms,
     * slope (ROUND 4), intercept (ROUND 4). */
-  def zipfSlope(docs: DataFrame, topV: Int = 100): DataFrame = {
-    val tc = docs
-      .select(col("source"), explode(tokens(col("text"))).as("term"))
+  def zipfSlope(docs: DataFrame, topV: Int = 100): DataFrame =
+    zipfSlopeFromCounts(zipfCounts(docs), topV)
+
+  /** The (source, term, c) count frame behind [[zipfSlope]] — exposed
+    * because the counts are ADDITIVE (sum-by-key folds batches), which is
+    * what the incremental twin persists per batch; the fit itself is not
+    * additive (ranks shift as counts grow) and always re-derives from the
+    * folded counts. */
+  def zipfCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+
+  /** [[zipfSlope]]'s head cut + OLS over an already-aggregated
+    * (source, term, c) frame — ONE definition shared by the batch
+    * operator and the incremental runner's fold, so the two cannot
+    * drift. */
+  def zipfSlopeFromCounts(counts: DataFrame, topV: Int = 100): DataFrame = {
+    val tc = counts
     // sort key struct(-c, term): array_sort is field-lexicographic →
     // count DESC, term ASC — the deterministic cut the oracle's
     // ROW_NUMBER replays

@@ -1391,6 +1391,25 @@ object ExtensionQueries {
     TextAnalysis.fertilityBudget(docs(s, dir), langTargets, langBudgetTokens,
       merges = bpeRounds).orderBy("lang")
 
+  /** x128: MinHash-estimator calibration — per j_est decile, signature
+    * agreement vs exact shingle Jaccard over the pairs both blocking
+    * chains surface (the x43 banding ∩ the x10 rare blocking). */
+  def x128(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardEstimateError(docs(s, dir), n = 3, k = 12, bands = 4,
+      maxDf = jaccardMaxDf).orderBy("bucket")
+
+  /** x129 thresholds, shared with the oracle VALUES: spans the j_est
+    * lattice (multiples of 1/12) from permissive to exact-signature. */
+  val sweepThrs = Seq(0.25, 0.5, 0.75, 1.0)
+
+  /** x129: dedup threshold sweep over the x43 estimated pairs —
+    * surviving pairs and touched docs per candidate threshold, the curve
+    * a near-dup pass is tuned against. */
+  def x129(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSweep(
+      Dedup.estimatedJaccardPairs(docs(s, dir), n = 3, k = 12, bands = 4),
+      "j_est", sweepThrs)
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1484,6 +1503,8 @@ object ExtensionQueries {
     "x125_calibration"  -> (x125 _),
     "x126_pack_efficiency" -> (x126 _),
     "x127_lang_budget"  -> (x127 _),
+    "x128_est_error"    -> (x128 _),
+    "x129_dedup_sweep"  -> (x129 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -2071,6 +2092,19 @@ object ExtensionQueries {
   private val sigAgree: String = (0 until 12)
     .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
     .mkString(" + ")
+
+  /** x43's banding candidates + signature estimate as a reusable chain —
+    * shared by x128 (estimator calibration) and x129 (threshold sweep)
+    * so the estimate cannot drift between its consumers. Caller prefixes
+    * lshCtes. */
+  private lazy val estCtes: String =
+    s"""ecand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |est AS (SELECT ecand.a_id, ecand.b_id,
+       |    ROUND(($sigAgree)::DOUBLE / 12, 4) AS j_est
+       |  FROM ecand JOIN sig sa ON ecand.a_id = sa.doc_id
+       |  JOIN sig sb ON ecand.b_id = sb.doc_id)""".stripMargin
 
   val sql: Map[String, String] = Map(
     // λ and (1−λ) are interpolated from the SAME Scala doubles the Spark
@@ -3918,6 +3952,60 @@ object ExtensionQueries {
          |    THEN floor((floor($langBudgetTokens * tg.share)::BIGINT)::DOUBLE
          |      / f.fertility)::BIGINT END AS words_alloc
          |FROM fert f LEFT JOIN tg USING (lang) ORDER BY f.lang""".stripMargin
+    },
+    // banding estimate (estCtes == x43's chain) joined to the x10 exact
+    // chain UNTHRESHOLDED; bucket on the ROUND-4 estimate; means/MAE sum
+    // ROUND-6 DECIMALs (order-free, x37)
+    "x128_est_error" ->
+      s"""WITH $lshCtes,
+         |$estCtes,
+         |rare AS (SELECT sh.* FROM sh JOIN
+         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
+         |rcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT rcand.a_id, rcand.b_id, count(*) AS i
+         |  FROM rcand
+         |  JOIN sh sa ON sa.doc_id = rcand.a_id
+         |  JOIN sh sb ON sb.doc_id = rcand.b_id AND sb.s = sa.s
+         |  GROUP BY rcand.a_id, rcand.b_id),
+         |ex AS (SELECT inter.a_id, inter.b_id,
+         |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
+         |  FROM inter
+         |  JOIN card ca ON inter.a_id = ca.doc_id
+         |  JOIN card cb ON inter.b_id = cb.doc_id),
+         |pp AS (SELECT LEAST(floor(est.j_est * 10), 9)::BIGINT AS bucket,
+         |    est.j_est, ex.j
+         |  FROM est JOIN ex ON est.a_id = ex.a_id AND est.b_id = ex.b_id)
+         |SELECT bucket, count(*)::BIGINT AS n_pairs,
+         |  ROUND(sum(ROUND(j_est, 6)::DECIMAL(18,6))::DOUBLE
+         |    / count(*)::DOUBLE, 4) AS mean_est,
+         |  ROUND(sum(ROUND(j, 6)::DECIMAL(18,6))::DOUBLE
+         |    / count(*)::DOUBLE, 4) AS mean_exact,
+         |  ROUND(sum(ROUND(abs(j_est - j), 6)::DECIMAL(18,6))::DOUBLE
+         |    / count(*)::DOUBLE, 4) AS mae
+         |FROM pp GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the sweep replays the broadcast threshold cross: survivors per
+    // threshold, docs touched via DISTINCT (idx, id); empty thresholds
+    // keep their (0, 0) row through the LEFT JOINs
+    "x129_dedup_sweep" -> {
+      val vals = sweepThrs.zipWithIndex
+        .map { case (t, i) => s"($i, $t)" }.mkString(", ")
+      s"""WITH $lshCtes,
+         |$estCtes,
+         |t0(idx, thr0) AS (VALUES $vals),
+         |tt AS (SELECT idx, thr0::DOUBLE AS thr FROM t0),
+         |f AS (SELECT tt.idx, est.a_id, est.b_id
+         |      FROM est CROSS JOIN tt WHERE est.j_est >= tt.thr),
+         |np AS (SELECT idx, count(*)::BIGINT AS n_pairs FROM f GROUP BY idx),
+         |nd AS (SELECT idx, count(*)::BIGINT AS n_docs FROM
+         |  (SELECT DISTINCT idx, id FROM
+         |    (SELECT idx, a_id AS id FROM f UNION ALL SELECT idx, b_id FROM f))
+         |  GROUP BY idx)
+         |SELECT tt.thr, COALESCE(np.n_pairs, 0)::BIGINT AS n_pairs,
+         |  COALESCE(nd.n_docs, 0)::BIGINT AS n_docs
+         |FROM tt LEFT JOIN np USING (idx) LEFT JOIN nd USING (idx)
+         |ORDER BY tt.thr""".stripMargin
     },
   )
 }

@@ -673,6 +673,30 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published drift")
   }
 
+  test("O2 streaming: incremental Zipf fingerprint equals the batch fit across waves") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_zipf_in").toString
+    val root = Files.createTempDirectory("graft_zipf_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    // counts are additive, so a parity split folds exactly; the fit must
+    // re-derive from the FOLDED counts (ranks shift between waves)
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalZipf(spark, src, root, topV = 50)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalZipf(spark, src, root, topV = 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    }.toMap
+    val streamed = rows(spark.read.parquet(s"$root/zipf"))
+    val batch = rows(graft.operators.TextAnalysis.zipfSlope(docs, topV = 50))
+    assert(streamed == batch, "incremental Zipf fit diverged from the batch fit")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeZipfBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root, 50)
+    assert(rows(spark.read.parquet(s"$root/zipf")) == streamed,
+      "retry changed the published fit")
+  }
+
   test("O2 streaming: incremental source health equals the batch scorecard; cross-batch dups collide") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_sh_in").toString

@@ -108,6 +108,31 @@ class Round10OpsSpec extends SparkSpec {
       Seq("cluster", "n_docs", "total_tokens", "kept_tokens", "saved_tokens"))
   }
 
+  test("jaccardEstimateError: exact mirrors land in the top bucket with zero error") {
+    val mirror = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, mirror), (2L, mirror),                       // identical pair
+      (3L, "totally different words here nothing shared with others at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardEstimateError(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out === Map(9L -> ((1L, 1.0, 1.0, 0.0))))
+  }
+
+  test("dedupSweep: monotone curve, exact doc counting, (0,0) rows for dry thresholds") {
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.6), (6L, 7L, 0.3)
+    ).toDF("a_id", "b_id", "j")
+    val out = Dedup.dedupSweep(pairs, "j", Seq(0.2, 0.5, 0.8, 0.95)).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0.2, 4L, 7L),   // all pairs, docs 1..7
+      (0.5, 3L, 5L),   // drops (6,7)
+      (0.8, 2L, 3L),   // keeps the two 0.9 pairs, docs {1,2,3}
+      (0.95, 0L, 0L))) // dry threshold still emits its row
+  }
+
   test("calibrationReport: equal-mass bins cover the corpus; mean_p nondecreasing; rates bounded") {
     val docs = graft.sources.Tables(spark, sf(), "documents")
     val out = TextAnalysis.calibrationReport(docs, iters = 2, bins = 5)

@@ -513,6 +513,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x128/x129: estimator evaluation rides the audited chains — no cartesian, threshold list broadcasts") {
+    val p128 = plan(ExtensionQueries.x128)
+    assert(!p128.contains("CartesianProduct"), p128)
+    assert("Window".r.findAllIn(p128).isEmpty, p128)
+    val p129 = plan(ExtensionQueries.x129)
+    assert(!p129.contains("CartesianProduct"), p129)
+    // the |thresholds|-row amplification must be a broadcast nested loop,
+    // never a shuffled product
+    assert(p129.contains("BroadcastNestedLoopJoin"), p129)
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
