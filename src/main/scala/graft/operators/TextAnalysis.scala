@@ -1546,23 +1546,131 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(slice(array_sort(collect_list(col("t"))), 1, topV).as("top"))
       .select(col("source"), posexplode(col("top")))
-      .select(col("source"), (col("pos") + 1).cast("double").as("__r"),
-        col("col").getField("c").cast("double").as("__c"))
+      .select(col("source"), (col("pos") + 1).cast("double").as("__x"),
+        col("col").getField("c").cast("double").as("__y"))
+    olsLnLnFit(top, "source", "n_terms")
+  }
+
+  /** Shared log-log OLS core: per `group`, fit ln(__y) on ln(__x) over a
+    * (group, __x, __y) point frame — ONE definition behind the Zipf
+    * (rank→freq) and Heaps (tokens→vocab) fits, so the decimal-sum
+    * discipline and the slope/intercept expression shape (which the
+    * oracle SQL mirrors verbatim) cannot drift between them. Four
+    * ROUND-6 DECIMAL(18,6) sums (order-free, x37); groups with fewer
+    * than 2 points have no variance and drop. */
+  private def olsLnLnFit(points: DataFrame, group: String,
+                         nAs: String): DataFrame = {
     val d6 = (e: Column) => round(e, 6).cast("decimal(18,6)")
-    val fit = top.groupBy(col("source")).agg(
-      count(lit(1)).as("n_terms"),
-      sum(d6(log(col("__r")))).as("__sx"),
-      sum(d6(log(col("__c")))).as("__sy"),
-      sum(d6(log(col("__r")) * log(col("__r")))).as("__sxx"),
-      sum(d6(log(col("__r")) * log(col("__c")))).as("__sxy"))
-    val n = col("n_terms").cast("double")
+    val fit = points.groupBy(col(group)).agg(
+      count(lit(1)).as(nAs),
+      sum(d6(log(col("__x")))).as("__sx"),
+      sum(d6(log(col("__y")))).as("__sy"),
+      sum(d6(log(col("__x")) * log(col("__x")))).as("__sxx"),
+      sum(d6(log(col("__x")) * log(col("__y")))).as("__sxy"))
+    val n = col(nAs).cast("double")
     val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
     val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    fit.filter(col("n_terms") >= 2)
-      .select(col("source"), col("n_terms"),
+    fit.filter(col(nAs) >= 2)
+      .select(col(group), col(nAs),
         (round(slope, 4) + 0.0).as("slope"),
         (round((sy - slope * sx) / n, 4) + 0.0).as("intercept"))
+  }
+
+  /** Per-source Heaps'-law fit — [[zipfSlope]]'s companion fingerprint on
+    * the GROWTH axis: a natural corpus' vocabulary grows as V(N) ∝ N^β
+    * with β ≈ 0.4-0.7 (Heaps 1978); templated text saturates early
+    * (β → 0, the same 1000 tokens forever) and id-stuffed/synthetic text
+    * runs β → 1 (every token new). Growth points are CHECKPOINTS at
+    * doc_id-bucket boundaries (bucket = doc_id DIV `bucketDocs`, the
+    * ingest order), measuring cumulative tokens N and cumulative distinct
+    * terms V per source; the fit is the shared log-log OLS.
+    *
+    * Scale shape: "distinct so far" is NOT tracked as running state —
+    * each term contributes exactly once at its FIRST-occurrence bucket
+    * (a min(doc_id) aggregate, map-side combined), so V falls out of a
+    * per-bucket count. Both per-bucket frames aggregate BEFORE the
+    * cumulative window, whose partitions are ≤ id-range/bucketDocs rows
+    * per source (the x35 aggregate-then-window spine discipline;
+    * bucketDocs is the lever). Checkpoints before the first non-empty
+    * doc (N or V still 0) have no log and drop; single-point sources
+    * drop with them. Output: source, n_points, slope, intercept. */
+  def heapsLaw(docs: DataFrame, bucketDocs: Long = 50): DataFrame = {
+    require(bucketDocs > 0, "bucket size must be positive")
+    val staged = docs.select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("__nt"))
+    val tokPerBucket = staged
+      .groupBy(col("source"), expr(s"doc_id DIV $bucketDocs").as("__b"))
+      .agg(sum(col("__nt")).as("__tok"))
+    val newPerBucket = docs
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(min(col("doc_id")).as("__fo"))
+      .groupBy(col("source"), expr(s"__fo DIV $bucketDocs").as("__b"))
+      .agg(count(lit(1)).as("__new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__b"))
+    // first occurrences live in a doc, so newPerBucket's buckets ⊆
+    // tokPerBucket's — left join keeps every checkpoint
+    val cum = tokPerBucket
+      .join(newPerBucket, Seq("source", "__b"), "left_outer")
+      .select(col("source"), col("__b"),
+        sum(col("__tok")).over(w).as("__N"),
+        sum(coalesce(col("__new"), lit(0L))).over(w).as("__V"))
+    olsLnLnFit(
+      cum.filter(col("__N") > 0 && col("__V") > 0)
+        .select(col("source"), col("__N").cast("double").as("__x"),
+          col("__V").cast("double").as("__y")),
+      "source", "n_points")
+  }
+
+  /** Source-to-source term-distribution similarity — the STATISTICAL
+    * mirror detector next to x121's content-hash provenance matrix: two
+    * feeds republishing the same material (reformatted, re-chunked, so no
+    * shingle survives) still share a term profile, and a near-1 cosine
+    * between sources is the signal to collapse or down-weight one before
+    * mixture planning. Vectors are raw term counts over the GLOBAL
+    * top-`topV` vocabulary (one shared axis set, so sources are
+    * comparable); similarity is cosine with dot and norms in EXACT
+    * integer arithmetic, divided once (cross-engine stable, cf. x43).
+    *
+    * Scale shape: the vocabulary cut is TakeOrdered over partial counts
+    * (the x29 discipline, vocab-sized by construction); per-source
+    * vectors are ≤ topV·|sources| rows; the pair stage joins them on the
+    * term key — per-term cost (sources carrying that term)², total ≤
+    * topV·|sources|² with map-side partial dots, the |strata|²-bounded
+    * aggregate family (x58). Norms broadcast (|sources| rows). Pairs
+    * with no shared top-V term score 0 implicitly and are ABSENT (a
+    * mirror alarm reads presence, not absence). Output: source_a,
+    * source_b, shared_terms, cos (ROUND 4). */
+  def sourceSimilarity(docs: DataFrame, topV: Int = 200): DataFrame =
+    sourceSimilarityFromCounts(zipfCounts(docs), topV)
+
+  /** [[sourceSimilarity]] over an already-aggregated (source, term, c)
+    * frame — shares [[zipfCounts]] with the Zipf family so one count
+    * pass can feed both reports. */
+  def sourceSimilarityFromCounts(counts: DataFrame, topV: Int = 200): DataFrame = {
+    val vocab = counts.groupBy(col("term")).agg(sum(col("c")).as("__n"))
+      .orderBy(col("__n").desc, col("term")).limit(topV)
+      .select(col("term"))
+    val vec = counts.join(broadcast(vocab), Seq("term"))
+      .select(col("source"), col("term"), col("c"))
+    val norms = vec.groupBy(col("source"))
+      .agg(sum(col("c") * col("c")).as("__n2"))
+    val dots = vec.as("a")
+      .join(vec.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(col("a.c") * col("b.c")).as("__dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("source_a"),
+        col("__n2").as("__na"))), Seq("source_a"))
+      .join(broadcast(norms.select(col("source").as("source_b"),
+        col("__n2").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_terms"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))),
+          4).as("cos"))
   }
 
   /** Calibration (reliability) report for the [[qualityClassifierScores]]

@@ -1410,6 +1410,27 @@ object ExtensionQueries {
       Dedup.estimatedJaccardPairs(docs(s, dir), n = 3, k = 12, bands = 4),
       "j_est", sweepThrs)
 
+  /** x130 checkpoint granularity: the fixture's strided sources see 2-3
+    * docs per 50-id bucket, giving every source ~10 growth points. */
+  val heapsBucketDocs = 50L
+
+  /** x130: per-source Heaps'-law fit — cumulative vocabulary vs
+    * cumulative tokens at doc_id-bucket checkpoints, the growth-axis
+    * companion to the x122 Zipf fingerprint. */
+  def x130(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsLaw(docs(s, dir), bucketDocs = heapsBucketDocs)
+      .orderBy("source")
+
+  /** x131 vocabulary width (the shared comparison axis). */
+  val srcSimTopV = 200
+
+  /** x131: source-to-source term-distribution cosine over the global
+    * top-[[srcSimTopV]] vocabulary — the statistical mirror detector
+    * next to x121's content-hash provenance matrix. */
+  def x131(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceSimilarity(docs(s, dir), topV = srcSimTopV)
+      .orderBy("source_a", "source_b")
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1505,6 +1526,8 @@ object ExtensionQueries {
     "x127_lang_budget"  -> (x127 _),
     "x128_est_error"    -> (x128 _),
     "x129_dedup_sweep"  -> (x129 _),
+    "x130_heaps_law"    -> (x130 _),
+    "x131_source_sim"   -> (x131 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -2092,6 +2115,25 @@ object ExtensionQueries {
   private val sigAgree: String = (0 until 12)
     .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
     .mkString(" + ")
+
+  /** The shared log-log OLS tail (x122 Zipf / x130 Heaps): expects a
+    * `pts($group, x, y)` CTE and emits the decimal-sum fit with the SAME
+    * slope/intercept expression shape the Scala olsLnLnFit evaluates —
+    * one generated definition so the two fits cannot drift. */
+  private def olsLnLnSql(group: String, nAs: String): String =
+    s"""sm AS (SELECT $group, count(*)::BIGINT AS $nAs,
+       |    sum(ROUND(ln(x), 6)::DECIMAL(18,6))::DOUBLE AS sx,
+       |    sum(ROUND(ln(y), 6)::DECIMAL(18,6))::DOUBLE AS sy,
+       |    sum(ROUND(ln(x) * ln(x), 6)::DECIMAL(18,6))::DOUBLE AS sxx,
+       |    sum(ROUND(ln(x) * ln(y), 6)::DECIMAL(18,6))::DOUBLE AS sxy
+       |  FROM pts GROUP BY $group),
+       |s2 AS (SELECT $group, $nAs, $nAs::DOUBLE AS n, sx, sy, sxx, sxy
+       |       FROM sm WHERE $nAs >= 2)
+       |SELECT $group, $nAs,
+       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
+       |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+       |    + 0.0 AS intercept
+       |FROM s2 ORDER BY $group""".stripMargin
 
   /** x43's banding candidates + signature estimate as a reusable chain —
     * shared by x128 (estimator calibration) and x129 (threshold sweep)
@@ -3852,19 +3894,9 @@ object ExtensionQueries {
          |rk AS (SELECT source, c,
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
          |  FROM tc),
-         |sm AS (SELECT source, count(*)::BIGINT AS n_terms,
-         |    sum(ROUND(ln(r), 6)::DECIMAL(18,6))::DOUBLE AS sx,
-         |    sum(ROUND(ln(c), 6)::DECIMAL(18,6))::DOUBLE AS sy,
-         |    sum(ROUND(ln(r) * ln(r), 6)::DECIMAL(18,6))::DOUBLE AS sxx,
-         |    sum(ROUND(ln(r) * ln(c), 6)::DECIMAL(18,6))::DOUBLE AS sxy
-         |  FROM rk WHERE r <= $zipfTopV GROUP BY source),
-         |s2 AS (SELECT source, n_terms, n_terms::DOUBLE AS n, sx, sy, sxx, sxy
-         |       FROM sm WHERE n_terms >= 2)
-         |SELECT source, n_terms,
-         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
-         |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
-         |    + 0.0 AS intercept
-         |FROM s2 ORDER BY source""".stripMargin,
+         |pts AS (SELECT source, r::DOUBLE AS x, c::DOUBLE AS y
+         |        FROM rk WHERE r <= $zipfTopV),
+         |${olsLnLnSql("source", "n_terms")}""".stripMargin,
     // the x26 bench split scored per-doc: LEFT JOIN against the DISTINCT
     // bench shingle set, fraction over the doc's distinct shingles; the
     // verdict compares the ROUNDED fraction (cross-engine reproducible)
@@ -4007,5 +4039,53 @@ object ExtensionQueries {
          |FROM tt LEFT JOIN np USING (idx) LEFT JOIN nd USING (idx)
          |ORDER BY tt.thr""".stripMargin
     },
+    // aggregate-then-window growth checkpoints: per-bucket token sums and
+    // first-occurrence term counts, cumulative over ≤ id-range/B rows per
+    // source, then the SHARED log-log OLS tail (x122's exact fit shape)
+    "x130_heaps_law" ->
+      s"""WITH st AS (SELECT source, doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS nt
+         |  FROM documents),
+         |tb AS (SELECT source, doc_id // $heapsBucketDocs AS b,
+         |       sum(nt)::BIGINT AS tok FROM st GROUP BY source, b),
+         |fo AS (SELECT source, term, min(doc_id) AS fd FROM
+         |    (SELECT source, doc_id,
+         |       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |     FROM documents)
+         |  GROUP BY source, term),
+         |nb AS (SELECT source, fd // $heapsBucketDocs AS b,
+         |       count(*)::BIGINT AS newt FROM fo GROUP BY source, b),
+         |cm AS (SELECT tb.source, tb.b,
+         |    sum(tb.tok) OVER (PARTITION BY tb.source ORDER BY tb.b) AS nn,
+         |    sum(COALESCE(nb.newt, 0)) OVER (PARTITION BY tb.source ORDER BY tb.b) AS v
+         |  FROM tb LEFT JOIN nb ON tb.source = nb.source AND tb.b = nb.b),
+         |pts AS (SELECT source, nn::DOUBLE AS x, v::DOUBLE AS y
+         |        FROM cm WHERE nn > 0 AND v > 0),
+         |${olsLnLnSql("source", "n_points")}""".stripMargin,
+    // count vectors over the global top-V cut (n DESC, term ASC — the
+    // vocabulary tiebreak); dot and norms in exact integer sums, ONE
+    // double division (cf. x43's agreement/12)
+    "x131_source_sim" ->
+      s"""WITH tc AS (SELECT source, term, count(*)::BIGINT AS c FROM
+         |    (SELECT source,
+         |       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |     FROM documents)
+         |  GROUP BY source, term),
+         |vocab AS (SELECT term FROM
+         |  (SELECT term, sum(c) AS n FROM tc GROUP BY term
+         |   ORDER BY n DESC, term LIMIT $srcSimTopV)),
+         |vec AS (SELECT tc.source, tc.term, tc.c FROM tc JOIN vocab USING (term)),
+         |norms AS (SELECT source, sum(c * c)::BIGINT AS n2 FROM vec GROUP BY source),
+         |dots AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*)::BIGINT AS shared_terms, sum(a.c * b.c)::BIGINT AS dot
+         |  FROM vec a JOIN vec b ON a.term = b.term AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT d.source_a, d.source_b, d.shared_terms,
+         |  ROUND(d.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 4)
+         |    AS cos
+         |FROM dots d
+         |JOIN norms na ON d.source_a = na.source
+         |JOIN norms nb ON d.source_b = nb.source
+         |ORDER BY source_a, source_b""".stripMargin,
   )
 }

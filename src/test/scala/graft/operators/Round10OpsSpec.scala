@@ -17,19 +17,21 @@ class Round10OpsSpec extends SparkSpec {
   private def d6(x: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
 
-  /** Driver-side OLS replica of zipfSlope's decimal-sum fit over
-    * (rank, count) points already cut to the head. */
-  private def zipfFit(points: Seq[(Int, Long)]): (Double, Double) = {
+  /** Driver-side replica of the shared log-log OLS (zipfSlope / heapsLaw)
+    * over (x, y) points already cut/checkpointed. */
+  private def lnLnFit(points: Seq[(Double, Double)]): (Double, Double) = {
     val n = points.size.toDouble
-    def s(f: ((Int, Long)) => Double): Double =
+    def s(f: ((Double, Double)) => Double): Double =
       points.map(p => d6(f(p))).reduce(_ add _).doubleValue
-    val sx = s(p => math.log(p._1.toDouble))
-    val sy = s(p => math.log(p._2.toDouble))
-    val sxx = s(p => math.log(p._1.toDouble) * math.log(p._1.toDouble))
-    val sxy = s(p => math.log(p._1.toDouble) * math.log(p._2.toDouble))
+    val sx = s(p => math.log(p._1))
+    val sy = s(p => math.log(p._2))
+    val sxx = s(p => math.log(p._1) * math.log(p._1))
+    val sxy = s(p => math.log(p._1) * math.log(p._2))
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     (r4(slope) + 0.0, r4((sy - slope * sx) / n) + 0.0)
   }
+  private def zipfFit(points: Seq[(Int, Long)]): (Double, Double) =
+    lnLnFit(points.map(p => (p._1.toDouble, p._2.toDouble)))
 
   test("zipfSlope: matches the driver-side OLS on a geometric corpus; flat source fits 0") {
     // source g: counts 8,4,2,1 for terms a,b,c,d; source f: 4 distinct singletons
@@ -106,6 +108,41 @@ class Round10OpsSpec extends SparkSpec {
     val none = Dedup.clusterTokenSavings(docs, pairs.limit(0), k = 5)
     assert(none.count() === 0L && none.columns.toSeq ===
       Seq("cluster", "n_docs", "total_tokens", "kept_tokens", "saved_tokens"))
+  }
+
+  test("heapsLaw: checkpoint growth matches the driver-side fit; degenerate sources drop") {
+    val docs = Seq(
+      // source g, bucketDocs=2: bucket0 = {0,1}, bucket1 = {2,3}, bucket2 = {4}
+      (0L, "a b", "en", "g"), (1L, "a c", "en", "g"),     // N=4, V=3
+      (2L, "a b", "en", "g"), (3L, "d d", "en", "g"),     // N=8, V=4
+      (4L, "e f g", "en", "g"),                           // N=11, V=7
+      // source z: empty doc makes bucket0 a zero point (dropped), leaving
+      // ONE valid checkpoint -> no variance -> source absent
+      (0L, "", "en", "z"), (2L, "a b", "en", "z")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.heapsLaw(docs, bucketDocs = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (es, ei) = lnLnFit(Seq((4.0, 3.0), (8.0, 4.0), (11.0, 7.0)))
+    assert(out === Map("g" -> ((3L, es, ei))))
+    assert(es > 0.4 && es < 1.0, s"growing vocab must fit a positive beta, got $es")
+  }
+
+  test("sourceSimilarity: identical profiles score 1, disjoint vocabularies are absent, topV gates the axis") {
+    val docs = Seq(
+      (0L, "a a b c", "en", "s1"),
+      (1L, "a a b c", "en", "s2"),   // same distribution as s1
+      (2L, "x y z w", "en", "s3")    // disjoint from s1/s2
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.sourceSimilarity(docs, topV = 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out((("s1", "s2"))) === ((3L, 1.0)))
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+    // topV=2 keeps only the globally-heaviest terms (a ×4, then b/c tie ->
+    // b): s1/s2 still overlap on {a, b}; s3 has neither and stays absent
+    val cut = TextAnalysis.sourceSimilarity(docs, topV = 2).collect()
+    assert(cut.length === 1 && cut(0).getLong(2) === 2L)
   }
 
   test("jaccardEstimateError: exact mirrors land in the top bucket with zero error") {

@@ -524,6 +524,24 @@ class PlanSpec extends SparkSpec {
     assert(p129.contains("BroadcastNestedLoopJoin"), p129)
   }
 
+  test("x130: the Heaps window runs over AGGREGATED buckets, partitioned by source") {
+    val p = plan(ExtensionQueries.x130)
+    // every window spec is the per-source cumulative pass — never a
+    // raw-doc key (the two cumulative sums share one source-keyed spec)
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(specs >= 1, p)
+    assert("windowspecdefinition\\(source".r.findAllIn(p).size === specs, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x131: the vocabulary axis broadcasts onto the count vectors; no cartesian") {
+    val p = plan(ExtensionQueries.x131)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
