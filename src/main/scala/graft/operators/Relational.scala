@@ -779,6 +779,42 @@ object Relational {
       max_by(typeCol, key).as("last_type"))
   }
 
+  /** Per-transition LATENCY profile — [[transitionCounts]] with the time
+    * axis attached: for each (from_type → to_type) edge, how long the hop
+    * takes (n, min, p50, p90, max in µs). The conversion-latency read a
+    * funnel owner tunes against (x46 counts conversions; this says how
+    * SLOW they are), and the bot tell on the other tail (machine-speed
+    * hops cluster at near-zero gaps).
+    *
+    * Scale shape: one user-partitioned lead window (the x107/x115 spec
+    * key, plan-pinned shape) into a ≤ |types|² -group aggregate with
+    * map-side partials. Percentiles are exact within bounded groups (the
+    * x56 contract). Determinism at 1e10-µs magnitude (the x115 lesson):
+    * p50 is emitted RAW (midpoints are exact halves — bit-identical);
+    * p90 interpolates at an irrational-ish fraction where engine formula
+    * shape could differ in the last ulp, so it rounds to WHOLE µs — an
+    * ulp (~1e-6 at this magnitude) cannot move an integer boundary.
+    * Output: from_type, to_type, n, min_gap_us, p50_us, p90_us,
+    * max_gap_us. */
+  def transitionLatency(events: DataFrame, user: Column, order: Seq[Column],
+                        typeCol: Column, tsUs: Column): DataFrame = {
+    val ordered = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    events
+      .select(user.as("__u") +: typeCol.as("from_type") +: tsUs.as("__t") +:
+        ordered: _*)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("__gap", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__gap")).as("min_gap_us"),
+        expr("percentile(__gap, 0.5)").as("p50_us"),
+        round(expr("percentile(__gap, 0.9)"), 0).cast("long").as("p90_us"),
+        max(col("__gap")).as("max_gap_us"))
+  }
+
   /** Stitch cross-batch transitions from a union of per-batch
     * [[transitionBoundaries]] digests: per user, order the batch digests
     * by `first_key` and count (earlier batch's last_type → next batch's

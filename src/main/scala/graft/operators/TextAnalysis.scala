@@ -1623,6 +1623,46 @@ object TextAnalysis {
       "source", "n_points")
   }
 
+  /** Per-source DISTINCTIVE terms — source-level TF-IDF keyword
+    * extraction (the per-source form of the per-document x16): score =
+    * count · ln(|sources| / source-df), so terms every source carries
+    * zero out and each source's report reads as "what this feed talks
+    * about that others don't" — the at-a-glance characterization a
+    * curation team reads before weighting a new source. Top-`k` per
+    * source by (ROUND-4 score DESC, term ASC) via the two-phase partial
+    * top-k (zero Window nodes); rank is the sorted-array position.
+    *
+    * Scale shape: rides [[zipfCounts]] (one count pass feeds x122, x130,
+    * x131, and this); source-df is a term-keyed aggregate with map-side
+    * partials; |sources| is a 1-row broadcast. Per-group top-k state is
+    * bounded (the [[Similarity.topKPerQuery]] discipline). Output:
+    * source, pos (1-based), term, score. */
+  def sourceTopTerms(docs: DataFrame, k: Int = 5): DataFrame =
+    sourceTopTermsFromCounts(zipfCounts(docs), k)
+
+  /** [[sourceTopTerms]] over an already-aggregated (source, term, c)
+    * frame. */
+  def sourceTopTermsFromCounts(counts: DataFrame, k: Int = 5): DataFrame = {
+    val cnts = graft.Persist.cut(counts)
+    val ns = cnts.agg(count_distinct(col("source")).cast("double").as("__ns"))
+    val dfc = cnts.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scored = cnts.join(dfc, Seq("term")).crossJoin(broadcast(ns))
+      .select(col("source"), col("term"),
+        round(col("c").cast("double") *
+          log(col("__ns") / col("__df").cast("double")), 4).as("score"))
+    val cand = struct((-col("score")).as("negs"), col("term"), col("score"))
+    scored.withColumn("__p", spark_partition_id())
+      .groupBy(col("source"), col("__p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .groupBy(col("source"))
+      .agg(slice(array_sort(collect_list(col("t"))), 1, k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").getField("term").as("term"),
+        col("col").getField("score").as("score"))
+  }
+
   /** Source-to-source term-distribution similarity — the STATISTICAL
     * mirror detector next to x121's content-hash provenance matrix: two
     * feeds republishing the same material (reformatted, re-chunked, so no

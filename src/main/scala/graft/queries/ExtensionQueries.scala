@@ -1431,6 +1431,26 @@ object ExtensionQueries {
     TextAnalysis.sourceSimilarity(docs(s, dir), topV = srcSimTopV)
       .orderBy("source_a", "source_b")
 
+  /** x132: per-transition latency profile — the x107 edges with the time
+    * axis attached (conversion speed / bot-cadence tails), over the
+    * events stream's (ts, event_id) total order. */
+  def x132(s: SparkSession, dir: String): DataFrame =
+    Relational.transitionLatency(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"),
+        unix_micros(col("ts")))
+      .orderBy("from_type", "to_type")
+
+  /** x133 report width. */
+  val srcTermsK = 5
+
+  /** x133: per-source distinctive terms — source-level TF-IDF top-k,
+    * the at-a-glance feed characterization (rides the x122/x130/x131
+    * shared count pass). */
+  def x133(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceTopTerms(docs(s, dir), k = srcTermsK)
+      .orderBy("source", "pos")
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1528,6 +1548,8 @@ object ExtensionQueries {
     "x129_dedup_sweep"  -> (x129 _),
     "x130_heaps_law"    -> (x130 _),
     "x131_source_sim"   -> (x131 _),
+    "x132_transition_latency" -> (x132 _),
+    "x133_source_terms" -> (x133 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -4087,5 +4109,41 @@ object ExtensionQueries {
          |JOIN norms na ON d.source_a = na.source
          |JOIN norms nb ON d.source_b = nb.source
          |ORDER BY source_a, source_b""".stripMargin,
+    // the x107 lead window with the µs gap attached; p50 emits RAW
+    // (exact-half midpoints, the x115 discipline), p90 rounds to WHOLE
+    // µs so a last-ulp interpolation difference cannot move the value
+    "x132_transition_latency" ->
+      """WITH w AS (SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER win AS to_type,
+        |    LEAD(epoch_us(ts)) OVER win - epoch_us(ts) AS gap
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |g AS (SELECT from_type, to_type, gap FROM w WHERE to_type IS NOT NULL)
+        |SELECT from_type, to_type, count(*)::BIGINT AS n,
+        |  min(gap)::BIGINT AS min_gap_us,
+        |  quantile_cont(gap, 0.5) AS p50_us,
+        |  ROUND(quantile_cont(gap, 0.9), 0)::BIGINT AS p90_us,
+        |  max(gap)::BIGINT AS max_gap_us
+        |FROM g GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    // source-level TF-IDF: count · ln(|sources|/df), ROUND-4 ordering
+    // with a term tiebreak (the ROW_NUMBER replay of the two-phase cut)
+    "x133_source_terms" ->
+      s"""WITH tc AS (SELECT source, term, count(*)::BIGINT AS c FROM
+         |    (SELECT source,
+         |       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |     FROM documents)
+         |  GROUP BY source, term),
+         |ns AS (SELECT count(DISTINCT source)::DOUBLE AS s FROM tc),
+         |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+         |sc AS (SELECT tc.source, tc.term,
+         |    ROUND(tc.c::DOUBLE * ln(ns.s / dfc.df::DOUBLE), 4) AS score
+         |  FROM tc JOIN dfc USING (term) CROSS JOIN ns),
+         |rk AS (SELECT source, term, score,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score DESC, term) AS r
+         |  FROM sc)
+         |SELECT source, r::BIGINT AS pos, term, score
+         |FROM rk WHERE r <= $srcTermsK ORDER BY source, pos""".stripMargin,
   )
 }

@@ -145,6 +145,42 @@ class Round10OpsSpec extends SparkSpec {
     assert(cut.length === 1 && cut(0).getLong(2) === 2L)
   }
 
+  test("transitionLatency: per-edge gap stats with exact p50 midpoints and whole-µs p90") {
+    val events = Seq(
+      // u1: view@0 -> click@1000; u3: view@0 -> click@2000  (two gaps)
+      ("u1", 0L, 1L, "view"), ("u1", 1000L, 2L, "click"),
+      ("u3", 0L, 5L, "view"), ("u3", 2000L, 6L, "click"),
+      // u2: click@0 -> view@500 (single gap)
+      ("u2", 0L, 3L, "click"), ("u2", 500L, 4L, "view")
+    ).toDF("user_id", "tus", "event_id", "event_type")
+    val out = Relational.transitionLatency(events, col("user_id"),
+        Seq(col("tus"), col("event_id")), col("event_type"), col("tus"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // gaps {1000, 2000}: p50 = exact midpoint, p90 = 1000 + 0.9·1000
+    assert(out(("view", "click")) === ((2L, 1000L, 1500.0, 1900L, 2000L)))
+    assert(out(("click", "view")) === ((1L, 500L, 500.0, 500L, 500L)))
+    assert(out.size === 2)
+  }
+
+  test("sourceTopTerms: shared terms zero out; ranking is score-desc with a term tiebreak") {
+    val docs = Seq(
+      (0L, "apple apple banana shared", "en", "s1"),
+      (1L, "cherry shared shared", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.sourceTopTerms(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    val ln2 = r4(math.log(2.0))
+    assert(out(("s1", 1L)) === (("apple", r4(2.0 * math.log(2.0)))))
+    assert(out(("s1", 2L)) === (("banana", ln2)))
+    assert(out(("s2", 1L)) === (("cherry", ln2)))
+    // "shared" appears in every source -> ln(2/2) = 0 score
+    assert(out(("s2", 2L)) === (("shared", 0.0)))
+  }
+
   test("jaccardEstimateError: exact mirrors land in the top bucket with zero error") {
     val mirror = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(

@@ -542,6 +542,21 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).isEmpty, p)
   }
 
+  test("x132: latency window is user-keyed only; the edge aggregate is partial") {
+    val p = plan(ExtensionQueries.x132)
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(specs >= 1, p)
+    assert("windowspecdefinition\\(__u".r.findAllIn(p).size === specs, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x133: distinctive-term cut is two-phase — zero Window nodes, |sources| broadcast") {
+    val p = plan(ExtensionQueries.x133)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
