@@ -779,6 +779,32 @@ object Relational {
       max_by(typeCol, key).as("last_type"))
   }
 
+  /** Per-key behavioral entropy — Shannon entropy of each user's
+    * event-type distribution, the bot/automation tell on the BEHAVIOR
+    * axis (x115 reads cadence; this reads variety): a script hammering
+    * one endpoint scores ~0 however fast it goes, while organic users
+    * spread over the type vocabulary. The [[TextAnalysis.tokenEntropy]]
+    * formulation applied to events: entropy = ln(n) − Σ c·ln(c)/n with
+    * the Σ as ROUND-6 DECIMAL (order-free, x37) — one shared discipline,
+    * two domains.
+    *
+    * Scale shape: a (key, type) count aggregate with map-side partials
+    * (≤ |types| rows per key), then a per-key rollup with three-number
+    * state. Single-event keys score 0 exactly. Output: key, n_events,
+    * distinct_types, entropy (ROUND 4). */
+  def behaviorEntropy(events: DataFrame, key: Column,
+                      typeCol: Column): DataFrame =
+    events.select(key.as("key"), typeCol.as("__t"))
+      .groupBy(col("key"), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("key"))
+      .agg(sum(col("__c")).as("n_events"),
+        count(lit(1)).as("distinct_types"),
+        sum(round(col("__c") * log(col("__c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("__s"))
+      .select(col("key"), col("n_events"), col("distinct_types"),
+        round(log(col("n_events").cast("double"))
+          - col("__s").cast("double") / col("n_events"), 4).as("entropy"))
+
   /** Per-transition LATENCY profile — [[transitionCounts]] with the time
     * axis attached: for each (from_type → to_type) edge, how long the hop
     * takes (n, min, p50, p90, max in µs). The conversion-latency read a

@@ -403,6 +403,37 @@ object Similarity {
         simCol(emb)(col("embedding"), col("__re")).as("sim"))
   }
 
+  /** Embedding-table intake audit — the data-quality gate before any
+    * vector operator trusts the column: corpus size, dimension
+    * consistency (a mixed-width table breaks every dot product
+    * downstream — surfaced as distinct/min/max widths, not a crash deep
+    * inside a join), zero-norm count (unembeddable inputs serialized as
+    * zeros — cosine against them is undefined and IVF sends them all to
+    * one centroid), and the norm distribution's p50/p95 (an
+    * unnormalized mixture shows as a wide spread; a normalized table
+    * reads ~1.0).
+    *
+    * Scale shape: ONE narrow pass (codegen'd graft_dot per row, no
+    * shuffle) into a single partial-aggregated summary row; percentiles
+    * are exact over ROUND-4 norms (the x51 determinism contract — at
+    * O(1..100) norm magnitude the 4-decimal round is far above ulp).
+    * Output: n_vecs, n_widths, min_width, max_width, zero_norm,
+    * p50_norm, p95_norm. */
+  def embeddingAudit(emb: DataFrame): DataFrame = {
+    val staged = emb.select(
+      size(col("embedding")).cast("long").as("__w"),
+      round(sqrt(GraftFunctions.dot(emb, col("embedding"), col("embedding"))), 4)
+        .as("__norm"))
+    staged.agg(
+      count(lit(1)).as("n_vecs"),
+      count_distinct(col("__w")).as("n_widths"),
+      min(col("__w")).as("min_width"),
+      max(col("__w")).as("max_width"),
+      sum(when(col("__norm") === 0.0, 1L).otherwise(0L)).as("zero_norm"),
+      round(expr("percentile(__norm, 0.5)"), 4).as("p50_norm"),
+      round(expr("percentile(__norm, 0.95)"), 4).as("p95_norm"))
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-random-projection
     * LSH: component (i, d) comes from a splitmix64-style finalizer over
     * the (plane, dimension) key, mapped to uniform [-1, 1). Generated

@@ -1623,6 +1623,31 @@ object TextAnalysis {
       "source", "n_points")
   }
 
+  /** Metadata-vs-content language confusion matrix — the label-noise
+    * audit over the corpus' `lang` column: stored metadata (scraper
+    * annotations, upstream headers) against [[langId]]'s content-derived
+    * prediction, with per-label shares. A clean corpus is
+    * diagonal-heavy; a row bleeding probability off-diagonal means that
+    * label's metadata cannot be trusted for mixture planning (x59/x108
+    * key on it) and the content classifier should gate instead. This is
+    * the report that catches "everything from feed X is tagged en".
+    *
+    * Scale shape: rides the narrow langId projection into a ≤ |langs|²
+    * aggregate with map-side partials; label totals re-aggregate the
+    * matrix itself (never a second corpus pass) and broadcast back.
+    * Output: lang_label, pred_lang, n, share (ROUND 6 of n/label
+    * total). */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val m = graft.Persist.cut(
+      langId(docs).groupBy(col("lang_label"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")))
+    val tot = m.groupBy(col("lang_label")).agg(sum(col("n")).as("__t"))
+    m.join(broadcast(tot), Seq("lang_label"))
+      .select(col("lang_label"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Per-source DISTINCTIVE terms — source-level TF-IDF keyword
     * extraction (the per-source form of the per-document x16): score =
     * count · ln(|sources| / source-df), so terms every source carries

@@ -1451,6 +1451,27 @@ object ExtensionQueries {
     TextAnalysis.sourceTopTerms(docs(s, dir), k = srcTermsK)
       .orderBy("source", "pos")
 
+  /** x134: lang-metadata confusion matrix — stored labels vs the x03
+    * content classifier, with per-label shares (the label-noise audit
+    * mixture planning depends on). */
+  def x134(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(docs(s, dir)).orderBy("lang_label", "pred_lang")
+
+  /** x135: embedding-table intake audit — width consistency, zero-norm
+    * count, norm distribution (the gate before any vector operator
+    * trusts the column). */
+  def x135(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingAudit(emb(s, dir))
+
+  /** x136: per-user behavioral entropy — the variety-axis bot tell next
+    * to x115's cadence profile. */
+  def x136(s: SparkSession, dir: String): DataFrame =
+    Relational.behaviorEntropy(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("event_type"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1550,6 +1571,9 @@ object ExtensionQueries {
     "x131_source_sim"   -> (x131 _),
     "x132_transition_latency" -> (x132 _),
     "x133_source_terms" -> (x133 _),
+    "x134_lang_confusion" -> (x134 _),
+    "x135_embed_audit"  -> (x135 _),
+    "x136_user_entropy" -> (x136 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -2452,7 +2476,7 @@ object ExtensionQueries {
         |    sum(ROUND(c * ln(c), 6)::DECIMAL(18,6)) AS s
         |  FROM tc GROUP BY doc_id)
         |SELECT doc_id, n AS n_tokens, d AS distinct_tokens,
-        |  ROUND(ln(n) - s::DOUBLE / n, 4) AS entropy
+        |  ROUND(ln(n) - s::DOUBLE / n, 4) + 0.0 AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
     // SRP: the plane constants are generated by Similarity.srpPlanes and
     // printed verbatim (Double.toString round-trips; both parsers round
@@ -4145,5 +4169,45 @@ object ExtensionQueries {
          |  FROM sc)
          |SELECT source, r::BIGINT AS pos, term, score
          |FROM rk WHERE r <= $srcTermsK ORDER BY source, pos""".stripMargin,
+    // the x03 argmax chain rolled into a ≤|langs|² matrix; label totals
+    // re-aggregate the matrix (never a second corpus pass)
+    "x134_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang AS lang_label,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, lang_label,
+         |  $langCounts FROM t),
+         |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c),
+         |cm AS (SELECT lang_label, $langArgmax AS pred_lang, count(*)::BIGINT AS n
+         |       FROM m GROUP BY 1, 2),
+         |tot AS (SELECT lang_label, sum(n)::BIGINT AS t FROM cm GROUP BY 1)
+         |SELECT cm.lang_label, cm.pred_lang, cm.n,
+         |  ROUND(cm.n::DOUBLE / tot.t::DOUBLE, 6) AS share
+         |FROM cm JOIN tot USING (lang_label)
+         |ORDER BY lang_label, pred_lang""".stripMargin,
+    // norms via the shared sequential-fold dot (x78's pinned parity),
+    // ROUND-4 before the exact percentiles (the x51 contract)
+    "x135_embed_audit" ->
+      s"""WITH nr AS (SELECT len(embedding)::BIGINT AS w,
+         |    ROUND(sqrt(${dotSql("embedding", "embedding")}), 4) AS nrm
+         |  FROM embeddings)
+         |SELECT count(*)::BIGINT AS n_vecs,
+         |  count(DISTINCT w)::BIGINT AS n_widths,
+         |  min(w)::BIGINT AS min_width,
+         |  max(w)::BIGINT AS max_width,
+         |  sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS zero_norm,
+         |  ROUND(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+         |  ROUND(quantile_cont(nrm, 0.95), 4) AS p95_norm
+         |FROM nr""".stripMargin,
+    // the x72 entropy discipline over (user, event_type); + 0.0
+    // normalizes the single-type near-zero (the r8 signed-zero class)
+    "x136_user_entropy" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |agg AS (SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+        |    sum(ROUND(c * ln(c), 6)::DECIMAL(18,6)) AS s
+        |  FROM tc GROUP BY user_id)
+        |SELECT user_id, n AS n_events, d AS distinct_types,
+        |  ROUND(ln(n) - s::DOUBLE / n, 4) + 0.0 AS entropy
+        |FROM agg ORDER BY user_id""".stripMargin,
   )
 }

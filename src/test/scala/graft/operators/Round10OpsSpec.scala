@@ -181,6 +181,50 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(("s2", 2L)) === (("shared", 0.0)))
   }
 
+  test("langConfusion: diagonal and off-diagonal cells with exact shares; lexicon-free text maps to und") {
+    val docs = Seq(
+      (0L, "the cat is of the house and it is big", "en", "s"), // en -> en
+      (1L, "el gato la casa de que los un perro", "en", "s"),   // en -> es (mislabel)
+      (2L, "xyzzy qwerty plugh nothing", "en", "s"),            // en -> und
+      (3L, "the dog of a to in the yard is", "fr", "s")         // fr -> en (mislabel)
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("en", "en")) === ((1L, 0.333333)))
+    assert(out(("en", "es")) === ((1L, 0.333333)))
+    assert(out(("en", "und")) === ((1L, 0.333333)))
+    assert(out(("fr", "en")) === ((1L, 1.0)))
+    assert(out.size === 4)
+  }
+
+  test("embeddingAudit: widths, zero norms, and exact norm percentiles on a hand table") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f), 0L),  // norm 5
+      (2L, Array(0.0f, 0.0f, 0.0f), 0L),  // norm 0 (unembeddable)
+      (3L, Array(1.0f, 0.0f, 0.0f), 0L)   // norm 1
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingAudit(emb).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((3L, 1L, 3L, 3L, 1L)))
+    assert(r.getDouble(5) === 1.0)   // p50 over {0, 1, 5}
+    assert(r.getDouble(6) === 4.6)   // p95: 1 + 0.9·(5 − 1)
+  }
+
+  test("behaviorEntropy: uniform two-type user scores ln 2; monotype and single-event users score 0") {
+    val events = Seq(
+      ("a", "view"), ("a", "buy"), ("a", "view"), ("a", "buy"),
+      ("b", "view"), ("b", "view"), ("b", "view"),
+      ("c", "view")
+    ).toDF("user_id", "event_type")
+    val out = Relational.behaviorEntropy(events, col("user_id"), col("event_type"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((4L, 2L, r4(math.log(2.0)))))
+    assert(out("b")._3 === 0.0 && out("c")._3 === 0.0)
+    assert(out("b")._1 === 3L && out("c")._2 === 1L)
+  }
+
   test("jaccardEstimateError: exact mirrors land in the top bucket with zero error") {
     val mirror = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(

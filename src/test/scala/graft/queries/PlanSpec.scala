@@ -557,6 +557,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("x134/x136: confusion matrix and behavior entropy are partial-aggregated, window-free") {
+    val p134 = plan(ExtensionQueries.x134)
+    assert(p134.contains("partial_") && p134.contains("BroadcastHashJoin"), p134)
+    assert(!p134.contains("SortMergeJoin"), p134)
+    val p136 = plan(ExtensionQueries.x136)
+    assert(p136.contains("partial_"), p136)
+    assert("Window".r.findAllIn(p136).isEmpty && !p136.contains("Join"), p136)
+  }
+
+  test("x135: the embedding audit is ONE narrow pass — no join, no window, partial summary") {
+    val p = plan(ExtensionQueries.x135)
+    assert(!p.contains("Join") && "Window".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("partial_"), p)
+    // the codegen'd dot runs in the scan projection, not an interpreted HOF
+    assert(p.contains("graftdot") || p.contains("graft_dot") || p.contains("DotProduct")
+      || !p.contains("aggregate(zip_with"), p)
+  }
+
   test("x102: PSI buckets both sides in narrow projections — no corpus-side range partitioning") {
     val p = plan(ExtensionQueries.x102)
     assert("Window".r.findAllIn(p).isEmpty, p)
