@@ -940,6 +940,38 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/zipf")
   }
 
+  /** Incremental behavioral-entropy monitoring (x136's twin): per-batch
+    * (user, event_type) count partials are additive; the entropy report
+    * re-derives from the folded counts via [[graft.operators.Relational
+    * .behaviorEntropyFromCounts]] (entropy itself is not additive — the
+    * zipf convention: persist the counts, never the report). */
+  def runIncrementalUserEntropy(spark: SparkSession, eventsDir: String,
+                                outRoot: String): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeUserEntropyBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/user_entropy")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalUserEntropy]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeUserEntropyBatch(batch: DataFrame, batchId: Long,
+                                           outRoot: String): Unit = {
+    val s = batch.sparkSession
+    batch.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").as("key"), col("event_type").as("etype"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.Relational.behaviorEntropyFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("key"), col("etype")).agg(sum(col("c")).as("c")))
+      .write.mode("overwrite").parquet(s"$outRoot/user_entropy")
+  }
+
   /** Incremental dedup-graph maintenance: candidate-pair batches fold
     * into a SnapshotStore-rotated label table via
     * [[graft.operators.Dedup.mergeComponentLabels]] — per pass the loop

@@ -1251,10 +1251,20 @@ object Dedup {
     * hotter-than-maxDf shingles, which at threshold>=0.8 requires
     * pathologically templated text (the standard blocking trade-off). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = 1000): DataFrame = {
-    // the shingle set feeds the df count and the df-tagged postings:
-    // materialize once instead of re-running the explode+distinct shuffle
-    val sh = graft.Persist.cut(shingleSet(docs, n))
+                        maxDf: Int = 1000): DataFrame =
+    jaccardPairsFromSets(shingleSet(docs, n), threshold, maxDf)
+
+  /** [[ngramJaccardPairs]]' blocking + exact-verify core over ANY
+    * (doc_id, s) element-set frame — one definition of the rare-element
+    * candidate join, the size-ratio/upper-bound prunes, and the hot-set
+    * correction, so every set-similarity consumer (word shingles, CDC
+    * chunk hashes — x137) shares the audited shape. Rows must be
+    * DISTINCT per (doc_id, s) — the [[shingleSet]] contract. */
+  def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
+                           maxDf: Int): DataFrame = {
+    // the element set feeds the df count and the df-tagged postings:
+    // materialize once instead of re-running the upstream shuffle
+    val sh = graft.Persist.cut(sets.select(col("doc_id"), col("s")))
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // the df-tag join feeds both the blocking postings and the per-doc
     // stats; left LAZY deliberately — each consumer pushes its own df
@@ -1288,7 +1298,7 @@ object Dedup {
     // a broadcast table — at corpus scales where it doesn't (billions of
     // docs), disable via spark.graft.jaccard.broadcastStats=false and let
     // the planner shuffle-join.
-    val bcast = docs.sparkSession.conf
+    val bcast = sets.sparkSession.conf
       .get("spark.graft.jaccard.broadcastStats", "true").toBoolean
     def stats(alias: String): DataFrame =
       if (bcast) broadcast(docStats.as(alias)) else docStats.as(alias)

@@ -794,12 +794,21 @@ object Relational {
     * distinct_types, entropy (ROUND 4). */
   def behaviorEntropy(events: DataFrame, key: Column,
                       typeCol: Column): DataFrame =
-    events.select(key.as("key"), typeCol.as("__t"))
-      .groupBy(col("key"), col("__t")).agg(count(lit(1)).as("__c"))
+    behaviorEntropyFromCounts(
+      events.select(key.as("key"), typeCol.as("etype"))
+        .groupBy(col("key"), col("etype")).agg(count(lit(1)).as("c")))
+
+  /** [[behaviorEntropy]] over an already-aggregated (key, etype, c)
+    * frame — the (key, type) counts are ADDITIVE (sum-by-key folds any
+    * batch split), so this is what the incremental twin persists per
+    * batch and re-derives from; ONE entropy definition for both paths
+    * (the zipfSlopeFromCounts convention). */
+  def behaviorEntropyFromCounts(counts: DataFrame): DataFrame =
+    counts
       .groupBy(col("key"))
-      .agg(sum(col("__c")).as("n_events"),
+      .agg(sum(col("c")).as("n_events"),
         count(lit(1)).as("distinct_types"),
-        sum(round(col("__c") * log(col("__c").cast("double")), 6)
+        sum(round(col("c") * log(col("c").cast("double")), 6)
           .cast("decimal(18,6)")).as("__s"))
       .select(col("key"), col("n_events"), col("distinct_types"),
         round(log(col("n_events").cast("double"))

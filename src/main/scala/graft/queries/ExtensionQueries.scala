@@ -1472,6 +1472,24 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x137 params: rare-chunk blocking cap (hot chunks are the
+    * boilerplate class) and the similarity verdict threshold. */
+  val cdcSimMaxDf = 64
+  val cdcSimThreshold = 0.3
+
+  /** x137: CDC chunk-overlap similarity — exact Jaccard over each
+    * payload's content-defined chunk-hash set (the x104 grid), through
+    * the SAME blocking/verify core as the x10 text pairs. Catches
+    * binary-level mirrors and insertion-shifted payloads that token
+    * shingles miss, and grades them by shared-byte-structure fraction. */
+  def x137(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsFromSets(
+        Multimodal.cdcChunks(Multimodal.asBinaryTable(docs(s, dir)),
+            window = cdcWindow, mask = cdcMask, maxChunk = cdcMax)
+          .select(col("doc_id"), col("h").as("s")).distinct(),
+        threshold = cdcSimThreshold, maxDf = cdcSimMaxDf)
+      .orderBy("a_id", "b_id")
+
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
     * query set). The recall report is how a pipeline decides probes/
@@ -1574,6 +1592,7 @@ object ExtensionQueries {
     "x134_lang_confusion" -> (x134 _),
     "x135_embed_audit"  -> (x135 _),
     "x136_user_entropy" -> (x136 _),
+    "x137_cdc_similarity" -> (x137 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -4209,5 +4228,26 @@ object ExtensionQueries {
         |SELECT user_id, n AS n_events, d AS distinct_types,
         |  ROUND(ln(n) - s::DOUBLE / n, 4) + 0.0 AS entropy
         |FROM agg ORDER BY user_id""".stripMargin,
+    // the x10 blocking/verify shape over the x104 chunk grid (one shared
+    // cdcCtes definition, so the chunk table cannot drift from x104/x105)
+    "x137_cdc_similarity" ->
+      s"""WITH $cdcCtes,
+         |shd AS (SELECT DISTINCT doc_id, h AS s FROM ch),
+         |rare AS (SELECT shd.* FROM shd JOIN
+         |  (SELECT s FROM shd GROUP BY s HAVING count(*) <= $cdcSimMaxDf) rs USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (SELECT cand.a_id, cand.b_id, count(*) AS i
+         |  FROM cand
+         |  JOIN shd sa ON sa.doc_id = cand.a_id
+         |  JOIN shd sb ON sb.doc_id = cand.b_id AND sb.s = sa.s
+         |  GROUP BY cand.a_id, cand.b_id)
+         |SELECT a_id, b_id, j FROM
+         | (SELECT inter.a_id, inter.b_id,
+         |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
+         |  FROM inter JOIN card ca ON inter.a_id = ca.doc_id
+         |  JOIN card cb ON inter.b_id = cb.doc_id)
+         |WHERE j >= $cdcSimThreshold ORDER BY a_id, b_id""".stripMargin,
   )
 }

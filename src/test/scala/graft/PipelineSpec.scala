@@ -697,6 +697,30 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published fit")
   }
 
+  test("O2 streaming: incremental user entropy equals the batch report across waves") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_ue_in").toString
+    val root = Files.createTempDirectory("graft_ue_out").toString
+    val events = Tables(spark, sf("sf0.01"), "events")
+    // (user, type) counts are additive: any split folds exactly
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalUserEntropy(spark, src, root)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalUserEntropy(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.toMap
+    val streamed = rows(spark.read.parquet(s"$root/user_entropy"))
+    val batch = rows(graft.operators.Relational.behaviorEntropy(
+      events.filter(col("user_id").isNotNull), col("user_id"), col("event_type")))
+    assert(streamed == batch, "incremental user entropy diverged from the batch report")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeUserEntropyBatch(events.filter(col("event_id") % 2 === 1), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/user_entropy")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental source health equals the batch scorecard; cross-batch dups collide") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_sh_in").toString

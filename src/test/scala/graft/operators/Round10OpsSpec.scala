@@ -225,6 +225,21 @@ class Round10OpsSpec extends SparkSpec {
     assert(out("b")._1 === 3L && out("c")._2 === 1L)
   }
 
+  test("cdc chunk-set similarity: byte mirrors pair at 1.0, disjoint payloads stay absent") {
+    val long1 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val long2 = (100 to 180).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, long1), (2L, long1),   // byte-identical: identical chunk sets
+      (3L, long2)                 // disjoint content
+    ).toDF("doc_id", "text")
+    val sets = Multimodal.cdcChunks(Multimodal.asBinaryTable(docs),
+        window = 8, mask = 16, maxChunk = 64)
+      .select(col("doc_id"), col("h").as("s")).distinct()
+    val out = Dedup.jaccardPairsFromSets(sets, threshold = 0.3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out === Map((1L, 2L) -> 1.0))
+  }
+
   test("jaccardEstimateError: exact mirrors land in the top bucket with zero error") {
     val mirror = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
