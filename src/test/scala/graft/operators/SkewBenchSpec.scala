@@ -210,4 +210,59 @@ class SkewBenchSpec extends SparkSpec {
     assert(p.contains("__salt"), p)
     assert(secs < 120, f"salted join took $secs%.1f s")
   }
+
+  test("x122/x133 shape: corpus-wide hot terms are absorbed map-side; fits stay source-bounded") {
+    // every hot doc carries the same 9 boilerplate tokens — each becomes a
+    // (source, term) hot key that partial aggregation must absorb; the
+    // head cut must stay two-phase (no per-source vocabulary window)
+    val docs = skewedDocs.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(20))))
+    val ((zipf, terms), secs) = timed {
+      (TextAnalysis.zipfSlope(docs, topV = 100).collect(),
+       TextAnalysis.sourceTopTerms(docs, k = 5).count())
+    }
+    info(f"zipf ${zipf.length} sources + top-terms $terms rows in $secs%.1f s")
+    assert(zipf.length == 20 && terms == 100L)
+    // boilerplate dominance shows as a steep head on every source
+    assert(zipf.forall(_.getDouble(2) < 0.0), "hot-term corpora must slope negative")
+    assert(secs < 120, f"zipf under hot terms took $secs%.1f s")
+  }
+
+  test("x131 shape: a fully-shared vocabulary is the dense worst case and stays |sources|²·V-bounded") {
+    // 100 sources, ALL drawing from one 50-term vocabulary: every source
+    // pair shares every term — the maximal pair-stage volume V·C(100,2)
+    val nSrc = 100
+    val vocab = 50
+    // the term index walks id DIV nSrc so EVERY source spans the whole
+    // vocabulary (j=0 alone covers it: gcd(3, 50) = 1)
+    val docs = graft.Persist.cut(spark.range(5000).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(nSrc))).as("source"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("t"),
+          pmod(expr(s"id DIV $nSrc") * (j + 3) + j, lit(vocab)))): _*).as("text")))
+    val (rows, secs) = timed {
+      TextAnalysis.sourceSimilarity(docs, topV = vocab).collect()
+    }
+    info(f"source-sim ${rows.length} pairs in $secs%.1f s")
+    assert(rows.length == nSrc * (nSrc - 1) / 2, s"dense matrix must emit C($nSrc,2)")
+    assert(rows.forall(_.getLong(2) == vocab.toLong), "every pair shares the full axis")
+    assert(secs < 120, f"dense source-sim took $secs%.1f s")
+  }
+
+  test("x137 shape: a 1000-payload byte-identical cluster is refused by the chunk df-cap; real pairs survive") {
+    val sets = Multimodal.cdcChunks(Multimodal.asBinaryTable(skewedDocs),
+        window = 8, mask = 16, maxChunk = 64)
+      .select(col("doc_id"), col("h").as("s")).distinct()
+    val (pairs, secs) = timed {
+      Dedup.jaccardPairsFromSets(sets, threshold = 0.3, maxDf = 64).collect()
+    }
+    info(f"cdc-sim ${pairs.length} pairs in $secs%.1f s")
+    // the mega-cluster's chunks have df=1000 > 64: blocked wholesale (its
+    // members belong to EXACT dedup, which runs first in the cascade);
+    // every 2-doc duplicate cluster has df=2 chunks and must survive
+    assert(pairs.length == pairN, s"expected the $pairN legit pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) == 1.0), "byte-equal pairs must score 1.0")
+    assert(secs < 120, f"cdc-sim took $secs%.1f s")
+  }
 }
