@@ -1494,6 +1494,64 @@ object Dedup {
         frac.as("overlap_frac"), (frac >= lit(threshold)).as("flagged"))
   }
 
+  /** Longest CONTIGUOUS bench-matched shingle run per document — the
+    * exact-substring reading of contamination next to
+    * [[contaminationScores]]' set-overlap fraction (the n-gram-RUN test
+    * of Lee et al. 2022 / the PaLM 2 eval-overlap audits): a doc whose
+    * matched shingles are scattered single hits is quoting vocabulary,
+    * while one long consecutive run IS a copied eval passage, and a
+    * removal policy that thresholds on the fraction alone cannot tell
+    * them apart.
+    *
+    * A run of r consecutive matched n-shingles covers r + n - 1 source
+    * tokens (`longest_run_tokens`); `flagged` thresholds on that token
+    * length, decided on exact integers so the verdict replays
+    * cross-engine.
+    *
+    * Scale shape: the bench side collapses to its DISTINCT shingle set
+    * and broadcasts (the [[contaminationScores]] contract); the corpus
+    * side ships POSITIONAL shingle rows into the broadcast lookup — the
+    * only aggregate state beyond two longs is the doc's own MATCHED
+    * position list (bounded by the bench set's presence in that doc, not
+    * the corpus), folded into the longest-run scalar by one ordered
+    * array pass. No window, no self-join, no df-cap (bench-shared
+    * boilerplate IS contamination — the x123 rationale). Docs with
+    * fewer than n tokens have no shingles and are absent.
+    * Output: doc_id, n_shingles, matched, longest_run,
+    * longest_run_tokens, flagged. */
+  def contaminationRuns(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                        minRunTokens: Int = 6): DataFrame = {
+    val bs = shingleSet(bench, n).select(col("s")).distinct()
+      .withColumn("__hit", lit(1L))
+    val pos = docs
+      .select(col("doc_id"), rawTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("s"))
+    val runState = aggregate(
+      sort_array(col("__mp")),
+      struct(lit(-2L).as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (st, p) => {
+        val cur = when(p === st.getField("prev") + 1L,
+          st.getField("cur") + 1L).otherwise(1L)
+        struct(p.as("prev"), cur.as("cur"),
+          greatest(st.getField("best"), cur).as("best"))
+      },
+      st => st.getField("best"))
+    val runTokens = when(col("longest_run") > 0L,
+      col("longest_run") + lit(n - 1).cast("long")).otherwise(lit(0L))
+    pos.join(broadcast(bs), Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("matched"),
+        collect_list(when(col("__hit").isNotNull, col("pos"))).as("__mp"))
+      .withColumn("longest_run", runState)
+      .select(col("doc_id"), col("n_shingles"), col("matched"),
+        col("longest_run"), runTokens.as("longest_run_tokens"),
+        (runTokens >= lit(minRunTokens.toLong)).as("flagged"))
+  }
+
   /** Near-dup clusters ranked by WASTED token mass — the prioritization
     * read over the CC dedup graph: each multi-doc component's total token
     * count minus its representative's (the minimum-id doc,

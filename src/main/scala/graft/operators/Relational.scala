@@ -814,6 +814,64 @@ object Relational {
         round(log(col("n_events").cast("double"))
           - col("__s").cast("double") / col("n_events"), 4).as("entropy"))
 
+  /** Behavioral TWIN detection — groups of keys (users) whose event-type
+    * SHARE profiles collide after quantization, the coordination tell
+    * [[behaviorEntropy]] cannot see: a bot farm's accounts each look
+    * organically varied on their own, but they are varied in exactly the
+    * same way, and independent organic users rarely land on the same
+    * quantized type MIX across the whole type vocabulary. Shares (not
+    * raw counts) are the profile, so two accounts running the same
+    * script at different volumes still collide; `decimals` sets the
+    * quantization (1 = deciles of the mix — coarse enough to group,
+    * fine enough that a 5-type profile has ~10⁵ cells). The fingerprint
+    * is md5 over the canonically-ordered "type:share" list — 32 bytes
+    * per user on the twin shuffle regardless of profile width.
+    *
+    * Canonical order is the COMBINED "type:share" string (not the type
+    * alone): with type-only ordering, a type that is a strict prefix of
+    * another could order differently against the ':' separator across
+    * engines; ordering the string actually hashed makes fingerprint
+    * equality engine-independent by construction. Share rounding is
+    * HALF_UP, which DuckDB's half-away-from-zero matches on the
+    * positive axis; the only exactly-representable half-boundary
+    * quotients (.25/.75 at decimals=1) round identically.
+    *
+    * Scale shape: (key, type) counts with map-side partials, a per-key
+    * fold whose state is the key's own type vocabulary (bounded-group
+    * discipline, the [[behaviorEntropy]] contract), then one 32-byte-key
+    * aggregate. Singleton profiles are dropped AFTER the group count —
+    * no per-pair work anywhere, so a 10k-account farm costs one group
+    * row, not 10k² pairs. Output: profile, n_keys, min_key, max_key,
+    * distinct_types, total_events. */
+  def profileTwins(events: DataFrame, key: Column, typeCol: Column,
+                   decimals: Int = 1): DataFrame =
+    profileTwinsFromCounts(
+      events.select(key.as("key"), typeCol.as("etype"))
+        .groupBy(col("key"), col("etype")).agg(count(lit(1)).as("c")),
+      decimals)
+
+  /** [[profileTwins]] over an already-aggregated (key, etype, c) frame —
+    * the counts are ADDITIVE (sum-by-key folds any batch split), so the
+    * incremental twin persists per-batch count partials and re-derives
+    * the twin report from the fold (shares re-quantize from the folded
+    * counts, never from partial shares); ONE fingerprint definition for
+    * both paths (the [[behaviorEntropyFromCounts]] convention). */
+  def profileTwinsFromCounts(counts: DataFrame, decimals: Int = 1): DataFrame =
+    counts
+      .groupBy(col("key"))
+      .agg(sum(col("c")).as("__n"), count(lit(1)).as("__d"),
+        collect_list(struct(col("etype"), col("c"))).as("__tc"))
+      .withColumn("profile", md5(concat_ws(",", sort_array(transform(
+        col("__tc"),
+        t => concat(t.getField("etype"), lit(":"),
+          round(t.getField("c").cast("double") / col("__n"), decimals)))))))
+      .groupBy(col("profile"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"),
+        min(col("__d")).as("distinct_types"),
+        sum(col("__n")).as("total_events"))
+      .filter(col("n_keys") >= 2)
+
   /** Per-transition LATENCY profile — [[transitionCounts]] with the time
     * axis attached: for each (from_type → to_type) edge, how long the hop
     * takes (n, min, p50, p90, max in µs). The conversion-latency read a

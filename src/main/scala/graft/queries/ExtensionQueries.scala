@@ -1472,6 +1472,17 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x140: behavioral-twin groups — users whose event-type count
+    * profiles collide EXACTLY (the coordination tell next to x136's
+    * per-user entropy and x115's cadence: farm accounts are varied in
+    * exactly the same way). Fingerprint = md5 over the canonically-
+    * ordered "type:count" list, grouped; singleton profiles drop. */
+  def x140(s: SparkSession, dir: String): DataFrame =
+    Relational.profileTwins(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("event_type"))
+      .orderBy(col("n_keys").desc, col("profile"))
+
   /** x137 params: rare-chunk blocking cap (hot chunks are the
     * boilerplate class) and the similarity verdict threshold. */
   val cdcSimMaxDf = 64
@@ -1489,6 +1500,24 @@ object ExtensionQueries {
           .select(col("doc_id"), col("h").as("s")).distinct(),
         threshold = cdcSimThreshold, maxDf = cdcSimMaxDf)
       .orderBy("a_id", "b_id")
+
+  /** x138 flag threshold, shared with the oracle SQL: a matched run
+    * covering this many source TOKENS reads as a copied eval passage
+    * (scattered single-shingle hits stay unflagged). */
+  val contamRunTokens = 6
+
+  /** x138: longest CONTIGUOUS bench-matched shingle run per doc — the
+    * exact-substring contamination audit next to x123's overlap
+    * fraction: scattered vocabulary hits and one long copied passage
+    * can carry the SAME fraction, and only the run length separates
+    * them. Same bench split and exclusion rule as x123/x26. */
+  def x138(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationRuns(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), n = 3,
+        minRunTokens = contamRunTokens)
+      .orderBy("doc_id")
+  }
 
   /** x117: ANN self-evaluation — per-query recall@10 of the x12 IVF
     * search against the x11 exact baseline (same codebook, probes, and
@@ -1593,6 +1622,8 @@ object ExtensionQueries {
     "x135_embed_audit"  -> (x135 _),
     "x136_user_entropy" -> (x136 _),
     "x137_cdc_similarity" -> (x137 _),
+    "x138_contam_runs"  -> (x138 _),
+    "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
     "x96_bpe_encode"    -> (x96 _),
@@ -4249,5 +4280,55 @@ object ExtensionQueries {
          |  FROM inter JOIN card ca ON inter.a_id = ca.doc_id
          |  JOIN card cb ON inter.b_id = cb.doc_id)
          |WHERE j >= $cdcSimThreshold ORDER BY a_id, b_id""".stripMargin,
+    // gaps-and-islands over POSITIONAL shingles (per-doc-partitioned
+    // window only — never global); bench side is x123's distinct set
+    "x138_contam_runs" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |psh AS (SELECT doc_id, (i - 1)::BIGINT AS pos,
+         |    array_to_string(toks[i:i+2], ' ') AS s
+         |  FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+         |  WHERE len(toks) >= 3 AND doc_id % 50 <> 0),
+         |b AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS s
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 50 = 0) bt
+         |  CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+         |  WHERE len(toks) >= 3),
+         |m AS (SELECT psh.doc_id, psh.pos FROM psh JOIN b USING (s)),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM m),
+         |runs AS (SELECT doc_id, count(*)::BIGINT AS run FROM isl GROUP BY doc_id, g),
+         |best AS (SELECT doc_id, max(run)::BIGINT AS longest FROM runs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM psh GROUP BY doc_id),
+         |mt AS (SELECT doc_id, count(*)::BIGINT AS matched FROM m GROUP BY doc_id),
+         |sel AS (SELECT tot.doc_id, tot.n_shingles,
+         |    COALESCE(mt.matched, 0)::BIGINT AS matched,
+         |    COALESCE(best.longest, 0)::BIGINT AS longest_run
+         |  FROM tot LEFT JOIN mt USING (doc_id) LEFT JOIN best USING (doc_id))
+         |SELECT doc_id, n_shingles, matched, longest_run,
+         |  (CASE WHEN longest_run > 0 THEN longest_run + 2 ELSE 0 END)::BIGINT
+         |    AS longest_run_tokens,
+         |  (CASE WHEN longest_run > 0 THEN longest_run + 2 ELSE 0 END)
+         |    >= $contamRunTokens AS flagged
+         |FROM sel ORDER BY doc_id""".stripMargin,
+    // fingerprint string ordered by the COMBINED "type:share" entry (the
+    // string actually hashed) so ordering is engine-independent even for
+    // prefix-related type names; ROUND on positive doubles is HALF_UP on
+    // both engines (the .25/.75 dyadic boundaries round identically)
+    "x140_profile_twins" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
+        |  FROM tc GROUP BY user_id),
+        |pr AS (SELECT tc.user_id, min(tot.n) AS n, min(tot.d) AS d,
+        |    md5(string_agg(event_type || ':' || ROUND(c::DOUBLE / tot.n, 1), ','
+        |      ORDER BY event_type || ':' || ROUND(c::DOUBLE / tot.n, 1))) AS profile
+        |  FROM tc JOIN tot ON tc.user_id = tot.user_id
+        |  GROUP BY tc.user_id)
+        |SELECT profile, count(*)::BIGINT AS n_keys,
+        |  min(user_id)::BIGINT AS min_key, max(user_id)::BIGINT AS max_key,
+        |  min(d)::BIGINT AS distinct_types, sum(n)::BIGINT AS total_events
+        |FROM pr GROUP BY profile HAVING count(*) >= 2
+        |ORDER BY n_keys DESC, profile""".stripMargin,
   )
 }
