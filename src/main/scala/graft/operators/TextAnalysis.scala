@@ -938,6 +938,56 @@ object TextAnalysis {
         col("rate"), col("epochs"), col("planned_tokens"))
   }
 
+  /** Data-constrained EPOCH planning — [[tokenBudgetPlan]] extended with
+    * the diminishing-returns accounting of repeated data (Muennighoff et
+    * al. 2023, "Scaling Data-Constrained Language Models"): when a
+    * stratum's allocation exceeds its unique tokens U, the overflow is
+    * served by repetition, and repeated tokens are worth less — the
+    * fitted effective-data form D' = U·(1 + R*·(1 − e^(−R/R*))) with
+    * R = epochs − 1 repetitions and R* ≈ 15.4 (the paper's half-life
+    * constant, `rStar`). `effective_tokens` is what the allocation is
+    * actually WORTH in fresh-data units; `efficiency` = effective /
+    * allocated is the knob report — a stratum plan dropping below ~0.5
+    * (≳ 16 epochs) is the paper's "stop repeating, go get data" signal.
+    * Under-allocated strata (epochs ≤ 1) consume fresh tokens only:
+    * effective = allocated exactly, efficiency 1 (the form is continuous
+    * at epochs = 1).
+    *
+    * Scale shape: one stratum aggregate (map-side partials) + a
+    * broadcast literal share map; every derived column is a narrow
+    * projection. Unmapped strata surface null (the [[tokenBudgetPlan]]
+    * gating — never a fabricated take-everything). exp() on doubles is
+    * the x99/x100 sigmoid precedent. Output: stratum, tokens,
+    * target_share, epochs (ROUND 6), planned_tokens,
+    * effective_tokens (ROUND 2), efficiency (ROUND 6). */
+  def epochPlan(docs: DataFrame, stratum: Column, tokens: Column,
+                target: Map[String, Double], budget: Long,
+                rStar: Double = 15.4): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(rStar > 0, "rStar must be positive")
+    val avail = docs.groupBy(stratum.as("stratum"))
+      .agg(sum(tokens).cast("long").as("tokens"))
+    val tgt = element_at(typedLit(target), col("stratum"))
+    val alloc = lit(budget.toDouble) * tgt
+    val u = col("tokens").cast("double")
+    val reps = greatest(alloc / u - lit(1.0), lit(0.0))
+    val effective = when(alloc <= u, alloc)
+      .otherwise(u * (lit(1.0) +
+        lit(rStar) * (lit(1.0) - exp(reps * lit(-1.0 / rStar)))))
+    avail
+      .withColumn("target_share", tgt)
+      .withColumn("epochs", round(alloc / u, 6))
+      .withColumn("planned_tokens",
+        when(tgt.isNotNull, floor(alloc).cast("long")))
+      .withColumn("effective_tokens",
+        when(tgt.isNotNull, round(effective, 2)))
+      .withColumn("efficiency",
+        when(tgt.isNotNull, round(effective / alloc, 6)))
+      .select(col("stratum"), col("tokens"), col("target_share"),
+        col("epochs"), col("planned_tokens"), col("effective_tokens"),
+        col("efficiency"))
+  }
+
   /** Token-id encoding against the corpus [[vocabulary]] — the bridge
     * between vocabulary training and sequence assembly: every token maps
     * to its vocabulary id (1-based, ordered by count desc then term — the
@@ -1646,6 +1696,52 @@ object TextAnalysis {
       .select(col("lang_label"), col("pred_lang"), col("n"),
         round(col("n").cast("double") / col("__t").cast("double"), 6)
           .as("share"))
+  }
+
+  /** CODE-SWITCH segmentation — [[langId]] applied per fixed token
+    * CHUNK instead of per document, then rolled into a per-doc mixture
+    * verdict: a document whose chunks disagree about their language is
+    * either genuinely code-switched (quoted passages, bilingual forums)
+    * or a concatenation artifact (crawler page boundaries lost) — both
+    * are cases a doc-level language label silently mis-routes during
+    * mixture planning, and x134's confusion matrix can only see them as
+    * unexplained label noise. `major_lang` is the modal chunk verdict
+    * (ties: fewest-chunks lang wins by lang-asc tiebreak);
+    * `mixed_frac` = 1 − modal share, thresholded on the ROUNDED value
+    * so the flag replays cross-engine.
+    *
+    * Scale shape: one narrow posexplode (token stream with positions),
+    * then three partial-aggregated shuffles with bounded groups —
+    * (doc, chunk) lexicon counts, (doc, pred) chunk tallies, and the
+    * per-doc rollup whose state is ≤ |langs|+1 rows. The modal pick is
+    * min_by over (−n, pred) structs, never a window. Docs with zero
+    * non-empty tokens have no chunks and are absent.
+    * Output: doc_id, n_chunks, major_lang, major_chunks,
+    * mixed_frac (ROUND 4), flagged. */
+  def codeSwitch(docs: DataFrame, chunkTokens: Int = 20,
+                 mixedThreshold: Double = 0.25): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val tok = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"),
+        floor(col("pos") / lit(chunkTokens)).cast("long").as("__chunk"),
+        col("col").as("__t"))
+    val cnts = lexicons.map { case (l, ws) =>
+      sum(when(col("__t").isin(ws: _*), 1L).otherwise(0L)).as(s"cnt_$l") }
+    val chunkLang = tok.groupBy(col("doc_id"), col("__chunk"))
+      .agg(cnts.head, cnts.tail: _*)
+      .select(col("doc_id"), predLangExpr.as("pred"))
+    val tieKey = struct((-col("__n")).as("a"), col("pred").as("b"))
+    val frac = round(lit(1.0) - col("major_chunks").cast("double") /
+      col("n_chunks").cast("double"), 4)
+    chunkLang.groupBy(col("doc_id"), col("pred"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_chunks"),
+        min_by(col("pred"), tieKey).as("major_lang"),
+        min_by(col("__n"), tieKey).as("major_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("major_lang"),
+        col("major_chunks"), frac.as("mixed_frac"),
+        (frac >= lit(mixedThreshold)).as("flagged"))
   }
 
   /** Per-source DISTINCTIVE terms — source-level TF-IDF keyword

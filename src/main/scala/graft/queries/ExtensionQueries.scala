@@ -1472,6 +1472,36 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x141 chunk width and flag threshold (shared with the oracle). */
+  val codeSwitchChunk = 20
+  val codeSwitchThr = 0.25
+
+  /** x141: code-switch segmentation — per-chunk lang-ID rolled into a
+    * per-doc mixture verdict (the intra-document companion to x134's
+    * label-vs-content confusion matrix). */
+  def x141(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.codeSwitch(docs(s, dir), chunkTokens = codeSwitchChunk,
+        mixedThreshold = codeSwitchThr)
+      .orderBy("doc_id")
+
+  /** x139 budget: sized so the hot strata plan several EPOCHS of their
+    * unique tokens (the regime the diminishing-returns accounting
+    * exists for) while cold strata stay under-allocated. */
+  val epochBudgetTokens = 400000L
+
+  /** x139: data-constrained epoch plan — x108's allocation with the
+    * Muennighoff effective-token accounting attached: what each
+    * stratum's allocation is worth in fresh-data units once the
+    * overflow is served by repetition, and the efficiency knob a
+    * mixture owner reads before buying more data. */
+  def x139(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    TextAnalysis.epochPlan(docs(s, dir), col("source"),
+        size(tokens(col("text"))).cast("long"), mixTargets,
+        epochBudgetTokens)
+      .orderBy("stratum")
+  }
+
   /** x140: behavioral-twin groups — users whose event-type count
     * profiles collide EXACTLY (the coordination tell next to x136's
     * per-user entropy and x115's cadence: farm accounts are varied in
@@ -1623,6 +1653,8 @@ object ExtensionQueries {
     "x136_user_entropy" -> (x136 _),
     "x137_cdc_similarity" -> (x137 _),
     "x138_contam_runs"  -> (x138 _),
+    "x139_epoch_plan"   -> (x139 _),
+    "x141_code_switch"  -> (x141 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4311,6 +4343,62 @@ object ExtensionQueries {
          |  (CASE WHEN longest_run > 0 THEN longest_run + 2 ELSE 0 END)
          |    >= $contamRunTokens AS flagged
          |FROM sel ORDER BY doc_id""".stripMargin,
+    // the x108 allocation chain + the effective-token form; the exp()
+    // argument multiplies by the PRECOMPUTED -1/R* double (emitted at
+    // full precision) so both engines evaluate the identical product
+    "x139_epoch_plan" -> {
+      val arms = mixTargets.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"WHEN '$k' THEN ${v}::DOUBLE" }.mkString(" ")
+      val negInv = -1.0 / 15.4
+      s"""WITH a AS (SELECT source AS stratum,
+         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT stratum, tokens, (CASE stratum $arms END) AS target_share FROM a),
+         |c AS (SELECT stratum, tokens, target_share,
+         |    $epochBudgetTokens::DOUBLE * target_share AS alloc,
+         |    tokens::DOUBLE AS u FROM s),
+         |e AS (SELECT *, greatest(alloc / u - 1.0, 0.0) AS reps FROM c),
+         |f AS (SELECT *, CASE WHEN alloc <= u THEN alloc
+         |    ELSE u * (1.0 + 15.4 * (1.0 - exp(reps * $negInv))) END AS eff
+         |  FROM e)
+         |SELECT stratum, tokens, target_share,
+         |  ROUND(alloc / u, 6) AS epochs,
+         |  CASE WHEN target_share IS NULL THEN NULL
+         |    ELSE floor(alloc)::BIGINT END AS planned_tokens,
+         |  CASE WHEN target_share IS NULL THEN NULL
+         |    ELSE ROUND(eff, 2) END AS effective_tokens,
+         |  CASE WHEN target_share IS NULL THEN NULL
+         |    ELSE ROUND(eff / alloc, 6) END AS efficiency
+         |FROM f ORDER BY stratum""".stripMargin
+    },
+    // the x134 lexicon-count/argmax chain applied per token CHUNK; the
+    // modal pick replays min_by((-n, pred)) as ROW_NUMBER(n DESC, pred)
+    "x141_code_switch" -> {
+      val cnt = TextAnalysis.lexicons.map { case (l, ws) =>
+        s"sum(CASE WHEN t IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS cnt_$l"
+      }.mkString(",\n  ")
+      val mx = TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |ct AS (SELECT doc_id, ((i - 1) // $codeSwitchChunk)::BIGINT AS chunk,
+         |    toks[i] AS t
+         |  FROM tk CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)),
+         |cc AS (SELECT doc_id, chunk,
+         |  $cnt FROM ct GROUP BY doc_id, chunk),
+         |m AS (SELECT *, greatest($mx) AS mx FROM cc),
+         |cl AS (SELECT doc_id, $langArgmax AS pred FROM m),
+         |pl AS (SELECT doc_id, pred, count(*)::BIGINT AS n FROM cl GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, pred, n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, pred) AS r,
+         |    sum(n) OVER (PARTITION BY doc_id) AS tot
+         |  FROM pl)
+         |SELECT doc_id, tot::BIGINT AS n_chunks, pred AS major_lang,
+         |  n AS major_chunks,
+         |  ROUND(1.0 - n::DOUBLE / tot, 4) AS mixed_frac,
+         |  ROUND(1.0 - n::DOUBLE / tot, 4) >= $codeSwitchThr AS flagged
+         |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin
+    },
     // fingerprint string ordered by the COMBINED "type:share" entry (the
     // string actually hashed) so ordering is engine-independent even for
     // prefix-related type names; ROUND on positive doubles is HALF_UP on

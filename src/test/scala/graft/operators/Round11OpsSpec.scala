@@ -56,6 +56,81 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(0).getBoolean(5))
   }
 
+  // ---- epochPlan (x139) ----------------------------------------------
+
+  test("epochPlan: under-allocation is fully effective; repetition discounts by the fitted form; unmapped is null") {
+    // u=10 tokens per source (10 single-char tokens)
+    val text = (1 to 10).map(_ => "t").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", "cold"),  // share 0.05 of 100 -> alloc 5  <= u
+      (2L, text, "en", "hot"),   // share 0.50 of 100 -> alloc 50 -> 5 epochs
+      (3L, text, "en", "unmapped")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.epochPlan(docs, col("source"),
+        size(split(col("text"), " ")).cast("long"),
+        Map("cold" -> 0.05, "hot" -> 0.5), budget = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cold = out("cold")
+    assert(cold.getLong(4) === 5L && cold.getDouble(5) === 5.0)
+    assert(cold.getDouble(6) === 1.0)
+    val hot = out("hot")
+    assert(hot.getDouble(3) === 5.0 && hot.getLong(4) === 50L)
+    // driver-side reference: U*(1 + R*(1 - exp(-R/R*))), R = 4, R* = 15.4
+    val expected = 10.0 * (1.0 + 15.4 * (1.0 - math.exp(4.0 * (-1.0 / 15.4))))
+    assert(math.abs(hot.getDouble(5) - expected) < 0.005)
+    assert(hot.getDouble(6) < 1.0)
+    val un = out("unmapped")
+    assert(un.isNullAt(2) && un.isNullAt(4) && un.isNullAt(5) && un.isNullAt(6))
+  }
+
+  test("epochPlan: efficiency decreases monotonically with epochs at fixed u") {
+    val text = (1 to 10).map(_ => "t").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", "a"), (2L, text, "en", "b"), (3L, text, "en", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.epochPlan(docs, col("source"),
+        size(split(col("text"), " ")).cast("long"),
+        Map("a" -> 0.2, "b" -> 0.4, "c" -> 0.8), budget = 500L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(6))).toMap
+    assert(out("a")._1 < out("b")._1 && out("b")._1 < out("c")._1)
+    assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
+  }
+
+  // ---- codeSwitch (x141) ---------------------------------------------
+
+  private def chunkOf(lang: String, n: Int): String = {
+    val w = lang match { case "en" => "the"; case "es" => "el"; case _ => "zz" }
+    List.fill(n)(w).mkString(" ")
+  }
+
+  test("codeSwitch: a bilingual concat flags; a uniform doc does not; ties break lang-asc") {
+    val docs = Seq(
+      // chunk 1 all-en, chunk 2 all-es -> tie 1:1 -> major en, mixed 0.5
+      (1L, chunkOf("en", 20) + " " + chunkOf("es", 20), "en", "s"),
+      // uniform en doc, two chunks -> mixed 0.0
+      (2L, chunkOf("en", 40), "en", "s"),
+      // no lexicon hits at all -> every chunk 'und', mixed 0.0
+      (3L, chunkOf("xx", 25), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.codeSwitch(docs, chunkTokens = 20, mixedThreshold = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((2L, "en", 1L, 0.5, true)))
+    assert(out(2L) === ((2L, "en", 2L, 0.0, false)))
+    assert(out(3L) === ((2L, "und", 2L, 0.0, false)))
+  }
+
+  test("codeSwitch: empty docs are absent; a short single-chunk doc is never mixed") {
+    val docs = Seq(
+      (1L, "", "en", "s"),
+      (2L, chunkOf("es", 5), "es", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.codeSwitch(docs, chunkTokens = 20).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 2L)
+    assert(out(0).getString(2) === "es" && out(0).getDouble(4) === 0.0)
+  }
+
   // ---- profileTwins (x140) -------------------------------------------
 
   private def ev(rows: (Long, String)*) =
