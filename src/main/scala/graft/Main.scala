@@ -735,6 +735,45 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/heavy_keys")
   }
 
+  /** Incremental behavioral-twin monitoring — x140's streaming twin: the
+    * coordination report stays current as the event lake grows, so a
+    * farm spun up mid-week is caught at the next micro-batch, not the
+    * next full scan. Per-batch (user, type) count partials land in
+    * `batch=<id>` overwrite directories (additive, batch-derived,
+    * retry-overwrites-itself — the [[runIncrementalHeavyKeys]]
+    * convention); the published report is
+    * [[graft.operators.Relational.profileTwinsFromCounts]] over the
+    * summed partials — shares re-quantize from FOLDED counts, never
+    * from partial shares, so the twin equals the batch report exactly
+    * whatever the split (spec-asserted). History is re-read as
+    * (user, type) count rows only. */
+  def runIncrementalProfileTwins(spark: SparkSession, eventsDir: String,
+                                 outRoot: String): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeProfileTwinsBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/profile_twins")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalProfileTwins]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeProfileTwinsBatch(batch: DataFrame, batchId: Long,
+                                            outRoot: String): Unit = {
+    val s = batch.sparkSession
+    batch.filter(col("user_id").isNotNull)
+      .select(col("user_id").as("key"), col("event_type").as("etype"))
+      .groupBy(col("key"), col("etype")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.Relational.profileTwinsFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("key"), col("etype")).agg(sum(col("c")).as("c")))
+      .write.mode("overwrite").parquet(s"$outRoot/profile_twins")
+  }
+
   /** Incremental embedding-drift monitoring — x120's streaming twin,
     * closing the monitoring family (PSI x102, source-KL x79, and now
     * vector-space drift all have `batch=<id>` twins): the baseline

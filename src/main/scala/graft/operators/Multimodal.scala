@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
@@ -120,6 +120,51 @@ object Multimodal {
         round(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
           col("total_chunks"), 4).as("dup_ratio"))
   }
+
+  /** Block FINGERPRINTS — the perceptual-hash shape on raw bytes: the
+    * payload is cut into `blocks` equal byte ranges, each contributes
+    * one parity bit (md5 of the block's bytes, first hex digit mod 2),
+    * and the packed word is a structural fingerprint whose Hamming
+    * distance counts DIFFERING REGIONS — the block-hash coarse
+    * near-dup a media pipeline runs where a real pHash would decode
+    * pixels (swap the stub bit for a DCT-sign bit and nothing else
+    * changes: the fingerprint/banding/verify plumbing IS the
+    * interface). A replacement edit (re-encode header, case-folded
+    * mirror, watermark swap) flips only the touched blocks' bits;
+    * insertions shift every block and are [[cdcChunks]]' job — the two
+    * detectors are complements by construction.
+    *
+    * Scale shape: pure per-row expression work (`blocks` md5s over
+    * substring views — the simhash per-token budget), no explode, no
+    * shuffle; downstream pairing ships (id, fingerprint) longs only.
+    * Block arithmetic is exact: offsets are floor(i·n/blocks) computed
+    * in doubles, exact below 2^53 (a 2⁵³-byte payload is not a row).
+    * Empty payloads are absent. Output: doc_id, fingerprint. */
+  def blockFingerprints(bin: DataFrame, blocks: Int = 32): DataFrame = {
+    require(blocks >= 2 && blocks <= 63, "blocks must fit a long with room")
+    val nb = col("meta.n_bytes")
+    def cut(i: Int): Column = floor(nb * lit(i.toLong) / lit(blocks)).cast("long")
+    val fp = (0 until blocks).map { i =>
+      val block = col("content").substr(cut(i) + lit(1L), cut(i + 1) - cut(i))
+      val bit = conv(substring(md5(block), 1, 1), 16, 10).cast("long") % 2
+      when(bit === 1L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    bin.filter(nb > 0).select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  /** Block-structure near-dup pairs over [[blockFingerprints]], banded
+    * through the SHARED pigeonhole core ([[graft.operators.Dedup
+    * .pigeonholePairs]] — the x17/x20/x69 arithmetic, so the binary
+    * family cannot drift from the text/embedding ones). Default 32
+    * bits / Hamming ≤ 3 gives 4 bands of 8-bit keys: 256 buckets per
+    * band, the x20 candidate-volume envelope. Output: (a_id, b_id,
+    * hamming), a_id < b_id. */
+  def blockNearDupPairs(bin: DataFrame, blocks: Int = 32,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.pigeonholePairs(
+      blockFingerprints(bin, blocks)
+        .select(col("doc_id").as("id"), col("fingerprint")),
+      blocks, maxHamming)
 
   /** Content-defined chunking (CDC) — the insertion-resilient binary
     * dedup cut a production media/backup pipeline uses instead of fixed

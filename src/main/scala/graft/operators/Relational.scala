@@ -459,6 +459,58 @@ object Relational {
       .drop(probs.indices.map(i => s"__q$i"): _*)
   }
 
+  /** Hash-sample CALIBRATION — the self-evaluation that licenses running
+    * the monitoring family on a sample: exact percentiles of `value`
+    * computed on deterministic md5-hash samples at each per-mille rate,
+    * side by side with the full-corpus truth and the relative error per
+    * percentile. At 100 TB nobody runs x23/x51-style exact stats on
+    * every row between ingests; this report says which sample rate keeps
+    * p50/p90/p99 within tolerance ON THIS CORPUS, re-checked as the
+    * corpus drifts (the x128 estimator-calibration discipline applied to
+    * sampling instead of MinHash). Sampling is the salted-hash split
+    * ([[graft.functions.TextFunctions.md5Mod]]), so membership is
+    * deterministic, engine-independent, and NESTED across rates (the
+    * 1% sample is a subset of the 10% one — rate comparisons measure
+    * rate, not sample luck).
+    *
+    * Scale shape: ONE pass over (hash, value) pairs — each row fans out
+    * only to the rates whose cut it passes (narrow explode+filter, ≤
+    * |rates|+1 copies of a 2-column stream), then one grouped exact
+    * percentile per rate. The full-corpus group is the baseline being
+    * audited — exact percentile state is the group's values (the
+    * [[graft.operators.TextAnalysis.corpusStats]] caveat); run the
+    * audit itself on a capped window if even that is too hot, or swap
+    * approx_percentile and lose the oracle. Relative error divides by
+    * the full-corpus percentile — zero-valued baselines surface null
+    * (nothing meaningful to calibrate against). Output: rate (per
+    * mille; 1000 = full), n_rows, p50, p90, p99, err50, err90, err99
+    * (ROUND 6). */
+  def sampleCalibration(df: DataFrame, key: Column, value: Column,
+                        ratesPerMille: Seq[Int] = Seq(10, 100)): DataFrame = {
+    require(ratesPerMille.forall(r => r >= 1 && r < 1000),
+      "rates are per-mille strictly between 0 and 1000")
+    val rates = (ratesPerMille :+ 1000).distinct.sorted
+    val tagged = df
+      .select(graft.functions.TextFunctions.md5Mod(key, lit(1000)).as("__h"),
+        value.cast("double").as("__v"))
+      .withColumn("rate", explode(array(rates.map(r => lit(r.toLong)): _*)))
+      .filter(col("__h") < col("rate"))
+    val stats = tagged.groupBy(col("rate"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr("percentile(__v, 0.5)"), 4).as("p50"),
+        round(expr("percentile(__v, 0.9)"), 4).as("p90"),
+        round(expr("percentile(__v, 0.99)"), 4).as("p99"))
+    val full = stats.filter(col("rate") === 1000L)
+      .select(col("p50").as("__f50"), col("p90").as("__f90"),
+        col("p99").as("__f99"))
+    def err(c: String, f: String) =
+      when(col(f) =!= 0.0, round(abs(col(c) - col(f)) / col(f), 6))
+    stats.crossJoin(broadcast(full))
+      .select(col("rate"), col("n_rows"), col("p50"), col("p90"), col("p99"),
+        err("p50", "__f50").as("err50"), err("p90", "__f90").as("err90"),
+        err("p99", "__f99").as("err99"))
+  }
+
   /** Per-group [[quantileBuckets]]: thresholds computed WITHIN each
     * group (per-source length curricula — a quartile of Wikipedia is not
     * a quartile of Common Crawl), one grouped percentile aggregate, the

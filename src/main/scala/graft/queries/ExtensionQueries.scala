@@ -1472,6 +1472,25 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x143: block-fingerprint binary near-dup — 32 equal byte blocks →
+    * parity bits → Hamming-banded pairs (the pHash plumbing with a stub
+    * bit): catches replacement-edited mirrors (same length, few touched
+    * regions) that CDC grades by overlap (x137) and token shingles may
+    * miss entirely on binary payloads. */
+  def x143(s: SparkSession, dir: String): DataFrame =
+    Multimodal.blockNearDupPairs(
+        Multimodal.asBinaryTable(docs(s, dir)), blocks = 32, maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  /** x142: hash-sample calibration — exact n_chars percentiles on 1%%
+    * and 10%% md5-hash samples vs the full corpus, with per-percentile
+    * relative error: the report that says which sample rate the
+    * between-ingest monitoring queries may legally run at. */
+  def x142(s: SparkSession, dir: String): DataFrame =
+    Relational.sampleCalibration(docs(s, dir), col("doc_id"),
+        col("n_chars"))
+      .orderBy("rate")
+
   /** x141 chunk width and flag threshold (shared with the oracle). */
   val codeSwitchChunk = 20
   val codeSwitchThr = 0.25
@@ -1655,6 +1674,8 @@ object ExtensionQueries {
     "x138_contam_runs"  -> (x138 _),
     "x139_epoch_plan"   -> (x139 _),
     "x141_code_switch"  -> (x141 _),
+    "x142_sample_calib" -> (x142 _),
+    "x143_block_pairs"  -> (x143 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4371,6 +4392,48 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // block offsets are floor(i*nb/32) on both engines (double-exact
+    // below 2^53); banding replays the simhashPairsSql arithmetic
+    "x143_block_pairs" ->
+      s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT AS nb
+         |  FROM documents WHERE length(text) > 0),
+         |bits AS (SELECT doc_id, i,
+         |    CASE WHEN ('0x' || substring(md5(substring(text,
+         |        (i * nb // 32 + 1)::BIGINT,
+         |        ((i + 1) * nb // 32 - i * nb // 32)::BIGINT)), 1, 1))::BIGINT
+         |      % 2 = 1 THEN (1::BIGINT << i) ELSE 0 END AS v
+         |  FROM b CROSS JOIN range(0, 32) r(i)),
+         |fp AS (SELECT doc_id, sum(v)::BIGINT AS fingerprint FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, fingerprint, i AS band,
+         |    (fingerprint >> (i * 8)) & 255 AS key
+         |  FROM fp CROSS JOIN range(0, 4) r(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.fingerprint AS fa, b.fingerprint AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, bit_count(xor(fa, fb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+    // nested md5Mod samples; exact quantile_cont mirrors percentile();
+    // abs() normalizes any -0.0 difference before the error round
+    "x142_sample_calib" ->
+      """WITH b AS (SELECT
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS h,
+        |    n_chars::DOUBLE AS v FROM documents),
+        |t AS (SELECT r.rate, v FROM b
+        |  CROSS JOIN (VALUES (10), (100), (1000)) AS r(rate)
+        |  WHERE h < r.rate),
+        |st AS (SELECT rate, count(*)::BIGINT AS n_rows,
+        |    ROUND(quantile_cont(v, 0.5), 4) AS p50,
+        |    ROUND(quantile_cont(v, 0.9), 4) AS p90,
+        |    ROUND(quantile_cont(v, 0.99), 4) AS p99
+        |  FROM t GROUP BY rate),
+        |f AS (SELECT p50 AS f50, p90 AS f90, p99 AS f99 FROM st WHERE rate = 1000)
+        |SELECT rate::BIGINT AS rate, n_rows, p50, p90, p99,
+        |  CASE WHEN f50 <> 0.0 THEN ROUND(abs(p50 - f50) / f50, 6) END AS err50,
+        |  CASE WHEN f90 <> 0.0 THEN ROUND(abs(p90 - f90) / f90, 6) END AS err90,
+        |  CASE WHEN f99 <> 0.0 THEN ROUND(abs(p99 - f99) / f99, 6) END AS err99
+        |FROM st CROSS JOIN f ORDER BY rate""".stripMargin,
     // the x134 lexicon-count/argmax chain applied per token CHUNK; the
     // modal pick replays min_by((-n, pred)) as ROW_NUMBER(n DESC, pred)
     "x141_code_switch" -> {

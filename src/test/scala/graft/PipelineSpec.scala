@@ -827,6 +827,31 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published report")
   }
 
+  test("O2 streaming: incremental profile twins equal the batch report; a mid-user split still collides") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_pt_in").toString
+    val root = Files.createTempDirectory("graft_pt_out").toString
+    val events = Tables(spark, sf("sf0.1"), "events")
+    // counts are additive, so a split straddling users is fine
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalProfileTwins(spark, src, root)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalProfileTwins(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val streamed = rows(spark.read.parquet(s"$root/profile_twins"))
+    val batch = rows(graft.operators.Relational.profileTwins(
+      events.filter(col("user_id").isNotNull), col("user_id"), col("event_type")))
+    assert(batch.nonEmpty, "sf0.1 fixture must produce twin groups")
+    assert(streamed == batch, "incremental profile twins diverged from the batch report")
+    // a RETRY of the last batch (same id, same data) must change nothing
+    Main.mergeProfileTwinsBatch(events.filter(col("event_id") % 2 === 1), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/profile_twins")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental source-KL equals the batch divergence across waves") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_kl_in").toString

@@ -96,6 +96,68 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- blockFingerprints / blockNearDupPairs (x143) ------------------
+
+  test("blockNearDupPairs: identical payloads pair at hamming 0; a one-block edit flips at most one bit") {
+    val base = ("ab" * 32)                       // 64 bytes, 32 2-byte blocks
+    val edit = base.substring(0, 10) + "XY" + base.substring(12)
+    val other = "z" * 57                         // different length: blocks shift
+    val docs = Seq(
+      (1L, base, "en", "s"), (2L, base, "en", "s"),
+      (3L, edit, "en", "s"), (4L, other, "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val bin = Multimodal.asBinaryTable(docs)
+    val fps = Multimodal.blockFingerprints(bin, blocks = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 1)
+    val pairs = Multimodal.blockNearDupPairs(bin, blocks = 32, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    // the edited variant pairs with BOTH copies at the same distance
+    val d = java.lang.Long.bitCount(fps(1L) ^ fps(3L)).toLong
+    assert(pairs.get((1L, 3L)).contains(d) && pairs.get((2L, 3L)).contains(d))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("blockFingerprints: empty payloads are absent; fingerprints fit the declared width") {
+    val docs = Seq((1L, "", "en", "s"), (2L, "abc", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.blockFingerprints(Multimodal.asBinaryTable(docs), blocks = 8)
+      .collect()
+    assert(out.length === 1 && out(0).getLong(0) === 2L)
+    assert(out(0).getLong(1) >= 0L && out(0).getLong(1) < (1L << 8))
+  }
+
+  // ---- sampleCalibration (x142) --------------------------------------
+
+  test("sampleCalibration: full row is exact with +0.0 errors; samples are nested and deterministic") {
+    val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val out = Relational.sampleCalibration(df, col("k"), col("v"),
+        ratesPerMille = Seq(10, 100))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val full = out(1000L)
+    assert(full.getLong(1) === 1000L && full.getDouble(2) === 500.5)
+    assert(full.getDouble(5) === 0.0 && 1.0 / full.getDouble(5) > 0)
+    // nested: the 1% member set is a subset of the 10% member set
+    import graft.functions.TextFunctions.md5Mod
+    val h = df.select(col("k"), md5Mod(col("k"), lit(1000)).as("h"))
+    val in10 = h.filter(col("h") < 10).select("k").collect().map(_.getLong(0)).toSet
+    val in100 = h.filter(col("h") < 100).select("k").collect().map(_.getLong(0)).toSet
+    assert(in10.subsetOf(in100))
+    assert(out(10L).getLong(1) === in10.size.toLong)
+    assert(out(100L).getLong(1) === in100.size.toLong)
+    // errors are relative and nonnegative
+    assert(out(10L).getDouble(5) >= 0.0 && out(100L).getDouble(5) >= 0.0)
+  }
+
+  test("sampleCalibration: a zero-valued baseline percentile yields null error, not a division blow-up") {
+    val df = (1L to 50L).map(i => (i, 0.0)).toDF("k", "v")
+    val out = Relational.sampleCalibration(df, col("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1000L).getDouble(2) === 0.0 && out(1000L).isNullAt(5))
+  }
+
   // ---- codeSwitch (x141) ---------------------------------------------
 
   private def chunkOf(lang: String, n: Int): String = {
