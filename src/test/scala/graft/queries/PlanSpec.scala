@@ -584,4 +584,39 @@ class PlanSpec extends SparkSpec {
     val rp = "rangepartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
     assert(rp.subsetOf(Set("bucket")), s"corpus-side range exchange: $rp\n$p")
   }
+
+  test("x138: bench shingles broadcast; the run fold is window-free and partial-aggregated") {
+    val p = plan(ExtensionQueries.x138)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Window".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x139/x140: epoch plan and profile twins are pure aggregate chains — no window, no real join") {
+    val p139 = plan(ExtensionQueries.x139)
+    assert("Window".r.findAllIn(p139).isEmpty && !p139.contains("Join"), p139)
+    assert(p139.contains("partial_"), p139)
+    val p140 = plan(ExtensionQueries.x140)
+    assert("Window".r.findAllIn(p140).isEmpty && !p140.contains("Join"), p140)
+    assert(p140.contains("partial_"), p140)
+  }
+
+  test("x141/x142: chunk lang and sample calibration stay window-free; only scalar broadcasts join") {
+    val p141 = plan(ExtensionQueries.x141)
+    assert("Window".r.findAllIn(p141).isEmpty, p141)
+    assert(!p141.contains("SortMergeJoin") && !p141.contains("CartesianProduct"), p141)
+    assert(p141.contains("partial_"), p141)
+    val p142 = plan(ExtensionQueries.x142)
+    assert("Window".r.findAllIn(p142).isEmpty, p142)
+    // the full-corpus baseline attaches as a 1-row broadcast, never a shuffle join
+    assert(!p142.contains("SortMergeJoin") && !p142.contains("CartesianProduct"), p142)
+  }
+
+  test("x143: fingerprints are projection-only before the banding self-join; no window, no cartesian") {
+    val p = plan(ExtensionQueries.x143)
+    assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
+    // the pair join keys on (band, key) — an equi-join, whatever strategy AQE picks
+    assert(p.contains("band"), p)
+  }
 }
