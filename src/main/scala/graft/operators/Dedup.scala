@@ -691,19 +691,37 @@ object Dedup {
     * the two families cannot drift. See [[simhashNearDupPairs]] for the
     * candidate-volume / key-width scale analysis; everything here ships
     * (id, band, key) longs, never payloads.
+    *
+    * `maxBucket` (default off) is the hot-bucket cap for corpus scale —
+    * the [[lshCandidatePairs]] discipline applied to the segment
+    * buckets: a mega-cluster of byte-identical inputs shares EVERY
+    * band key, so the bucket self-join goes quadratic in cluster size;
+    * those clusters are exact-dup work (the x118 cascade runs byte-exact
+    * dedup FIRST, precisely so the near-dup stage never sees them), and
+    * buckets over the cap are dropped wholesale. Off by default: the
+    * x17/x20/x69 fixture oracles are uncapped.
     * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
-  def pigeonholePairs(fp0: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+  def pigeonholePairs(fp0: DataFrame, bits: Int, maxHamming: Int,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"bits=$bits must split into ${blocks} equal segments")
     val w = bits / blocks
     // fingerprints feed all `blocks` banding branches: materialize once
     val fp = graft.Persist.cut(fp0)
-    val banded = (0 until blocks).map { i =>
+    val allBanded = (0 until blocks).map { i =>
       fp.select(col("id"), col("fingerprint"), lit(i).as("band"),
         // mask in LONG: (1 << 32) wraps to 1 in Int, which would collapse
         // every fingerprint into key=0 for maxHamming=0
         shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1L << w) - 1)).as("key"))
     }.reduce(_ unionByName _)
+    val banded =
+      if (maxBucket == Int.MaxValue) allBanded
+      else {
+        val keep = allBanded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucket).select(col("band"), col("key"))
+        allBanded.join(keep, Seq("band", "key"))
+      }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -160,11 +160,12 @@ object Multimodal {
     * band, the x20 candidate-volume envelope. Output: (a_id, b_id,
     * hamming), a_id < b_id. */
   def blockNearDupPairs(bin: DataFrame, blocks: Int = 32,
-                        maxHamming: Int = 3): DataFrame =
+                        maxHamming: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
     Dedup.pigeonholePairs(
       blockFingerprints(bin, blocks)
         .select(col("doc_id").as("id"), col("fingerprint")),
-      blocks, maxHamming)
+      blocks, maxHamming, maxBucket)
 
   /** Content-defined chunking (CDC) — the insertion-resilient binary
     * dedup cut a production media/backup pipeline uses instead of fixed

@@ -265,4 +265,72 @@ class SkewBenchSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) == 1.0), "byte-equal pairs must score 1.0")
     assert(secs < 120, f"cdc-sim took $secs%.1f s")
   }
+
+  test("x143 shape: the block-pair bucket cap refuses a 1000-mirror cluster; edited pairs survive") {
+    // the hot cluster is byte-identical -> identical fingerprints -> every
+    // band bucket is a 1000-member mega-bucket (10^6/2 pairs uncapped);
+    // the 50 two-doc clusters have bucket size 2 and must survive
+    val bin = Multimodal.asBinaryTable(skewedDocs)
+    val (pairs, secs) = timed {
+      Multimodal.blockNearDupPairs(bin, blocks = 32, maxHamming = 3,
+        maxBucket = 64).collect()
+    }
+    info(f"block pairs ${pairs.length} in $secs%.1f s")
+    // chance hamming<=3 collisions among the 4,000 random cold docs are
+    // legitimate detector output; only the REFUSED cluster must be absent
+    assert(pairs.forall(r => r.getLong(0) >= hotN && r.getLong(1) >= hotN),
+      "no pair may touch the refused mega-cluster")
+    // every legit cluster is same-length byte-equal -> hamming 0; the
+    // banding must find each (plus any chance collisions among them)
+    val zeroPairs = pairs.filter(_.getLong(2) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until pairN).map(i => (10000L + 2 * i, 10001L + 2 * i)).toSet
+    assert(expected.subsetOf(zeroPairs), "a df-2 duplicate pair was lost to the cap")
+    assert(secs < 120, f"block pairs took $secs%.1f s")
+  }
+
+  test("x138 shape: a fully-contaminated giant doc folds in one pass; hot bench shingles stay broadcast") {
+    // bench = ONE 2k-token doc; corpus = 4,000 docs each quoting a bench
+    // trigram (every doc matches - the broadcast lookup is df-independent)
+    // plus one 20k-token doc that is the bench doc repeated 10x (its
+    // matched-position list is its own length - the per-doc state bound)
+    val benchText = (0 until 2000).map(i => s"b$i").mkString(" ")
+    val bench = Seq((900000L, benchText)).toDF("doc_id", "text")
+    val corpus = graft.Persist.cut((
+      (0 until 4000).map(i =>
+        (i.toLong, s"u${i}a u${i}b b0 b1 b2 u${i}c u${i}d")) ++
+      Seq((800000L, ((0 until 10).flatMap(_ => (0 until 2000).map(i => s"b$i"))).mkString(" ")))
+    ).toDF("doc_id", "text").repartition(32))
+    val (rows, secs) = timed {
+      Dedup.contaminationRuns(corpus, bench, n = 3, minRunTokens = 6).collect()
+    }
+    info(f"contamination runs over ${rows.length} docs in $secs%.1f s")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // giant doc: 19,998 shingles, every one matched (the wrap trigrams
+    // b1999,b0,b1 also occur nowhere in bench - but b1998 b1999 b0 does
+    // not match; runs break at each wrap), longest run = 1998 shingles
+    val g = byId(800000L)
+    assert(g.getLong(1) === 19998L && g.getLong(3) === 1998L, g.toString)
+    // every small doc: exactly one matched trigram (b0 b1 b2), run 1
+    assert(byId(0L).getLong(2) === 1L && byId(0L).getLong(3) === 1L)
+    assert(secs < 120, f"contamination runs took $secs%.1f s")
+  }
+
+  test("x140 shape: a 10k-account farm is ONE group row, never a pair set") {
+    val farm = (0 until 10000).flatMap { u =>
+      Seq((u.toLong, "view"), (u.toLong, "view"), (u.toLong, "buy"))
+    }
+    val organic = (0 until 2000).map(u => (20000L + u, s"t${u % 97}"))
+    val events = graft.Persist.cut(
+      (farm ++ organic).toDF("user_id", "event_type").repartition(32))
+    val (rows, secs) = timed {
+      Relational.profileTwins(events, col("user_id"), col("event_type"))
+        .collect()
+    }
+    info(f"profile twins ${rows.length} groups in $secs%.1f s")
+    val farmRow = rows.find(_.getLong(1) === 10000L)
+    assert(farmRow.isDefined, "the farm must collapse to one group of 10,000")
+    assert(farmRow.get.getLong(5) === 30000L)
+    assert(secs < 60, f"profile twins took $secs%.1f s")
+  }
 }
