@@ -57,4 +57,22 @@ object TextFunctions {
     * signals). */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Longest CONSECUTIVE integer run in a position array (sorted
+    * internally) — THE one definition of the gaps-and-islands fold shared
+    * by the contamination-run and self-repeat-run operators, replayed in
+    * SQL as `pos - ROW_NUMBER() OVER (PARTITION BY ... ORDER BY pos)`
+    * islands. One ordered array pass; state is three longs. Empty
+    * arrays fold to 0. */
+  def longestConsecutiveRun(positions: Column): Column =
+    aggregate(
+      sort_array(positions),
+      struct(lit(-2L).as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (st, p) => {
+        val cur = when(p === st.getField("prev") + 1L,
+          st.getField("cur") + 1L).otherwise(1L)
+        struct(p.as("prev"), cur.as("cur"),
+          greatest(st.getField("best"), cur).as("best"))
+      },
+      st => st.getField("best"))
 }

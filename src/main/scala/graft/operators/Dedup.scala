@@ -1547,16 +1547,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("s"))
-    val runState = aggregate(
-      sort_array(col("__mp")),
-      struct(lit(-2L).as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
-      (st, p) => {
-        val cur = when(p === st.getField("prev") + 1L,
-          st.getField("cur") + 1L).otherwise(1L)
-        struct(p.as("prev"), cur.as("cur"),
-          greatest(st.getField("best"), cur).as("best"))
-      },
-      st => st.getField("best"))
+    val runState = longestConsecutiveRun(col("__mp"))
     val runTokens = when(col("longest_run") > 0L,
       col("longest_run") + lit(n - 1).cast("long")).otherwise(lit(0L))
     pos.join(broadcast(bs), Seq("s"), "left_outer")
@@ -1566,6 +1557,49 @@ object Dedup {
         collect_list(when(col("__hit").isNotNull, col("pos"))).as("__mp"))
       .withColumn("longest_run", runState)
       .select(col("doc_id"), col("n_shingles"), col("matched"),
+        col("longest_run"), runTokens.as("longest_run_tokens"),
+        (runTokens >= lit(minRunTokens.toLong)).as("flagged"))
+  }
+
+  /** Longest SELF-repeated shingle run per document — [[contaminationRuns]]
+    * with the doc itself as the reference: the longest stretch of
+    * n-shingles each occurring elsewhere in the SAME document, which is
+    * (to within n−1 tokens) the doc's longest internally-repeated
+    * passage. x22's repetition ratio says HOW MUCH of a doc repeats;
+    * this says whether the repetition is one long copy-pasted block
+    * (template page, scraper loop, generation loop — the Lee et al. 2022
+    * within-doc class) or scattered phrase reuse, which the ratio alone
+    * cannot distinguish.
+    *
+    * Scale shape: positional shingles aggregate by (doc, 32-byte shingle
+    * hash) — the span family's shuffle discipline; per-group state is
+    * the shingle's own position list (bounded by in-doc multiplicity),
+    * the per-doc fold state is the REPEATED positions only, and the run
+    * scalar is [[graft.functions.TextFunctions.longestConsecutiveRun]]
+    * (ONE definition with x138). Two md5-colliding distinct shingles in
+    * one doc would merge groups — the 2⁻¹²⁸ span-family equivalence.
+    * Docs with fewer than n tokens are absent.
+    * Output: doc_id, n_shingles, repeated, longest_run,
+    * longest_run_tokens, flagged. */
+  def selfRepeatRuns(docs: DataFrame, n: Int = 3,
+                     minRunTokens: Int = 6): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), rawTokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("doc_id"), posexplode(shingles(col("__ts"), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col")).as("h"))
+    val runState = longestConsecutiveRun(col("__mp"))
+    val runTokens = when(col("longest_run") > 0L,
+      col("longest_run") + lit(n - 1).cast("long")).otherwise(lit(0L))
+    pos.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("__c"), collect_list(col("pos")).as("__ps"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_shingles"),
+        sum(when(col("__c") >= 2L, col("__c")).otherwise(0L)).as("repeated"),
+        flatten(collect_list(when(col("__c") >= 2L, col("__ps")))).as("__mp"))
+      .withColumn("longest_run", runState)
+      .select(col("doc_id"), col("n_shingles"), col("repeated"),
         col("longest_run"), runTokens.as("longest_run_tokens"),
         (runTokens >= lit(minRunTokens.toLong)).as("flagged"))
   }

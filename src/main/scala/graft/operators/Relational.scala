@@ -924,6 +924,72 @@ object Relational {
         sum(col("__n")).as("total_events"))
       .filter(col("n_keys") >= 2)
 
+  /** Functional-dependency AUDIT — does `det` determine `dep` in this
+    * table, and where does it not: per determinant value, the number of
+    * distinct dependent values, the majority dependent and its share.
+    * The data-profiling read behind routing assumptions a pipeline makes
+    * silently (one source ⇒ one language feeds the x127 budget; one
+    * order ⇒ one route feeds the Q-family merges) — when the share drops
+    * below 1.0 the assumption is leaking rows, and the report says which
+    * keys and how badly. NULL dependents count as a value (a null lang
+    * IS a violation of "source determines lang").
+    *
+    * Scale shape: one (det, dep) count aggregate with map-side partials,
+    * then a per-det rollup with bounded state (≤ |dep-vocabulary| rows
+    * per key); the majority pick is min_by over (−n, dep), never a
+    * window. Output: det, n_rows, distinct_dep, major_dep, major_share
+    * (ROUND 6), is_fd. */
+  def functionalDependencyAudit(df: DataFrame, det: Column,
+                                dep: Column): DataFrame = {
+    val dc = df
+      .select(det.as("det"), coalesce(dep.cast("string"), lit("__null__")).as("dep"))
+      .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+    val tieKey = struct((-col("c")).as("a"), col("dep").as("b"))
+    dc.groupBy(col("det"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("distinct_dep"),
+        min_by(col("dep"), tieKey).as("major_dep"),
+        min_by(col("c"), tieKey).as("__mc"))
+      .select(col("det"), col("n_rows"), col("distinct_dep"),
+        col("major_dep"),
+        round(col("__mc").cast("double") / col("n_rows"), 6).as("major_share"),
+        (col("distinct_dep") === 1L).as("is_fd"))
+  }
+
+  /** Hour-of-day activity profile per event TYPE — the seasonality axis
+    * of the behavior family (x115 reads per-user cadence, x136 per-user
+    * variety; this reads the clock): organic event types follow the
+    * day/night curve, while a cron-driven or farm-driven type runs flat
+    * (high hour-entropy, low peak share) or needle-peaked (one hot
+    * hour). `peak_hour` ties break hour-asc; entropy is the
+    * [[behaviorEntropy]] formulation over hour buckets (ROUND-6 DECIMAL
+    * partial sum, order-free).
+    *
+    * Scale shape: one (type, hour) count aggregate with map-side
+    * partials (≤ 24 rows per type), then a per-type rollup with
+    * five-number state — the modal pick is min_by over (−n, hour), never
+    * a window. Output: event_type, n_events, distinct_hours, peak_hour,
+    * peak_share (ROUND 4), hour_entropy (ROUND 4). */
+  def typeHourProfile(events: DataFrame, typeCol: Column,
+                      ts: Column): DataFrame = {
+    val hc = events
+      .select(typeCol.as("event_type"), hour(ts).cast("long").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val tieKey = struct((-col("c")).as("a"), col("h").as("b"))
+    hc.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("distinct_hours"),
+        min_by(col("h"), tieKey).as("peak_hour"),
+        min_by(col("c"), tieKey).as("__pc"),
+        sum(round(col("c") * log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("__s"))
+      .select(col("event_type"), col("n_events"), col("distinct_hours"),
+        col("peak_hour"),
+        round(col("__pc").cast("double") / col("n_events"), 4).as("peak_share"),
+        round(log(col("n_events").cast("double"))
+          - col("__s").cast("double") / col("n_events"), 4).as("hour_entropy"))
+  }
+
   /** Per-transition LATENCY profile — [[transitionCounts]] with the time
     * axis attached: for each (from_type → to_type) edge, how long the hop
     * takes (n, min, p50, p90, max in µs). The conversion-latency read a

@@ -1472,6 +1472,33 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x146: functional-dependency audit over source → lang — the
+    * data-profiling check behind the x127 "source implies language"
+    * budget routing: which sources are monolingual, and how badly the
+    * mixed ones leak. */
+  def x146(s: SparkSession, dir: String): DataFrame =
+    Relational.functionalDependencyAudit(docs(s, dir),
+        col("source"), col("lang"))
+      .withColumnRenamed("det", "source")
+      .orderBy("source")
+
+  /** x145: hour-of-day profile per event type — seasonality forensics
+    * (flat = cron/bot, needle-peaked = batch job, day-curved = organic);
+    * the clock axis next to x115's cadence and x136's variety. */
+  def x145(s: SparkSession, dir: String): DataFrame =
+    Relational.typeHourProfile(Tables(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .orderBy("event_type")
+
+  /** x144: longest SELF-repeated shingle run — x138's run machinery with
+    * the doc as its own reference: separates one long copy-pasted block
+    * (template/loop output) from scattered phrase reuse at the same x22
+    * repetition ratio. Shares the x138 flag threshold. */
+  def x144(s: SparkSession, dir: String): DataFrame =
+    Dedup.selfRepeatRuns(docs(s, dir), n = 3,
+        minRunTokens = contamRunTokens)
+      .orderBy("doc_id")
+
   /** x143: block-fingerprint binary near-dup — 32 equal byte blocks →
     * parity bits → Hamming-banded pairs (the pHash plumbing with a stub
     * bit): catches replacement-edited mirrors (same length, few touched
@@ -1676,6 +1703,9 @@ object ExtensionQueries {
     "x141_code_switch"  -> (x141 _),
     "x142_sample_calib" -> (x142 _),
     "x143_block_pairs"  -> (x143 _),
+    "x144_repeat_runs"  -> (x144 _),
+    "x145_hour_profile" -> (x145 _),
+    "x146_fd_audit"     -> (x146 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4392,6 +4422,69 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // majority pick replays min_by((-c, dep)) as ROW_NUMBER(c DESC, dep);
+    // null dependents are a sentinel VALUE, so they count as violations
+    "x146_fd_audit" ->
+      """WITH dc AS (SELECT source, COALESCE(lang, '__null__') AS dep,
+        |    count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |agg AS (SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
+        |  FROM dc GROUP BY 1),
+        |mj AS (SELECT source, dep, c,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, dep) AS r
+        |  FROM dc)
+        |SELECT agg.source, n AS n_rows, d AS distinct_dep,
+        |  mj.dep AS major_dep,
+        |  ROUND(mj.c::DOUBLE / n, 6) AS major_share,
+        |  d = 1 AS is_fd
+        |FROM agg JOIN mj ON agg.source = mj.source AND mj.r = 1
+        |ORDER BY agg.source""".stripMargin,
+    // the x136 entropy discipline over (type, hour); modal hour replays
+    // min_by((-c, h)) as ROW_NUMBER(c DESC, h); + 0.0 normalizes the
+    // single-hour near-zero (the signed-zero class)
+    "x145_hour_profile" ->
+      """WITH hc AS (SELECT event_type, date_part('hour', ts)::BIGINT AS h,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (SELECT event_type, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+        |    sum(ROUND(c * ln(c), 6)::DECIMAL(18,6)) AS s
+        |  FROM hc GROUP BY 1),
+        |pk AS (SELECT event_type, h AS peak_hour, c AS peak_c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, h) AS r
+        |  FROM hc)
+        |SELECT agg.event_type, n AS n_events, d AS distinct_hours,
+        |  pk.peak_hour,
+        |  ROUND(pk.peak_c::DOUBLE / n, 4) AS peak_share,
+        |  ROUND(ln(n) - s::DOUBLE / n, 4) + 0.0 AS hour_entropy
+        |FROM agg JOIN pk ON agg.event_type = pk.event_type AND pk.r = 1
+        |ORDER BY agg.event_type""".stripMargin,
+    // x138's islands machinery with within-doc df >= 2 as the match rule
+    "x144_repeat_runs" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |psh AS (SELECT doc_id, (i - 1)::BIGINT AS pos,
+         |    array_to_string(toks[i:i+2], ' ') AS s
+         |  FROM tk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+         |  WHERE len(toks) >= 3),
+         |cg AS (SELECT doc_id, s, count(*)::BIGINT AS c FROM psh GROUP BY doc_id, s),
+         |m AS (SELECT psh.doc_id, psh.pos FROM psh
+         |  JOIN cg ON psh.doc_id = cg.doc_id AND psh.s = cg.s AND cg.c >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM m),
+         |runs AS (SELECT doc_id, count(*)::BIGINT AS run FROM isl GROUP BY doc_id, g),
+         |best AS (SELECT doc_id, max(run)::BIGINT AS longest FROM runs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, sum(c)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS repeated
+         |  FROM cg GROUP BY doc_id),
+         |sel AS (SELECT tot.doc_id, tot.n_shingles, tot.repeated,
+         |    COALESCE(best.longest, 0)::BIGINT AS longest_run
+         |  FROM tot LEFT JOIN best USING (doc_id))
+         |SELECT doc_id, n_shingles, repeated, longest_run,
+         |  (CASE WHEN longest_run > 0 THEN longest_run + 2 ELSE 0 END)::BIGINT
+         |    AS longest_run_tokens,
+         |  (CASE WHEN longest_run > 0 THEN longest_run + 2 ELSE 0 END)
+         |    >= $contamRunTokens AS flagged
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // block offsets are floor(i*nb/32) on both engines (double-exact
     // below 2^53); banding replays the simhashPairsSql arithmetic
     "x143_block_pairs" ->

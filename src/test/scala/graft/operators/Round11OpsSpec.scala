@@ -96,6 +96,64 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- functionalDependencyAudit (x146) ------------------------------
+
+  test("functionalDependencyAudit: clean keys read is_fd; violations report the majority; nulls count as a value") {
+    val df = Seq(
+      ("a", Some("en")), ("a", Some("en")), ("a", Some("en")),
+      ("b", Some("en")), ("b", Some("es")),            // tie -> 'en' (dep-asc)
+      ("c", Some("de")), ("c", None)                   // null is a violation
+    ).toDF("k", "v")
+    val out = Relational.functionalDependencyAudit(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out("a") === ((3L, 1L, "en", 1.0, true)))
+    assert(out("b") === ((2L, 2L, "en", 0.5, false)))
+    assert(out("c") === ((2L, 2L, "__null__", 0.5, false)))
+  }
+
+  // ---- typeHourProfile (x145) ----------------------------------------
+
+  test("typeHourProfile: a one-hour needle scores entropy 0 and share 1; uniform hours score ln k; peak ties break hour-asc") {
+    val rows =
+      (1 to 5).map(i => ("cron", s"2026-01-0$i 03:15:00")) ++
+      Seq(("organic", "2026-01-01 08:00:00"), ("organic", "2026-01-01 09:00:00"),
+          ("organic", "2026-01-01 10:00:00"), ("organic", "2026-01-01 11:00:00"))
+    val events = rows.toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Relational.typeHourProfile(events, col("event_type"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("cron") === ((5L, 1L, 3L, 1.0, 0.0)))
+    // uniform over 4 hours: entropy ln 4, tie -> earliest hour 8
+    val ln4 = BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("organic") === ((4L, 4L, 8L, 0.25, ln4)))
+    // the needle's zero entropy must serialize as +0.0
+    assert(1.0 / out("cron")._5 > 0)
+  }
+
+  // ---- selfRepeatRuns (x144) -----------------------------------------
+
+  test("selfRepeatRuns: a looped block flags; scattered phrase reuse does not; unique docs score zero") {
+    val docs = Seq(
+      // fully looped: every trigram repeats -> run covers the whole doc
+      (1L, "x y z x y z x y z", "en", "s"),
+      // two separated repeats of "a b c d" -> runs of 2 trigrams each
+      (2L, "a b c d q q2 q3 a b c d", "en", "s"),
+      // all-unique doc
+      (3L, "m n o p q r", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.selfRepeatRuns(docs, n = 3, minRunTokens = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((7L, 7L, 7L, 9L, true)))
+    assert(out(2L) === ((9L, 4L, 2L, 4L, false)))
+    assert(out(3L) === ((4L, 0L, 0L, 0L, false)))
+  }
+
   // ---- blockFingerprints / blockNearDupPairs (x143) ------------------
 
   test("blockNearDupPairs: identical payloads pair at hamming 0; a one-block edit flips at most one bit") {
