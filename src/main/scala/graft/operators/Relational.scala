@@ -924,6 +924,76 @@ object Relational {
         sum(col("__n")).as("total_events"))
       .filter(col("n_keys") >= 2)
 
+  /** Shard-layout PLANNER — the physical-layout arithmetic behind
+    * [[graft.sinks.TableSink.compact]]'s sizing, surfaced as a report:
+    * per stratum (source / partition key), total payload bytes, the
+    * shard count a `targetBytes` policy produces, and the mean fill —
+    * the number that says which partitions will write straggler-sized
+    * files (fill → 0 means a stratum writes one nearly-empty shard per
+    * ingest; fill → 1 means clean packing). At 100 TB the difference
+    * between 10⁵ right-sized files and 10⁷ stragglers is scan-planning
+    * time, and this report prices a partitioning policy BEFORE the
+    * write. Integer ceil arithmetic replays cross-engine exactly.
+    *
+    * Scale shape: one stratum byte-sum aggregate (map-side partials),
+    * then |strata| rows of arithmetic. Output: stratum, total_bytes,
+    * n_shards, mean_fill (ROUND 6). */
+  def shardPlan(df: DataFrame, stratum: Column, bytes: Column,
+                targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "target shard size must be positive")
+    df.groupBy(stratum.as("stratum"))
+      .agg(sum(bytes).cast("long").as("total_bytes"))
+      .select(col("stratum"), col("total_bytes"),
+        // integer ceil via `div`, never a double round-trip (exact at
+        // any byte magnitude)
+        greatest(expr(s"(total_bytes + ${targetBytes - 1}) div ${targetBytes}L"),
+          lit(1L)).as("n_shards"))
+      .select(col("stratum"), col("total_bytes"), col("n_shards"),
+        round(col("total_bytes").cast("double") /
+          (col("n_shards") * lit(targetBytes)).cast("double"), 6).as("mean_fill"))
+  }
+
+  /** Conversion-LAG cohorts — the funnel's time axis at per-user grain:
+    * for each user, the lag from their FIRST `fromType` event to their
+    * first `toType` event at-or-after it, rolled up by the week the
+    * user entered the funnel. x46 counts in-session conversions and
+    * x132 times adjacent hops; this reads the days-later journey (and
+    * whether this month's cohorts convert slower than last month's —
+    * the product-regression read). Non-converting users stay in
+    * `n_users` so the rate denominator is honest.
+    *
+    * Determinism at 1e10-µs magnitude (the x115 rule): p50 interpolates
+    * integer µs at exact halves — emitted RAW; p90 interpolates at an
+    * engine-shape-sensitive fraction — rounded to whole µs.
+    *
+    * Scale shape: two filtered per-user min aggregates (map-side
+    * partials); the candidate join ships (user, two timestamps) and
+    * its groups are the user's own toType events (bounded-group
+    * contract); the cohort rollup is ≤ |weeks| groups with exact
+    * percentiles under the x56 contract. Output: cohort (date),
+    * n_users, n_converted, conv_rate (ROUND 6), p50_lag_us,
+    * p90_lag_us. */
+  def conversionLag(events: DataFrame, user: Column, ts: Column,
+                    typeCol: Column, fromType: String,
+                    toType: String): DataFrame = {
+    val f = events.filter(typeCol === fromType)
+      .groupBy(user.as("u")).agg(min(ts).as("__f"))
+    val t = events.filter(typeCol === toType)
+      .select(user.as("u"), ts.as("__t"))
+    f.join(t, Seq("u"), "left_outer")
+      .groupBy(col("u"), col("__f"))
+      .agg(min(when(col("__t") >= col("__f"), col("__t"))).as("__c"))
+      .select(date_trunc("week", col("__f")).cast("date").as("cohort"),
+        (unix_micros(col("__c")) - unix_micros(col("__f"))).as("__lag"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("__lag")).as("n_converted"),
+        round(count(col("__lag")).cast("double") / count(lit(1)), 6)
+          .as("conv_rate"),
+        expr("percentile(__lag, 0.5)").as("p50_lag_us"),
+        round(expr("percentile(__lag, 0.9)"), 0).cast("long").as("p90_lag_us"))
+  }
+
   /** Functional-dependency AUDIT — does `det` determine `dep` in this
     * table, and where does it not: per determinant value, the number of
     * distinct dependent values, the majority dependent and its share.

@@ -66,6 +66,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** kNN label PURITY — the neighbor-based label-noise audit next to
+    * x62's centroid cohesion: for a deterministic query sample, the
+    * fraction of each query's exact top-k neighbors sharing its label,
+    * rolled up per label. A label whose members' neighborhoods are full
+    * of other labels is either mislabeled, heterogeneous, or collapsing
+    * in embedding space — the three failure modes a classifier-gated
+    * pipeline (x99/x100) inherits silently from its training labels.
+    * Purity is the exact ratio Σmatched/Σk over the label's queries
+    * (integer sums, one ROUND-6 division — order-free without decimal
+    * machinery).
+    *
+    * Scale shape: rides [[bruteForceTopK]] on the SAME query predicate
+    * as x11/x117 (the audit family measures the search it ships); the
+    * label attach joins the |queries|·k pair frame — broadcastable by
+    * construction — against (id, label) longs, never embeddings.
+    * Output: label, n_queries, n_pairs, matched, purity (ROUND 6). */
+  def labelPurity(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val nn = bruteForceTopK(emb, queryPred, k).select(col("q_id"), col("n_id"))
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("__l"))
+    val pairs = broadcast(nn)
+      .join(lbl.select(col("vec_id").as("q_id"), col("__l").as("__ql")), "q_id")
+      .join(lbl.select(col("vec_id").as("n_id"), col("__l").as("__nl")), "n_id")
+    pairs.groupBy(col("q_id"))
+      .agg(min(col("__ql")).as("__lbl"), count(lit(1)).as("__k"),
+        sum(when(col("__ql") === col("__nl"), 1L).otherwise(0L)).as("__m"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("__k")).as("n_pairs"),
+        sum(col("__m")).as("matched"))
+      .select(col("label"), col("n_queries"), col("n_pairs"), col("matched"),
+        round(col("matched").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("purity"))
+  }
+
   /** Codebook from a predicate over the corpus itself (e.g. a deterministic
     * sample `vec_id < 16`): centroids as (c_id, c_emb). A production
     * codebook is FIXED-SIZE (constant or ~√N), never proportional to the

@@ -739,6 +739,38 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(topV)
 
+  /** Vocabulary COVERAGE per source — the OOV exposure report for a
+    * fixed top-V vocabulary ([[vocabulary]]'s cut): what fraction of
+    * each source's token INSTANCES, and how many of its distinct types,
+    * fall outside the vocabulary the tokenizer/encoder was sized to.
+    * x116 measures how finely the trained tokenizer splits what it
+    * covers; this measures what a word-level cut would MISS — the
+    * report that decides whether topV is big enough for a new source
+    * (code and non-Latin feeds typically spike it) before x55's
+    * encoding maps everything OOV to one id and the damage goes
+    * invisible.
+    *
+    * Scale shape: corpus collapses to (source, term) counts first
+    * (map-side partials absorb hot terms); the vocab side is topV rows
+    * BY CONSTRUCTION and broadcasts; per-source rollup state is four
+    * longs. Output: source, n_tokens, oov_tokens, oov_rate (ROUND 6),
+    * n_types, oov_types. */
+  def vocabCoverage(docs: DataFrame, topV: Int = 30000): DataFrame = {
+    val v = vocabulary(docs, topV).select(col("term"), lit(1L).as("__in"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .join(broadcast(v), Seq("term"), "left_outer")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("c")).otherwise(0L)).as("oov_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_types"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"),
+        col("n_types"), col("oov_types"))
+  }
+
   /** Byte-pair-encoding merge training — the first `merges` rules of a
     * BPE tokenizer learned from the corpus, the step between
     * [[vocabulary]] and [[encodeTokens]] in a tokenizer-training
@@ -1696,6 +1728,45 @@ object TextAnalysis {
       .select(col("lang_label"), col("pred_lang"), col("n"),
         round(col("n").cast("double") / col("__t").cast("double"), 6)
           .as("share"))
+  }
+
+  /** Quality ENSEMBLE — three orthogonal curation signals fused on the
+    * RANK axis instead of the value axis: quality score ([[quality]]),
+    * token entropy ([[tokenEntropy]]), and repetition ratio
+    * ([[repetitionRatio]], inverted) each map to their equal-mass
+    * bucket (the x51 exact-percentile discipline), and the ensemble is
+    * the mean bucket. Rank fusion is the standard fix for
+    * incommensurable signal scales: a raw weighted sum is dominated by
+    * whichever signal happens to have the widest numeric range, while
+    * buckets make "top decile in quality" and "top decile in entropy"
+    * worth the same vote — and the gate stays meaningful as the
+    * corpus drifts because the thresholds are re-derived percentiles,
+    * not frozen constants. `selected` thresholds the ROUND-4 ensemble.
+    *
+    * Scale shape: one fused per-row projection (quality), one
+    * vocab-per-doc bounded aggregate (entropy), one per-row shingle
+    * projection (repetition), joined doc-keyed and CUT once; the three
+    * bucketings are each ONE scalar percentile aggregate broadcast onto
+    * a narrow comparison pass ([[Relational.quantileBuckets]] — no
+    * rangepartitioning, window-free). Docs with fewer than 3 tokens
+    * have no repetition signal and are absent (nothing to ensemble).
+    * Output: doc_id, q_bucket, e_bucket, r_bucket, ensemble (ROUND 4),
+    * selected. */
+  def qualityEnsemble(docs: DataFrame, buckets: Int = 10,
+                      minEnsemble: Double = 6.0): DataFrame = {
+    val sig = graft.Persist.cut(
+      quality(docs).select(col("doc_id"), col("quality_score"))
+        .join(tokenEntropy(docs).select(col("doc_id"), col("entropy")), "doc_id")
+        .join(repetitionRatio(docs).select(col("doc_id"), col("rep_ratio")), "doc_id"))
+    val b = Relational.quantileBuckets(
+      Relational.quantileBuckets(
+        Relational.quantileBuckets(sig, "quality_score", buckets, "q_bucket"),
+        "entropy", buckets, "e_bucket"),
+      "rep_ratio", buckets, "r_bucket")
+    val ens = round((col("q_bucket") + col("e_bucket")
+      + lit((buckets + 1).toLong) - col("r_bucket")).cast("double") / 3.0, 4)
+    b.select(col("doc_id"), col("q_bucket"), col("e_bucket"), col("r_bucket"),
+      ens.as("ensemble"), (ens >= lit(minEnsemble)).as("selected"))
   }
 
   /** CODE-SWITCH segmentation — [[langId]] applied per fixed token

@@ -1472,6 +1472,60 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x151 target shard bytes: sized against the fixture's ~1.5 kB/source
+    * so fills spread across the (0, 1] range. */
+  val shardTargetBytes = 4096L
+
+  /** x151: shard-layout planner — per-source byte mass priced against a
+    * target shard size: shard counts and mean fill, the
+    * straggler-file report a partitioning policy is judged by BEFORE
+    * the write (TableSink.compact's arithmetic as a query). */
+  def x151(s: SparkSession, dir: String): DataFrame =
+    Relational.shardPlan(docs(s, dir), col("source"),
+        octet_length(col("text")).cast("long"), shardTargetBytes)
+      .withColumnRenamed("stratum", "source")
+      .orderBy("source")
+
+  /** x150: conversion-lag cohorts — first signup → first purchase lag
+    * percentiles by signup-week cohort, with an honest rate denominator
+    * (the days-later funnel read next to x46/x132). */
+  def x150(s: SparkSession, dir: String): DataFrame =
+    Relational.conversionLag(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("ts"), col("event_type"), "signup", "purchase")
+      .orderBy("cohort")
+
+  /** x149 vocabulary cut: the fixture's full vocabulary is 31 types, so
+    * a 20-term cut leaves every source with real OOV mass (the regime
+    * the report exists for). */
+  val coverageTopV = 20
+
+  /** x149: vocabulary coverage per source — token-instance and type OOV
+    * rates against the x29 top-V cut: what a word-level vocabulary
+    * would MISS, per feed, before x55 maps it all to one id. */
+  def x149(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), topV = coverageTopV)
+      .orderBy("source")
+
+  /** x148 knobs, shared with the oracle. */
+  val ensembleBuckets = 10
+  val ensembleMin = 6.0
+
+  /** x148: rank-fused quality ensemble — equal-mass buckets of quality
+    * score, token entropy, and (inverted) repetition, averaged: the
+    * drift-stable multi-signal gate next to x100's learned one. */
+  def x148(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityEnsemble(docs(s, dir), buckets = ensembleBuckets,
+        minEnsemble = ensembleMin)
+      .orderBy("doc_id")
+
+  /** x147: kNN label purity — per-label agreement of the x11 exact
+    * top-10 neighborhoods with their query's label: the label-noise
+    * audit the x99/x100 classifier chain inherits from silently. */
+  def x147(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelPurity(emb(s, dir), col("vec_id") % 100 === 0, k = 10)
+      .orderBy("label")
+
   /** x146: functional-dependency audit over source → lang — the
     * data-profiling check behind the x127 "source implies language"
     * budget routing: which sources are monolingual, and how badly the
@@ -1706,6 +1760,11 @@ object ExtensionQueries {
     "x144_repeat_runs"  -> (x144 _),
     "x145_hour_profile" -> (x145 _),
     "x146_fd_audit"     -> (x146 _),
+    "x147_label_purity" -> (x147 _),
+    "x148_ensemble"     -> (x148 _),
+    "x149_vocab_coverage" -> (x149 _),
+    "x150_conversion_lag" -> (x150 _),
+    "x151_shard_plan"   -> (x151 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4422,6 +4481,120 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // integer-ceil shard counts; octet_length == length on the ASCII
+    // fixture (the x75 contract)
+    "x151_shard_plan" ->
+      s"""WITH b AS (SELECT source, sum(length(text))::BIGINT AS total_bytes
+         |  FROM documents GROUP BY source),
+         |p AS (SELECT source, total_bytes,
+         |    greatest((total_bytes + ${shardTargetBytes - 1}) // $shardTargetBytes,
+         |      1)::BIGINT AS n_shards
+         |  FROM b)
+         |SELECT source, total_bytes, n_shards,
+         |  ROUND(total_bytes::DOUBLE / (n_shards * $shardTargetBytes), 6)
+         |    AS mean_fill
+         |FROM p ORDER BY source""".stripMargin,
+    // first-from/first-at-or-after-to per user; p50 RAW (exact halves),
+    // p90 whole-µs (the x115 determinism rule)
+    "x150_conversion_lag" ->
+      """WITH f AS (SELECT user_id AS u, min(ts) AS fts FROM events
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT user_id AS u, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |c AS (SELECT f.u, f.fts,
+        |    min(CASE WHEN t.ts >= f.fts THEN t.ts END) AS cts
+        |  FROM f LEFT JOIN t ON f.u = t.u GROUP BY f.u, f.fts),
+        |l AS (SELECT date_trunc('week', fts)::DATE AS cohort,
+        |    epoch_us(cts) - epoch_us(fts) AS lag
+        |  FROM c)
+        |SELECT cohort, count(*)::BIGINT AS n_users,
+        |  count(lag)::BIGINT AS n_converted,
+        |  ROUND(count(lag)::DOUBLE / count(*), 6) AS conv_rate,
+        |  quantile_cont(lag, 0.5) AS p50_lag_us,
+        |  ROUND(quantile_cont(lag, 0.9), 0)::BIGINT AS p90_lag_us
+        |FROM l GROUP BY cohort ORDER BY cohort""".stripMargin,
+    // the x29 vocabulary cut (n DESC, term ASC, LIMIT V) joined back
+    // onto (source, term) counts
+    "x149_vocab_coverage" ->
+      s"""WITH tok AS (SELECT source,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |  FROM documents),
+         |sc AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+         |v AS (SELECT term FROM (
+         |    SELECT term, count(*)::BIGINT AS n FROM (
+         |      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |      FROM documents)
+         |    GROUP BY term ORDER BY n DESC, term LIMIT $coverageTopV)),
+         |j AS (SELECT sc.source, sc.term, sc.c,
+         |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM sc LEFT JOIN v ON sc.term = v.term)
+         |SELECT source, sum(c)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::BIGINT AS oov_tokens,
+         |  ROUND(sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+         |    AS oov_rate,
+         |  count(*)::BIGINT AS n_types,
+         |  sum(oov)::BIGINT AS oov_types
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // the x04/x72/x22 signal chains joined, then the x51 threshold
+    // discipline per signal (ROUND-4 quantile_cont, > comparisons on
+    // ROUND-4 values); probabilities printed from the same Scala doubles
+    // the Spark percentile() calls use
+    "x148_ensemble" -> {
+      val probs = (1 until ensembleBuckets).map(_.toDouble / ensembleBuckets)
+      def qs(v: String, p: String) = probs.zipWithIndex.map { case (pr, i) =>
+        s"ROUND(quantile_cont($v, $pr), 4) AS $p$i" }.mkString(", ")
+      def arms(v: String, p: String) = probs.indices.map(i =>
+        s"CASE WHEN $v > $p$i THEN 1 ELSE 0 END").mkString(" + ")
+      val ensExpr = s"ROUND((q_bucket + e_bucket + ${ensembleBuckets + 1} - r_bucket) / 3.0, 4)"
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |qc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    length(text)::DOUBLE AS nc,
+         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
+         |  FROM t),
+         |qv AS (SELECT doc_id,
+         |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         |  FROM qc),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
+         |ev AS (SELECT doc_id,
+         |    ROUND(ln(sum(c)) - sum(ROUND(c * ln(c), 6)::DECIMAL(18,6))::DOUBLE / sum(c), 4) + 0.0 AS entropy
+         |  FROM tc GROUP BY doc_id),
+         |tk2 AS (SELECT doc_id, string_split(text, ' ') AS rts FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(rts[i:i+2], ' ') AS s
+         |  FROM tk2 CROSS JOIN UNNEST(range(1, len(rts)-1)) AS r(i)
+         |  WHERE len(rts) >= 3),
+         |rv AS (SELECT doc_id,
+         |    ROUND(1.0 - count(DISTINCT s)::DOUBLE / count(*), 4) AS rep_ratio
+         |  FROM sh GROUP BY doc_id),
+         |sig AS (SELECT qv.doc_id, quality_score, entropy, rep_ratio
+         |  FROM qv JOIN ev USING (doc_id) JOIN rv USING (doc_id)),
+         |thr AS (SELECT ${qs("quality_score", "tq")},
+         |    ${qs("entropy", "te")}, ${qs("rep_ratio", "tr")} FROM sig),
+         |bk AS (SELECT doc_id,
+         |    (1 + ${arms("quality_score", "tq")})::BIGINT AS q_bucket,
+         |    (1 + ${arms("entropy", "te")})::BIGINT AS e_bucket,
+         |    (1 + ${arms("rep_ratio", "tr")})::BIGINT AS r_bucket
+         |  FROM sig CROSS JOIN thr)
+         |SELECT doc_id, q_bucket, e_bucket, r_bucket,
+         |  $ensExpr AS ensemble,
+         |  $ensExpr >= $ensembleMin AS selected
+         |FROM bk ORDER BY doc_id""".stripMargin
+    },
+    // rides the SHARED bf top-k CTE (the x11/x117 sharing contract);
+    // purity is an integer-sum ratio, one round-6 division
+    "x147_label_purity" ->
+      s"""WITH $bruteKnnCtes,
+         |p AS (SELECT bf.q_id, a.label AS ql, b.label AS nl FROM bf
+         |  JOIN embeddings a ON bf.q_id = a.vec_id
+         |  JOIN embeddings b ON bf.n_id = b.vec_id),
+         |pq AS (SELECT q_id, min(ql) AS lbl, count(*)::BIGINT AS k,
+         |    sum(CASE WHEN ql = nl THEN 1 ELSE 0 END)::BIGINT AS m
+         |  FROM p GROUP BY q_id)
+         |SELECT lbl::BIGINT AS label, count(*)::BIGINT AS n_queries,
+         |  sum(k)::BIGINT AS n_pairs, sum(m)::BIGINT AS matched,
+         |  ROUND(sum(m)::DOUBLE / sum(k), 6) AS purity
+         |FROM pq GROUP BY lbl ORDER BY label""".stripMargin,
     // majority pick replays min_by((-c, dep)) as ROW_NUMBER(c DESC, dep);
     // null dependents are a sentinel VALUE, so they count as violations
     "x146_fd_audit" ->

@@ -96,6 +96,128 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- shardPlan (x151) ----------------------------------------------
+
+  test("shardPlan: exact ceil shard counts; tiny strata floor at one shard; fills are exact ratios") {
+    val df = Seq(
+      ("a", 100L), ("a", 156L),   // 256 bytes -> 1 shard at 256 target, fill 1.0
+      ("b", 257L),                // 257 -> 2 shards, fill 257/512
+      ("c", 1L)                   // 1 -> 1 shard, fill 1/256
+    ).toDF("s", "nb")
+    val out = Relational.shardPlan(df, col("s"), col("nb"), targetBytes = 256L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((256L, 1L, 1.0)))
+    assert(out("b") === ((257L, 2L, 0.501953)))
+    assert(out("c") === ((1L, 1L, 0.003906)))
+  }
+
+  // ---- conversionLag (x150) ------------------------------------------
+
+  test("conversionLag: converts at-or-after first entry only; non-converters stay in the denominator") {
+    val rows = Seq(
+      (1L, "signup", "2026-01-05 10:00:00"),   // week of Jan 5 (Monday)
+      (1L, "purchase", "2026-01-05 11:00:00"), // +1h -> converted
+      (1L, "purchase", "2026-01-06 09:00:00"), // later purchase ignored (min)
+      (2L, "purchase", "2026-01-04 09:00:00"), // BEFORE signup -> not a conversion
+      (2L, "signup", "2026-01-07 10:00:00"),
+      (3L, "signup", "2026-01-12 10:00:00")    // next week, never converts
+    )
+    val events = rows.toDF("user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Relational.conversionLag(events, col("user_id"), col("ts"),
+        col("event_type"), "signup", "purchase")
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    val w1 = out("2026-01-05")
+    assert(w1.getLong(1) === 2L && w1.getLong(2) === 1L && w1.getDouble(3) === 0.5)
+    assert(w1.getDouble(4) === 3600.0 * 1e6)
+    val w2 = out("2026-01-12")
+    assert(w2.getLong(1) === 1L && w2.getLong(2) === 0L && w2.getDouble(3) === 0.0)
+    assert(w2.isNullAt(4) && w2.isNullAt(5))
+  }
+
+  // ---- vocabCoverage (x149) ------------------------------------------
+
+  test("vocabCoverage: the top-V cut is deterministic and OOV mass lands on the right source") {
+    val docs = Seq(
+      // "hot" appears 6x corpus-wide; "rare1/rare2" once each in src b
+      (1L, "hot hot hot common", "en", "a"),
+      (2L, "hot hot hot common rare1 rare2", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.vocabCoverage(docs, topV = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // vocab = {hot, common}; src a fully covered, src b misses 2 of 6
+    assert(out("a") === ((4L, 0L, 0.0, 2L, 0L)))
+    assert(out("b") === ((6L, 2L, 0.333333, 4L, 2L)))
+    // zero rate serializes +0.0
+    assert(1.0 / out("a")._3 > 0)
+  }
+
+  // ---- qualityEnsemble (x148) ----------------------------------------
+
+  test("qualityEnsemble: varied prose outranks repetitive junk; repetition lowers the ensemble; buckets stay in range") {
+    val varied = (1 to 60).map(i => s"w$i").mkString(" ")
+    val looped = (1 to 20).flatMap(_ => Seq("spam", "spam", "buy")).mkString(" ")
+    val digits = (1 to 60).map(i => s"$i$i$i").mkString(" ")
+    val docs = Seq(
+      (1L, varied, "en", "s"),
+      (2L, looped, "en", "s"),
+      (3L, digits, "en", "s"),
+      (4L, varied + " extra tokens here", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.qualityEnsemble(docs, buckets = 4, minEnsemble = 3.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out.size === 4)
+    out.values.foreach { case (q, e, rr, ens, _) =>
+      assert(q >= 1 && q <= 4 && e >= 1 && e <= 4 && rr >= 1 && rr <= 4)
+      assert(ens >= 0.0 && ens <= 5.0)
+    }
+    // the varied docs must outrank the looped doc (entropy + repetition axes)
+    assert(out(1L)._4 > out(2L)._4, s"varied ${out(1L)} vs looped ${out(2L)}")
+    assert(out(4L)._4 > out(2L)._4)
+    // the looped doc sits in the TOP repetition bucket (inverted axis)
+    assert(out(2L)._3 === 4L)
+  }
+
+  // ---- labelPurity (x147) --------------------------------------------
+
+  test("labelPurity: clean separated clusters score 1.0; a mislabeled member drags its label down") {
+    // cluster A along +x (label 0), cluster B along +y (label 1);
+    // vec 6 sits in cluster B but carries label 0
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (10L, Seq(0.99f, 0.01f), 0), (11L, Seq(0.98f, 0.02f), 0),
+      (100L, Seq(0.0f, 1.0f), 1), (12L, Seq(0.01f, 0.99f), 1), (13L, Seq(0.02f, 0.98f), 1),
+      (6L, Seq(0.03f, 0.97f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // queries: vec_id % 100 == 0 -> 0 and 100
+    val out = Similarity.labelPurity(emb, col("vec_id") % 100 === 0, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // query 0 (label 0): neighbors 10, 11 (same label) -> purity 1
+    assert(out(0L) === ((1L, 2L, 2L, 1.0)))
+    // query 100 (label 1): nearest two of {12, 13, 6} - 6 is closest in
+    // angle? vectors 12/13/6 all near +y; top-2 by cosine are 12 and 6
+    // (0.01,0.99) and (0.03,0.97) vs (0.02,0.98): sims to (0,1):
+    // 12: 0.99/|..|, 6: 0.97/|..|, 13: 0.98/|..| -> top2 = 12, 13 -> both label 1
+    assert(out(1L)._4 === 1.0)
+  }
+
+  test("labelPurity: a label whose neighborhoods are foreign scores 0") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),                       // lone query, label 7
+      (1L, Seq(0.99f, 0.01f), 1), (2L, Seq(0.98f, 0.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelPurity(emb, col("vec_id") === 0, k = 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 7L && out(0).getDouble(4) === 0.0)
+    assert(1.0 / out(0).getDouble(4) > 0, "zero purity must serialize +0.0")
+  }
+
   // ---- functionalDependencyAudit (x146) ------------------------------
 
   test("functionalDependencyAudit: clean keys read is_fd; violations report the majority; nulls count as a value") {

@@ -619,4 +619,43 @@ class PlanSpec extends SparkSpec {
     // the pair join keys on (band, key) — an equi-join, whatever strategy AQE picks
     assert(p.contains("band"), p)
   }
+
+  test("x144/x145/x146: repeat runs, hour profiles, and the FD audit are window-free aggregate chains") {
+    for (q <- Seq(ExtensionQueries.x144 _, ExtensionQueries.x145 _, ExtensionQueries.x146 _)) {
+      val p = plan(q)
+      assert("Window".r.findAllIn(p).isEmpty, p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_"), p)
+    }
+  }
+
+  test("x147: the pair frame broadcasts into the label joins; no corpus sort-merge") {
+    val p = plan(ExtensionQueries.x147)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && "Window".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("x148: signal joins are doc-keyed; bucket thresholds broadcast — no window, no rangepartitioning past the output sort") {
+    val p = plan(ExtensionQueries.x148)
+    assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
+    // the three threshold frames attach as 1-row broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    val rp = "rangepartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(rp.subsetOf(Set("doc_id")), s"unexpected range exchange: $rp")
+  }
+
+  test("x149/x151: vocab broadcast and shard arithmetic stay window-free with partial aggregation") {
+    val p149 = plan(ExtensionQueries.x149)
+    assert(p149.contains("BroadcastHashJoin") && !p149.contains("SortMergeJoin"), p149)
+    assert("Window".r.findAllIn(p149).isEmpty && p149.contains("partial_"), p149)
+    val p151 = plan(ExtensionQueries.x151)
+    assert("Window".r.findAllIn(p151).isEmpty && !p151.contains("Join"), p151)
+    assert(p151.contains("partial_"), p151)
+  }
+
+  test("x150: cohort lag is two partial aggregates and one user-keyed join — window-free") {
+    val p = plan(ExtensionQueries.x150)
+    assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
