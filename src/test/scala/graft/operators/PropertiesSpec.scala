@@ -435,12 +435,103 @@ class PropertiesSpec extends SparkSpec {
       "centDrift"   -> (() => Similarity.centroidDrift(e, e,
         Similarity.centroidsOf(e, col("vec_id") < 4)).count()),
       "xsrcDups"    -> (() => TextAnalysis.crossSourceDups(
-        d.withColumn("source", col("lang")), md5(col("text"))).count()))
+        d.withColumn("source", col("lang")), md5(col("text"))).count()),
+      "contamRuns"  -> (() => Dedup.contaminationRuns(d, d).count()),
+      "repeatRuns"  -> (() => Dedup.selfRepeatRuns(d).count()),
+      "profTwins"   -> (() => Relational.profileTwins(ev, col("user_id"),
+        col("event_id").cast("string")).count()),
+      "hourProfile" -> (() => Relational.typeHourProfile(ev,
+        col("event_id").cast("string"), col("ts")).count()),
+      "fdAudit"     -> (() => Relational.functionalDependencyAudit(
+        d, col("lang"), col("text")).count()),
+      "codeSwitch"  -> (() => TextAnalysis.codeSwitch(d).count()),
+      "epochPlan"   -> (() => TextAnalysis.epochPlan(d, col("lang"),
+        length(col("text")).cast("long"), Map("en" -> 1.0), 100L).count()),
+      "sampleCalib" -> (() => Relational.sampleCalibration(d, col("doc_id"),
+        length(col("text")).cast("long")).count()),
+      "blockFp"     -> (() => Multimodal.blockFingerprints(
+        Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()),
+      "blockPairs"  -> (() => Multimodal.blockNearDupPairs(
+        Multimodal.asBinaryTable(d.select(col("doc_id"), col("text")))).count()),
+      "ensemble"    -> (() => TextAnalysis.qualityEnsemble(d).count()),
+      "vocabCov"    -> (() => TextAnalysis.vocabCoverage(
+        d.withColumn("source", col("lang")), 10).count()),
+      "convLag"     -> (() => Relational.conversionLag(ev, col("user_id"),
+        col("ts"), col("event_id").cast("string"), "a", "b").count()),
+      "shardPlan"   -> (() => Relational.shardPlan(d, col("lang"),
+        length(col("text")).cast("long"), 1024L).count()),
+      "labelPurity" -> (() => Similarity.labelPurity(
+        e.withColumn("label", lit(1)), col("vec_id") % 2 === 0, 3).count()))
     checks.foreach { case (name, f) =>
       val n = try f() catch {
         case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
       }
       assert(n == 0, s"$name returned $n rows on an empty corpus")
+    }
+  }
+
+  test("longestConsecutiveRun == the driver-side fold for arbitrary position sets") {
+    import graft.functions.TextFunctions.longestConsecutiveRun
+    def ref(ps: Seq[Long]): Long = {
+      val s = ps.distinct.sorted
+      if (s.isEmpty) 0L
+      else s.zipWithIndex.foldLeft((0L, 0L, -2L)) {
+        case ((best, cur, prev), (p, _)) =>
+          val c = if (p == prev + 1) cur + 1 else 1L
+          (math.max(best, c), c, p)
+      }._1
+    }
+    val gen = Gen.listOf(Gen.choose(0L, 30L))
+    cases(gen, n = 20).foreach { ps =>
+      // the operator contract feeds DISTINCT positions (pos is unique per
+      // doc); dedup here to match
+      val in = ps.distinct
+      val got = Seq(Tuple1(in)).toDF("mp")
+        .select(longestConsecutiveRun(col("mp")).as("r"))
+        .collect()(0).getLong(0)
+      assert(got === ref(in), s"positions $in")
+    }
+  }
+
+  test("profileTwinsFromCounts folded over ANY split == the one-pass batch report") {
+    val gen = for {
+      evs <- Gen.nonEmptyListOf(for {
+        u <- Gen.choose(1L, 6L)
+        t <- Gen.oneOf("a", "b", "c")
+      } yield (u, t))
+      mask <- Gen.listOfN(evs.size, Gen.oneOf(true, false))
+    } yield (evs, mask)
+    cases(gen, n = 10).foreach { case (evs, mask) =>
+      val all = evs.toDF("user_id", "event_type")
+      def counts(rows: Seq[(Long, String)]) =
+        rows.toDF("user_id", "event_type")
+          .select(col("user_id").as("key"), col("event_type").as("etype"))
+          .groupBy(col("key"), col("etype")).agg(count(lit(1)).as("c"))
+      val batch = Relational.profileTwins(all, col("user_id"), col("event_type"))
+        .collect().map(_.toSeq).toSet
+      val (b1, b2) = evs.zip(mask).partition(_._2)
+      val folded = counts(b1.map(_._1)).unionByName(counts(b2.map(_._1)))
+        .groupBy(col("key"), col("etype")).agg(sum(col("c")).as("c"))
+      val incr = Relational.profileTwinsFromCounts(folded)
+        .collect().map(_.toSeq).toSet
+      assert(incr === batch, s"events $evs split $mask")
+    }
+  }
+
+  test("shardPlan: exact BigInt ceil and fill for arbitrary byte masses") {
+    val gen = Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf("a", "b", "c")
+      b <- Gen.choose(0L, 1L << 40)
+    } yield (s, b))
+    cases(gen, n = 10).foreach { rows =>
+      val target = 1L << 20
+      val out = Relational.shardPlan(rows.toDF("s", "b"), col("s"), col("b"), target)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      rows.groupBy(_._1).foreach { case (s, rs) =>
+        val total = rs.map(_._2).sum
+        val shards = math.max((total + target - 1) / target, 1L)
+        assert(out(s) === ((total, shards)), s"stratum $s total $total")
+      }
     }
   }
 
