@@ -774,6 +774,42 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/profile_twins")
   }
 
+  /** Incremental hour-profile monitoring — x145's streaming twin: the
+    * seasonality forensics stay current, so a type going flat (a new
+    * cron) or needle-peaked (a stuck batch job) is caught at the next
+    * micro-batch. Per-batch (type, hour) count partials in `batch=<id>`
+    * overwrite directories; the published report is
+    * [[graft.operators.Relational.typeHourProfileFromCounts]] over the
+    * summed partials — entropy and modal hour re-derive from FOLDED
+    * counts, so the twin equals the batch report exactly
+    * (spec-asserted). */
+  def runIncrementalHourProfile(spark: SparkSession, eventsDir: String,
+                                outRoot: String): Unit =
+    graft.streaming.EventStream.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeHourProfileBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/hour_profile")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalHourProfile]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeHourProfileBatch(batch: DataFrame, batchId: Long,
+                                           outRoot: String): Unit = {
+    val s = batch.sparkSession
+    batch
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.Relational.typeHourProfileFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("event_type"), col("h")).agg(sum(col("c")).as("c")))
+      .write.mode("overwrite").parquet(s"$outRoot/hour_profile")
+  }
+
   /** Incremental embedding-drift monitoring — x120's streaming twin,
     * closing the monitoring family (PSI x102, source-KL x79, and now
     * vector-space drift all have `batch=<id>` twins): the baseline

@@ -1010,10 +1010,18 @@ object Relational {
     * window. Output: det, n_rows, distinct_dep, major_dep, major_share
     * (ROUND 6), is_fd. */
   def functionalDependencyAudit(df: DataFrame, det: Column,
-                                dep: Column): DataFrame = {
-    val dc = df
-      .select(det.as("det"), coalesce(dep.cast("string"), lit("__null__")).as("dep"))
-      .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+                                dep: Column): DataFrame =
+    functionalDependencyAuditFromCounts(
+      df.select(det.as("det"),
+          coalesce(dep.cast("string"), lit("__null__")).as("dep"))
+        .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c")))
+
+  /** [[functionalDependencyAudit]] over an already-aggregated
+    * (det, dep, c) frame — the counts are ADDITIVE, so the incremental
+    * twin persists per-batch partials and re-derives the audit from the
+    * fold (a violation arriving in a LATER batch still flips the key);
+    * ONE definition for both paths. */
+  def functionalDependencyAuditFromCounts(dc: DataFrame): DataFrame = {
     val tieKey = struct((-col("c")).as("a"), col("dep").as("b"))
     dc.groupBy(col("det"))
       .agg(sum(col("c")).as("n_rows"),
@@ -1041,12 +1049,19 @@ object Relational {
     * a window. Output: event_type, n_events, distinct_hours, peak_hour,
     * peak_share (ROUND 4), hour_entropy (ROUND 4). */
   def typeHourProfile(events: DataFrame, typeCol: Column,
-                      ts: Column): DataFrame = {
-    val hc = events
-      .select(typeCol.as("event_type"), hour(ts).cast("long").as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+                      ts: Column): DataFrame =
+    typeHourProfileFromCounts(
+      events.select(typeCol.as("event_type"), hour(ts).cast("long").as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** [[typeHourProfile]] over an already-aggregated (event_type, h, c)
+    * frame — (type, hour) counts are ADDITIVE, so the incremental twin
+    * persists per-batch partials and re-derives the profile from the
+    * fold; ONE definition for both paths (the
+    * [[behaviorEntropyFromCounts]] convention). */
+  def typeHourProfileFromCounts(counts: DataFrame): DataFrame = {
     val tieKey = struct((-col("c")).as("a"), col("h").as("b"))
-    hc.groupBy(col("event_type"))
+    counts.groupBy(col("event_type"))
       .agg(sum(col("c")).as("n_events"),
         count(lit(1)).as("distinct_hours"),
         min_by(col("h"), tieKey).as("peak_hour"),

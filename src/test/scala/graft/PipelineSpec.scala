@@ -852,6 +852,29 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published report")
   }
 
+  test("O2 streaming: incremental hour profile equals the batch report across waves") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_hp_in").toString
+    val root = Files.createTempDirectory("graft_hp_out").toString
+    val events = Tables(spark, sf("sf0.01"), "events")
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalHourProfile(spark, src, root)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalHourProfile(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val streamed = rows(spark.read.parquet(s"$root/hour_profile"))
+    val batch = rows(graft.operators.Relational.typeHourProfile(
+      events, col("event_type"), col("ts")))
+    assert(batch.nonEmpty && streamed == batch,
+      "incremental hour profile diverged from the batch report")
+    Main.mergeHourProfileBatch(events.filter(col("event_id") % 2 === 1), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/hour_profile")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental source-KL equals the batch divergence across waves") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_kl_in").toString

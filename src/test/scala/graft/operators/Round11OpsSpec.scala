@@ -235,6 +235,25 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("c") === ((2L, 2L, "__null__", 0.5, false)))
   }
 
+  test("functionalDependencyAudit: count partials fold — a violation arriving in a later batch flips the key") {
+    val b1 = Seq(("a", Some("en")), ("a", Some("en"))).toDF("k", "v")
+    val b2 = Seq(("a", Some("es"))).toDF("k", "v")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k").as("det"),
+          coalesce(col("v").cast("string"), lit("__null__")).as("dep"))
+        .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+    val folded = counts(b1).unionByName(counts(b2))
+      .groupBy(col("det"), col("dep")).agg(sum(col("c")).as("c"))
+    val out = Relational.functionalDependencyAuditFromCounts(folded).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(!r.getBoolean(5) && r.getLong(2) === 2L && r.getString(3) === "en")
+    // and equals the one-pass audit over the union
+    val batch = Relational.functionalDependencyAudit(
+      b1.unionByName(b2), col("k"), col("v")).collect().map(_.toSeq).toSet
+    assert(out.map(_.toSeq).toSet === batch)
+  }
+
   // ---- typeHourProfile (x145) ----------------------------------------
 
   test("typeHourProfile: a one-hour needle scores entropy 0 and share 1; uniform hours score ln k; peak ties break hour-asc") {
