@@ -204,6 +204,43 @@ object Relational {
         .groupBy(col(key), col("bucket")).agg(count(lit(1)).as("n_events")),
       key, unit)
 
+  /** OUTAGE detector — the longest run of consecutive EMPTY buckets per
+    * key on the [[resampleCounts]] spine: a feed that stopped for six
+    * hours shows up here as `longest_gap = 6` even when its daily
+    * totals look healthy, which is exactly the failure a volume-only
+    * health check (x112) misses. Composes two audited cores: the
+    * gap-filled spine (empty-vs-missing made explicit) and the
+    * [[graft.functions.TextFunctions.longestConsecutiveRun]] islands
+    * fold (ONE definition with x138/x144), applied to the ZERO
+    * positions.
+    *
+    * Scale shape: the spine is bounded by activity-span/unit per key
+    * (the resample lever); bucket indices derive by integer `div` from
+    * the key's own min bucket (|keys|-row broadcast join); per-key fold
+    * state is the EMPTY positions only. Output: key, n_buckets,
+    * n_empty, longest_gap (in `unit`s). */
+  def outageGaps(events: DataFrame, key: String, ts: String,
+                 unit: String = "hour"): DataFrame = {
+    val unitUs = unit match {
+      case "hour" => 3600000000L
+      case "day"  => 86400000000L
+      case "week" => 604800000000L
+      case u => throw new IllegalArgumentException(s"unit must be hour|day|week, got $u")
+    }
+    val spine = resampleCounts(events, key, ts, unit)
+    val lo = spine.groupBy(col(key)).agg(min(col("bucket")).as("__lo"))
+    spine.join(broadcast(lo), key)
+      .withColumn("__idx",
+        expr(s"(unix_micros(bucket) - unix_micros(__lo)) div ${unitUs}L"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("n_events") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        collect_list(when(col("n_events") === 0L, col("__idx"))).as("__zp"))
+      .select(col(key), col("n_buckets"), col("n_empty"),
+        graft.functions.TextFunctions.longestConsecutiveRun(col("__zp"))
+          .as("longest_gap"))
+  }
+
   /** The gap-fill stage of [[resampleCounts]], exposed for callers that
     * already HOLD aggregated (key, bucket, n_events) rows — e.g. the
     * incremental anomaly runner, whose counts table is maintained
@@ -757,6 +794,51 @@ object Relational {
       .drop("__new", "__ts_us")
   }
 
+  /** Session PROFILE — [[sessionize]]'s output rolled into the one-row
+    * engagement scorecard: session count, bounce rate (single-event
+    * sessions), and depth/duration percentiles. The corpus-level read
+    * next to x14's per-event assignment — a scraper fleet shows up as
+    * bounce-heavy with near-zero durations, a session-timeout
+    * misconfiguration as a depth collapse between snapshots.
+    * Determinism (the x115 rule): p50s interpolate integers at exact
+    * halves — emitted RAW; p90s round to whole units.
+    *
+    * Scale shape: the sessionize window is user-partitioned (bounded
+    * groups); the per-session rollup is a (user, session) aggregate
+    * with three-number state; the closing profile is ONE row. The
+    * exact output percentiles carry the [[graft.operators.TextAnalysis
+    * .corpusStats]] caveat. Output: n_sessions, bounce_rate (ROUND 6),
+    * p50_depth, p90_depth, p50_dur_us, p90_dur_us. */
+  def sessionProfile(events: DataFrame, user: Column, tsMicros: Column,
+                     tieBreak: Column, gapMicros: Long): DataFrame = {
+    val per = sessionize(events, user, tsMicros, tieBreak, gapMicros)
+      .withColumn("__us", tsMicros)
+      .groupBy(user.as("__u"), col("session_id"))
+      .agg(count(lit(1)).as("__depth"),
+        (max(col("__us")) - min(col("__us"))).as("__dur"))
+    per.agg(
+      count(lit(1)).as("n_sessions"),
+      round(sum(when(col("__depth") === 1L, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6).as("bounce_rate"),
+      expr("percentile(__depth, 0.5)").as("p50_depth"),
+      round(expr("percentile(__depth, 0.9)"), 0).cast("long").as("p90_depth"),
+      expr("percentile(__dur, 0.5)").as("p50_dur_us"),
+      round(expr("percentile(__dur, 0.9)"), 0).cast("long").as("p90_dur_us"))
+  }
+
+  /** Active-days HISTOGRAM — how many users were active on exactly d
+    * distinct days: the retention-shape read at a glance (a healthy
+    * product shows a long tail; a bot cohort shows a spike at the exact
+    * day count the farm ran). Two bounded aggregates: (user, day)
+    * distinct, per-user day counts, then ≤ |calendar days| histogram
+    * rows. Output: days_active, n_users. */
+  def activeDaysHistogram(events: DataFrame, user: Column,
+                          ts: Column): DataFrame =
+    events.filter(user.isNotNull)
+      .select(user.as("u"), to_date(ts).as("d")).distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("days_active"))
+      .groupBy(col("days_active")).agg(count(lit(1)).as("n_users"))
+
   /** Session transcripts — the instruction-tuning prep step downstream of
     * [[sessionize]]: each session's turns assembled into ONE ordered
     * sequence (the unit conversational training actually consumes), with
@@ -923,6 +1005,35 @@ object Relational {
         min(col("__d")).as("distinct_types"),
         sum(col("__n")).as("total_events"))
       .filter(col("n_keys") >= 2)
+
+  /** Grouped Pearson CORRELATION — exact-decimal moment sums per group,
+    * one closed-form division at the end: the metric-integrity check
+    * behind any gate built on a proxy (x154 asks "is quality_score just
+    * length in disguise, per source?" — a source where the two correlate
+    * ≈1 is gaming the x18/x148 gates with padding, and a weighted sum
+    * would never show it). The five moment sums are ROUND-6
+    * DECIMAL(28,6) partials (order-free, the x37 discipline; 28 digits
+    * so squared sums survive corpus-scale magnitudes), the final r is
+    * one double expression ROUND 4 (+0.0 for the signed-zero class);
+    * zero-variance groups surface null, never a division blow-up.
+    *
+    * Scale shape: ONE partial-aggregated pass, |groups| output rows,
+    * six-number state. Output: group, n, r. */
+  def corrBy(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    def m(c: Column) = sum(round(c, 6).cast("decimal(28,6)"))
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val agg = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"), m(xd).as("__sx"), m(yd).as("__sy"),
+        m(xd * xd).as("__sxx"), m(yd * yd).as("__syy"), m(xd * yd).as("__sxy"))
+    val nd = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    val varX = nd * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val varY = nd * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val cov = nd * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    agg.select(col("grp"), col("n"),
+      when(varX > 0.0 && varY > 0.0,
+        round(cov / sqrt(varX * varY), 4) + lit(0.0)).as("r"))
+  }
 
   /** Shard-layout PLANNER — the physical-layout arithmetic behind
     * [[graft.sinks.TableSink.compact]]'s sizing, surfaced as a report:

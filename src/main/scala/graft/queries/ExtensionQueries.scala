@@ -1472,6 +1472,47 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x152: session engagement profile — x14's sessions rolled into the
+    * one-row scorecard (count, bounce rate, depth/duration
+    * percentiles): the corpus-level read a scraper fleet or a timeout
+    * misconfiguration moves first. */
+  def x152(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionProfile(
+      Tables(s, dir, "events").filter(col("user_id").isNotNull),
+      col("user_id"), unix_micros(col("ts")), col("event_id"),
+      gapMicros = 1800000000L)
+
+  /** x153: active-days histogram — users by exactly-d distinct active
+    * days: the retention shape at a glance (bot cohorts spike at the
+    * farm's run length). */
+  def x153(s: SparkSession, dir: String): DataFrame =
+    Relational.activeDaysHistogram(Tables(s, dir, "events"),
+        col("user_id"), col("ts"))
+      .orderBy("days_active")
+
+  /** x154: length-quality correlation per source — exact-decimal
+    * Pearson r between n_tokens and quality_score: a source
+    * correlating ≈1 is gaming the length term of the quality gate with
+    * padding (the metric-integrity read behind x18/x148). */
+  def x154(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Relational.corrBy(
+        TextAnalysis.quality(d)
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+          .join(d.select(col("doc_id"), col("source")), "doc_id"),
+        col("source"), col("n_tokens"), col("quality_score"))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+  }
+
+  /** x155: per-type outage gaps — longest run of consecutive EMPTY
+    * hourly buckets on the gap-filled spine: the feed-stopped-for-six-
+    * hours signal a daily volume check (x112) cannot see. */
+  def x155(s: SparkSession, dir: String): DataFrame =
+    Relational.outageGaps(Tables(s, dir, "events"), "event_type", "ts",
+        unit = "hour")
+      .orderBy("event_type")
+
   /** x151 target shard bytes: sized against the fixture's ~1.5 kB/source
     * so fills spread across the (0, 1] range. */
   val shardTargetBytes = 4096L
@@ -1765,6 +1806,10 @@ object ExtensionQueries {
     "x149_vocab_coverage" -> (x149 _),
     "x150_conversion_lag" -> (x150 _),
     "x151_shard_plan"   -> (x151 _),
+    "x152_session_profile" -> (x152 _),
+    "x153_active_days"  -> (x153 _),
+    "x154_len_quality_corr" -> (x154 _),
+    "x155_outage_gaps"  -> (x155 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4481,6 +4526,93 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // the x14 session chain -> per-session rollup -> ONE row; p50 RAW,
+    // p90 whole-unit (the x115 rule)
+    "x152_session_profile" ->
+      """WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT user_id, us,
+        |    SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM base),
+        |p AS (SELECT user_id, sid, count(*)::BIGINT AS depth,
+        |    max(us) - min(us) AS dur
+        |  FROM s GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_sessions,
+        |  ROUND(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS bounce_rate,
+        |  quantile_cont(depth, 0.5) AS p50_depth,
+        |  ROUND(quantile_cont(depth, 0.9), 0)::BIGINT AS p90_depth,
+        |  quantile_cont(dur, 0.5) AS p50_dur_us,
+        |  ROUND(quantile_cont(dur, 0.9), 0)::BIGINT AS p90_dur_us
+        |FROM p""".stripMargin,
+    "x153_active_days" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events
+        |  WHERE user_id IS NOT NULL),
+        |dc AS (SELECT user_id, count(*)::BIGINT AS days_active FROM ud GROUP BY 1)
+        |SELECT days_active, count(*)::BIGINT AS n_users
+        |FROM dc GROUP BY days_active ORDER BY days_active""".stripMargin,
+    // the x04 quality chain + ROUND-6 DECIMAL(28,6) moment sums; the
+    // closing r mirrors corrBy's double expression exactly; + 0.0
+    // normalizes the signed-zero class
+    "x154_len_quality_corr" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |c AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+        |    length(text)::DOUBLE AS nc,
+        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
+        |  FROM t),
+        |sig AS (SELECT source, n_tokens::DOUBLE AS x,
+        |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS y
+        |  FROM c),
+        |m AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(ROUND(x, 6)::DECIMAL(28,6)) AS sx,
+        |    sum(ROUND(y, 6)::DECIMAL(28,6)) AS sy,
+        |    sum(ROUND(x * x, 6)::DECIMAL(28,6)) AS sxx,
+        |    sum(ROUND(y * y, 6)::DECIMAL(28,6)) AS syy,
+        |    sum(ROUND(x * y, 6)::DECIMAL(28,6)) AS sxy
+        |  FROM sig GROUP BY source),
+        |v AS (SELECT source, n,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cv
+        |  FROM m)
+        |SELECT source, n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0
+        |    THEN ROUND(cv / sqrt(vx * vy), 4) + 0.0 END AS r
+        |FROM v ORDER BY source""".stripMargin,
+    // hourly spine per type (the x35 machinery keyed on event_type) with
+    // the x138 islands fold over the ZERO buckets
+    "x155_outage_gaps" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+        |    count(*)::BIGINT AS n FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket,
+        |    epoch_us(min(bucket)) AS lo
+        |  FROM b GROUP BY event_type),
+        |r AS (SELECT s.event_type, s.bucket,
+        |    (epoch_us(s.bucket) - s.lo) // 3600000000 AS idx,
+        |    COALESCE(b.n, 0)::BIGINT AS n_events
+        |  FROM s LEFT JOIN b USING (event_type, bucket)),
+        |z AS (SELECT event_type, idx FROM r WHERE n_events = 0),
+        |isl AS (SELECT event_type, idx,
+        |    idx - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS g
+        |  FROM z),
+        |runs AS (SELECT event_type, count(*)::BIGINT AS run FROM isl
+        |  GROUP BY event_type, g),
+        |best AS (SELECT event_type, max(run)::BIGINT AS longest FROM runs
+        |  GROUP BY event_type),
+        |tot AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+        |    sum(CASE WHEN n_events = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+        |  FROM r GROUP BY event_type)
+        |SELECT tot.event_type, n_buckets, n_empty,
+        |  COALESCE(best.longest, 0)::BIGINT AS longest_gap
+        |FROM tot LEFT JOIN best USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // integer-ceil shard counts; octet_length == length on the ASCII
     // fixture (the x75 contract)
     "x151_shard_plan" ->

@@ -96,6 +96,80 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- sessionProfile (x152) -----------------------------------------
+
+  test("sessionProfile: bounce rate, depth and duration percentiles on a hand-built session set") {
+    val rows = Seq(
+      (1L, 1L, "2026-01-01 10:00:00"),  // session A: 2 events, 10 min apart
+      (1L, 2L, "2026-01-01 10:10:00"),
+      (1L, 3L, "2026-01-01 13:00:00"),  // session B: bounce
+      (2L, 4L, "2026-01-01 09:00:00")   // session C: bounce
+    )
+    val events = rows.toDF("user_id", "event_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Relational.sessionProfile(events, col("user_id"),
+      unix_micros(col("ts")), col("event_id"), gapMicros = 1800000000L)
+      .collect()(0)
+    assert(out.getLong(0) === 3L)
+    assert(out.getDouble(1) === 0.666667)
+    assert(out.getDouble(2) === 1.0)          // p50 depth of [1,1,2]
+    assert(out.getLong(3) === 2L)             // p90 depth rounds to 2
+    assert(out.getDouble(4) === 0.0)          // p50 duration of [0,0,600s]
+    assert(out.getLong(5) === 480000000L)     // p90 interpolates 0.8*600s
+  }
+
+  // ---- activeDaysHistogram (x153) ------------------------------------
+
+  test("activeDaysHistogram: counts users at exactly-d distinct days; null users drop") {
+    val rows = Seq(
+      (Some(1L), "2026-01-01 10:00:00"), (Some(1L), "2026-01-01 23:00:00"),
+      (Some(1L), "2026-01-02 10:00:00"),
+      (Some(2L), "2026-01-05 10:00:00"),
+      (Some(3L), "2026-01-05 11:00:00"),
+      (None,     "2026-01-05 12:00:00")
+    )
+    val events = rows.toDF("user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Relational.activeDaysHistogram(events, col("user_id"), col("ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  // ---- corrBy (x154) -------------------------------------------------
+
+  test("corrBy: perfect linear scores 1, anti-linear -1, zero variance null; +0.0 discipline") {
+    val df = Seq(
+      ("lin", 1.0, 2.0), ("lin", 2.0, 4.0), ("lin", 3.0, 6.0),
+      ("anti", 1.0, 3.0), ("anti", 2.0, 2.0), ("anti", 3.0, 1.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0)
+    ).toDF("g", "x", "y")
+    val out = Relational.corrBy(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out("lin") === ((3L, Some(1.0))))
+    assert(out("anti") === ((3L, Some(-1.0))))
+    assert(out("flat") === ((2L, None)))
+    assert(1.0 / out("lin")._2.get > 0)
+  }
+
+  // ---- outageGaps (x155) ---------------------------------------------
+
+  test("outageGaps: a 3-hour feed gap is found on the spine; a continuous feed reads zero") {
+    val rows = Seq(
+      ("a", "2026-01-01 00:30:00"), ("a", "2026-01-01 01:30:00"),
+      ("a", "2026-01-01 05:30:00"),                    // hours 2,3,4 empty
+      ("b", "2026-01-01 00:10:00"), ("b", "2026-01-01 01:10:00")
+    )
+    val events = rows.toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Relational.outageGaps(events, "event_type", "ts", unit = "hour")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((6L, 3L, 3L)))
+    assert(out("b") === ((2L, 0L, 0L)))
+  }
+
   // ---- shardPlan (x151) ----------------------------------------------
 
   test("shardPlan: exact ceil shard counts; tiny strata floor at one shard; fills are exact ratios") {

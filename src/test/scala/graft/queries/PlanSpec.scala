@@ -658,4 +658,22 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("x152/x155: session and spine windows stay user-/type-keyed; no global ordering") {
+    val p152 = plan(ExtensionQueries.x152)
+    val keys152 = "windowspecdefinition\\(([a-z_]+)#".r
+      .findAllMatchIn(p152).map(_.group(1)).toSet
+    assert(keys152.subsetOf(Set("user_id")), s"window keys $keys152")
+    val p155 = plan(ExtensionQueries.x155)
+    assert("Window".r.findAllIn(p155).isEmpty && !p155.contains("CartesianProduct"), p155)
+    assert(p155.contains("partial_"), p155)
+  }
+
+  test("x153/x154: active days and grouped correlation are pure aggregate chains") {
+    for (q <- Seq(ExtensionQueries.x153 _, ExtensionQueries.x154 _)) {
+      val p = plan(q)
+      assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_"), p)
+    }
+  }
 }
