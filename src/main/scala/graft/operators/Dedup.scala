@@ -1512,6 +1512,70 @@ object Dedup {
         frac.as("overlap_frac"), (frac >= lit(threshold)).as("flagged"))
   }
 
+  /** Dedup STRATEGY audit — greedy ([[dropNearDuplicates]]) vs
+    * connected-components ([[dropNearDuplicatesCC]]) over the SAME pair
+    * graph, as one row: how many docs each keeps and how far apart the
+    * two policies actually are on this corpus. Greedy keeps a superset
+    * of CC by construction (a component's min id never appears on a
+    * pair's b side), so `extra_greedy` — chain-middle docs greedy
+    * retains that CC collapses — IS the price of skipping the iterative
+    * CC pass, priced per corpus instead of argued in the abstract. A
+    * near-zero extra says greedy is safe here; a large one says the
+    * graph has chains and CC is worth its rounds.
+    *
+    * Scale shape: both policies ride their audited implementations over
+    * ONE persisted pair frame; the report is four scalar aggregates
+    * attached by the 1-row-broadcast pattern. Output: n_docs, n_pairs,
+    * kept_greedy, kept_cc, extra_greedy. */
+  def dedupStrategyAudit(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = graft.Persist.cut(pairs0)
+    val base = docs.agg(count(lit(1)).as("n_docs"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val g = dropNearDuplicates(docs, pairs).agg(count(lit(1)).as("kept_greedy"))
+    val c = dropNearDuplicatesCC(docs, pairs).agg(count(lit(1)).as("kept_cc"))
+    base.crossJoin(broadcast(np)).crossJoin(broadcast(g)).crossJoin(broadcast(c))
+      .select(col("n_docs"), col("n_pairs"), col("kept_greedy"),
+        col("kept_cc"),
+        (col("kept_greedy") - col("kept_cc")).as("extra_greedy"))
+  }
+
+  /** Detector AGREEMENT audit — the MinHash/LSH candidate pairs vs the
+    * 64-bit SimHash pairs over the same corpus, as one row: pair counts
+    * per detector, the shared set, and their Jaccard overlap. The two
+    * families see DIFFERENT notions of "near" (set overlap vs weighted
+    * bit profile), and a pipeline running both (the belt-and-suspenders
+    * shape at 100 TB) needs to know whether the second detector is
+    * adding recall or just cost — an overlap near 1 says drop one; near
+    * 0 says they patrol different duplicate classes and both earn their
+    * keep.
+    *
+    * Scale shape: both chains are their audited implementations,
+    * persisted once; the intersection is one (a_id, b_id)-keyed
+    * left-semi join of id pairs; the report is scalar aggregates on the
+    * 1-row-broadcast pattern. Output: lsh_pairs, simhash_pairs,
+    * both_pairs, lsh_only, simhash_only, overlap_jaccard (ROUND 6,
+    * null when neither finds anything). */
+  def detectorAgreement(docs: DataFrame, bits: Int = 64,
+                        maxHamming: Int = 3): DataFrame = {
+    val lsh = graft.Persist.cut(
+      lshCandidatePairs(docs).select(col("a_id"), col("b_id")))
+    val sim = graft.Persist.cut(
+      simhashNearDupPairs(docs, bits, maxHamming)
+        .select(col("a_id"), col("b_id")))
+    val nl = lsh.agg(count(lit(1)).as("lsh_pairs"))
+    val ns = sim.agg(count(lit(1)).as("simhash_pairs"))
+    val nb = lsh.join(sim, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("both_pairs"))
+    val union = col("lsh_pairs") + col("simhash_pairs") - col("both_pairs")
+    nl.crossJoin(broadcast(ns)).crossJoin(broadcast(nb))
+      .select(col("lsh_pairs"), col("simhash_pairs"), col("both_pairs"),
+        (col("lsh_pairs") - col("both_pairs")).as("lsh_only"),
+        (col("simhash_pairs") - col("both_pairs")).as("simhash_only"),
+        when(union > 0L,
+          round(col("both_pairs").cast("double") / union.cast("double"), 6))
+          .as("overlap_jaccard"))
+  }
+
   /** Longest CONTIGUOUS bench-matched shingle run per document — the
     * exact-substring reading of contamination next to
     * [[contaminationScores]]' set-overlap fraction (the n-gram-RUN test

@@ -1472,6 +1472,21 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x156: dedup strategy audit — greedy vs connected-components over
+    * the x08/x21 LSH pair graph, one row: extra_greedy prices the
+    * cost of skipping the iterative CC pass on THIS corpus. */
+  def x156(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupStrategyAudit(d, Dedup.lshCandidatePairs(d, n = 3, k = 12,
+      bands = 4))
+  }
+
+  /** x157: detector agreement — the x08 LSH candidates vs the x20
+    * 64-bit SimHash pairs, one row: overlap near 1 says drop a
+    * detector, near 0 says they patrol different duplicate classes. */
+  def x157(s: SparkSession, dir: String): DataFrame =
+    Dedup.detectorAgreement(docs(s, dir), bits = 64, maxHamming = 3)
+
   /** x152: session engagement profile — x14's sessions rolled into the
     * one-row scorecard (count, bounce rate, depth/duration
     * percentiles): the corpus-level read a scraper fleet or a timeout
@@ -1810,6 +1825,8 @@ object ExtensionQueries {
     "x153_active_days"  -> (x153 _),
     "x154_len_quality_corr" -> (x154 _),
     "x155_outage_gaps"  -> (x155 _),
+    "x156_dedup_audit"  -> (x156 _),
+    "x157_detector_agreement" -> (x157 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4525,6 +4542,51 @@ object ExtensionQueries {
          |  CASE WHEN target_share IS NULL THEN NULL
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
+    },
+    // greedy = docs minus b-side ids; CC = the x21 recursive closure;
+    // both read the SAME pairs CTE so the audit cannot drift
+    "x156_dedup_audit" ->
+      s"""WITH RECURSIVE $ccCompCtes
+         |SELECT
+         |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,
+         |  (SELECT count(*) FROM documents
+         |     WHERE doc_id NOT IN (SELECT b_id FROM pairs))::BIGINT AS kept_greedy,
+         |  (SELECT count(*) FROM documents
+         |     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl))::BIGINT AS kept_cc,
+         |  ((SELECT count(*) FROM documents
+         |     WHERE doc_id NOT IN (SELECT b_id FROM pairs)) -
+         |   (SELECT count(*) FROM documents
+         |     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)))::BIGINT
+         |    AS extra_greedy""".stripMargin,
+    // the two audited pair chains side by side; simhash bands renamed
+    // (sb/sp) so the CTE namespaces cannot collide with the LSH ones
+    "x157_detector_agreement" -> {
+      val w = 64 / 4
+      s"""WITH $lshCtes,
+         |lp AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |${simhashCtes(64)},
+         |sb AS (SELECT doc_id, fingerprint, i AS band,
+         |    (fingerprint >> (i * $w)) & ${(1L << w) - 1} AS key
+         |  FROM fp CROSS JOIN range(0, 4) r(i)),
+         |sp AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sb a JOIN sb b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+         |bo AS (SELECT a_id, b_id FROM lp INTERSECT SELECT a_id, b_id FROM sp),
+         |c AS (SELECT (SELECT count(*) FROM lp)::BIGINT AS lsh_pairs,
+         |    (SELECT count(*) FROM sp)::BIGINT AS simhash_pairs,
+         |    (SELECT count(*) FROM bo)::BIGINT AS both_pairs)
+         |SELECT lsh_pairs, simhash_pairs, both_pairs,
+         |  (lsh_pairs - both_pairs)::BIGINT AS lsh_only,
+         |  (simhash_pairs - both_pairs)::BIGINT AS simhash_only,
+         |  CASE WHEN lsh_pairs + simhash_pairs - both_pairs > 0
+         |    THEN ROUND(both_pairs::DOUBLE /
+         |      (lsh_pairs + simhash_pairs - both_pairs)::DOUBLE, 6) END
+         |    AS overlap_jaccard
+         |FROM c""".stripMargin
     },
     // the x14 session chain -> per-session rollup -> ONE row; p50 RAW,
     // p90 whole-unit (the x115 rule)

@@ -96,6 +96,38 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- dedupStrategyAudit (x156) / detectorAgreement (x157) ----------
+
+  test("dedupStrategyAudit: a star graph prices greedy == CC; a chain shows the extra docs greedy keeps") {
+    val docs = (1L to 5L).map(i => (i, s"doc $i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // star: (1,2),(1,3) — greedy drops {2,3}, CC keeps min 1 -> equal
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val s1 = Dedup.dedupStrategyAudit(docs, star).collect()(0)
+    assert((s1.getLong(2), s1.getLong(3), s1.getLong(4)) === ((3L, 3L, 0L)))
+    // chain via shared sink: (1,3),(2,3) — greedy keeps {1,2,4,5}, CC {1,4,5}
+    val chain = Seq((1L, 3L), (2L, 3L)).toDF("a_id", "b_id")
+    val s2 = Dedup.dedupStrategyAudit(docs, chain).collect()(0)
+    assert((s2.getLong(2), s2.getLong(3), s2.getLong(4)) === ((4L, 3L, 1L)))
+  }
+
+  test("detectorAgreement: byte-identical docs are found by both detectors; clean corpora report null overlap") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s"), (2L, base, "en", "s"),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.detectorAgreement(docs).collect()(0)
+    assert(out.getLong(2) >= 1L, "the identical pair must be in BOTH detectors")
+    assert(out.getDouble(5) > 0.0)
+    val clean = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" "), "en", "s"),
+      (2L, (50 to 80).map(i => s"b$i").mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val c = Dedup.detectorAgreement(clean).collect()(0)
+    if (c.getLong(0) + c.getLong(1) === 0L) assert(c.isNullAt(5))
+  }
+
   // ---- sessionProfile (x152) -----------------------------------------
 
   test("sessionProfile: bounce rate, depth and duration percentiles on a hand-built session set") {

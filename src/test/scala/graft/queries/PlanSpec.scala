@@ -669,6 +669,15 @@ class PlanSpec extends SparkSpec {
     assert(p155.contains("partial_"), p155)
   }
 
+  test("x156/x157: the audits attach scalar counts as 1-row broadcasts; no global window") {
+    for (q <- Seq(ExtensionQueries.x156 _, ExtensionQueries.x157 _)) {
+      val p = plan(q)
+      assert("Window".r.findAllIn(p).isEmpty, p)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("x153/x154: active days and grouped correlation are pure aggregate chains") {
     for (q <- Seq(ExtensionQueries.x153 _, ExtensionQueries.x154 _)) {
       val p = plan(q)
