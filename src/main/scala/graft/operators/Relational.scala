@@ -1186,6 +1186,24 @@ object Relational {
           - col("__s").cast("double") / col("n_events"), 4).as("hour_entropy"))
   }
 
+  /** Self-transition SHARE — what fraction of each type's outgoing hops
+    * land back on ITSELF: the retry-loop/stuck-client tell on the
+    * transition graph (x107 publishes the full matrix; this is the
+    * diagonal read a dashboard alarms on — organic flows hop between
+    * types, a wedged poller emits view→view→view). One rollup over the
+    * audited [[transitionCounts]] frame: ≤ |types|² rows in, ≤ |types|
+    * out. Output: from_type, out_n, self_n, self_share (ROUND 6). */
+  def selfLoopShare(events: DataFrame, user: Column, order: Seq[Column],
+                    typeCol: Column): DataFrame =
+    transitionCounts(events, user, order, typeCol)
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("out_n"),
+        sum(when(col("from_type") === col("to_type"), col("n"))
+          .otherwise(0L)).as("self_n"))
+      .select(col("from_type"), col("out_n"), col("self_n"),
+        round(col("self_n").cast("double") / col("out_n"), 6)
+          .as("self_share"))
+
   /** Per-transition LATENCY profile — [[transitionCounts]] with the time
     * axis attached: for each (from_type → to_type) edge, how long the hop
     * takes (n, min, p50, p90, max in µs). The conversion-latency read a

@@ -1472,6 +1472,32 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x158: LM-vs-heuristic quality agreement per language — exact
+    * Pearson r between x37's avg log-prob and x04's quality score: do
+    * the statistical and the heuristic gates vote together, per
+    * language (a language where they diverge needs its thresholds
+    * re-tuned, not averaged over). */
+  def x158(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Relational.corrBy(
+        TextAnalysis.unigramLogProb(d).select(col("doc_id"), col("avg_logp"))
+          .join(TextAnalysis.quality(d)
+            .select(col("doc_id"), col("quality_score")), "doc_id")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id"),
+        col("lang"), col("avg_logp"), col("quality_score"))
+      .withColumnRenamed("grp", "lang")
+      .orderBy("lang")
+  }
+
+  /** x159: self-transition share — the diagonal of x107's matrix as the
+    * alarm read: a type whose hops land back on itself is a retry loop
+    * or a wedged poller, not a user. */
+  def x159(s: SparkSession, dir: String): DataFrame =
+    Relational.selfLoopShare(
+        Tables(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+      .orderBy("from_type")
+
   /** x156: dedup strategy audit — greedy vs connected-components over
     * the x08/x21 LSH pair graph, one row: extra_greedy prices the
     * cost of skipping the iterative CC pass on THIS corpus. */
@@ -1827,6 +1853,8 @@ object ExtensionQueries {
     "x155_outage_gaps"  -> (x155 _),
     "x156_dedup_audit"  -> (x156 _),
     "x157_detector_agreement" -> (x157 _),
+    "x158_lm_quality_corr" -> (x158 _),
+    "x159_self_loops"   -> (x159 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4543,6 +4571,55 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // the x37 + x04 chains joined on doc_id with lang, through the x154
+    // moment-sum template (ONE corr arithmetic on both engines)
+    "x158_lm_quality_corr" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+        |t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+        |lp AS (SELECT doc_id,
+        |    ROUND(sum(ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6))::DOUBLE
+        |      / count(*), 4) AS x
+        |  FROM tok JOIN c USING (term) CROSS JOIN t GROUP BY doc_id),
+        |td AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |qd AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+        |    length(text)::DOUBLE AS nc,
+        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
+        |  FROM td),
+        |sig AS (SELECT qd.lang, lp.x,
+        |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS y
+        |  FROM lp JOIN qd USING (doc_id)),
+        |m AS (SELECT lang, count(*)::BIGINT AS n,
+        |    sum(ROUND(x, 6)::DECIMAL(28,6)) AS sx,
+        |    sum(ROUND(y, 6)::DECIMAL(28,6)) AS sy,
+        |    sum(ROUND(x * x, 6)::DECIMAL(28,6)) AS sxx,
+        |    sum(ROUND(y * y, 6)::DECIMAL(28,6)) AS syy,
+        |    sum(ROUND(x * y, 6)::DECIMAL(28,6)) AS sxy
+        |  FROM sig GROUP BY lang),
+        |v AS (SELECT lang, n,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cv
+        |  FROM m)
+        |SELECT lang, n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0
+        |    THEN ROUND(cv / sqrt(vx * vy), 4) + 0.0 END AS r
+        |FROM v ORDER BY lang""".stripMargin,
+    // ONE rollup over the x107 transition matrix (the shared LEAD shape)
+    "x159_self_loops" ->
+      """WITH o AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |tc AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, sum(n)::BIGINT AS out_n,
+        |  sum(CASE WHEN from_type = to_type THEN n ELSE 0 END)::BIGINT AS self_n,
+        |  ROUND(sum(CASE WHEN from_type = to_type THEN n ELSE 0 END)::DOUBLE
+        |    / sum(n), 6) AS self_share
+        |FROM tc GROUP BY from_type ORDER BY from_type""".stripMargin,
     // greedy = docs minus b-side ids; CC = the x21 recursive closure;
     // both read the SAME pairs CTE so the audit cannot drift
     "x156_dedup_audit" ->

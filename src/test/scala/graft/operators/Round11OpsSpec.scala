@@ -96,6 +96,24 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- selfLoopShare (x159) ------------------------------------------
+
+  test("selfLoopShare: the diagonal share of the transition matrix; types with no outgoing hops are absent") {
+    val rows = Seq(
+      (1L, 1L, "2026-01-01 10:00:00", "a"),
+      (1L, 2L, "2026-01-01 10:01:00", "a"),   // a -> a
+      (1L, 3L, "2026-01-01 10:02:00", "b"),   // a -> b
+      (2L, 4L, "2026-01-01 10:00:00", "b")    // terminal: no outgoing
+    )
+    val events = rows.toDF("user_id", "event_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Relational.selfLoopShare(events, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map("a" -> ((2L, 1L, 0.5))))
+  }
+
   // ---- dedupStrategyAudit (x156) / detectorAgreement (x157) ----------
 
   test("dedupStrategyAudit: a star graph prices greedy == CC; a chain shows the extra docs greedy keeps") {
