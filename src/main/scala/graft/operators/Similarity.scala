@@ -467,6 +467,43 @@ object Similarity {
       round(expr("percentile(__norm, 0.95)"), 4).as("p95_norm"))
   }
 
+  /** Embedding-space ANISOTROPY — the expected pairwise cosine of the
+    * corpus, computed in closed form as ‖mean unit vector‖²
+    * (Ethayarajh 2019's measure): → 0 means directions spread over the
+    * sphere (cosine similarity is informative), → 1 means the space has
+    * collapsed onto a cone (every SemDeDup/kNN/MMR verdict upstream is
+    * measuring the collapse, not the content — the one failure mode
+    * those operators cannot see from inside). The audit x135 runs on
+    * intake geometry; this is its DIRECTIONAL companion.
+    *
+    * Determinism: per-dim unit-component sums are ROUND-6
+    * DECIMAL(28,6) partials (order-free); per-dim squared means round
+    * to 10 into DECIMAL(18,10) and sum exactly (the x120 discipline),
+    * one double round at the end. Zero-norm vectors are excluded
+    * (x135's `zero_norm` counts them).
+    *
+    * Scale shape: one narrow pass (codegen'd graft_dot norm per row),
+    * one (dim)-keyed aggregate with map-side partials — |dim| rows of
+    * state — and a one-row closing fold. Output: n_vecs, dim,
+    * anisotropy (ROUND 6). */
+  def anisotropy(emb: DataFrame): DataFrame = {
+    val staged = emb.select(col("embedding"),
+        sqrt(GraftFunctions.dot(emb, col("embedding"), col("embedding")))
+          .as("__norm"))
+      .filter(col("__norm") > 0.0)
+    val comp = staged.select(col("__norm"), posexplode(col("embedding")))
+    val sums = comp.groupBy(col("pos"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("col").cast("double") / col("__norm"), 6)
+          .cast("decimal(28,6)")).as("__s"))
+    val m = col("__s").cast("double") / col("__n")
+    sums.agg(
+      min(col("__n")).as("n_vecs"),
+      count(lit(1)).as("dim"),
+      round(sum(round(m * m, 10).cast("decimal(18,10)")).cast("double"), 6)
+        .as("anisotropy"))
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-random-projection
     * LSH: component (i, d) comes from a splitmix64-style finalizer over
     * the (plane, dimension) key, mapped to uniform [-1, 1). Generated

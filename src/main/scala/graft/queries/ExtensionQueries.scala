@@ -1472,6 +1472,12 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x160: embedding anisotropy — expected pairwise cosine in closed
+    * form (‖mean unit vector‖², Ethayarajh 2019): the collapsed-space
+    * tell every similarity verdict upstream silently depends on. */
+  def x160(s: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropy(emb(s, dir))
+
   /** x158: LM-vs-heuristic quality agreement per language — exact
     * Pearson r between x37's avg log-prob and x04's quality score: do
     * the statistical and the heuristic gates vote together, per
@@ -1855,6 +1861,7 @@ object ExtensionQueries {
     "x157_detector_agreement" -> (x157 _),
     "x158_lm_quality_corr" -> (x158 _),
     "x159_self_loops"   -> (x159 _),
+    "x160_anisotropy"   -> (x160 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4571,6 +4578,22 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // unit components via the pinned sequential-fold dot; per-dim sums
+    // ROUND-6 DECIMAL(28,6), per-dim squared means ROUND-10
+    // DECIMAL(18,10) exact-summed (the x120 discipline)
+    "x160_anisotropy" ->
+      s"""WITH nr AS (SELECT embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |f AS (SELECT embedding, nrm FROM nr WHERE nrm > 0.0),
+         |comp AS (SELECT i AS pos, embedding[i] AS v, nrm
+         |  FROM f CROSS JOIN UNNEST(range(1, len(embedding) + 1)) r(i)),
+         |s AS (SELECT pos, count(*)::BIGINT AS n,
+         |    sum(ROUND(v::DOUBLE / nrm, 6)::DECIMAL(28,6)) AS s
+         |  FROM comp GROUP BY pos)
+         |SELECT min(n)::BIGINT AS n_vecs, count(*)::BIGINT AS dim,
+         |  ROUND(sum(ROUND((s::DOUBLE / n) * (s::DOUBLE / n), 10)
+         |    ::DECIMAL(18,10))::DOUBLE, 6) AS anisotropy
+         |FROM s""".stripMargin,
     // the x37 + x04 chains joined on doc_id with lang, through the x154
     // moment-sum template (ONE corr arithmetic on both engines)
     "x158_lm_quality_corr" ->

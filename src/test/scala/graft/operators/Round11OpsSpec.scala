@@ -96,6 +96,29 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- anisotropy (x160) ---------------------------------------------
+
+  test("anisotropy: a collapsed cone reads ~1, an even one-hot basis reads 1/d; zero vectors are excluded") {
+    val collapsed = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.anisotropy(collapsed).collect()(0)
+    assert(c.getLong(0) === 20L && c.getLong(1) === 4L)
+    assert(c.getDouble(2) === 1.0)
+    // 4 dims, each used 5 times -> per-dim mean unit component 1/4 ->
+    // anisotropy = 4 * (1/4)^2 = 0.25
+    val oneHot = (0L until 20L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val o = Similarity.anisotropy(oneHot).collect()(0)
+    assert(o.getDouble(2) === 0.25)
+    // a zero vector must not poison the norms
+    val withZero = collapsed.unionByName(
+      Seq((99L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.anisotropy(withZero).collect()(0)
+    assert(z.getLong(0) === 20L && z.getDouble(2) === 1.0)
+  }
+
   // ---- selfLoopShare (x159) ------------------------------------------
 
   test("selfLoopShare: the diagonal share of the transition matrix; types with no outgoing hops are absent") {
