@@ -1576,6 +1576,54 @@ object Dedup {
           .as("overlap_jaccard"))
   }
 
+  /** Pair-diff LOCALIZATION — for each candidate pair, where in each
+    * document the shared material lives: positional shingles bucketed
+    * into thirds (front/middle/tail), with shared-vs-own counts per
+    * third and side. The review surface behind a dedup verdict: a pair
+    * sharing only its FRONT third is common boilerplate (strip it, keep
+    * both docs — the x94 action); sharing everywhere is a true mirror
+    * (drop one — the x21 action); and a similarity scalar alone cannot
+    * route between those two opposite actions.
+    *
+    * Scale shape: candidate pairs come from the audited (capped)
+    * generators, so the per-pair work — one join of the a-side's
+    * positional 32-byte hashes against the b-side's DISTINCT hash set,
+    * and symmetrically — is bounded by |pairs|·doc-length; nothing
+    * all-pairs, nothing text-width. Thirds are integer `div` arithmetic
+    * on exact longs. Docs with fewer than n tokens contribute zero rows
+    * on their side (coalesced). Output: a_id, b_id, third, a_n,
+    * a_shared, b_n, b_shared. */
+  def pairDiffThirds(docs: DataFrame, pairs0: DataFrame,
+                     n: Int = 3): DataFrame = {
+    val pairs = graft.Persist.cut(pairs0.select(col("a_id"), col("b_id")))
+    val psh = graft.Persist.cut(docs
+      .select(col("doc_id"), rawTokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("doc_id"), posexplode(shingles(col("__ts"), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col")).as("h")))
+    val tot = psh.groupBy(col("doc_id")).agg(count(lit(1)).as("__tot"))
+    val thirds = psh.join(tot, "doc_id")
+      .withColumn("third", expr("least((pos * 3) div __tot, 2)"))
+      .select(col("doc_id"), col("third"), col("h"))
+    val hset = psh.select(col("doc_id"), col("h")).distinct()
+    def side(ownId: String, otherId: String, p: String): DataFrame =
+      pairs.join(thirds.withColumnRenamed("doc_id", ownId), ownId)
+        .join(hset.select(col("doc_id").as(otherId), col("h"),
+          lit(1L).as("__hit")), Seq(otherId, "h"), "left_outer")
+        .groupBy(col("a_id"), col("b_id"), col("third"))
+        .agg(count(lit(1)).as(s"${p}_n"),
+          coalesce(sum(col("__hit")), lit(0L)).as(s"${p}_shared"))
+    side("a_id", "b_id", "a")
+      .join(side("b_id", "a_id", "b"), Seq("a_id", "b_id", "third"),
+        "full_outer")
+      .select(col("a_id"), col("b_id"), col("third"),
+        coalesce(col("a_n"), lit(0L)).as("a_n"),
+        coalesce(col("a_shared"), lit(0L)).as("a_shared"),
+        coalesce(col("b_n"), lit(0L)).as("b_n"),
+        coalesce(col("b_shared"), lit(0L)).as("b_shared"))
+  }
+
   /** Longest CONTIGUOUS bench-matched shingle run per document — the
     * exact-substring reading of contamination next to
     * [[contaminationScores]]' set-overlap fraction (the n-gram-RUN test

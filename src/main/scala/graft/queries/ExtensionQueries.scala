@@ -1472,6 +1472,17 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x161: pair-diff localization — shared-vs-own shingles per doc
+    * third for each x08 candidate pair: routes between "strip shared
+    * boilerplate" (front-only overlap) and "drop a mirror" (overlap
+    * everywhere), which a similarity scalar cannot. */
+  def x161(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.pairDiffThirds(d,
+        Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4), n = 3)
+      .orderBy("a_id", "b_id", "third")
+  }
+
   /** x160: embedding anisotropy — expected pairwise cosine in closed
     * form (‖mean unit vector‖², Ethayarajh 2019): the collapsed-space
     * tell every similarity verdict upstream silently depends on. */
@@ -1862,6 +1873,7 @@ object ExtensionQueries {
     "x158_lm_quality_corr" -> (x158 _),
     "x159_self_loops"   -> (x159 _),
     "x160_anisotropy"   -> (x160 _),
+    "x161_pair_diff"    -> (x161 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4578,6 +4590,39 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // the x08 pairs CTE + positional shingle hashes; thirds are integer
+    // div arithmetic; each side joins the OTHER side's distinct hash set
+    "x161_pair_diff" ->
+      s"""WITH $pairEdgeCtes,
+         |ptk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |psh AS (SELECT doc_id, (i - 1)::BIGINT AS pos,
+         |    md5(array_to_string(toks[i:i+2], ' ')) AS h
+         |  FROM ptk CROSS JOIN UNNEST(range(1, len(toks)-1)) AS r(i)
+         |  WHERE len(toks) >= 3),
+         |tt AS (SELECT doc_id, count(*)::BIGINT AS tot FROM psh GROUP BY doc_id),
+         |w3 AS (SELECT psh.doc_id, least((pos * 3) // tot, 2)::BIGINT AS third, h
+         |  FROM psh JOIN tt USING (doc_id)),
+         |hset AS (SELECT DISTINCT doc_id, h FROM psh),
+         |ar AS (SELECT p.a_id, p.b_id, w.third, count(*)::BIGINT AS a_n,
+         |    sum(CASE WHEN hs.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS a_shared
+         |  FROM pairs p JOIN w3 w ON w.doc_id = p.a_id
+         |  LEFT JOIN hset hs ON hs.doc_id = p.b_id AND hs.h = w.h
+         |  GROUP BY 1, 2, 3),
+         |br AS (SELECT p.a_id, p.b_id, w.third, count(*)::BIGINT AS b_n,
+         |    sum(CASE WHEN hs.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS b_shared
+         |  FROM pairs p JOIN w3 w ON w.doc_id = p.b_id
+         |  LEFT JOIN hset hs ON hs.doc_id = p.a_id AND hs.h = w.h
+         |  GROUP BY 1, 2, 3)
+         |SELECT COALESCE(ar.a_id, br.a_id) AS a_id,
+         |  COALESCE(ar.b_id, br.b_id) AS b_id,
+         |  COALESCE(ar.third, br.third) AS third,
+         |  COALESCE(a_n, 0)::BIGINT AS a_n,
+         |  COALESCE(a_shared, 0)::BIGINT AS a_shared,
+         |  COALESCE(b_n, 0)::BIGINT AS b_n,
+         |  COALESCE(b_shared, 0)::BIGINT AS b_shared
+         |FROM ar FULL JOIN br
+         |  ON ar.a_id = br.a_id AND ar.b_id = br.b_id AND ar.third = br.third
+         |ORDER BY a_id, b_id, third""".stripMargin,
     // unit components via the pinned sequential-fold dot; per-dim sums
     // ROUND-6 DECIMAL(28,6), per-dim squared means ROUND-10
     // DECIMAL(18,10) exact-summed (the x120 discipline)

@@ -96,6 +96,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- pairDiffThirds (x161) -----------------------------------------
+
+  test("pairDiffThirds: front-only boilerplate overlap vs full-mirror overlap route differently") {
+    val boiler = (1 to 12).map(_ => "subscribe now terms apply").mkString(" ") // shared front
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 48).map(i => s"a$i").mkString(" "), "en", "s"),
+      (2L, boiler + " " + (1 to 48).map(i => s"b$i").mkString(" "), "en", "s"),
+      (3L, (1 to 90).map(i => s"m$i").mkString(" "), "en", "s"),
+      (4L, (1 to 90).map(i => s"m$i").mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.pairDiffThirds(docs, pairs, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2))) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // boilerplate pair: front third fully shared, tail third disjoint
+    val front = out((1L, 2L, 0L))
+    assert(front._2 === front._1 && front._1 > 0, s"front must be fully shared: $front")
+    val tail = out((1L, 2L, 2L))
+    assert(tail._2 === 0L && tail._4 === 0L, s"tail must be disjoint: $tail")
+    // mirror pair: every third fully shared on both sides
+    (0L to 2L).foreach { t =>
+      val m = out((3L, 4L, t))
+      assert(m._1 === m._2 && m._3 === m._4 && m._1 > 0, s"mirror third $t: $m")
+    }
+  }
+
   // ---- anisotropy (x160) ---------------------------------------------
 
   test("anisotropy: a collapsed cone reads ~1, an even one-hot basis reads 1/d; zero vectors are excluded") {
