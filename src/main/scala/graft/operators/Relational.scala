@@ -1006,6 +1006,27 @@ object Relational {
         sum(col("__n")).as("total_events"))
       .filter(col("n_keys") >= 2)
 
+  /** NULL profile — per-column null counts and rates in long format:
+    * the dbt-style schema-health check a pipeline runs per ingest,
+    * because a silent upstream schema change usually lands as a column
+    * going 100% null long before anything crashes (the x146 FD audit
+    * reads value relationships; this reads presence). ONE aggregate
+    * pass over all columns (map-side partials, |cols|+1 counters of
+    * state) reshaped by stack — never a pass per column. Output:
+    * column_name, n_rows, n_nulls, null_rate (ROUND 6). */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    val stackArgs = cols.map(c => s"'$c', __null_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls)",
+        "__n AS n_rows")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        round(col("n_nulls").cast("double") / col("n_rows"), 6)
+          .as("null_rate"))
+  }
+
   /** Grouped Pearson CORRELATION — exact-decimal moment sums per group,
     * one closed-form division at the end: the metric-integrity check
     * behind any gate built on a proxy (x154 asks "is quality_score just

@@ -183,6 +183,34 @@ object TextAnalysis {
         .cast("long").as("n_numbers"))
   }
 
+  /** PII PREVALENCE per source — [[redactPii]]'s counters rolled into
+    * the monitoring read: which feeds carry personal data, how densely,
+    * and what share of their documents is affected. Redaction (x24)
+    * cleans documents one at a time; this report is what decides
+    * whether a SOURCE needs quarantine review before its next ingest,
+    * and which redactor hot-spots deserve a second pattern pass. Same
+    * RE2-safe patterns, so the report and the redactor cannot disagree
+    * about what counts. One fused per-row projection into a |sources|-
+    * row aggregate with map-side partials. Output: source, n_docs,
+    * docs_with_pii, pii_doc_rate (ROUND 6), n_emails, n_numbers. */
+  def piiPrevalence(docs: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val staged = docs.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("__e"),
+      size(regexp_extract_all(noEmail, lit(longNumRe), lit(0)))
+        .cast("long").as("__n"))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__e") + col("__n") > 0L, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("__e")).as("n_emails"), sum(col("__n")).as("n_numbers"))
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        round(col("docs_with_pii").cast("double") / col("n_docs"), 6)
+          .as("pii_doc_rate"),
+        col("n_emails"), col("n_numbers"))
+  }
+
   /** Document fingerprints: full-content md5 + token-level polynomial
     * rolling hash (order-sensitive, whitespace-insensitive). */
   def fingerprints(docs: DataFrame): DataFrame =

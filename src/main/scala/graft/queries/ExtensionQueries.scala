@@ -1472,6 +1472,21 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x162: PII prevalence per source — x24's counters as the quarantine
+    * report: which feeds carry personal data and how densely. */
+  def x162(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiPrevalence(docs(s, dir)).orderBy("source")
+
+  /** x163 profiled columns (shared with the oracle). */
+  val nullProfileCols = Seq("user_id", "event_type", "value", "props")
+
+  /** x163: events null profile — per-column presence health, the
+    * schema-change canary (a column going 100%% null is the usual first
+    * symptom of a silent upstream change). */
+  def x163(s: SparkSession, dir: String): DataFrame =
+    Relational.nullProfile(Tables(s, dir, "events"), nullProfileCols)
+      .orderBy("column_name")
+
   /** x161: pair-diff localization — shared-vs-own shingles per doc
     * third for each x08 candidate pair: routes between "strip shared
     * boilerplate" (front-only overlap) and "drop a mirror" (overlap
@@ -1874,6 +1889,8 @@ object ExtensionQueries {
     "x159_self_loops"   -> (x159 _),
     "x160_anisotropy"   -> (x160 _),
     "x161_pair_diff"    -> (x161 _),
+    "x162_pii_prevalence" -> (x162 _),
+    "x163_null_profile" -> (x163 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4589,6 +4606,34 @@ object ExtensionQueries {
          |  CASE WHEN target_share IS NULL THEN NULL
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
+    },
+    // the x24 regex pair (emails stripped before number matching, so the
+    // two reports cannot disagree) rolled per source
+    "x162_pii_prevalence" ->
+      s"""WITH c AS (SELECT source,
+         |    len(regexp_extract_all(text, '${TextAnalysis.emailRe}'))::BIGINT AS e,
+         |    len(regexp_extract_all(
+         |      regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.longNumRe}'))::BIGINT AS nn
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN e + nn > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+         |  ROUND(sum(CASE WHEN e + nn > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS pii_doc_rate,
+         |  sum(e)::BIGINT AS n_emails, sum(nn)::BIGINT AS n_numbers
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // one aggregate pass reshaped long (the stack analogue)
+    "x163_null_profile" -> {
+      val aggs = nullProfileCols.map(c =>
+        s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_$c").mkString(",\n  ")
+      val rows = nullProfileCols.map(c =>
+        s"SELECT '$c' AS column_name, n AS n_rows, n_$c AS n_nulls FROM a").mkString("\n  UNION ALL ")
+      s"""WITH a AS (SELECT count(*)::BIGINT AS n,
+         |  $aggs FROM events),
+         |l AS ($rows)
+         |SELECT column_name, n_rows, n_nulls,
+         |  ROUND(n_nulls::DOUBLE / n_rows, 6) AS null_rate
+         |FROM l ORDER BY column_name""".stripMargin
     },
     // the x08 pairs CTE + positional shingle hashes; thirds are integer
     // div arithmetic; each side joins the OTHER side's distinct hash set

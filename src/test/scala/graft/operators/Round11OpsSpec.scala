@@ -96,6 +96,37 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("a")._2 > out("b")._2 && out("b")._2 > out("c")._2)
   }
 
+  // ---- piiPrevalence (x162) / nullProfile (x163) ---------------------
+
+  test("piiPrevalence: emails and long numbers roll per source; clean feeds read zero") {
+    val docs = Seq(
+      (1L, "contact me at a.b@example.com or 555-123 4567 x", "en", "dirty"),
+      (2L, "nothing personal here at all", "en", "dirty"),
+      (3L, "clean text only", "en", "clean")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.piiPrevalence(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("dirty") === ((2L, 1L, 0.5, 1L, 1L)))
+    assert(out("clean") === ((1L, 0L, 0.0, 0L, 0L)))
+    assert(1.0 / out("clean")._3 > 0)
+  }
+
+  test("nullProfile: one pass, per-column null rates; all-null and no-null columns both report") {
+    val df = Seq(
+      (Some(1L), None: Option[String], "x"),
+      (None, None, "y"),
+      (Some(3L), None, "z")
+    ).toDF("a", "b", "c")
+    val out = Relational.nullProfile(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((3L, 1L, 0.333333)))
+    assert(out("b") === ((3L, 3L, 1.0)))
+    assert(out("c") === ((3L, 0L, 0.0)))
+  }
+
   // ---- pairDiffThirds (x161) -----------------------------------------
 
   test("pairDiffThirds: front-only boilerplate overlap vs full-mirror overlap route differently") {
