@@ -316,6 +316,24 @@ class SkewBenchSpec extends SparkSpec {
     assert(secs < 120, f"contamination runs took $secs%.1f s")
   }
 
+  test("x161 shape: pair-diff over CAPPED pairs stays pairs-bounded under the boilerplate cluster") {
+    // uncapped, the 1,000-doc mega-cluster would feed ~500k pairs into
+    // the per-pair diff; the capped generator (the documented contract)
+    // keeps the pair frame at the legit clusters
+    val pairs = Dedup.lshCandidatePairs(skewedDocs, maxBucket = 16)
+    val (rows, secs) = timed {
+      Dedup.pairDiffThirds(skewedDocs, pairs).collect()
+    }
+    info(f"pair-diff ${rows.length} rows in $secs%.1f s")
+    // every surviving pair contributes at most 3 thirds per side
+    val nPairs = pairs.count()
+    assert(rows.length <= 3 * nPairs, s"${rows.length} rows for $nPairs pairs")
+    // byte-equal pairs: fully shared in every third
+    assert(rows.forall(r => r.getLong(4) === r.getLong(3) &&
+      r.getLong(6) === r.getLong(5)), "byte-equal pairs must be fully shared")
+    assert(secs < 120, f"pair diff took $secs%.1f s")
+  }
+
   test("x140 shape: a 10k-account farm is ONE group row, never a pair set") {
     val farm = (0 until 10000).flatMap { u =>
       Seq((u.toLong, "view"), (u.toLong, "view"), (u.toLong, "buy"))
