@@ -1006,6 +1006,59 @@ object Relational {
         sum(col("__n")).as("total_events"))
       .filter(col("n_keys") >= 2)
 
+  /** FK ORPHAN audit — rows of a child table whose key has no match in
+    * the parent (the dbt `relationships` test as an engine operator):
+    * the join-denominator check every Q-family merge silently assumes,
+    * surfaced as one row so a feed that starts emitting unknown ids is
+    * caught at ingest, not as rows quietly vanishing from an inner join
+    * three stages later. Null keys are out of scope (x163 counts
+    * those).
+    *
+    * Scale shape: parent collapses to its DISTINCT key column; the
+    * anti-join is one key-hash shuffle (the dedup-family discipline);
+    * the report attaches as 1-row broadcasts. Output: n_child,
+    * n_orphans, orphan_rate (ROUND 6), distinct_orphan_keys. */
+  def fkOrphanAudit(child: DataFrame, key: Column, parent: DataFrame,
+                    pkey: Column): DataFrame = {
+    val kids = child.filter(key.isNotNull).select(key.as("__k"))
+    val orphans = graft.Persist.cut(
+      kids.join(parent.select(pkey.as("__pk")).distinct(),
+        col("__k") === col("__pk"), "left_anti"))
+    val n = kids.agg(count(lit(1)).as("n_child"))
+    val o = orphans.agg(count(lit(1)).as("n_orphans"),
+      count_distinct(col("__k")).as("distinct_orphan_keys"))
+    n.crossJoin(broadcast(o))
+      .select(col("n_child"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_child"), 6)
+          .as("orphan_rate"),
+        col("distinct_orphan_keys"))
+  }
+
+  /** VALUE profile per group — the numeric-column health read (n,
+    * nulls, decimal-exact mean, median, min/max) a metrics pipeline
+    * runs per ingest: a payment feed whose `value` mean jumps 100× is
+    * a unit-change bug, and nothing else in the monitoring family
+    * looks at magnitudes. Mean uses ROUND-6 DECIMAL(28,6) partials
+    * (order-free); median rounds to 4 (the x23 output discipline);
+    * min/max are exact data values. Groups are bounded (≤ |types|).
+    * Output: group, n, n_null, mean_v (ROUND 4), p50_v (ROUND 4),
+    * min_v, max_v. */
+  def valueProfile(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    df.select(group.as("grp"), v.as("__v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(round(col("__v"), 6).cast("decimal(28,6)")).as("__s"),
+        count(col("__v")).as("__nv"),
+        round(expr("percentile(__v, 0.5)"), 4).as("p50_v"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+      .select(col("grp"), col("n"), col("n_null"),
+        when(col("__nv") > 0L,
+          round(col("__s").cast("double") / col("__nv"), 4)).as("mean_v"),
+        col("p50_v"), col("min_v"), col("max_v"))
+  }
+
   /** NULL profile — per-column null counts and rates in long format:
     * the dbt-style schema-health check a pipeline runs per ingest,
     * because a silent upstream schema change usually lands as a column

@@ -1472,6 +1472,22 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x164: FK orphan audit — events.user_id against customer.c_custkey
+    * (the dbt relationships test as an operator): the join-denominator
+    * check the Q-family merges assume. */
+  def x164(s: SparkSession, dir: String): DataFrame =
+    Relational.fkOrphanAudit(Tables(s, dir, "events"), col("user_id"),
+      Tables(s, dir, "customer"), col("c_custkey"))
+
+  /** x165: value profile per event type — magnitude health (decimal-
+    * exact mean, median, extremes): the unit-change-bug canary nothing
+    * else in the monitoring family watches. */
+  def x165(s: SparkSession, dir: String): DataFrame =
+    Relational.valueProfile(Tables(s, dir, "events"),
+        col("event_type"), col("value"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
   /** x162: PII prevalence per source — x24's counters as the quarantine
     * report: which feeds carry personal data and how densely. */
   def x162(s: SparkSession, dir: String): DataFrame =
@@ -1891,6 +1907,8 @@ object ExtensionQueries {
     "x161_pair_diff"    -> (x161 _),
     "x162_pii_prevalence" -> (x162 _),
     "x163_null_profile" -> (x163 _),
+    "x164_fk_orphans"   -> (x164 _),
+    "x165_value_profile" -> (x165 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4607,6 +4625,30 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // the dbt relationships test: anti-join against the distinct parent
+    // key set, scalar report
+    "x164_fk_orphans" ->
+      """WITH k AS (SELECT user_id AS kk FROM events WHERE user_id IS NOT NULL),
+        |o AS (SELECT k.kk FROM k
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON k.kk = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT (SELECT count(*) FROM k)::BIGINT AS n_child,
+        |  (SELECT count(*) FROM o)::BIGINT AS n_orphans,
+        |  ROUND((SELECT count(*) FROM o)::DOUBLE /
+        |    (SELECT count(*) FROM k), 6) AS orphan_rate,
+        |  (SELECT count(DISTINCT kk) FROM o)::BIGINT AS distinct_orphan_keys""".stripMargin,
+    // decimal-exact mean (the x37 sum discipline); median ROUND-4 (the
+    // x23 output rule); extremes are exact data values
+    "x165_value_profile" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  CASE WHEN count(value) > 0 THEN
+        |    ROUND(sum(ROUND(value::DOUBLE, 6)::DECIMAL(28,6))::DOUBLE
+        |      / count(value), 4) END AS mean_v,
+        |  ROUND(quantile_cont(value::DOUBLE, 0.5), 4) AS p50_v,
+        |  min(value::DOUBLE) AS min_v, max(value::DOUBLE) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the x24 regex pair (emails stripped before number matching, so the
     // two reports cannot disagree) rolled per source
     "x162_pii_prevalence" ->

@@ -127,6 +127,33 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("c") === ((3L, 0L, 0.0)))
   }
 
+  // ---- fkOrphanAudit (x164) / valueProfile (x165) --------------------
+
+  test("fkOrphanAudit: orphans count with multiplicity and distinctly; null keys are out of scope") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Relational.fkOrphanAudit(child, col("k"), parent, col("pk"))
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2), out.getLong(3))
+      === ((5L, 2L, 0.4, 1L)))
+  }
+
+  test("valueProfile: decimal-exact mean, median, extremes; all-null groups surface null stats") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(6.0)),
+      ("b", None: Option[Double]), ("b", None)
+    ).toDF("g", "v")
+    val out = Relational.valueProfile(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 3L && a.getLong(2) === 0L)
+    assert(a.getDouble(3) === 3.0 && a.getDouble(4) === 2.0)
+    assert(a.getDouble(5) === 1.0 && a.getDouble(6) === 6.0)
+    val b = out("b")
+    assert(b.getLong(2) === 2L && b.isNullAt(3) && b.isNullAt(4))
+  }
+
   // ---- pairDiffThirds (x161) -----------------------------------------
 
   test("pairDiffThirds: front-only boilerplate overlap vs full-mirror overlap route differently") {
