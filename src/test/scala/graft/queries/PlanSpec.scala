@@ -678,6 +678,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x162-x165: the data-quality reports are window-free bounded aggregates") {
+    for (q <- Seq(ExtensionQueries.x162 _, ExtensionQueries.x163 _,
+                  ExtensionQueries.x164 _, ExtensionQueries.x165 _)) {
+      val p = plan(q)
+      assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
+    }
+    // the null profile is ONE pass: a single scan feeding one aggregate
+    val p163 = plan(ExtensionQueries.x163)
+    assert(!p163.contains("Join"), p163)
+  }
+
   test("x153/x154: active days and grouped correlation are pure aggregate chains") {
     for (q <- Seq(ExtensionQueries.x153 _, ExtensionQueries.x154 _)) {
       val p = plan(q)
