@@ -1006,6 +1006,43 @@ object Relational {
         sum(col("__n")).as("total_events"))
       .filter(col("n_keys") >= 2)
 
+  /** Hash-split UNIFORMITY — the chi-square read over
+    * [[graft.functions.TextFunctions.md5Mod]] bucket occupancies: the
+    * audit that justifies every salted sampler, split assigner, and
+    * shard router built on that hash (x19/x27/x103/x142/...). Under a
+    * healthy hash, chi² concentrates near `buckets − 1`; a key space
+    * that correlates with the hash (sequential ids through a weak
+    * reduction, adversarial keys) shows up as a multiple of that, and
+    * every downstream "deterministic 1% sample" silently stops being
+    * 1%. Empty buckets contribute their full expected mass (they are
+    * the strongest non-uniformity evidence, not missing data).
+    *
+    * Scale shape: one `buckets`-group count aggregate (map-side
+    * partials), a 1-row total broadcast, per-bucket chi² terms ROUND-10
+    * DECIMAL(18,10) exact-summed (order-free). Output: n_rows,
+    * present_buckets, min_n, max_n, chi2 (ROUND 4). */
+  def hashUniformity(df: DataFrame, key: Column,
+                     buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val bc = df
+      .select(graft.functions.TextFunctions.md5Mod(key, lit(buckets)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("c"))
+    val tot = bc.agg(sum(col("c")).as("__n"))
+    val e = col("__n").cast("double") / lit(buckets)
+    val term = (col("c").cast("double") - e) * (col("c").cast("double") - e) / e
+    bc.crossJoin(broadcast(tot))
+      .agg(min(col("__n")).as("n_rows"),
+        count(lit(1)).as("present_buckets"),
+        min(col("c")).as("min_n"), max(col("c")).as("max_n"),
+        sum(round(term, 10).cast("decimal(18,10)")).as("__chi"),
+        min(e).as("__e"))
+      .select(col("n_rows"), col("present_buckets"), col("min_n"),
+        col("max_n"),
+        round(col("__chi").cast("double") +
+          (lit(buckets).cast("double") - col("present_buckets")) * col("__e"),
+          4).as("chi2"))
+  }
+
   /** FK ORPHAN audit — rows of a child table whose key has no match in
     * the parent (the dbt `relationships` test as an engine operator):
     * the join-denominator check every Q-family merge silently assumes,

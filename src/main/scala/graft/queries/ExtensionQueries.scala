@@ -1472,6 +1472,16 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x166 bucket count (shared with the oracle). */
+  val hashUniformityBuckets = 64
+
+  /** x166: hash-split uniformity — chi² over md5Mod bucket occupancies
+    * of doc_id: the audit that justifies every salted sampler and
+    * split assigner in the engine (x19/x27/x103/x142). */
+  def x166(s: SparkSession, dir: String): DataFrame =
+    Relational.hashUniformity(docs(s, dir), col("doc_id"),
+      buckets = hashUniformityBuckets)
+
   /** x164: FK orphan audit — events.user_id against customer.c_custkey
     * (the dbt relationships test as an operator): the join-denominator
     * check the Q-family merges assume. */
@@ -1909,6 +1919,7 @@ object ExtensionQueries {
     "x163_null_profile" -> (x163 _),
     "x164_fk_orphans"   -> (x164 _),
     "x165_value_profile" -> (x165 _),
+    "x166_hash_uniformity" -> (x166 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4624,6 +4635,25 @@ object ExtensionQueries {
          |  CASE WHEN target_share IS NULL THEN NULL
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
+    },
+    // md5Mod occupancies; chi² terms ROUND-10 DECIMAL(18,10) exact-sum
+    // (order-free); empty buckets contribute their expected mass
+    "x166_hash_uniformity" -> {
+      val b = hashUniformityBuckets
+      s"""WITH bc AS (SELECT
+         |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $b AS bkt,
+         |    count(*)::BIGINT AS c
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(c)::BIGINT AS n FROM bc),
+         |terms AS (SELECT bc.c, t.n, t.n::DOUBLE / $b AS e,
+         |    (bc.c::DOUBLE - t.n::DOUBLE / $b) * (bc.c::DOUBLE - t.n::DOUBLE / $b)
+         |      / (t.n::DOUBLE / $b) AS term
+         |  FROM bc CROSS JOIN t)
+         |SELECT min(n)::BIGINT AS n_rows, count(*)::BIGINT AS present_buckets,
+         |  min(c)::BIGINT AS min_n, max(c)::BIGINT AS max_n,
+         |  ROUND(sum(ROUND(term, 10)::DECIMAL(18,10))::DOUBLE
+         |    + ($b::DOUBLE - count(*)) * min(e), 4) AS chi2
+         |FROM terms""".stripMargin
     },
     // the dbt relationships test: anti-join against the distinct parent
     // key set, scalar report

@@ -127,6 +127,31 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("c") === ((3L, 0L, 0.0)))
   }
 
+  // ---- hashUniformity (x166) -----------------------------------------
+
+  test("hashUniformity: matches the driver-side chi-square including empty-bucket mass") {
+    val df = (1L to 200L).map(Tuple1(_)).toDF("k")
+    val b = 8
+    val out = Relational.hashUniformity(df, col("k"), buckets = b).collect()(0)
+    // driver-side reference over the SAME md5Mod assignment
+    val got = df.select(graft.functions.TextFunctions.md5Mod(col("k"), lit(b)).as("bk"))
+      .groupBy("bk").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = 200.0 / b
+    val chi = got.values.map { c =>
+      BigDecimal((c - e) * (c - e) / e).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble + (b - got.size) * e
+    val expected = BigDecimal(chi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getLong(0) === 200L && out.getDouble(4) === expected)
+    assert(out.getLong(1) === got.size.toLong)
+  }
+
+  test("hashUniformity: a single row yields the closed-form chi-square whatever bucket it lands in") {
+    val out = Relational.hashUniformity(Seq(Tuple1(42L)).toDF("k"), col("k"),
+      buckets = 4).collect()(0)
+    // one bucket holds 1 (term (1-.25)^2/.25 = 2.25), three empty add .25 each
+    assert(out.getDouble(4) === 3.0)
+  }
+
   // ---- fkOrphanAudit (x164) / valueProfile (x165) --------------------
 
   test("fkOrphanAudit: orphans count with multiplicity and distinctly; null keys are out of scope") {
