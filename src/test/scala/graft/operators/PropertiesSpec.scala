@@ -535,6 +535,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("corrBy matches the driver-side decimal-moment Pearson for random groups") {
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def ref(pts: Seq[(Double, Double)]): Option[Double] = {
+      val n = pts.size.toDouble
+      def s(f: ((Double, Double)) => Double) = pts.map(p => d6(f(p))).sum.toDouble
+      val (sx, sy) = (s(_._1), s(_._2))
+      val (sxx, syy, sxy) =
+        (s(p => p._1 * p._1), s(p => p._2 * p._2), s(p => p._1 * p._2))
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (vx > 0 && vy > 0)
+        Some(BigDecimal((n * sxy - sx * sy) / math.sqrt(vx * vy))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      else None
+    }
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      x <- Gen.choose(-50.0, 50.0)
+      y <- Gen.choose(-50.0, 50.0)
+    } yield (g, x, y))
+    cases(gen, n = 10).foreach { rows =>
+      val out = Relational.corrBy(rows.toDF("g", "x", "y"),
+          col("g"), col("x"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val expect = ref(rs.map(t => (t._2, t._3)))
+        assert(out(g) === expect, s"group $g rows ${rs.size}")
+      }
+    }
+  }
+
   test("corpusStatsApprox tracks the exact percentiles on the documents fixture") {
     val docs = graft.sources.Tables(spark, sf(), "documents")
     def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
