@@ -1512,6 +1512,51 @@ object Dedup {
         frac.as("overlap_frac"), (frac >= lit(threshold)).as("flagged"))
   }
 
+  /** Packed-sequence dup CO-LOCATION audit — do any training bins
+    * contain two members of the same near-dup cluster? Packing (x25)
+    * and dedup (x21) are tuned independently, but their COMPOSITION is
+    * what the model sees: a duplicated passage twice inside ONE context
+    * window is the strongest memorization amplifier a pipeline can
+    * accidentally build, and neither operator's own report can see it.
+    * One row: bins total, bins holding a same-cluster collision, and
+    * the co-located pair count (Σ k·(k−1)/2 over same-(bin, cluster)
+    * groups).
+    *
+    * Scale shape: rides the audited [[graft.operators.TextAnalysis
+    * .packSequences]] assignment and the shared CC label loop; the
+    * join ships (doc_id, shard, bin) against (id, lbl) longs; group
+    * state is counts. Under a non-converged CC cap clusters read finer
+    * — co-location is UNDER-counted, the safe direction for an alarm
+    * that triggers re-shuffling. No pair graph ⇒ zeros. Output:
+    * n_bins, dirty_bins, colocated_pairs. */
+  def packedDupColocation(docs: DataFrame, pairs: DataFrame,
+                          budgetTokens: Long, shards: Int = 1024,
+                          maxIters: Int = 10): DataFrame = {
+    val packed = graft.Persist.cut(
+      TextAnalysis.packSequences(docs, budgetTokens, shards)
+        .select(col("doc_id"), col("shard"), col("bin")))
+    val nb = packed.select(col("shard"), col("bin")).distinct()
+      .agg(count(lit(1)).as("n_bins"))
+    componentLabels(pairs, maxIters) match {
+      case None =>
+        nb.select(col("n_bins"), lit(0L).as("dirty_bins"),
+          lit(0L).as("colocated_pairs"))
+      case Some((labels, _)) =>
+        val g = packed
+          .join(labels.select(col("id").as("doc_id"), col("lbl")), "doc_id")
+          .groupBy(col("shard"), col("bin"), col("lbl"))
+          .agg(count(lit(1)).as("__k"))
+          .filter(col("__k") >= 2L)
+        val dirty = g.select(col("shard"), col("bin")).distinct()
+          .agg(count(lit(1)).as("dirty_bins"))
+        val pairsN = g.agg(coalesce(
+          sum(expr("__k * (__k - 1) div 2")), lit(0L))
+          .cast("long").as("colocated_pairs"))
+        nb.crossJoin(broadcast(dirty)).crossJoin(broadcast(pairsN))
+          .select(col("n_bins"), col("dirty_bins"), col("colocated_pairs"))
+    }
+  }
+
   /** Dedup STRATEGY audit — greedy ([[dropNearDuplicates]]) vs
     * connected-components ([[dropNearDuplicatesCC]]) over the SAME pair
     * graph, as one row: how many docs each keeps and how far apart the

@@ -1472,6 +1472,16 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x167: packing × dedup co-location — do any x25 training bins hold
+    * two members of one x21 near-dup cluster (the in-window
+    * memorization amplifier neither operator's own report can see)? */
+  def x167(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.packedDupColocation(d,
+      Dedup.lshCandidatePairs(d, n = 3, k = 12, bands = 4),
+      budgetTokens = packBudget, shards = packShards)
+  }
+
   /** x166 bucket count (shared with the oracle). */
   val hashUniformityBuckets = 64
 
@@ -1920,6 +1930,7 @@ object ExtensionQueries {
     "x164_fk_orphans"   -> (x164 _),
     "x165_value_profile" -> (x165 _),
     "x166_hash_uniformity" -> (x166 _),
+    "x167_pack_colocation" -> (x167 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4636,6 +4647,21 @@ object ExtensionQueries {
          |    ELSE ROUND(eff / alloc, 6) END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
+    // the x25 packing CTE joined to the x21 recursive closure — the
+    // same generated definitions, so the audit cannot drift from either
+    "x167_pack_colocation" ->
+      s"""WITH RECURSIVE $ccCompCtes,
+         |$packCte,
+         |j AS (SELECT p.shard, p.bin, c.lbl FROM p JOIN comp c ON p.doc_id = c.id),
+         |g AS (SELECT shard, bin, lbl, count(*)::BIGINT AS k FROM j
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         |SELECT
+         |  (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM p))::BIGINT
+         |    AS n_bins,
+         |  (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM g))::BIGINT
+         |    AS dirty_bins,
+         |  COALESCE((SELECT sum(k * (k - 1) // 2) FROM g), 0)::BIGINT
+         |    AS colocated_pairs""".stripMargin,
     // md5Mod occupancies; chi² terms ROUND-10 DECIMAL(18,10) exact-sum
     // (order-free); empty buckets contribute their expected mass
     "x166_hash_uniformity" -> {

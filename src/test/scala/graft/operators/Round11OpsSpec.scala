@@ -127,6 +127,30 @@ class Round11OpsSpec extends SparkSpec {
     assert(out("c") === ((3L, 0L, 0.0)))
   }
 
+  // ---- packedDupColocation (x167) ------------------------------------
+
+  test("packedDupColocation: same-bin near-dups flag; a budget that splits them clears the alarm") {
+    val mirror = (1 to 10).map(i => s"m$i").mkString(" ")
+    val docs = Seq(
+      (1L, mirror, "en", "s"), (2L, mirror, "en", "s"),
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    // one shard, budget >= both docs -> mirrors share a bin
+    val hot = Dedup.packedDupColocation(docs, pairs,
+      budgetTokens = 100L, shards = 1).collect()(0)
+    assert((hot.getLong(1), hot.getLong(2)) === ((1L, 1L)))
+    // budget of one doc -> every doc its own bin -> clean
+    val cold = Dedup.packedDupColocation(docs, pairs,
+      budgetTokens = 10L, shards = 1).collect()(0)
+    assert((cold.getLong(1), cold.getLong(2)) === ((0L, 0L)))
+    // no pair graph -> zeros with the bin count intact
+    val none = Dedup.packedDupColocation(docs,
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      budgetTokens = 100L, shards = 1).collect()(0)
+    assert(none.getLong(0) >= 1L && none.getLong(1) === 0L && none.getLong(2) === 0L)
+  }
+
   // ---- hashUniformity (x166) -----------------------------------------
 
   test("hashUniformity: matches the driver-side chi-square including empty-bucket mass") {
