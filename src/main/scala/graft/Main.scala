@@ -810,6 +810,45 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/hour_profile")
   }
 
+  /** Incremental FD-audit monitoring — x146's streaming twin: the
+    * "source determines language" routing assumption stays checked as
+    * the lake grows, and a violation arriving in a LATER batch still
+    * flips the key (per-(det, dep) totals sum across batches BEFORE the
+    * distinct test). Per-batch count partials in `batch=<id>` overwrite
+    * directories (additive, batch-derived, retry-overwrites-itself);
+    * the published report is [[graft.operators.Relational
+    * .functionalDependencyAuditFromCounts]] over the fold — ONE
+    * definition with the batch audit (spec-asserted). */
+  def runIncrementalFdAudit(spark: SparkSession, docsDir: String,
+                            outRoot: String): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeFdAuditBatch(batch.toDF(), batchId, outRoot)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/fd_audit")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalFdAudit]] micro-batch, exposed for retry
+    * testing. */
+  private[graft] def mergeFdAuditBatch(batch: DataFrame, batchId: Long,
+                                       outRoot: String): Unit = {
+    val s = batch.sparkSession
+    batch
+      .select(col("source").as("det"),
+        coalesce(col("lang").cast("string"), lit("__null__")).as("dep"))
+      .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.Relational.functionalDependencyAuditFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("det"), col("dep")).agg(sum(col("c")).as("c")))
+      .write.mode("overwrite").parquet(s"$outRoot/fd_audit")
+  }
+
   /** Incremental embedding-drift monitoring — x120's streaming twin,
     * closing the monitoring family (PSI x102, source-KL x79, and now
     * vector-space drift all have `batch=<id>` twins): the baseline

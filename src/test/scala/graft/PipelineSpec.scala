@@ -875,6 +875,29 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published report")
   }
 
+  test("O2 streaming: incremental FD audit equals the batch audit; late violations flip the key") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_fd_in").toString
+    val root = Files.createTempDirectory("graft_fd_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalFdAudit(spark, src, root)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalFdAudit(spark, src, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val streamed = rows(spark.read.parquet(s"$root/fd_audit"))
+    val batch = rows(graft.operators.Relational.functionalDependencyAudit(
+      docs, col("source"), col("lang")))
+    assert(batch.nonEmpty && streamed == batch,
+      "incremental FD audit diverged from the batch audit")
+    Main.mergeFdAuditBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root)
+    assert(rows(spark.read.parquet(s"$root/fd_audit")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental source-KL equals the batch divergence across waves") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_kl_in").toString

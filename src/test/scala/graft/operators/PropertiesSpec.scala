@@ -535,6 +535,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("scalar reports are total on the EMPTY corpus: exactly one row, no exceptions") {
+    // the 1-row-aggregate family must degrade to one row of zero/null
+    // stats — never throw, never vanish (a missing report row reads as
+    // "monitoring is down", not "corpus is empty")
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val checks: Seq[(String, () => Long)] = Seq(
+      "sessionProfile" -> (() => Relational.sessionProfile(ev, col("user_id"),
+        unix_micros(col("ts")), col("event_id"), 1000L).count()),
+      "dedupAudit"  -> (() => Dedup.dedupStrategyAudit(d, emptyPairs).count()),
+      "detectorAgr" -> (() => Dedup.detectorAgreement(d).count()),
+      "anisotropy"  -> (() => Similarity.anisotropy(e).count()),
+      "fkOrphans"   -> (() => Relational.fkOrphanAudit(ev, col("user_id"),
+        ev, col("event_id")).count()),
+      "hashUnif"    -> (() => Relational.hashUniformity(d, col("doc_id")).count()),
+      "packColoc"   -> (() => Dedup.packedDupColocation(d, emptyPairs, 64L, 1).count()))
+    checks.foreach { case (name, f) =>
+      val n = try f() catch {
+        case ex: Throwable => fail(s"$name threw on the empty corpus: $ex")
+      }
+      assert(n == 1, s"$name returned $n rows on an empty corpus (want 1)")
+    }
+  }
+
   test("corrBy matches the driver-side decimal-moment Pearson for random groups") {
     def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     def ref(pts: Seq[(Double, Double)]): Option[Double] = {
