@@ -810,6 +810,49 @@ object Main {
       .write.mode("overwrite").parquet(s"$outRoot/hour_profile")
   }
 
+  /** Incremental hash-uniformity monitoring — x166's streaming twin:
+    * the split-health chi² stays current as keys arrive, so a key
+    * regime that correlates with the hash (a new id scheme, an
+    * adversarial feed) is caught before the samplers built on md5Mod
+    * silently skew. Per-batch bucket-occupancy partials in
+    * `batch=<id>` overwrite directories (additive,
+    * retry-overwrites-itself); the published report is
+    * [[graft.operators.Relational.hashUniformityFromCounts]] over the
+    * fold — ONE chi² arithmetic with the batch audit
+    * (spec-asserted). */
+  def runIncrementalHashUniformity(spark: SparkSession, docsDir: String,
+                                   outRoot: String,
+                                   buckets: Int = 64): Unit =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeHashUniformityBatch(batch.toDF(), batchId, outRoot, buckets)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoints/hash_uniformity")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One [[runIncrementalHashUniformity]] micro-batch, exposed for
+    * retry testing. */
+  private[graft] def mergeHashUniformityBatch(batch: DataFrame, batchId: Long,
+                                              outRoot: String,
+                                              buckets: Int): Unit = {
+    val s = batch.sparkSession
+    batch
+      .select(graft.functions.TextFunctions.md5Mod(col("doc_id"), lit(buckets))
+        .as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+    graft.operators.Relational.hashUniformityFromCounts(
+        s.read.parquet(s"$outRoot/counts").drop("batch")
+          .groupBy(col("__b")).agg(sum(col("c")).as("c")),
+        buckets)
+      .write.mode("overwrite").parquet(s"$outRoot/hash_uniformity")
+  }
+
   /** Incremental FD-audit monitoring — x146's streaming twin: the
     * "source determines language" routing assumption stays checked as
     * the lake grows, and a violation arriving in a LATER batch still

@@ -1022,11 +1022,18 @@ object Relational {
     * DECIMAL(18,10) exact-summed (order-free). Output: n_rows,
     * present_buckets, min_n, max_n, chi2 (ROUND 4). */
   def hashUniformity(df: DataFrame, key: Column,
-                     buckets: Int = 64): DataFrame = {
+                     buckets: Int = 64): DataFrame =
+    hashUniformityFromCounts(
+      df.select(graft.functions.TextFunctions.md5Mod(key, lit(buckets)).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("c")),
+      buckets)
+
+  /** [[hashUniformity]] over an already-aggregated (__b, c) occupancy
+    * frame — bucket counts are ADDITIVE, so the incremental twin
+    * persists per-batch partials and re-derives chi² from the fold;
+    * ONE arithmetic for both paths. */
+  def hashUniformityFromCounts(bc: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
-    val bc = df
-      .select(graft.functions.TextFunctions.md5Mod(key, lit(buckets)).as("__b"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("c"))
     val tot = bc.agg(sum(col("c")).as("__n"))
     val e = col("__n").cast("double") / lit(buckets)
     val term = (col("c").cast("double") - e) * (col("c").cast("double") - e) / e

@@ -875,6 +875,25 @@ class PipelineSpec extends SparkSpec {
       "retry changed the published report")
   }
 
+  test("O2 streaming: incremental hash uniformity equals the batch chi-square across waves") {
+    import graft.sources.Tables
+    val src = Files.createTempDirectory("graft_hu_in").toString
+    val root = Files.createTempDirectory("graft_hu_out").toString
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Main.runIncrementalHashUniformity(spark, src, root, buckets = 16)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Main.runIncrementalHashUniformity(spark, src, root, buckets = 16)
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0).toSeq
+    val streamed = row(spark.read.parquet(s"$root/hash_uniformity"))
+    val batch = row(graft.operators.Relational.hashUniformity(
+      docs, col("doc_id"), buckets = 16))
+    assert(streamed == batch, "incremental hash uniformity diverged from batch")
+    Main.mergeHashUniformityBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root, 16)
+    assert(row(spark.read.parquet(s"$root/hash_uniformity")) == streamed,
+      "retry changed the published report")
+  }
+
   test("O2 streaming: incremental FD audit equals the batch audit; late violations flip the key") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_fd_in").toString
