@@ -1472,6 +1472,24 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x168: ensemble pass rate per source — x148's gate rolled to the
+    * mixture-planning grain: which feeds survive the multi-signal gate
+    * and at what rate (the number the x108/x127 budgets should be fed,
+    * not raw volumes). */
+  def x168(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.qualityEnsemble(d, buckets = ensembleBuckets,
+        minEnsemble = ensembleMin)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("selected_n"))
+      .select(col("source"), col("n_docs"), col("selected_n"),
+        round(col("selected_n").cast("double") / col("n_docs"), 6)
+          .as("pass_rate"))
+      .orderBy("source")
+  }
+
   /** x167: packing × dedup co-location — do any x25 training bins hold
     * two members of one x21 near-dup cluster (the in-window
     * memorization amplifier neither operator's own report can see)? */
@@ -1931,6 +1949,7 @@ object ExtensionQueries {
     "x165_value_profile" -> (x165 _),
     "x166_hash_uniformity" -> (x166 _),
     "x167_pack_colocation" -> (x167 _),
+    "x168_ensemble_by_source" -> (x168 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -2060,6 +2079,49 @@ object ExtensionQueries {
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |   // $packBudget)::BIGINT AS bin
        | FROM t)""".stripMargin
+
+  /** ONE definition of the x148 signal/threshold/bucket chain (through
+    * the `bk` CTE, with `source` carried), shared by the per-doc x148
+    * and the per-source x168 rollup so the two cannot drift. */
+  private lazy val ensembleValExpr: String =
+    s"ROUND((q_bucket + e_bucket + ${ensembleBuckets + 1} - r_bucket) / 3.0, 4)"
+  private lazy val ensembleCtes: String = {
+    val probs = (1 until ensembleBuckets).map(_.toDouble / ensembleBuckets)
+    def qs(v: String, p: String) = probs.zipWithIndex.map { case (pr, i) =>
+      s"ROUND(quantile_cont($v, $pr), 4) AS $p$i" }.mkString(", ")
+    def arms(v: String, p: String) = probs.indices.map(i =>
+      s"CASE WHEN $v > $p$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""t AS (SELECT doc_id, source, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+       |qc AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+       |    length(text)::DOUBLE AS nc,
+       |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
+       |  FROM t),
+       |qv AS (SELECT doc_id, source,
+       |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+       |  FROM qc),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
+       |ev AS (SELECT doc_id,
+       |    ROUND(ln(sum(c)) - sum(ROUND(c * ln(c), 6)::DECIMAL(18,6))::DOUBLE / sum(c), 4) + 0.0 AS entropy
+       |  FROM tc GROUP BY doc_id),
+       |tk2 AS (SELECT doc_id, string_split(text, ' ') AS rts FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(rts[i:i+2], ' ') AS s
+       |  FROM tk2 CROSS JOIN UNNEST(range(1, len(rts)-1)) AS r(i)
+       |  WHERE len(rts) >= 3),
+       |rv AS (SELECT doc_id,
+       |    ROUND(1.0 - count(DISTINCT s)::DOUBLE / count(*), 4) AS rep_ratio
+       |  FROM sh GROUP BY doc_id),
+       |sig AS (SELECT qv.doc_id, qv.source, quality_score, entropy, rep_ratio
+       |  FROM qv JOIN ev USING (doc_id) JOIN rv USING (doc_id)),
+       |thr AS (SELECT ${qs("quality_score", "tq")},
+       |    ${qs("entropy", "te")}, ${qs("rep_ratio", "tr")} FROM sig),
+       |bk AS (SELECT doc_id, source,
+       |    (1 + ${arms("quality_score", "tq")})::BIGINT AS q_bucket,
+       |    (1 + ${arms("entropy", "te")})::BIGINT AS e_bucket,
+       |    (1 + ${arms("rep_ratio", "tr")})::BIGINT AS r_bucket
+       |  FROM sig CROSS JOIN thr)""".stripMargin
+  }
 
   private def shingleCteN(n: Int): String =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5021,48 +5083,22 @@ object ExtensionQueries {
     // discipline per signal (ROUND-4 quantile_cont, > comparisons on
     // ROUND-4 values); probabilities printed from the same Scala doubles
     // the Spark percentile() calls use
-    "x148_ensemble" -> {
-      val probs = (1 until ensembleBuckets).map(_.toDouble / ensembleBuckets)
-      def qs(v: String, p: String) = probs.zipWithIndex.map { case (pr, i) =>
-        s"ROUND(quantile_cont($v, $pr), 4) AS $p$i" }.mkString(", ")
-      def arms(v: String, p: String) = probs.indices.map(i =>
-        s"CASE WHEN $v > $p$i THEN 1 ELSE 0 END").mkString(" + ")
-      val ensExpr = s"ROUND((q_bucket + e_bucket + ${ensembleBuckets + 1} - r_bucket) / 3.0, 4)"
-      s"""WITH t AS (SELECT doc_id, text,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-         |qc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-         |    length(text)::DOUBLE AS nc,
-         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
-         |  FROM t),
-         |qv AS (SELECT doc_id,
-         |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
-         |  FROM qc),
-         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
-         |ev AS (SELECT doc_id,
-         |    ROUND(ln(sum(c)) - sum(ROUND(c * ln(c), 6)::DECIMAL(18,6))::DOUBLE / sum(c), 4) + 0.0 AS entropy
-         |  FROM tc GROUP BY doc_id),
-         |tk2 AS (SELECT doc_id, string_split(text, ' ') AS rts FROM documents),
-         |sh AS (SELECT doc_id, array_to_string(rts[i:i+2], ' ') AS s
-         |  FROM tk2 CROSS JOIN UNNEST(range(1, len(rts)-1)) AS r(i)
-         |  WHERE len(rts) >= 3),
-         |rv AS (SELECT doc_id,
-         |    ROUND(1.0 - count(DISTINCT s)::DOUBLE / count(*), 4) AS rep_ratio
-         |  FROM sh GROUP BY doc_id),
-         |sig AS (SELECT qv.doc_id, quality_score, entropy, rep_ratio
-         |  FROM qv JOIN ev USING (doc_id) JOIN rv USING (doc_id)),
-         |thr AS (SELECT ${qs("quality_score", "tq")},
-         |    ${qs("entropy", "te")}, ${qs("rep_ratio", "tr")} FROM sig),
-         |bk AS (SELECT doc_id,
-         |    (1 + ${arms("quality_score", "tq")})::BIGINT AS q_bucket,
-         |    (1 + ${arms("entropy", "te")})::BIGINT AS e_bucket,
-         |    (1 + ${arms("rep_ratio", "tr")})::BIGINT AS r_bucket
-         |  FROM sig CROSS JOIN thr)
+    "x148_ensemble" ->
+      s"""WITH $ensembleCtes
          |SELECT doc_id, q_bucket, e_bucket, r_bucket,
-         |  $ensExpr AS ensemble,
-         |  $ensExpr >= $ensembleMin AS selected
-         |FROM bk ORDER BY doc_id""".stripMargin
-    },
+         |  $ensembleValExpr AS ensemble,
+         |  $ensembleValExpr >= $ensembleMin AS selected
+         |FROM bk ORDER BY doc_id""".stripMargin,
+    // ONE shared chain with x148 (same CTE generator), rolled by source
+    "x168_ensemble_by_source" ->
+      s"""WITH $ensembleCtes,
+         |sel AS (SELECT source,
+         |    CASE WHEN $ensembleValExpr >= $ensembleMin THEN 1 ELSE 0 END AS s
+         |  FROM bk)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(s)::BIGINT AS selected_n,
+         |  ROUND(sum(s)::DOUBLE / count(*), 6) AS pass_rate
+         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
     // rides the SHARED bf top-k CTE (the x11/x117 sharing contract);
     // purity is an integer-sum ratio, one round-6 division
     "x147_label_purity" ->
