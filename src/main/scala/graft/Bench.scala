@@ -24,11 +24,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, "SPARK_GRAFT_BENCH_RUNS must be >= 1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = Sessions.local(cpus)
       .config(graft.sources.Tables.nanosAsLongKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -101,6 +97,25 @@ object Bench {
     // 111-query single line overflowed it, leaving parsed:null), so the
     // line that must survive — and be the last JSON on stdout — is short
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    // ... and because that tail truncation leaves ~70% of the contract
+    // invisible to round-over-round diffs, the FULL per-query table also
+    // lands as an in-repo artifact (ms, integers — sub-ms deltas are
+    // noise): bench_perq.json, committed each round, so any two rounds
+    // can be diffed query-by-query regardless of what the driver capture
+    // kept. Skipped for filtered runs — a partial table must never
+    // overwrite a full one.
+    if (only.isEmpty) {
+      val perqPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQ",
+        "bench_perq.json")
+      val perq = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) -1L else Math.round(v * 1000))
+      }.mkString(",\n  ")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(perqPath),
+        s"""{"unit":"ms","sf":"$sfDir","runs":$runs,"queries":{\n  $perq\n}}\n""")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] per-query artifact write failed: ${e.getMessage}")
+      }
+    }
 
     // Pipeline-shaped headline: the reference's only published number is
     // ~2 h for ONE DAY of ~6k orders end-to-end (BASELINE.md DOC:138 /
@@ -109,20 +124,27 @@ object Bench {
     // daily volume, REAL parquet sinks included (the reference's number
     // includes its writes). SPARK_GRAFT_PIPELINE_ORDERS sizes it;
     // 0 skips the stage.
+    // Same variance discipline as the queries (the r8 lesson: this stage
+    // appeared ONCE per run and its artifact history read 3.9→4.6→5.56 s
+    // on unchanged code — pure box contention): untimed warm-up, then
+    // `runs` timed passes with inter-run release, report the MEDIAN.
     val pipelineOrders = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ORDERS", "6000").toInt
     if (pipelineOrders > 0 && only.isEmpty) {
       try {
         val in = java.nio.file.Files.createTempDirectory("graft_bench_in")
         val out = java.nio.file.Files.createTempDirectory("graft_bench_out")
         PipelineFixture.write(in, pipelineOrders)
-        Main.run(spark, in.toString, out.toString) // warm-up, untimed
+        var report = Main.run(spark, in.toString, out.toString) // warm-up, untimed
+        val times = (1 to runs).map { _ =>
+          release()
+          val t0 = System.nanoTime()
+          report = Main.run(spark, in.toString, out.toString)
+          (System.nanoTime() - t0) / 1e9
+        }
         release()
-        val t0 = System.nanoTime()
-        val report = Main.run(spark, in.toString, out.toString)
-        val dt = (System.nanoTime() - t0) / 1e9
-        release()
+        val dt = median(times)
         println(s"""{"metric":"pipeline_total","value":$dt,"unit":"sec",""" +
-          s""""orders":${report.orders},"events":${report.events},"packages":${report.packages}}""")
+          s""""runs":$runs,"orders":${report.orders},"events":${report.events},"packages":${report.packages}}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline stage failed: ${e.getMessage}")
         println(s"""{"metric":"pipeline_total","value":-1,"unit":"sec","orders":$pipelineOrders}""")

@@ -818,8 +818,11 @@ object Main {
     * `batch=<id>` overwrite directories (additive,
     * retry-overwrites-itself); the published report is
     * [[graft.operators.Relational.hashUniformityFromCounts]] over the
-    * fold — ONE chi² arithmetic with the batch audit
-    * (spec-asserted). */
+    * fold — ONE chi² arithmetic with the batch audit (spec-asserted).
+    * `buckets` is a tunable that PARAMETERIZES the partials' shape, so
+    * it is encoded in the partials path (`counts_b<buckets>/`): a rerun
+    * with a different buckets value folds only its own partials instead
+    * of silently mixing incompatible occupancies into a wrong chi². */
   def runIncrementalHashUniformity(spark: SparkSession, docsDir: String,
                                    outRoot: String,
                                    buckets: Int = 64): Unit =
@@ -845,9 +848,9 @@ object Main {
       .select(graft.functions.TextFunctions.md5Mod(col("doc_id"), lit(buckets))
         .as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$outRoot/counts/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$outRoot/counts_b$buckets/batch=$batchId")
     graft.operators.Relational.hashUniformityFromCounts(
-        s.read.parquet(s"$outRoot/counts").drop("batch")
+        s.read.parquet(s"$outRoot/counts_b$buckets").drop("batch")
           .groupBy(col("__b")).agg(sum(col("c")).as("c")),
         buckets)
       .write.mode("overwrite").parquet(s"$outRoot/hash_uniformity")
@@ -1164,13 +1167,14 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cluster submits set spark.graft.persist.mode=reliable, which needs
+    // a fault-tolerant checkpoint root (conf/cluster-smoke.conf); wire it
+    // here so one --properties-file configures the whole persistence story
+    spark.sparkContext.getConf.getOption("spark.graft.checkpoint.dir")
+      .foreach(spark.sparkContext.setCheckpointDir)
     val r = run(spark, inDir, outDir)
     println(s"[main] $r")
     spark.stop()

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ONE definition of the local session config shared by the three
+  * driver-contract mains (Main / Verify / Bench) and the test session —
+  * so the runtime knobs the 100 TB design leans on are pinned in code,
+  * not inherited from Spark defaults that a version bump could move.
+  *
+  * The AQE trio is the load-bearing part: the SkewBench story ("a
+  * hot-key shuffle re-plans at runtime") assumes
+  * `spark.sql.adaptive.{enabled,coalescePartitions.enabled,
+  * skewJoin.enabled}`; pinning them here makes the claim a property of
+  * the session builder, asserted by SessionConfigSpec, instead of a
+  * default three `spark-defaults.conf` lines away from silently off.
+  * `conf/cluster-smoke.conf` pins the same three for cluster submits.
+  */
+object Sessions {
+
+  /** The knobs every graft session pins explicitly (runtime re-plan:
+    * partition coalescing + skew-join splitting on live shuffle
+    * statistics). */
+  val adaptiveKnobs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+
+  /** local[cpus] builder with the shared baseline: shuffle partitions =
+    * thread count (local[n] has no cluster to fan to; AQE coalesces
+    * below it), UTC (all oracle arithmetic is UTC), UI off, AQE trio
+    * pinned. Callers append their own extras (nanosAsLong for
+    * event-fixture readers, warehouse dir for tests). */
+  def local(cpus: String): SparkSession.Builder =
+    adaptiveKnobs.foldLeft(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    ) { case (b, (k, v)) => b.config(k, v) }
+}

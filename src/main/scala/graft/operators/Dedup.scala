@@ -1570,18 +1570,35 @@ object Dedup {
     *
     * Scale shape: both policies ride their audited implementations over
     * ONE persisted pair frame; the report is four scalar aggregates
-    * attached by the 1-row-broadcast pattern. Output: n_docs, n_pairs,
-    * kept_greedy, kept_cc, extra_greedy. */
-  def dedupStrategyAudit(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    * attached by the 1-row-broadcast pattern. The CC side runs
+    * [[componentLabels]] ONCE (no re-dispatch through
+    * [[dropNearDuplicatesCC]]) and SURFACES its convergence flag:
+    * exactly on the long-chain corpora this audit exists for, a
+    * non-converged loop falls back to the greedy policy, which would
+    * otherwise read as extra_greedy = 0 — "greedy is free" — masking
+    * the CC cost. `cc_converged = false` marks kept_cc as the greedy
+    * fallback, and `maxIters` is threaded so the caller can buy more
+    * rounds. Output: n_docs, n_pairs, kept_greedy, kept_cc,
+    * extra_greedy, cc_converged. */
+  def dedupStrategyAudit(docs: DataFrame, pairs0: DataFrame,
+                         maxIters: Int = 10): DataFrame = {
     val pairs = graft.Persist.cut(pairs0)
     val base = docs.agg(count(lit(1)).as("n_docs"))
     val np = pairs.agg(count(lit(1)).as("n_pairs"))
     val g = dropNearDuplicates(docs, pairs).agg(count(lit(1)).as("kept_greedy"))
-    val c = dropNearDuplicatesCC(docs, pairs).agg(count(lit(1)).as("kept_cc"))
+    val (ccKept, converged) = componentLabels(pairs, maxIters) match {
+      case None => (docs, true) // no candidate pairs: CC trivially exact
+      case Some((_, false)) => (dropNearDuplicates(docs, pairs), false)
+      case Some((labels, true)) => (docs.join(
+        labels.filter(col("id") =!= col("lbl")).select(col("id").as("__drop")),
+        docs("doc_id") === col("__drop"), "left_anti"), true)
+    }
+    val c = ccKept.agg(count(lit(1)).as("kept_cc"))
     base.crossJoin(broadcast(np)).crossJoin(broadcast(g)).crossJoin(broadcast(c))
       .select(col("n_docs"), col("n_pairs"), col("kept_greedy"),
         col("kept_cc"),
-        (col("kept_greedy") - col("kept_cc")).as("extra_greedy"))
+        (col("kept_greedy") - col("kept_cc")).as("extra_greedy"),
+        lit(converged).as("cc_converged"))
   }
 
   /** Detector AGREEMENT audit — the MinHash/LSH candidate pairs vs the

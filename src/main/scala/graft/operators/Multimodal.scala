@@ -137,9 +137,11 @@ object Multimodal {
     * Scale shape: pure per-row expression work (`blocks` md5s over
     * substring views — the simhash per-token budget), no explode, no
     * shuffle; downstream pairing ships (id, fingerprint) longs only.
-    * Block arithmetic is exact: offsets are floor(i·n/blocks) computed
-    * in doubles, exact below 2^53 (a 2⁵³-byte payload is not a row).
-    * Empty payloads are absent. Output: doc_id, fingerprint. */
+    * Block arithmetic is exact: offsets are floor(i·n/blocks) where the
+    * product i·n is taken in LONG (overflow only beyond ~2^63/blocks
+    * bytes — not a row) and only the division passes through double,
+    * exact below 2^53. Empty payloads are absent. Output: doc_id,
+    * fingerprint. */
   def blockFingerprints(bin: DataFrame, blocks: Int = 32): DataFrame = {
     require(blocks >= 2 && blocks <= 63, "blocks must fit a long with room")
     val nb = col("meta.n_bytes")

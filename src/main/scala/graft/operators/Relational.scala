@@ -215,31 +215,30 @@ object Relational {
     * positions.
     *
     * Scale shape: the spine is bounded by activity-span/unit per key
-    * (the resample lever); bucket indices derive by integer `div` from
-    * the key's own min bucket (|keys|-row broadcast join); per-key fold
-    * state is the EMPTY positions only. Output: key, n_buckets,
-    * n_empty, longest_gap (in `unit`s). */
+    * (the resample lever); bucket indices are ORDINAL positions in the
+    * key's bucket-sorted spine — not fixed-width µs arithmetic, so a
+    * DST-bearing session timezone (23/25 h days) cannot collide or skip
+    * indices; [[fillGaps]]' calendar `interval` stepping and this
+    * ordinal view agree by construction. Per-key state is the spine's
+    * (bucket, n_events) rows, same bound as the spine itself. Output:
+    * key, n_buckets, n_empty, longest_gap (in `unit`s). */
   def outageGaps(events: DataFrame, key: String, ts: String,
-                 unit: String = "hour"): DataFrame = {
-    val unitUs = unit match {
-      case "hour" => 3600000000L
-      case "day"  => 86400000000L
-      case "week" => 604800000000L
-      case u => throw new IllegalArgumentException(s"unit must be hour|day|week, got $u")
-    }
-    val spine = resampleCounts(events, key, ts, unit)
-    val lo = spine.groupBy(col(key)).agg(min(col("bucket")).as("__lo"))
-    spine.join(broadcast(lo), key)
-      .withColumn("__idx",
-        expr(s"(unix_micros(bucket) - unix_micros(__lo)) div ${unitUs}L"))
+                 unit: String = "hour"): DataFrame =
+    resampleCounts(events, key, ts, unit)
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_buckets"),
         sum(when(col("n_events") === 0L, 1L).otherwise(0L)).as("n_empty"),
-        collect_list(when(col("n_events") === 0L, col("__idx"))).as("__zp"))
+        sort_array(collect_list(struct(col("bucket"), col("n_events"))))
+          .as("__sp"))
       .select(col(key), col("n_buckets"), col("n_empty"),
-        graft.functions.TextFunctions.longestConsecutiveRun(col("__zp"))
+        graft.functions.TextFunctions.longestConsecutiveRun(
+          expr("""transform(
+                 |  filter(
+                 |    transform(__sp, (b, i) -> struct(CAST(i AS LONG) AS i,
+                 |                                     b.n_events AS n)),
+                 |    s -> s.n = 0),
+                 |  s -> s.i)""".stripMargin))
           .as("longest_gap"))
-  }
 
   /** The gap-fill stage of [[resampleCounts]], exposed for callers that
     * already HOLD aggregated (key, bucket, n_events) rows — e.g. the
@@ -1113,6 +1112,11 @@ object Relational {
     * column_name, n_rows, n_nulls, null_rate (ROUND 6). */
   def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    // names are spliced into a stack()/selectExpr SQL string below — a
+    // quote/backtick/paren in a name would break (or rewrite) the
+    // expression, so admit plain identifiers only
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name must match [A-Za-z_][A-Za-z0-9_]*, got '$c'"))
     val aggs = count(lit(1)).as("__n") +: cols.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
     val stackArgs = cols.map(c => s"'$c', __null_$c").mkString(", ")

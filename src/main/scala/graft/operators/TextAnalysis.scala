@@ -823,9 +823,27 @@ object TextAnalysis {
     * formulations to each other. All-integer outputs — no float
     * discipline needed anywhere.
     * Output: merge_rank (1-based), lhs, rhs, cnt (pair frequency at
-    * merge time). Fewer than `merges` rows when the corpus runs dry. */
-  def bpeMerges(docs: DataFrame, merges: Int = 5): DataFrame =
-    bpeLoop(docs, merges)._1.orderBy("merge_rank")
+    * merge time). Fewer than `merges` rows when the corpus runs dry.
+    *
+    * `batch` (default 1 = the exact loop above — the x91/x96 oracle
+    * path) is the JOB-COUNT lever for real vocabularies: the exact loop
+    * is one full-vocabulary Spark round per merge, so a 32k-merge train
+    * is 32k sequential jobs regardless of corpus size. With `batch = m`
+    * each round selects the top-m candidates that are mutually
+    * NON-INTERACTING — no symbol of one rule appears in, or equals the
+    * fused output of, another — and applies them in ONE fold pass, so
+    * the round count (and job count) drops to ceil(merges/m): the
+    * standard scalable-BPE trade. Within a round the selected rules
+    * cannot see each other (disjointness is checked against lhs, rhs,
+    * AND lhs||rhs), so one combined pass equals applying each rule's own
+    * greedy pass in rank order; ACROSS the batch the counts rules 2..m
+    * were ranked by are the round-start counts, not the post-rule-1
+    * counts — on corpora whose top pair frequencies are well separated
+    * (natural text) the chain agrees with the exact loop
+    * (spec-asserted on the fixture corpus); adversarial ties can
+    * reorder. */
+  def bpeMerges(docs: DataFrame, merges: Int = 5, batch: Int = 1): DataFrame =
+    bpeLoop(docs, merges, batch)._1.orderBy("merge_rank")
 
   /** Apply the SAME training loop's merge chain and return the encoded
     * vocabulary — the tokenizer-apply step that closes the train→encode
@@ -839,9 +857,10 @@ object TextAnalysis {
     * contain spaces because words come from the whitespace tokenizer).
     * If the corpus dries out before `merges` rounds (no pair left to
     * merge) the loop stops and the LAST symbol table is returned — the
-    * vocabulary is never emptied by an empty argmax. */
-  def bpeEncode(docs: DataFrame, merges: Int = 5): DataFrame =
-    bpeLoop(docs, merges)._2.select(col("w"), col("cnt"),
+    * vocabulary is never emptied by an empty argmax. `batch` as in
+    * [[bpeMerges]] (default 1 = exact). */
+  def bpeEncode(docs: DataFrame, merges: Int = 5, batch: Int = 1): DataFrame =
+    bpeLoop(docs, merges, batch)._2.select(col("w"), col("cnt"),
       size(col("syms")).cast("long").as("n_pieces"),
       array_join(col("syms"), " ").as("pieces"))
 
@@ -850,8 +869,10 @@ object TextAnalysis {
     * column rides through every round — vocab-bounded, so the per-round
     * checkpoint stays small — which is what lets encode fall out of
     * training for free. */
-  private def bpeLoop(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+  private def bpeLoop(docs: DataFrame, merges: Int,
+                      batch: Int = 1): (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
+    require(batch >= 1, "batch must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs.select(explode(tokens(col("text"))).as("w"))
@@ -863,26 +884,65 @@ object TextAnalysis {
     // per-round recompute of the TakeOrdered when the rule table is
     // re-evaluated downstream) AND detects a dried-out corpus — without
     // the probe an empty argmax crossJoined into seqs would silently
-    // empty the entire vocabulary
+    // empty the entire vocabulary. In batched mode the probe widens to a
+    // bounded top-(4m+8) window — still ONE TakeOrdered job per ROUND —
+    // and the non-interacting subset is picked driver-side from those
+    // <= 4m+8 rows.
     val ranks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var dry = false
     while (r <= merges && !dry) {
+      val m = math.min(batch, merges - r + 1)
       val prs = seqs.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
         .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
         .agg(sum(col("cnt")).as("cnt"))
-      val best = prs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
-      if (best.isEmpty) dry = true // corpus dried out — keep current seqs
-      else {
-        val b = best(0)
-        val (lhs, rhs, cnt) = (b.getString(0), b.getString(1), b.getLong(2))
-        ranks += ((r.toLong, lhs, rhs, cnt))
-        val rule = broadcast(Seq((lhs, rhs)).toDF("__ma", "__mb"))
-        seqs = graft.Persist.cut(seqs.crossJoin(rule)
-          .select(col("w"), expr(bpeMergeFold).as("syms"), col("cnt")))
-        r += 1
+      if (m == 1) {
+        // exact path — byte-for-byte the pre-batch loop (the x91/x96
+        // oracle replays THIS chain)
+        val best = prs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
+        if (best.isEmpty) dry = true // corpus dried out — keep current seqs
+        else {
+          val b = best(0)
+          val (lhs, rhs, cnt) = (b.getString(0), b.getString(1), b.getLong(2))
+          ranks += ((r.toLong, lhs, rhs, cnt))
+          val rule = broadcast(Seq((lhs, rhs)).toDF("__ma", "__mb"))
+          seqs = graft.Persist.cut(seqs.crossJoin(rule)
+            .select(col("w"), expr(bpeMergeFold).as("syms"), col("cnt")))
+          r += 1
+        }
+      } else {
+        val window = prs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(4 * m + 8).collect()
+        if (window.isEmpty) dry = true
+        else {
+          // greedy non-interacting selection in rank order: a candidate
+          // is admitted only if its lhs, rhs AND fused output are all
+          // unseen among every prior admit's three strings — so no rule
+          // can consume or produce another's symbols and one combined
+          // fold pass == the rules' own passes in rank order
+          val used = scala.collection.mutable.Set.empty[String]
+          val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          val it = window.iterator
+          while (sel.size < m && it.hasNext) {
+            val b = it.next()
+            val (l, rh, c) = (b.getString(0), b.getString(1), b.getLong(2))
+            val keys = Set(l, rh, l + rh)
+            if (keys.forall(!used.contains(_))) { used ++= keys; sel += ((l, rh, c)) }
+          }
+          sel.foreach { case (l, rh, c) =>
+            ranks += ((r.toLong, l, rh, c)); r += 1
+          }
+          // one fold pass over a broadcast "lhs rhs" -> "lhsrhs" map
+          // (symbols never contain spaces: words come from the
+          // whitespace tokenizer, so the space-joined key is unambiguous)
+          val ruleMap = map(sel.toSeq.flatMap { case (l, rh, _) =>
+            Seq(lit(l + " " + rh), lit(l + rh)) }: _*)
+          seqs = graft.Persist.cut(seqs
+            .withColumn("__rules", ruleMap)
+            .select(col("w"), expr(bpeBatchFold).as("syms"), col("cnt")))
+        }
       }
     }
     (ranks.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt"), seqs)
@@ -897,6 +957,23 @@ object TextAnalysis {
       |  (acc, x) -> CASE
       |    WHEN size(acc) > 0 AND element_at(acc, -1) = __ma AND x = __mb
       |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(__ma, __mb)))
+      |    ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** The batched twin of [[bpeMergeFold]]: the same left-to-right greedy
+    * scan, but the (tail, x) match consults the round's `__rules` map
+    * ("lhs rhs" -> fused) instead of one (__ma, __mb) literal pair.
+    * Because a round's rules are mutually non-interacting (see
+    * [[bpeMerges]]), at most one rule can match at any position and a
+    * fused output can never feed another rule in the same pass — so this
+    * pass is order-independent within the batch. */
+  private[operators] val bpeBatchFold: String =
+    """aggregate(syms, CAST(array() AS array<string>),
+      |  (acc, x) -> CASE
+      |    WHEN size(acc) > 0 AND
+      |      try_element_at(__rules, concat(element_at(acc, -1), ' ', x))
+      |        IS NOT NULL
+      |    THEN concat(slice(acc, 1, size(acc) - 1),
+      |      array(try_element_at(__rules, concat(element_at(acc, -1), ' ', x))))
       |    ELSE concat(acc, array(x)) END)""".stripMargin
 
   /** Mixture-divergence report: actual per-stratum share of the corpus

@@ -4908,7 +4908,8 @@ object ExtensionQueries {
          |     WHERE doc_id NOT IN (SELECT b_id FROM pairs)) -
          |   (SELECT count(*) FROM documents
          |     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)))::BIGINT
-         |    AS extra_greedy""".stripMargin,
+         |    AS extra_greedy,
+         |  TRUE AS cc_converged""".stripMargin,
     // the two audited pair chains side by side; simhash bands renamed
     // (sb/sp) so the CTE namespaces cannot collide with the LSH ones
     "x157_detector_agreement" -> {

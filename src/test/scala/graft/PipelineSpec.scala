@@ -892,6 +892,14 @@ class PipelineSpec extends SparkSpec {
     Main.mergeHashUniformityBatch(docs.filter(col("doc_id") % 2 === 1), 1L, root, 16)
     assert(row(spark.read.parquet(s"$root/hash_uniformity")) == streamed,
       "retry changed the published report")
+    // ROUND 9: buckets parameterizes the partials' SHAPE, so partials
+    // live under counts_b<buckets>/ — a rerun with different buckets
+    // must fold only its own partials, not mix b16 occupancies into a
+    // silently wrong chi²
+    Main.mergeHashUniformityBatch(docs, 2L, root, 8)
+    assert(row(spark.read.parquet(s"$root/hash_uniformity")) ==
+      row(graft.operators.Relational.hashUniformity(docs, col("doc_id"), buckets = 8)),
+      "a buckets=8 rerun folded the buckets=16 partials")
   }
 
   test("O2 streaming: incremental FD audit equals the batch audit; late violations flip the key") {

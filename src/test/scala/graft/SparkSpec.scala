@@ -13,11 +13,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // same Sessions.local base as the three driver mains, so the config
+    // the suites exercise IS the config the graded runs use
+    val s = graft.Sessions.local("4")
       .config(graft.sources.Tables.nanosAsLongKey, "true")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()

@@ -283,6 +283,24 @@ class Round11OpsSpec extends SparkSpec {
     val chain = Seq((1L, 3L), (2L, 3L)).toDF("a_id", "b_id")
     val s2 = Dedup.dedupStrategyAudit(docs, chain).collect()(0)
     assert((s2.getLong(2), s2.getLong(3), s2.getLong(4)) === ((4L, 3L, 1L)))
+    assert(s2.getBoolean(5), "a 2-pair graph must converge")
+  }
+
+  test("dedupStrategyAudit: a non-converged CC pass is SURFACED, not read as extra_greedy = 0") {
+    val docs = (1L to 12L).map(i => (i, s"doc $i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // an 11-hop chain: exactly the long-chain corpus the audit exists
+    // for — under a starved iteration cap the CC side falls back to
+    // greedy, and BEFORE round 9 that read as extra_greedy = 0
+    // ("greedy is free") with nothing marking the lie
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val starved = Dedup.dedupStrategyAudit(docs, chain, maxIters = 1).collect()(0)
+    assert(!starved.getBoolean(5), "1 iteration cannot label an 11-hop chain")
+    assert(starved.getLong(3) === starved.getLong(2),
+      "fallback kept_cc IS the greedy count — the flag is what distinguishes it")
+    val full = Dedup.dedupStrategyAudit(docs, chain).collect()(0)
+    assert(full.getBoolean(5))
+    assert((full.getLong(2), full.getLong(3), full.getLong(4)) === ((1L, 1L, 0L)))
   }
 
   test("detectorAgreement: byte-identical docs are found by both detectors; clean corpora report null overlap") {

@@ -7,6 +7,7 @@ tables, sorts columns by name on both sides, and compares row count,
 schema (column names), and values.
 
 Usage: check_oracle.py <sf_dir> <out_dir> [name1,name2,...] [--strict]
+       [--memory-limit=8GB] [--threads=4]
 
 An optional name list restricts the compare to those query names (local
 iteration after a filtered Verify run).
@@ -18,9 +19,20 @@ columns on either side: the r06 x61/x83 failure class is value-equal
 DECIMAL that serializes differently per engine ('13.9000' vs 13.9), which
 a both-sides-through-DuckDB value compare cannot see. A DECIMAL output is
 a FAIL in strict mode and a loud WARN otherwise.
+
+Resource bounds (ROUND 9): the oracle connection is capped by DuckDB's
+`memory_limit` (default 8GB, spill to a temp dir) and `threads` (default
+4), overridable via --memory-limit/--threads or the CHECK_ORACLE_MEMORY /
+CHECK_ORACLE_THREADS env vars. Without a cap, DuckDB sizes itself to ~80%
+of PHYSICAL RAM per process — three concurrent sf0.3 replays each assumed
+the whole box and the x90 recursive-CTE oracle OOM'd (the r8 asterisk:
+harness contention misreading as a red). With the cap + spill, batch
+replays are safe to run concurrently.
 """
 import json
+import os
 import sys
+import tempfile
 
 import duckdb
 
@@ -44,8 +56,19 @@ def decimal_cols(con, query):
     return [r[0] for r in rows if "DECIMAL" in r[1].upper() or "HUGEINT" in r[1].upper()]
 
 
+def _flag(name, env, default):
+    for a in sys.argv:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return os.environ.get(env, default)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{_flag('memory-limit', 'CHECK_ORACLE_MEMORY', '8GB')}'")
+    con.execute(f"SET threads={int(_flag('threads', 'CHECK_ORACLE_THREADS', '4'))}")
+    spill = tempfile.mkdtemp(prefix="check_oracle_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
