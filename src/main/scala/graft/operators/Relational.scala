@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.NumericFunctions
 
 /** Reusable relational operators re-expressing the reference's BigQuery
   * stored-procedure layer (SURVEY §2.0 Q1-Q20) as pure
@@ -1136,7 +1137,7 @@ object Relational {
     * would never show it). The five moment sums are ROUND-6
     * DECIMAL(28,6) partials (order-free, the x37 discipline; 28 digits
     * so squared sums survive corpus-scale magnitudes), the final r is
-    * one double expression ROUND 4 (+0.0 for the signed-zero class);
+    * one double expression detRound 4 (+0.0 for the signed-zero class);
     * zero-variance groups surface null, never a division blow-up.
     *
     * Scale shape: ONE partial-aggregated pass, |groups| output rows,
@@ -1154,7 +1155,9 @@ object Relational {
     val cov = nd * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
     agg.select(col("grp"), col("n"),
       when(varX > 0.0 && varY > 0.0,
-        round(cov / sqrt(varX * varY), 4) + lit(0.0)).as("r"))
+        // detRound: the closed-form r can land on exact 4-decimal
+        // halves (sf1.0 x158 row 1) where engine ROUNDs disagree
+        NumericFunctions.detRound(cov / sqrt(varX * varY), 4) + lit(0.0)).as("r"))
   }
 
   /** Shard-layout PLANNER — the physical-layout arithmetic behind

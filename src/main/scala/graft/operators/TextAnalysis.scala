@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.NumericFunctions
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -585,7 +586,11 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("__lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+        // detRound, not ROUND: Σ(decimal)/n lands on exact 4-decimal
+        // halves (sf1.0: -91.833750/27 = -3.401250 exactly) where the
+        // engines' ROUNDs disagree — see NumericFunctions
+        NumericFunctions.detRound(
+          sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
   }
 
   /** Interpolated bigram language-model scoring — the KenLM-style
@@ -638,7 +643,9 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("__lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+        // detRound: same exact-half knife edge as unigramLogProb
+        NumericFunctions.detRound(
+          sum(col("__lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
   }
 
   /** Top-k adjacent-pair PMI (pointwise mutual information) — the

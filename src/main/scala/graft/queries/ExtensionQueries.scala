@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NumericFunctions
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
@@ -2130,6 +2131,44 @@ object ExtensionQueries {
        |       WHERE len(toks) >= $n)""".stripMargin
   private val shingleCte: String = shingleCteN(3)
 
+  /** Exact shingle-overlap verification chain over INTEGER shingle ids —
+    * the oracle-side mirror of `Dedup.ngramJaccardPairs`' blocking +
+    * verify, shared by x10/x67/x128. Semantically identical to the
+    * direct string-keyed chain (blocking self-join on shingles with
+    * df <= jaccardMaxDf, intersection = shared count of each doc's
+    * DISTINCT shingles) but narrow enough for a resource-capped DuckDB:
+    * shingles are enumerated to dense ids, then ONE (doc_id, id)-long
+    * self-join on id + ONE group-by computes BOTH the intersection
+    * count (i = shared rows per pair, exact because `sh` is DISTINCT
+    * per doc) and the blocking predicate (has_rare = pair shares at
+    * least one df <= cap shingle, via a LEFT JOIN flag max'd over the
+    * group). The old shape expanded cand x shingles-per-doc STRING
+    * rows — ~7.6e9 wide rows / 56+ GB of spill at sf1.0 (133.7M
+    * candidate pairs) — where this one's peak state is the ~151M-row
+    * narrow aggregate (~116 s under an 8 GB / 4-thread cap at sf1.0; a
+    * list_intersect-per-pair variant was tried and is O(len^2) per
+    * pair — abandoned). Like the Spark operator, cost is bounded by
+    * sum df^2 over shingles — safe while no shingle is corpus-hot (max
+    * df 150 across the graded fixtures vs the 256 cap). `candExtra`
+    * injects an extra join into the self-join so a caller can restrict
+    * pairs BEFORE the aggregate (x128: to the LSH estimate pairs,
+    * which the downstream est-join would drop anyway). Emits `shi`,
+    * `inter(a_id, b_id, i)`, `card`; expects `sh` upstream. */
+  private def jaccardExactCtes(candExtra: String = ""): String =
+    s"""sid AS (SELECT s, row_number() OVER (ORDER BY s) AS id
+       |  FROM (SELECT DISTINCT s FROM sh)),
+       |shi AS (SELECT sh.doc_id, sid.id FROM sh JOIN sid USING (s)),
+       |rsid AS (SELECT id FROM shi GROUP BY id HAVING count(*) <= $jaccardMaxDf),
+       |prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    count(*)::BIGINT AS i,
+       |    max(CASE WHEN rs.id IS NOT NULL THEN 1 ELSE 0 END) AS has_rare
+       |  FROM shi a JOIN shi b ON a.id = b.id AND a.doc_id < b.doc_id
+       |  LEFT JOIN rsid rs ON rs.id = a.id
+       |  $candExtra
+       |  GROUP BY 1, 2),
+       |inter AS (SELECT a_id, b_id, i FROM prs WHERE has_rare = 1),
+       |card AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id)""".stripMargin
+
   /** ascii-safe token hash, identical to TextFunctions.tokenHash. */
   private def tokenHashSql(t: String): String =
     s"(ascii(substring(regexp_replace($t, '[^ -~]', '', 'g'), 1, 1))*31 + length($t))::BIGINT"
@@ -2638,7 +2677,7 @@ object ExtensionQueries {
          | LEFT JOIN big ON tok.prev = big.prev AND tok.term = big.term
          | CROSS JOIN tt)
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         |  ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+         |  ${NumericFunctions.detRoundSql("sum(lp)::DOUBLE / count(*)", 4)} AS avg_logp
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // history stats (PRECEDING frame, current row excluded) are integer
     // sums; z is ONE double expression over them and the 3σ flag compares
@@ -2924,17 +2963,8 @@ object ExtensionQueries {
     // directions score independently against their own source cardinality
     "x67_containment" ->
       s"""WITH $shingleCte,
-         |rare AS (SELECT sh.* FROM sh JOIN
-         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |inter AS (SELECT cand.a_id, cand.b_id, count(*) AS i
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.a_id
-         |  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.s = sa.s
-         |  GROUP BY cand.a_id, cand.b_id),
-         |bothdir AS (
+         |${jaccardExactCtes()}
+         |, bothdir AS (
          |  SELECT inter.a_id AS src_id, inter.b_id AS dst_id,
          |    ROUND(inter.i::DOUBLE / ca.c, 4) AS containment
          |  FROM inter JOIN card ca ON inter.a_id = ca.doc_id
@@ -3059,7 +3089,8 @@ object ExtensionQueries {
          |tt AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
          |sc AS (SELECT doc_id, ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6) AS lp
          |      FROM tok JOIN c USING (term) CROSS JOIN tt),
-         |lpd AS (SELECT doc_id, ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+         |lpd AS (SELECT doc_id,
+         |    ${NumericFunctions.detRoundSql("sum(lp)::DOUBLE / count(*)", 4)} AS avg_logp
          |       FROM sc GROUP BY doc_id),
          |j AS (SELECT lpd.doc_id, d.lang, lpd.avg_logp
          |      FROM lpd JOIN documents d USING (doc_id)),
@@ -3674,17 +3705,19 @@ object ExtensionQueries {
          |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
     // per-token ROUND(…,6)::DECIMAL before the sum — decimal addition is
     // exact, so the aggregate is order-independent on both engines (see
-    // TextAnalysis.unigramLogProb's float-discipline note)
+    // TextAnalysis.unigramLogProb's float-discipline note); the final
+    // per-doc average detRounds (Σdecimal/n lands on exact 4-decimal
+    // halves where engine ROUNDs disagree — NumericFunctions)
     "x37_unigram_lm" ->
-      """WITH tok AS (SELECT doc_id,
-        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
-        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
-        |t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
-        |s AS (SELECT doc_id, ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6) AS lp
-        |      FROM tok JOIN c USING (term) CROSS JOIN t)
-        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |  ROUND(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+         |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+         |t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+         |s AS (SELECT doc_id, ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6) AS lp
+         |      FROM tok JOIN c USING (term) CROSS JOIN t)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ${NumericFunctions.detRoundSql("sum(lp)::DOUBLE / count(*)", 4)} AS avg_logp
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x35_resample" ->
       s"""WITH $resampleCtes
          |SELECT user_id, bucket, n_events FROM r
@@ -3821,16 +3854,7 @@ object ExtensionQueries {
     "x20_simhash64_pairs" -> simhashPairsSql(bits = 64, maxHamming = 3),
     "x10_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |rare AS (SELECT sh.* FROM sh JOIN
-         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |inter AS (SELECT cand.a_id, cand.b_id, count(*) AS i
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.a_id
-         |  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.s = sa.s
-         |  GROUP BY cand.a_id, cand.b_id)
+         |${jaccardExactCtes()}
          |SELECT a_id, b_id, j FROM
          | (SELECT inter.a_id, inter.b_id,
          |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
@@ -4457,17 +4481,9 @@ object ExtensionQueries {
     "x128_est_error" ->
       s"""WITH $lshCtes,
          |$estCtes,
-         |rare AS (SELECT sh.* FROM sh JOIN
-         |  (SELECT s FROM sh GROUP BY s HAVING count(*) <= $jaccardMaxDf) rs USING (s)),
-         |rcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |inter AS (SELECT rcand.a_id, rcand.b_id, count(*) AS i
-         |  FROM rcand
-         |  JOIN sh sa ON sa.doc_id = rcand.a_id
-         |  JOIN sh sb ON sb.doc_id = rcand.b_id AND sb.s = sa.s
-         |  GROUP BY rcand.a_id, rcand.b_id),
-         |ex AS (SELECT inter.a_id, inter.b_id,
+         |${jaccardExactCtes(
+            "JOIN ecand ON ecand.a_id = a.doc_id AND ecand.b_id = b.doc_id")}
+         |, ex AS (SELECT inter.a_id, inter.b_id,
          |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
          |  FROM inter
          |  JOIN card ca ON inter.a_id = ca.doc_id
@@ -4847,13 +4863,13 @@ object ExtensionQueries {
     // the x37 + x04 chains joined on doc_id with lang, through the x154
     // moment-sum template (ONE corr arithmetic on both engines)
     "x158_lm_quality_corr" ->
-      """WITH tok AS (SELECT doc_id,
+      s"""WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
         |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
         |t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
         |lp AS (SELECT doc_id,
-        |    ROUND(sum(ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6))::DOUBLE
-        |      / count(*), 4) AS x
+        |    ${NumericFunctions.detRoundSql(
+             "sum(ROUND(ln(cnt::DOUBLE / tot), 6)::DECIMAL(18,6))::DOUBLE / count(*)", 4)} AS x
         |  FROM tok JOIN c USING (term) CROSS JOIN t GROUP BY doc_id),
         |td AS (SELECT doc_id, lang, text,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
@@ -4878,7 +4894,7 @@ object ExtensionQueries {
         |  FROM m)
         |SELECT lang, n,
         |  CASE WHEN vx > 0.0 AND vy > 0.0
-        |    THEN ROUND(cv / sqrt(vx * vy), 4) + 0.0 END AS r
+        |    THEN ${NumericFunctions.detRoundSql("cv / sqrt(vx * vy)", 4)} + 0.0 END AS r
         |FROM v ORDER BY lang""".stripMargin,
     // ONE rollup over the x107 transition matrix (the shared LEAD shape)
     "x159_self_loops" ->
@@ -4972,7 +4988,7 @@ object ExtensionQueries {
     // closing r mirrors corrBy's double expression exactly; + 0.0
     // normalizes the signed-zero class
     "x154_len_quality_corr" ->
-      """WITH t AS (SELECT doc_id, source, text,
+      s"""WITH t AS (SELECT doc_id, source, text,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
         |c AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
         |    length(text)::DOUBLE AS nc,
@@ -4995,7 +5011,7 @@ object ExtensionQueries {
         |  FROM m)
         |SELECT source, n,
         |  CASE WHEN vx > 0.0 AND vy > 0.0
-        |    THEN ROUND(cv / sqrt(vx * vy), 4) + 0.0 END AS r
+        |    THEN ${NumericFunctions.detRoundSql("cv / sqrt(vx * vy)", 4)} + 0.0 END AS r
         |FROM v ORDER BY source""".stripMargin,
     // hourly spine per type (the x35 machinery keyed on event_type) with
     // the x138 islands fold over the ZERO buckets

@@ -572,8 +572,10 @@ class PropertiesSpec extends SparkSpec {
         (s(p => p._1 * p._1), s(p => p._2 * p._2), s(p => p._1 * p._2))
       val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
       if (vx > 0 && vy > 0)
-        Some(BigDecimal((n * sxy - sx * sy) / math.sqrt(vx * vy))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+        // detRound's floor form, not BigDecimal HALF_UP — corrBy's final
+        // round is the engine-independent floor(x·10⁴+0.5)/10⁴
+        Some(math.floor((n * sxy - sx * sy) / math.sqrt(vx * vy) * 10000.0 + 0.5)
+          / 10000.0 + 0.0)
       else None
     }
     val gen = Gen.nonEmptyListOf(for {

@@ -21,13 +21,18 @@ a both-sides-through-DuckDB value compare cannot see. A DECIMAL output is
 a FAIL in strict mode and a loud WARN otherwise.
 
 Resource bounds (ROUND 9): the oracle connection is capped by DuckDB's
-`memory_limit` (default 8GB, spill to a temp dir) and `threads` (default
-4), overridable via --memory-limit/--threads or the CHECK_ORACLE_MEMORY /
-CHECK_ORACLE_THREADS env vars. Without a cap, DuckDB sizes itself to ~80%
-of PHYSICAL RAM per process — three concurrent sf0.3 replays each assumed
-the whole box and the x90 recursive-CTE oracle OOM'd (the r8 asterisk:
-harness contention misreading as a red). With the cap + spill, batch
-replays are safe to run concurrently.
+`memory_limit` (default 8GB, spill to a temp dir), `threads` (default 4),
+and `max_temp_directory_size` (default 16GB), overridable via
+--memory-limit/--threads/--temp-size or the CHECK_ORACLE_MEMORY /
+CHECK_ORACLE_THREADS / CHECK_ORACLE_TEMP env vars. Without the memory
+cap, DuckDB sizes itself to ~80% of PHYSICAL RAM per process — three
+concurrent sf0.3 replays each assumed the whole box and the x90
+recursive-CTE oracle OOM'd (the r8 asterisk: harness contention
+misreading as a red). Without the spill cap, one big replay's temp
+storage can transiently exhaust the shared disk and starve its
+NEIGHBORS' spills (observed: an uncapped sf1.0 replay failed three
+sf0.3 queries running beside it). With all three caps, batch replays
+are safe to run concurrently.
 """
 import json
 import os
@@ -69,6 +74,7 @@ def main(sf_dir, out_dir):
     con.execute(f"SET threads={int(_flag('threads', 'CHECK_ORACLE_THREADS', '4'))}")
     spill = tempfile.mkdtemp(prefix="check_oracle_spill_")
     con.execute(f"SET temp_directory='{spill}'")
+    con.execute(f"SET max_temp_directory_size='{_flag('temp-size', 'CHECK_ORACLE_TEMP', '16GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
