@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.NumericFunctions.detRound
 import graft.functions.TextFunctions._
 
 /** Document deduplication operators for large-scale training-data pipelines:
@@ -222,7 +223,7 @@ object Dedup {
       .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
       .select(col("a_id"), col("b_id"),
-        round(agree.cast("double") / k, 4).as("j_est"))
+        detRound(agree.cast("double") / k, 4).as("j_est"))
   }
 
   /** Per-document top-k most-similar documents — the "show me this doc's
@@ -288,7 +289,7 @@ object Dedup {
       .groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n_new"), count(col("new_id")).as("n_dup"))
       .select(col("stratum"), col("n_new"), col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_new"), 4).as("dup_rate"))
+        detRound(col("n_dup").cast("double") / col("n_new"), 4).as("dup_rate"))
   }
 
   /** Cross-stratum near-duplicate leakage matrix: which sources are
@@ -348,7 +349,7 @@ object Dedup {
       .join(dupPerDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         col("total_spans"),
-        round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+        detRound(coalesce(col("dup_spans"), lit(0L)).cast("double") /
           col("total_spans"), 4).as("dup_ratio"))
   }
 
@@ -380,7 +381,7 @@ object Dedup {
       .join(novel, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("novel_spans"), lit(0L)).as("novel_spans"),
         col("total_spans"),
-        round(coalesce(col("novel_spans"), lit(0L)).cast("double") /
+        detRound(coalesce(col("novel_spans"), lit(0L)).cast("double") /
           col("total_spans"), 4).as("novelty"))
   }
 
@@ -412,7 +413,7 @@ object Dedup {
       .agg(count(when(col("__seen").isNull, 1)).as("novel_spans"),
         count(lit(1)).as("total_spans"))
       .select(col("doc_id"), col("novel_spans"), col("total_spans"),
-        round(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
+        detRound(col("novel_spans").cast("double") / col("total_spans"), 4).as("novelty"))
   }
 
   /** Cross-document boilerplate REMOVAL — the transform the span family's
@@ -925,16 +926,16 @@ object Dedup {
     // expression total without touching any non-empty graph (n >= 1 there)
     val n = deg.agg(greatest(count(lit(1)).cast("double"), lit(1.0)).as("n"))
     val base = broadcast(n.select(
-      round(lit(1 - damping) / col("n"), 10).cast("decimal(18,10)").as("__base")))
+      detRound(lit(1 - damping) / col("n"), 10).cast("decimal(18,10)").as("__base")))
     var ranks = graft.Persist.cut(deg.crossJoin(broadcast(n))
       .select(col("src").as("id"),
-        round(lit(1.0) / col("n"), 10).cast("decimal(18,10)").as("pr")))
+        detRound(lit(1.0) / col("n"), 10).cast("decimal(18,10)").as("pr")))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("id"))
         .join(deg, Seq("src"))
         .select(col("dst"),
-          round(lit(damping) * col("pr").cast("double") / col("deg"), 10)
+          detRound(lit(damping) * col("pr").cast("double") / col("deg"), 10)
             .cast("decimal(18,10)").as("__c"))
       ranks = graft.Persist.cut(
         contrib.groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
@@ -1250,9 +1251,9 @@ object Dedup {
           .cast("double").as("i"),
         col("na"), col("nb"))
     scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        round(col("i") / col("na"), 4).as("containment"))
+        detRound(col("i") / col("na"), 4).as("containment"))
       .unionByName(scored.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
-        round(col("i") / col("nb"), 4).as("containment")))
+        detRound(col("i") / col("nb"), 4).as("containment")))
       .filter(col("containment") >= threshold)
   }
 
@@ -1338,7 +1339,7 @@ object Dedup {
           .cast("double").as("i"),
         col("na"), col("nb"))
       .select(col("a_id"), col("b_id"),
-        round(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
+        detRound(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
       .filter(col("j") >= threshold)
   }
 
@@ -1431,11 +1432,11 @@ object Dedup {
         sum(d6(col("j"))).as("__sx"),
         sum(d6(abs(col("j_est") - col("j")))).as("__sa"))
       .select(col("bucket"), col("n_pairs"),
-        round(col("__se").cast("double") / col("n_pairs").cast("double"), 4)
+        detRound(col("__se").cast("double") / col("n_pairs").cast("double"), 4)
           .as("mean_est"),
-        round(col("__sx").cast("double") / col("n_pairs").cast("double"), 4)
+        detRound(col("__sx").cast("double") / col("n_pairs").cast("double"), 4)
           .as("mean_exact"),
-        round(col("__sa").cast("double") / col("n_pairs").cast("double"), 4)
+        detRound(col("__sa").cast("double") / col("n_pairs").cast("double"), 4)
           .as("mae"))
   }
 
@@ -1501,7 +1502,7 @@ object Dedup {
                           threshold: Double = 0.2): DataFrame = {
     val bs = shingleSet(bench, n).select(col("s")).distinct()
       .withColumn("__hit", lit(1L))
-    val frac = round(col("matched").cast("double") /
+    val frac = detRound(col("matched").cast("double") /
       col("n_shingles").cast("double"), 6)
     shingleSet(docs, n)
       .join(broadcast(bs), Seq("s"), "left_outer")
@@ -1634,7 +1635,7 @@ object Dedup {
         (col("lsh_pairs") - col("both_pairs")).as("lsh_only"),
         (col("simhash_pairs") - col("both_pairs")).as("simhash_only"),
         when(union > 0L,
-          round(col("both_pairs").cast("double") / union.cast("double"), 6))
+          detRound(col("both_pairs").cast("double") / union.cast("double"), 6))
           .as("overlap_jaccard"))
   }
 

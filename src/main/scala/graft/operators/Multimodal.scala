@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.functions.NumericFunctions.detRound
 
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
   * engine as opaque BINARY columns plus a typed metadata struct, exactly as
@@ -117,7 +118,7 @@ object Multimodal {
       .join(dupPerDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
         col("total_chunks"),
-        round(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
+        detRound(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
           col("total_chunks"), 4).as("dup_ratio"))
   }
 
@@ -241,7 +242,7 @@ object Multimodal {
       .join(dupPerDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
         col("total_chunks"),
-        round(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
+        detRound(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
           col("total_chunks"), 4).as("dup_ratio"))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.NumericFunctions
+import graft.functions.NumericFunctions.detRound
 
 /** Reusable relational operators re-expressing the reference's BigQuery
   * stored-procedure layer (SURVEY §2.0 Q1-Q20) as pure
@@ -323,7 +324,7 @@ object Relational {
       .groupBy(col(key), col("bucket"))
       .agg(sum(col("__num")).as("__n"), sum(col("__den")).as("__d"))
     df.join(votes, Seq(key, "bucket"))
-      .withColumn(as, round(col("__n").cast("double") / col("__d").cast("double"), 6))
+      .withColumn(as, detRound(col("__n").cast("double") / col("__d").cast("double"), 6))
       .drop("__n", "__d")
   }
 
@@ -541,7 +542,7 @@ object Relational {
       .select(col("p50").as("__f50"), col("p90").as("__f90"),
         col("p99").as("__f99"))
     def err(c: String, f: String) =
-      when(col(f) =!= 0.0, round(abs(col(c) - col(f)) / col(f), 6))
+      when(col(f) =!= 0.0, detRound(abs(col(c) - col(f)) / col(f), 6))
     stats.crossJoin(broadcast(full))
       .select(col("rate"), col("n_rows"), col("p50"), col("p90"), col("p99"),
         err("p50", "__f50").as("err50"), err("p90", "__f90").as("err90"),
@@ -594,7 +595,7 @@ object Relational {
       .withColumn("__n", sum(col("__c")).over(all))
       .select(col(group), col(value),
         when(col("__n") === 1, lit(0.0d))
-          .otherwise(round(col("__below").cast("double") / (col("__n") - 1), 6))
+          .otherwise(detRound(col("__below").cast("double") / (col("__n") - 1), 6))
           .as(as))
     df.join(if (broadcastHist) broadcast(ranks) else ranks, Seq(group, value))
   }
@@ -631,7 +632,7 @@ object Relational {
         sum(clipped).as("__s"))
       .select(col(group), col("n_rows"),
         col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"),
-        round(col("__s").cast("double") / col("n_rows"), 6).as("wmean"))
+        detRound(col("__s").cast("double") / col("n_rows"), 6).as("wmean"))
   }
 
   /** Bucketed point-in-interval range join. Spark plans a pure non-equi
@@ -732,8 +733,8 @@ object Relational {
       count(lit(1)).cast("double").as("__nk"))
     topK(counts.crossJoin(broadcast(tot)), Seq(col("n").desc, col("key")), k)
       .select(col("key"), col("n"),
-        round(col("n").cast("double") / col("__tot"), 6).as("share"),
-        round(col("n").cast("double") * col("__nk") / col("__tot"), 6).as("skew"))
+        detRound(col("n").cast("double") / col("__tot"), 6).as("share"),
+        detRound(col("n").cast("double") * col("__nk") / col("__tot"), 6).as("skew"))
   }
 
   /** Cohort retention matrix — the product-analytics read every events
@@ -774,7 +775,7 @@ object Relational {
       .agg(countDistinct(col("__u")).as("n_active"))
       .join(broadcast(sizes), "cohort")
       .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
-        round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+        detRound(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the
@@ -998,7 +999,7 @@ object Relational {
       .withColumn("profile", md5(concat_ws(",", sort_array(transform(
         col("__tc"),
         t => concat(t.getField("etype"), lit(":"),
-          round(t.getField("c").cast("double") / col("__n"), decimals)))))))
+          detRound(t.getField("c").cast("double") / col("__n"), decimals)))))))
       .groupBy(col("profile"))
       .agg(count(lit(1)).as("n_keys"),
         min(col("key")).as("min_key"), max(col("key")).as("max_key"),
@@ -1073,7 +1074,7 @@ object Relational {
       count_distinct(col("__k")).as("distinct_orphan_keys"))
     n.crossJoin(broadcast(o))
       .select(col("n_child"), col("n_orphans"),
-        round(col("n_orphans").cast("double") / col("n_child"), 6)
+        detRound(col("n_orphans").cast("double") / col("n_child"), 6)
           .as("orphan_rate"),
         col("distinct_orphan_keys"))
   }
@@ -1099,7 +1100,7 @@ object Relational {
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
       .select(col("grp"), col("n"), col("n_null"),
         when(col("__nv") > 0L,
-          round(col("__s").cast("double") / col("__nv"), 4)).as("mean_v"),
+          detRound(col("__s").cast("double") / col("__nv"), 4)).as("mean_v"),
         col("p50_v"), col("min_v"), col("max_v"))
   }
 
@@ -1125,7 +1126,7 @@ object Relational {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls)",
         "__n AS n_rows")
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        round(col("n_nulls").cast("double") / col("n_rows"), 6)
+        detRound(col("n_nulls").cast("double") / col("n_rows"), 6)
           .as("null_rate"))
   }
 
@@ -1185,7 +1186,7 @@ object Relational {
         greatest(expr(s"(total_bytes + ${targetBytes - 1}) div ${targetBytes}L"),
           lit(1L)).as("n_shards"))
       .select(col("stratum"), col("total_bytes"), col("n_shards"),
-        round(col("total_bytes").cast("double") /
+        detRound(col("total_bytes").cast("double") /
           (col("n_shards") * lit(targetBytes)).cast("double"), 6).as("mean_fill"))
   }
 
@@ -1224,7 +1225,7 @@ object Relational {
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_users"),
         count(col("__lag")).as("n_converted"),
-        round(count(col("__lag")).cast("double") / count(lit(1)), 6)
+        detRound(count(col("__lag")).cast("double") / count(lit(1)), 6)
           .as("conv_rate"),
         expr("percentile(__lag, 0.5)").as("p50_lag_us"),
         round(expr("percentile(__lag, 0.9)"), 0).cast("long").as("p90_lag_us"))
@@ -1266,7 +1267,7 @@ object Relational {
         min_by(col("c"), tieKey).as("__mc"))
       .select(col("det"), col("n_rows"), col("distinct_dep"),
         col("major_dep"),
-        round(col("__mc").cast("double") / col("n_rows"), 6).as("major_share"),
+        detRound(col("__mc").cast("double") / col("n_rows"), 6).as("major_share"),
         (col("distinct_dep") === 1L).as("is_fd"))
   }
 
@@ -1306,7 +1307,7 @@ object Relational {
           .cast("decimal(18,6)")).as("__s"))
       .select(col("event_type"), col("n_events"), col("distinct_hours"),
         col("peak_hour"),
-        round(col("__pc").cast("double") / col("n_events"), 4).as("peak_share"),
+        detRound(col("__pc").cast("double") / col("n_events"), 4).as("peak_share"),
         round(log(col("n_events").cast("double"))
           - col("__s").cast("double") / col("n_events"), 4).as("hour_entropy"))
   }
@@ -1326,7 +1327,7 @@ object Relational {
         sum(when(col("from_type") === col("to_type"), col("n"))
           .otherwise(0L)).as("self_n"))
       .select(col("from_type"), col("out_n"), col("self_n"),
-        round(col("self_n").cast("double") / col("out_n"), 6)
+        detRound(col("self_n").cast("double") / col("out_n"), 6)
           .as("self_share"))
 
   /** Per-transition LATENCY profile — [[transitionCounts]] with the time

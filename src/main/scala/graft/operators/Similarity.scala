@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.GraftFunctions
+import graft.functions.NumericFunctions.detRound
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (ARRAY<FLOAT>), per the driver's training-data-pipeline mandate.
@@ -95,7 +96,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_queries"), sum(col("__k")).as("n_pairs"),
         sum(col("__m")).as("matched"))
       .select(col("label"), col("n_queries"), col("n_pairs"), col("matched"),
-        round(col("matched").cast("double") / col("n_pairs").cast("double"), 6)
+        detRound(col("matched").cast("double") / col("n_pairs").cast("double"), 6)
           .as("purity"))
   }
 
@@ -386,7 +387,7 @@ object Similarity {
         when(col("scale") === 0.0d,
           transform(col("embedding"), _ => lit(0)))
           .otherwise(transform(col("embedding"),
-            x => round(x.cast("double") / col("scale"), 0).cast("int"))).as("qvec"))
+            x => detRound(x.cast("double") / col("scale"), 0).cast("int"))).as("qvec"))
 
   /** Hard-negative mining for retrieval/embedding training: for each
     * query vector, the k most similar corpus vectors with a DIFFERENT
@@ -500,7 +501,7 @@ object Similarity {
     sums.agg(
       min(col("__n")).as("n_vecs"),
       count(lit(1)).as("dim"),
-      round(sum(round(m * m, 10).cast("decimal(18,10)")).cast("double"), 6)
+      detRound(sum(detRound(m * m, 10).cast("decimal(18,10)")).cast("double"), 6)
         .as("anisotropy"))
   }
 
@@ -600,7 +601,7 @@ object Similarity {
       .groupBy(col("label"), col("pos")).agg(sum(col("__v")).as("__sd"))
     val mu = dims.join(broadcast(base.select(col("label"), col("n_vecs"))), "label")
       .select(col("label"),
-        round((col("__sd").cast("double") / col("n_vecs")) *
+        detRound((col("__sd").cast("double") / col("n_vecs")) *
           (col("__sd").cast("double") / col("n_vecs")), 12)
           .cast("decimal(28,12)").as("__t"))
       .groupBy(col("label")).agg(sum(col("__t")).as("__m"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.NumericFunctions
+import graft.functions.NumericFunctions.detRound
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -37,7 +38,7 @@ object TextAnalysis {
   /** Composite quality score in [0,1] — shared by quality and
     * curationScores (same no-drift rule as [[predLangExpr]]). */
   private def qualityScoreExpr(nTok: Column, nChar: Column, digits: Column): Column =
-    round(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
+    detRound(least(nTok.cast("double") / lit(100.0), lit(1.0)) *
       (lit(1.0) - digits / nChar), 4)
 
   /** Shared text-signal staging + definitions for quality and
@@ -74,9 +75,9 @@ object TextAnalysis {
     stagedText(docs).select(
       col("doc_id"),
       nTokExpr.as("n_tokens"),
-      round(nCharExpr / nTokExpr.cast("double"), 4).as("mean_tok_len"),
-      round(digitsExpr / nCharExpr, 4).as("digit_ratio"),
-      round(stops / nTokExpr.cast("double"), 4).as("stopword_ratio"),
+      detRound(nCharExpr / nTokExpr.cast("double"), 4).as("mean_tok_len"),
+      detRound(digitsExpr / nCharExpr, 4).as("digit_ratio"),
+      detRound(stops / nTokExpr.cast("double"), 4).as("stopword_ratio"),
       qualityScoreExpr(nTokExpr, nCharExpr, digitsExpr).as("quality_score"))
   }
 
@@ -124,7 +125,7 @@ object TextAnalysis {
         size(col("__sh")).cast("long").as("t_grams"),
         size(array_distinct(col("__sh"))).cast("long").as("d_grams"))
       .select(col("doc_id"), col("t_grams"), col("d_grams"),
-        round(lit(1.0) - col("d_grams").cast("double") / col("t_grams"), 4)
+        detRound(lit(1.0) - col("d_grams").cast("double") / col("t_grams"), 4)
           .as("rep_ratio"))
   }
 
@@ -207,7 +208,7 @@ object TextAnalysis {
           .as("docs_with_pii"),
         sum(col("__e")).as("n_emails"), sum(col("__n")).as("n_numbers"))
       .select(col("source"), col("n_docs"), col("docs_with_pii"),
-        round(col("docs_with_pii").cast("double") / col("n_docs"), 6)
+        detRound(col("docs_with_pii").cast("double") / col("n_docs"), 6)
           .as("pii_doc_rate"),
         col("n_emails"), col("n_numbers"))
   }
@@ -520,7 +521,7 @@ object TextAnalysis {
     // engines divide by the identical double
     val stats = staged.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      round(sum(col("len")).cast("double") / count(lit(1)), 4).as("avglen"))
+      detRound(sum(col("len")).cast("double") / count(lit(1)), 4).as("avglen"))
     // postings: only query-term occurrences survive the explode projection
     val tf = staged
       .select(col("doc_id"), col("len"), explode(col("__ts")).as("term"))
@@ -801,7 +802,7 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_types"))
       .select(col("source"), col("n_tokens"), col("oov_tokens"),
-        round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
+        detRound(col("oov_tokens").cast("double") / col("n_tokens"), 6)
           .as("oov_rate"),
         col("n_types"), col("oov_types"))
   }
@@ -1034,10 +1035,10 @@ object TextAnalysis {
     val z = scaled.agg(sum(col("__pa")).as("__z"))
     scaled.crossJoin(broadcast(z))
       .withColumn("weight",
-        round(col("__pa").cast("double") / col("__z").cast("double"), 6))
-      .select(col("stratum"), col("n"), round(share, 6).as("share"),
+        detRound(col("__pa").cast("double") / col("__z").cast("double"), 6))
+      .select(col("stratum"), col("n"), detRound(share, 6).as("share"),
         col("weight"),
-        round(col("weight") / round(share, 6), 6).as("rate"))
+        detRound(col("weight") / detRound(share, 6), 6).as("rate"))
   }
 
   /** Absolute token-budget allocation — the mixing PLAN in tokens (the
@@ -1074,8 +1075,8 @@ object TextAnalysis {
     avail
       .withColumn("target_share", tgt)
       .withColumn("rate", when(tgt.isNotNull,
-        round(least(lit(1.0), alloc / col("tokens").cast("double")), 6)))
-      .withColumn("epochs", round(alloc / col("tokens").cast("double"), 6))
+        detRound(least(lit(1.0), alloc / col("tokens").cast("double")), 6)))
+      .withColumn("epochs", detRound(alloc / col("tokens").cast("double"), 6))
       .withColumn("planned_tokens", when(tgt.isNotNull,
         floor(least(alloc, col("tokens").cast("double"))).cast("long")))
       .select(col("stratum"), col("tokens"), col("target_share"),
@@ -1120,7 +1121,7 @@ object TextAnalysis {
         lit(rStar) * (lit(1.0) - exp(reps * lit(-1.0 / rStar)))))
     avail
       .withColumn("target_share", tgt)
-      .withColumn("epochs", round(alloc / u, 6))
+      .withColumn("epochs", detRound(alloc / u, 6))
       .withColumn("planned_tokens",
         when(tgt.isNotNull, floor(alloc).cast("long")))
       .withColumn("effective_tokens",
@@ -1479,7 +1480,7 @@ object TextAnalysis {
       // lr·N ≈ 30 oscillates; the mean keeps the step corpus-invariant)
       w = graft.Persist.cut(w.crossJoin(broadcast(g)).select(
         (0 to 3).map(j =>
-          (col(s"w$j") + round((lit(lr) * col(s"g$j")).cast("double") / col("n"), 6)
+          (col(s"w$j") + detRound((lit(lr) * col(s"g$j")).cast("double") / col("n"), 6)
             .cast("decimal(18,6)")).cast("decimal(18,6)").as(s"w$j")): _*))
       val row = w
         .select(lit(it.toLong).as("iter"),
@@ -1559,10 +1560,10 @@ object TextAnalysis {
       size(array_distinct(col("__ts"))).cast("long").as("__uq"))
     base.select(
         col("doc_id"), nw,
-        when(nw > 0, round(col("__sl").cast("double") / nw.cast("double"), 4))
+        when(nw > 0, detRound(col("__sl").cast("double") / nw.cast("double"), 4))
           .as("mean_word_len"),
         col("stop_n"),
-        when(nw > 0, round(col("__uq").cast("double") / nw.cast("double"), 4))
+        when(nw > 0, detRound(col("__uq").cast("double") / nw.cast("double"), 4))
           .as("uniq_ratio"))
       .withColumn("r_words", nw.between(gopherMinWords, gopherMaxWords))
       .withColumn("r_wordlen",
@@ -1626,11 +1627,11 @@ object TextAnalysis {
     val tot = per.agg(sum(col("n_tokens")).cast("double").as("__T"))
     per.crossJoin(broadcast(tot)).select(
       col("source"), col("n_docs"), col("n_tokens"),
-      round(col("n_tokens").cast("double") / col("__T"), 6).as("token_share"),
+      detRound(col("n_tokens").cast("double") / col("__T"), 6).as("token_share"),
       col("dup_docs"),
-      round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+      detRound(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6)
         .as("dup_rate"),
-      round(col("__qsum").cast("double") / col("n_docs").cast("double"), 6)
+      detRound(col("__qsum").cast("double") / col("n_docs").cast("double"), 6)
         .as("mean_quality"))
   }
 
@@ -1685,7 +1686,7 @@ object TextAnalysis {
       .agg(sum(col("__c")).as("n_words"),
         sum(col("__c") * col("n_pieces")).as("n_pieces"))
       .select(col("lang"), col("n_words"), col("n_pieces"),
-        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+        detRound(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
           .as("fertility"))
   }
 
@@ -1838,7 +1839,7 @@ object TextAnalysis {
     val tot = m.groupBy(col("lang_label")).agg(sum(col("n")).as("__t"))
     m.join(broadcast(tot), Seq("lang_label"))
       .select(col("lang_label"), col("pred_lang"), col("n"),
-        round(col("n").cast("double") / col("__t").cast("double"), 6)
+        detRound(col("n").cast("double") / col("__t").cast("double"), 6)
           .as("share"))
   }
 
@@ -1914,7 +1915,7 @@ object TextAnalysis {
       .agg(cnts.head, cnts.tail: _*)
       .select(col("doc_id"), predLangExpr.as("pred"))
     val tieKey = struct((-col("__n")).as("a"), col("pred").as("b"))
-    val frac = round(lit(1.0) - col("major_chunks").cast("double") /
+    val frac = detRound(lit(1.0) - col("major_chunks").cast("double") /
       col("n_chunks").cast("double"), 4)
     chunkLang.groupBy(col("doc_id"), col("pred"))
       .agg(count(lit(1)).as("__n"))
@@ -2059,9 +2060,9 @@ object TextAnalysis {
         sum(col("p").cast("decimal(18,6)")).as("__sp"),
         sum(col("y")).as("__sy"))
       .select(col("bin"), col("n"),
-        round(col("__sp").cast("double") / col("n").cast("double"), 4)
+        detRound(col("__sp").cast("double") / col("n").cast("double"), 4)
           .as("mean_p"),
-        round(col("__sy") / col("n").cast("double"), 4).as("frac_pos"))
+        detRound(col("__sy") / col("n").cast("double"), 4).as("frac_pos"))
   }
 
   /** Packing-efficiency report over [[packSequences]]' bins: how full do

@@ -1486,7 +1486,8 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("selected"), 1L).otherwise(0L)).as("selected_n"))
       .select(col("source"), col("n_docs"), col("selected_n"),
-        round(col("selected_n").cast("double") / col("n_docs"), 6)
+        NumericFunctions.detRound(
+          col("selected_n").cast("double") / col("n_docs"), 6)
           .as("pass_rate"))
       .orderBy("source")
   }
@@ -2099,7 +2100,7 @@ object ExtensionQueries {
        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
        |  FROM t),
        |qv AS (SELECT doc_id, source,
-       |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+       |    FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS quality_score
        |  FROM qc),
        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
        |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
@@ -2111,7 +2112,7 @@ object ExtensionQueries {
        |  FROM tk2 CROSS JOIN UNNEST(range(1, len(rts)-1)) AS r(i)
        |  WHERE len(rts) >= 3),
        |rv AS (SELECT doc_id,
-       |    ROUND(1.0 - count(DISTINCT s)::DOUBLE / count(*), 4) AS rep_ratio
+       |    FLOOR((1.0 - count(DISTINCT s)::DOUBLE / count(*)) * 1.0e4 + 0.5) / 1.0e4 AS rep_ratio
        |  FROM sh GROUP BY doc_id),
        |sig AS (SELECT qv.doc_id, qv.source, quality_score, entropy, rep_ratio
        |  FROM qv JOIN ev USING (doc_id) JOIN rv USING (doc_id)),
@@ -2308,9 +2309,9 @@ object ExtensionQueries {
        |  len(list_filter(toks, x -> ${lexiconFilter(TextAnalysis.lexicons.head._2)}))::BIGINT AS stop_n,
        |  len(list_distinct(toks))::BIGINT AS uq FROM t),
        |r AS (SELECT doc_id, n_words,
-       |  CASE WHEN n_words > 0 THEN ROUND(sl::DOUBLE / n_words::DOUBLE, 4) END AS mean_word_len,
+       |  CASE WHEN n_words > 0 THEN FLOOR((sl::DOUBLE / n_words::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 END AS mean_word_len,
        |  stop_n,
-       |  CASE WHEN n_words > 0 THEN ROUND(uq::DOUBLE / n_words::DOUBLE, 4) END AS uniq_ratio
+       |  CASE WHEN n_words > 0 THEN FLOOR((uq::DOUBLE / n_words::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 END AS uniq_ratio
        | FROM c)""".stripMargin
   private lazy val gopherRuleWords =
     s"(n_words BETWEEN ${TextAnalysis.gopherMinWords} AND ${TextAnalysis.gopherMaxWords})"
@@ -2397,7 +2398,7 @@ object ExtensionQueries {
       |  FROM embeddings),
       |qz AS (SELECT vec_id, sc AS scale,
       |  CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
-      |    ELSE list_transform(embedding, x -> round(x::DOUBLE / sc)::INT) END AS qvec
+      |    ELSE list_transform(embedding, x -> FLOOR(x::DOUBLE / sc + 0.5)::INT) END AS qvec
       |  FROM sq)""".stripMargin
 
   /** ONE gap-filled daily-resample definition shared by x35 (the series
@@ -2465,15 +2466,15 @@ object ExtensionQueries {
     val rounds = (1 to iters).map { k =>
       s"""${p}r$k AS (SELECT g.id, (pb.base + g.s)::DECIMAL(18,10) AS pr
          |  FROM (SELECT e.dst AS id,
-         |          SUM(ROUND($prDamping * r.pr::DOUBLE / dg.deg, 10)::DECIMAL(18,10)) AS s
+         |          SUM((FLOOR(($prDamping * r.pr::DOUBLE / dg.deg) * 1.0e10 + 0.5) / 1.0e10)::DECIMAL(18,10)) AS s
          |        FROM ${p}edges e JOIN ${p}r${k - 1} r ON e.src = r.id
          |        JOIN ${p}deg dg ON e.src = dg.src
          |        GROUP BY e.dst) g CROSS JOIN ${p}pb pb)""".stripMargin
     }.mkString(",\n")
     s"""${p}deg AS (SELECT src, count(*)::BIGINT AS deg FROM ${p}edges GROUP BY src),
        |${p}nn AS (SELECT count(*)::DOUBLE AS n FROM ${p}deg),
-       |${p}pb AS (SELECT ROUND(${1 - prDamping} / n, 10)::DECIMAL(18,10) AS base FROM ${p}nn),
-       |${p}r0 AS (SELECT d.src AS id, ROUND(1.0 / nn.n, 10)::DECIMAL(18,10) AS pr
+       |${p}pb AS (SELECT (FLOOR((${1 - prDamping} / n) * 1.0e10 + 0.5) / 1.0e10)::DECIMAL(18,10) AS base FROM ${p}nn),
+       |${p}r0 AS (SELECT d.src AS id, (FLOOR((1.0 / nn.n) * 1.0e10 + 0.5) / 1.0e10)::DECIMAL(18,10) AS pr
        |       FROM ${p}deg d CROSS JOIN ${p}nn nn),
        |$rounds""".stripMargin
   }
@@ -2588,10 +2589,10 @@ object ExtensionQueries {
          |    GREATEST(count(*), 1)::DOUBLE AS n
          |  FROM p$k),
          |wt$k AS MATERIALIZED (SELECT
-         |    (w0 + ROUND((0.1 * g0)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w0,
-         |    (w1 + ROUND((0.1 * g1)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w1,
-         |    (w2 + ROUND((0.1 * g2)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w2,
-         |    (w3 + ROUND((0.1 * g3)::DOUBLE / n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w3
+         |    (w0 + (FLOOR(((0.1 * g0)::DOUBLE / n) * 1.0e6 + 0.5) / 1.0e6)::DECIMAL(18,6))::DECIMAL(18,6) AS w0,
+         |    (w1 + (FLOOR(((0.1 * g1)::DOUBLE / n) * 1.0e6 + 0.5) / 1.0e6)::DECIMAL(18,6))::DECIMAL(18,6) AS w1,
+         |    (w2 + (FLOOR(((0.1 * g2)::DOUBLE / n) * 1.0e6 + 0.5) / 1.0e6)::DECIMAL(18,6))::DECIMAL(18,6) AS w2,
+         |    (w3 + (FLOOR(((0.1 * g3)::DOUBLE / n) * 1.0e6 + 0.5) / 1.0e6)::DECIMAL(18,6))::DECIMAL(18,6) AS w3
          |  FROM wt${k - 1} CROSS JOIN g$k)""".stripMargin
     }.mkString(",\n")
     s"""f AS MATERIALIZED (SELECT doc_id,
@@ -2649,7 +2650,7 @@ object ExtensionQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |est AS (SELECT ecand.a_id, ecand.b_id,
-       |    ROUND(($sigAgree)::DOUBLE / 12, 4) AS j_est
+       |    FLOOR((($sigAgree)::DOUBLE / 12) * 1.0e4 + 0.5) / 1.0e4 AS j_est
        |  FROM ecand JOIN sig sa ON ecand.a_id = sa.doc_id
        |  JOIN sig sb ON ecand.b_id = sb.doc_id)""".stripMargin
 
@@ -2708,7 +2709,7 @@ object ExtensionQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT cand.a_id, cand.b_id,
-         |  ROUND(($sigAgree)::DOUBLE / 12, 4) AS j_est
+         |  FLOOR((($sigAgree)::DOUBLE / 12) * 1.0e4 + 0.5) / 1.0e4 AS j_est
          |FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
          |JOIN sig sb ON cand.b_id = sb.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
@@ -2783,7 +2784,7 @@ object ExtensionQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |sc AS (SELECT cand.a_id, cand.b_id,
-         |    ROUND(($sigAgree)::DOUBLE / 12, 4) AS j_est
+         |    FLOOR((($sigAgree)::DOUBLE / 12) * 1.0e4 + 0.5) / 1.0e4 AS j_est
          |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
          |  JOIN sig sb ON cand.b_id = sb.doc_id),
          |sym AS (SELECT a_id AS q_id, b_id AS n_id, j_est FROM sc
@@ -2855,7 +2856,7 @@ object ExtensionQueries {
          |SELECT ch.doc_id,
          |  count(CASE WHEN d.df >= 2 THEN 1 END)::BIGINT AS dup_chunks,
          |  count(*)::BIGINT AS total_chunks,
-         |  ROUND(count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_ratio
+         |  FLOOR((count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*)) * 1.0e4 + 0.5) / 1.0e4 AS dup_ratio
          |FROM ch JOIN d USING (h)
          |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
     "x75_binary_chunks" ->
@@ -2902,7 +2903,7 @@ object ExtensionQueries {
          |    sum(ROUND(embedding[i+1]::DOUBLE, 9)::DECIMAL(20,9)) AS sd
          |  FROM embeddings CROSS JOIN range(0, $srpDim) r(i) GROUP BY label, i),
          |m AS (SELECT dv.label,
-         |    sum(ROUND((sd::DOUBLE / n_vecs) * (sd::DOUBLE / n_vecs), 12)::DECIMAL(28,12)) AS mm
+         |    sum((FLOOR(((sd::DOUBLE / n_vecs) * (sd::DOUBLE / n_vecs)) * 1.0e12 + 0.5) / 1.0e12)::DECIMAL(28,12)) AS mm
          |  FROM dv JOIN base USING (label) GROUP BY dv.label)
          |SELECT base.label, base.n_vecs,
          |  CASE WHEN base.n_vecs < 2 THEN NULL
@@ -2922,7 +2923,7 @@ object ExtensionQueries {
         |    count(DISTINCT ud.u)::BIGINT AS n_active
         |  FROM ud JOIN coh USING (u) GROUP BY 1, 2)
         |SELECT cell.cohort, cell."offset", cell.n_active, sz.cohort_size,
-        |  ROUND(cell.n_active::DOUBLE / sz.cohort_size, 4) AS retention
+        |  FLOOR((cell.n_active::DOUBLE / sz.cohort_size) * 1.0e4 + 0.5) / 1.0e4 AS retention
         |FROM cell JOIN sz USING (cohort)
         |ORDER BY cohort, "offset"""".stripMargin,
     // per-term c·ln(c) rounds to 6 into DECIMAL (exact order-free sum,
@@ -2955,7 +2956,7 @@ object ExtensionQueries {
          |agg AS (SELECT user_id, bucket, sum(num) AS n, sum(den) AS d
          |  FROM v GROUP BY user_id, bucket)
          |SELECT r.user_id, r.bucket, r.n_events,
-         |  ROUND(agg.n::DOUBLE / agg.d::DOUBLE, 6) AS ewma
+         |  FLOOR((agg.n::DOUBLE / agg.d::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS ewma
          |FROM r JOIN agg USING (user_id, bucket)
          |ORDER BY user_id, bucket""".stripMargin
     },
@@ -2966,10 +2967,10 @@ object ExtensionQueries {
          |${jaccardExactCtes()}
          |, bothdir AS (
          |  SELECT inter.a_id AS src_id, inter.b_id AS dst_id,
-         |    ROUND(inter.i::DOUBLE / ca.c, 4) AS containment
+         |    FLOOR((inter.i::DOUBLE / ca.c) * 1.0e4 + 0.5) / 1.0e4 AS containment
          |  FROM inter JOIN card ca ON inter.a_id = ca.doc_id
          |  UNION ALL
-         |  SELECT inter.b_id, inter.a_id, ROUND(inter.i::DOUBLE / cb.c, 4)
+         |  SELECT inter.b_id, inter.a_id, FLOOR((inter.i::DOUBLE / cb.c) * 1.0e4 + 0.5) / 1.0e4
          |  FROM inter JOIN card cb ON inter.b_id = cb.doc_id)
          |SELECT src_id, dst_id, containment FROM bothdir
          |WHERE containment >= $containThreshold
@@ -2994,7 +2995,7 @@ object ExtensionQueries {
          | FROM t),
          |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c),
          |scored AS (SELECT doc_id, source, $langArgmax AS pred_lang,
-         |  ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         |  FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS quality_score
          | FROM m),
          |attributed AS (SELECT source,
          |  CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
@@ -3011,7 +3012,7 @@ object ExtensionQueries {
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
         | FROM documents)
         |SELECT doc_id, lang, n_tokens,
-        |  ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_tokens), 6) AS pr
+        |  FLOOR((PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_tokens)) * 1.0e6 + 0.5) / 1.0e6 AS pr
         |FROM t ORDER BY doc_id""".stripMargin,
     // x11's scoring with the same-label exclusion added
     "x66_hard_negatives" ->
@@ -3033,9 +3034,9 @@ object ExtensionQueries {
          |  ROUND(pow(n / tot, $mixAlpha), 9)::DECIMAL(18,9) AS pa
          |  FROM c CROSS JOIN t),
          |zz AS (SELECT sum(pa) AS zsum FROM sc)
-         |SELECT stratum, n, ROUND(share, 6) AS share,
-         |  ROUND(pa::DOUBLE / zsum::DOUBLE, 6) AS weight,
-         |  ROUND(ROUND(pa::DOUBLE / zsum::DOUBLE, 6) / ROUND(share, 6), 6) AS rate
+         |SELECT stratum, n, FLOOR((share) * 1.0e6 + 0.5) / 1.0e6 AS share,
+         |  FLOOR((pa::DOUBLE / zsum::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS weight,
+         |  FLOOR(((FLOOR((pa::DOUBLE / zsum::DOUBLE) * 1.0e6 + 0.5) / 1.0e6) / (FLOOR((share) * 1.0e6 + 0.5) / 1.0e6)) * 1.0e6 + 0.5) / 1.0e6 AS rate
          |FROM sc CROSS JOIN zz ORDER BY stratum""".stripMargin,
     // batch spans probe the DISTINCT span index of prior ingests; novel
     // means no prior doc ever held the span (x38's incremental convention)
@@ -3047,7 +3048,7 @@ object ExtensionQueries {
          |SELECT b.doc_id,
          |  count(CASE WHEN idx.h IS NULL THEN 1 END)::BIGINT AS novel_spans,
          |  count(*)::BIGINT AS total_spans,
-         |  ROUND(count(CASE WHEN idx.h IS NULL THEN 1 END)::DOUBLE / count(*), 4)
+         |  FLOOR((count(CASE WHEN idx.h IS NULL THEN 1 END)::DOUBLE / count(*)) * 1.0e4 + 0.5) / 1.0e4
          |    AS novelty
          |FROM b LEFT JOIN idx ON b.h = idx.h
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
@@ -3069,8 +3070,8 @@ object ExtensionQueries {
          |SELECT sp.doc_id,
          |  count(CASE WHEN sp.doc_id = f.first_id THEN 1 END)::BIGINT AS novel_spans,
          |  count(*)::BIGINT AS total_spans,
-         |  ROUND(count(CASE WHEN sp.doc_id = f.first_id THEN 1 END)::DOUBLE
-         |    / count(*), 4) AS novelty
+         |  FLOOR((count(CASE WHEN sp.doc_id = f.first_id THEN 1 END)::DOUBLE
+         |    / count(*)) * 1.0e4 + 0.5) / 1.0e4 AS novelty
          |FROM sp JOIN f USING (h)
          |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
     // thresholds ROUND(quantile_cont,4)::DECIMAL, clip and sum in exact
@@ -3126,8 +3127,8 @@ object ExtensionQueries {
         | FROM t GROUP BY lang)
         |SELECT t.lang, count(*)::BIGINT AS n_rows,
         |  q.lo::DOUBLE AS lo, q.hi::DOUBLE AS hi,
-        |  ROUND(sum(LEAST(GREATEST(n_tokens::DECIMAL(18,4), q.lo), q.hi))::DOUBLE
-        |    / count(*), 6) AS wmean
+        |  FLOOR((sum(LEAST(GREATEST(n_tokens::DECIMAL(18,4), q.lo), q.hi))::DOUBLE
+        |    / count(*)) * 1.0e6 + 0.5) / 1.0e6 AS wmean
         |FROM t JOIN q ON t.lang = q.lang
         |GROUP BY t.lang, q.lo, q.hi ORDER BY t.lang""".stripMargin,
     // day-granularity point-in-interval; DuckDB's native range join is
@@ -3244,7 +3245,7 @@ object ExtensionQueries {
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
          |SELECT d.source AS stratum, count(*)::BIGINT AS n_new,
          |  count(dup.new_id)::BIGINT AS n_dup,
-         |  ROUND(count(dup.new_id)::DOUBLE / count(*), 4) AS dup_rate
+         |  FLOOR((count(dup.new_id)::DOUBLE / count(*)) * 1.0e4 + 0.5) / 1.0e4 AS dup_rate
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
          |WHERE d.doc_id % 10 = 0
          |GROUP BY d.source ORDER BY stratum""".stripMargin,
@@ -3306,7 +3307,7 @@ object ExtensionQueries {
          | ROUND(nc / n_tokens, 4) AS mean_tok_len,
          | ROUND(dg / nc, 4) AS digit_ratio,
          | ROUND(st / n_tokens, 4) AS stopword_ratio,
-         | ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         | FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS quality_score
          |FROM c ORDER BY doc_id""".stripMargin,
     "x05_fingerprints" ->
       s"""SELECT doc_id, md5(text) AS md5_sig,
@@ -3454,7 +3455,7 @@ object ExtensionQueries {
          | FROM t),
          |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c),
          |scored AS (SELECT doc_id, $langArgmax AS pred_lang,
-         |  ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS quality_score
+         |  FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS quality_score
          | FROM m)
          |SELECT doc_id, pred_lang, quality_score FROM scored
          |WHERE pred_lang = 'en' AND quality_score >= $curationMinQuality
@@ -3468,7 +3469,7 @@ object ExtensionQueries {
         |               count(DISTINCT s)::BIGINT AS d_grams
         |        FROM sh GROUP BY doc_id)
         |SELECT doc_id, t_grams, d_grams,
-        |  ROUND(1.0 - d_grams::DOUBLE / t_grams, 4) AS rep_ratio
+        |  FLOOR((1.0 - d_grams::DOUBLE / t_grams) * 1.0e4 + 0.5) / 1.0e4 AS rep_ratio
         |FROM agg ORDER BY doc_id""".stripMargin,
     "x23_corpus_stats" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
@@ -3538,7 +3539,7 @@ object ExtensionQueries {
          |tot AS (SELECT doc_id, count(*)::BIGINT AS total_chunks FROM ch GROUP BY doc_id)
          |SELECT tot.doc_id, COALESCE(dp.dup_chunks, 0)::BIGINT AS dup_chunks,
          |  tot.total_chunks,
-         |  ROUND(COALESCE(dp.dup_chunks, 0)::DOUBLE / tot.total_chunks, 4) AS dup_ratio
+         |  FLOOR((COALESCE(dp.dup_chunks, 0)::DOUBLE / tot.total_chunks) * 1.0e4 + 0.5) / 1.0e4 AS dup_ratio
          |FROM tot LEFT JOIN dp USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     // x103: x25's exact window bin rule, shard := x13's assignment
     // cluster (subShards = 1 ⇒ shard IS the cluster)
@@ -3700,7 +3701,7 @@ object ExtensionQueries {
          |SELECT sp.doc_id,
          |  count(CASE WHEN d.df >= 2 THEN 1 END)::BIGINT AS dup_spans,
          |  count(*)::BIGINT AS total_spans,
-         |  ROUND(count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_ratio
+         |  FLOOR((count(CASE WHEN d.df >= 2 THEN 1 END)::DOUBLE / count(*)) * 1.0e4 + 0.5) / 1.0e4 AS dup_ratio
          |FROM sp JOIN d USING (h)
          |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
     // per-token ROUND(…,6)::DECIMAL before the sum — decimal addition is
@@ -3813,7 +3814,7 @@ object ExtensionQueries {
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |sl AS (SELECT doc_id, len(toks)::BIGINT AS len, toks FROM st),
          |stats AS (SELECT count(*)::DOUBLE AS n_docs,
-         |    ROUND(sum(len)::DOUBLE / count(*), 4) AS avglen FROM sl),
+         |    FLOOR((sum(len)::DOUBLE / count(*)) * 1.0e4 + 0.5) / 1.0e4 AS avglen FROM sl),
          |tok AS (SELECT doc_id, len, unnest(toks) AS term FROM sl),
          |tf AS (SELECT doc_id, term, max(len) AS len, count(*)::DOUBLE AS tf
          |  FROM tok WHERE term IN ($termList) GROUP BY doc_id, term),
@@ -3857,7 +3858,7 @@ object ExtensionQueries {
          |${jaccardExactCtes()}
          |SELECT a_id, b_id, j FROM
          | (SELECT inter.a_id, inter.b_id,
-         |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
+         |    FLOOR((inter.i::DOUBLE / (ca.c + cb.c - inter.i)) * 1.0e3 + 0.5) / 1.0e3 AS j
          |  FROM inter
          |  JOIN card ca ON inter.a_id = ca.doc_id
          |  JOIN card cb ON inter.b_id = cb.doc_id)
@@ -4134,8 +4135,8 @@ object ExtensionQueries {
          |s AS (SELECT stratum, tokens, (CASE stratum $arms END) AS target_share FROM a)
          |SELECT stratum, tokens, target_share,
          |  CASE WHEN target_share IS NULL THEN NULL
-         |    ELSE ROUND(least(1.0, ($planBudgetTokens::DOUBLE * target_share) / tokens::DOUBLE), 6) END AS rate,
-         |  ROUND(($planBudgetTokens::DOUBLE * target_share) / tokens::DOUBLE, 6) AS epochs,
+         |    ELSE FLOOR((least(1.0, ($planBudgetTokens::DOUBLE * target_share) / tokens::DOUBLE)) * 1.0e6 + 0.5) / 1.0e6 END AS rate,
+         |  FLOOR((($planBudgetTokens::DOUBLE * target_share) / tokens::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS epochs,
          |  CASE WHEN target_share IS NULL THEN NULL
          |    ELSE floor(least($planBudgetTokens::DOUBLE * target_share, tokens::DOUBLE))::BIGINT END AS planned_tokens
          |FROM s ORDER BY stratum""".stripMargin
@@ -4159,8 +4160,8 @@ object ExtensionQueries {
       """WITH c AS (SELECT o_custkey AS key, count(*)::BIGINT AS n
         |  FROM orders GROUP BY 1),
         |t AS (SELECT sum(n)::DOUBLE AS tot, count(*)::DOUBLE AS nk FROM c)
-        |SELECT key, n, ROUND(n::DOUBLE / tot, 6) AS share,
-        |  ROUND((n::DOUBLE * nk) / tot, 6) AS skew
+        |SELECT key, n, FLOOR((n::DOUBLE / tot) * 1.0e6 + 0.5) / 1.0e6 AS share,
+        |  FLOOR(((n::DOUBLE * nk) / tot) * 1.0e6 + 0.5) / 1.0e6 AS skew
         |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
     // x111: rules compare the ROUNDED 4-decimal signals on both engines;
     // thresholds are the TextAnalysis constants (interpolated once, in
@@ -4184,7 +4185,7 @@ object ExtensionQueries {
         |  length(text)::DOUBLE AS nc,
         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg FROM documents),
         |q AS (SELECT doc_id, source, h, n,
-        |  ROUND(least(n / 100.0, 1.0) * (1.0 - dg / nc), 4) AS qs FROM t),
+        |  FLOOR((least(n / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS qs FROM t),
         |d AS (SELECT h, count(*)::BIGINT AS hc FROM q GROUP BY h),
         |p AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
         |  sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
@@ -4192,9 +4193,9 @@ object ExtensionQueries {
         | FROM q JOIN d USING (h) GROUP BY source),
         |tt AS (SELECT sum(n_tokens)::DOUBLE AS T FROM p)
         |SELECT source, n_docs, n_tokens,
-        |  ROUND(n_tokens::DOUBLE / T, 6) AS token_share,
-        |  dup_docs, ROUND(dup_docs::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
-        |  ROUND(qsum::DOUBLE / n_docs::DOUBLE, 6) AS mean_quality
+        |  FLOOR((n_tokens::DOUBLE / T) * 1.0e6 + 0.5) / 1.0e6 AS token_share,
+        |  dup_docs, FLOOR((dup_docs::DOUBLE / n_docs::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS dup_rate,
+        |  FLOOR((qsum::DOUBLE / n_docs::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS mean_quality
         |FROM p CROSS JOIN tt ORDER BY source""".stripMargin,
     // x113: the greedy chain unrolled — step t's argmax sees steps 1..t-1
     // through explicit CTE references, exactly the Spark driver loop
@@ -4250,7 +4251,7 @@ object ExtensionQueries {
          |  FROM bf JOIN iv ON bf.q_id = iv.q_id AND bf.n_id = iv.n_id
          |  GROUP BY bf.q_id)
          |SELECT k.q_id, coalesce(matched, 0)::BIGINT AS matched,
-         |  ROUND(coalesce(matched, 0)::DOUBLE / kk::DOUBLE, 6) AS recall
+         |  FLOOR((coalesce(matched, 0)::DOUBLE / kk::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS recall
          |FROM k LEFT JOIN m ON k.q_id = m.q_id ORDER BY k.q_id""".stripMargin,
     // x118: each stage dedups the PREVIOUS stage's survivors; the LSH
     // pair graph restricted to stage-3 survivors equals Spark's
@@ -4368,7 +4369,7 @@ object ExtensionQueries {
          |  GROUP BY d.lang, t.w)
          |SELECT lang, sum(c)::BIGINT AS n_words,
          |  sum(c * len(s))::BIGINT AS n_pieces,
-         |  ROUND(sum(c * len(s))::DOUBLE / sum(c)::DOUBLE, 6) AS fertility
+         |  FLOOR((sum(c * len(s))::DOUBLE / sum(c)::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS fertility
          |FROM lw JOIN seq$bpeRounds sq ON sq.w = lw.w
          |GROUP BY lang ORDER BY lang""".stripMargin,
     // OLS of ln(freq) on ln(rank) over the ROW_NUMBER head cut (count
@@ -4399,8 +4400,8 @@ object ExtensionQueries {
          |  WHERE sh.doc_id % 50 <> 0
          |  GROUP BY sh.doc_id)
          |SELECT doc_id, n_shingles, matched,
-         |  ROUND(matched::DOUBLE / n_shingles::DOUBLE, 6) AS overlap_frac,
-         |  (ROUND(matched::DOUBLE / n_shingles::DOUBLE, 6) >= $contamFracThr)
+         |  FLOOR((matched::DOUBLE / n_shingles::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS overlap_frac,
+         |  (FLOOR((matched::DOUBLE / n_shingles::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 >= $contamFracThr)
          |    AS flagged
          |FROM per ORDER BY doc_id""".stripMargin,
     // SAME recursive component chain as x21/x47; the representative is
@@ -4435,8 +4436,8 @@ object ExtensionQueries {
          |q AS (SELECT $qs FROM sc),
          |bx AS (SELECT y, p, (1 + $cases)::BIGINT AS bin FROM sc CROSS JOIN q)
          |SELECT bin, count(*)::BIGINT AS n,
-         |  ROUND(sum(p::DECIMAL(18,6))::DOUBLE / count(*)::DOUBLE, 4) AS mean_p,
-         |  ROUND(sum(y)::DOUBLE / count(*)::DOUBLE, 4) AS frac_pos
+         |  FLOOR((sum(p::DECIMAL(18,6))::DOUBLE / count(*)::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 AS mean_p,
+         |  FLOOR((sum(y)::DOUBLE / count(*)::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 AS frac_pos
          |FROM bx GROUP BY bin ORDER BY bin""".stripMargin
     },
     // per-bin costs ride the x25/x30 packing CTE (GREATEST floor — the
@@ -4463,7 +4464,7 @@ object ExtensionQueries {
          |    unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS t(w)
          |  GROUP BY d.lang, t.w),
          |fert AS (SELECT lang, sum(c)::BIGINT AS n_words,
-         |    ROUND(sum(c * len(s))::DOUBLE / sum(c)::DOUBLE, 6) AS fertility
+         |    FLOOR((sum(c * len(s))::DOUBLE / sum(c)::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS fertility
          |  FROM lw JOIN seq$bpeRounds sq ON sq.w = lw.w GROUP BY lang),
          |tg0(lang, share0) AS (VALUES $tg),
          |tg AS (SELECT lang, share0::DOUBLE AS share FROM tg0)
@@ -4484,7 +4485,7 @@ object ExtensionQueries {
          |${jaccardExactCtes(
             "JOIN ecand ON ecand.a_id = a.doc_id AND ecand.b_id = b.doc_id")}
          |, ex AS (SELECT inter.a_id, inter.b_id,
-         |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
+         |    FLOOR((inter.i::DOUBLE / (ca.c + cb.c - inter.i)) * 1.0e3 + 0.5) / 1.0e3 AS j
          |  FROM inter
          |  JOIN card ca ON inter.a_id = ca.doc_id
          |  JOIN card cb ON inter.b_id = cb.doc_id),
@@ -4492,12 +4493,12 @@ object ExtensionQueries {
          |    est.j_est, ex.j
          |  FROM est JOIN ex ON est.a_id = ex.a_id AND est.b_id = ex.b_id)
          |SELECT bucket, count(*)::BIGINT AS n_pairs,
-         |  ROUND(sum(ROUND(j_est, 6)::DECIMAL(18,6))::DOUBLE
-         |    / count(*)::DOUBLE, 4) AS mean_est,
-         |  ROUND(sum(ROUND(j, 6)::DECIMAL(18,6))::DOUBLE
-         |    / count(*)::DOUBLE, 4) AS mean_exact,
-         |  ROUND(sum(ROUND(abs(j_est - j), 6)::DECIMAL(18,6))::DOUBLE
-         |    / count(*)::DOUBLE, 4) AS mae
+         |  FLOOR((sum(ROUND(j_est, 6)::DECIMAL(18,6))::DOUBLE
+         |    / count(*)::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 AS mean_est,
+         |  FLOOR((sum(ROUND(j, 6)::DECIMAL(18,6))::DOUBLE
+         |    / count(*)::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 AS mean_exact,
+         |  FLOOR((sum(ROUND(abs(j_est - j), 6)::DECIMAL(18,6))::DOUBLE
+         |    / count(*)::DOUBLE) * 1.0e4 + 0.5) / 1.0e4 AS mae
          |FROM pp GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the sweep replays the broadcast threshold cross: survivors per
     // threshold, docs touched via DISTINCT (idx, id); empty thresholds
@@ -4617,7 +4618,7 @@ object ExtensionQueries {
          |       FROM m GROUP BY 1, 2),
          |tot AS (SELECT lang_label, sum(n)::BIGINT AS t FROM cm GROUP BY 1)
          |SELECT cm.lang_label, cm.pred_lang, cm.n,
-         |  ROUND(cm.n::DOUBLE / tot.t::DOUBLE, 6) AS share
+         |  FLOOR((cm.n::DOUBLE / tot.t::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS share
          |FROM cm JOIN tot USING (lang_label)
          |ORDER BY lang_label, pred_lang""".stripMargin,
     // norms via the shared sequential-fold dot (x78's pinned parity),
@@ -4662,7 +4663,7 @@ object ExtensionQueries {
          |  GROUP BY cand.a_id, cand.b_id)
          |SELECT a_id, b_id, j FROM
          | (SELECT inter.a_id, inter.b_id,
-         |    ROUND(inter.i::DOUBLE / (ca.c + cb.c - inter.i), 3) AS j
+         |    FLOOR((inter.i::DOUBLE / (ca.c + cb.c - inter.i)) * 1.0e3 + 0.5) / 1.0e3 AS j
          |  FROM inter JOIN card ca ON inter.a_id = ca.doc_id
          |  JOIN card cb ON inter.b_id = cb.doc_id)
          |WHERE j >= $cdcSimThreshold ORDER BY a_id, b_id""".stripMargin,
@@ -4716,7 +4717,7 @@ object ExtensionQueries {
          |    ELSE u * (1.0 + 15.4 * (1.0 - exp(reps * $negInv))) END AS eff
          |  FROM e)
          |SELECT stratum, tokens, target_share,
-         |  ROUND(alloc / u, 6) AS epochs,
+         |  FLOOR((alloc / u) * 1.0e6 + 0.5) / 1.0e6 AS epochs,
          |  CASE WHEN target_share IS NULL THEN NULL
          |    ELSE floor(alloc)::BIGINT END AS planned_tokens,
          |  CASE WHEN target_share IS NULL THEN NULL
@@ -4769,8 +4770,8 @@ object ExtensionQueries {
         |  WHERE c.c_custkey IS NULL)
         |SELECT (SELECT count(*) FROM k)::BIGINT AS n_child,
         |  (SELECT count(*) FROM o)::BIGINT AS n_orphans,
-        |  ROUND((SELECT count(*) FROM o)::DOUBLE /
-        |    (SELECT count(*) FROM k), 6) AS orphan_rate,
+        |  FLOOR(((SELECT count(*) FROM o)::DOUBLE /
+        |    (SELECT count(*) FROM k)) * 1.0e6 + 0.5) / 1.0e6 AS orphan_rate,
         |  (SELECT count(DISTINCT kk) FROM o)::BIGINT AS distinct_orphan_keys""".stripMargin,
     // decimal-exact mean (the x37 sum discipline); median ROUND-4 (the
     // x23 output rule); extremes are exact data values
@@ -4778,8 +4779,8 @@ object ExtensionQueries {
       """SELECT event_type, count(*)::BIGINT AS n,
         |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
         |  CASE WHEN count(value) > 0 THEN
-        |    ROUND(sum(ROUND(value::DOUBLE, 6)::DECIMAL(28,6))::DOUBLE
-        |      / count(value), 4) END AS mean_v,
+        |    FLOOR((sum(ROUND(value::DOUBLE, 6)::DECIMAL(28,6))::DOUBLE
+        |      / count(value)) * 1.0e4 + 0.5) / 1.0e4 END AS mean_v,
         |  ROUND(quantile_cont(value::DOUBLE, 0.5), 4) AS p50_v,
         |  min(value::DOUBLE) AS min_v, max(value::DOUBLE) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -4794,7 +4795,7 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(CASE WHEN e + nn > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
-         |  ROUND(sum(CASE WHEN e + nn > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |  FLOOR((sum(CASE WHEN e + nn > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1.0e6 + 0.5) / 1.0e6
          |    AS pii_doc_rate,
          |  sum(e)::BIGINT AS n_emails, sum(nn)::BIGINT AS n_numbers
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
@@ -4808,7 +4809,7 @@ object ExtensionQueries {
          |  $aggs FROM events),
          |l AS ($rows)
          |SELECT column_name, n_rows, n_nulls,
-         |  ROUND(n_nulls::DOUBLE / n_rows, 6) AS null_rate
+         |  FLOOR((n_nulls::DOUBLE / n_rows) * 1.0e6 + 0.5) / 1.0e6 AS null_rate
          |FROM l ORDER BY column_name""".stripMargin
     },
     // the x08 pairs CTE + positional shingle hashes; thirds are integer
@@ -4857,8 +4858,8 @@ object ExtensionQueries {
          |    sum(ROUND(v::DOUBLE / nrm, 6)::DECIMAL(28,6)) AS s
          |  FROM comp GROUP BY pos)
          |SELECT min(n)::BIGINT AS n_vecs, count(*)::BIGINT AS dim,
-         |  ROUND(sum(ROUND((s::DOUBLE / n) * (s::DOUBLE / n), 10)
-         |    ::DECIMAL(18,10))::DOUBLE, 6) AS anisotropy
+         |  FLOOR((sum((FLOOR(((s::DOUBLE / n) * (s::DOUBLE / n)) * 1.0e10 + 0.5) / 1.0e10)
+         |    ::DECIMAL(18,10))::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS anisotropy
          |FROM s""".stripMargin,
     // the x37 + x04 chains joined on doc_id with lang, through the x154
     // moment-sum template (ONE corr arithmetic on both engines)
@@ -4878,7 +4879,7 @@ object ExtensionQueries {
         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
         |  FROM td),
         |sig AS (SELECT qd.lang, lp.x,
-        |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS y
+        |    FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS y
         |  FROM lp JOIN qd USING (doc_id)),
         |m AS (SELECT lang, count(*)::BIGINT AS n,
         |    sum(ROUND(x, 6)::DECIMAL(28,6)) AS sx,
@@ -4906,8 +4907,8 @@ object ExtensionQueries {
         |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, sum(n)::BIGINT AS out_n,
         |  sum(CASE WHEN from_type = to_type THEN n ELSE 0 END)::BIGINT AS self_n,
-        |  ROUND(sum(CASE WHEN from_type = to_type THEN n ELSE 0 END)::DOUBLE
-        |    / sum(n), 6) AS self_share
+        |  FLOOR((sum(CASE WHEN from_type = to_type THEN n ELSE 0 END)::DOUBLE
+        |    / sum(n)) * 1.0e6 + 0.5) / 1.0e6 AS self_share
         |FROM tc GROUP BY from_type ORDER BY from_type""".stripMargin,
     // greedy = docs minus b-side ids; CC = the x21 recursive closure;
     // both read the SAME pairs CTE so the audit cannot drift
@@ -4950,8 +4951,8 @@ object ExtensionQueries {
          |  (lsh_pairs - both_pairs)::BIGINT AS lsh_only,
          |  (simhash_pairs - both_pairs)::BIGINT AS simhash_only,
          |  CASE WHEN lsh_pairs + simhash_pairs - both_pairs > 0
-         |    THEN ROUND(both_pairs::DOUBLE /
-         |      (lsh_pairs + simhash_pairs - both_pairs)::DOUBLE, 6) END
+         |    THEN FLOOR((both_pairs::DOUBLE /
+         |      (lsh_pairs + simhash_pairs - both_pairs)::DOUBLE) * 1.0e6 + 0.5) / 1.0e6 END
          |    AS overlap_jaccard
          |FROM c""".stripMargin
     },
@@ -4971,7 +4972,7 @@ object ExtensionQueries {
         |    max(us) - min(us) AS dur
         |  FROM s GROUP BY 1, 2)
         |SELECT count(*)::BIGINT AS n_sessions,
-        |  ROUND(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |  FLOOR((sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1.0e6 + 0.5) / 1.0e6
         |    AS bounce_rate,
         |  quantile_cont(depth, 0.5) AS p50_depth,
         |  ROUND(quantile_cont(depth, 0.9), 0)::BIGINT AS p90_depth,
@@ -4995,7 +4996,7 @@ object ExtensionQueries {
         |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dg
         |  FROM t),
         |sig AS (SELECT source, n_tokens::DOUBLE AS x,
-        |    ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc), 4) AS y
+        |    FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS y
         |  FROM c),
         |m AS (SELECT source, count(*)::BIGINT AS n,
         |    sum(ROUND(x, 6)::DECIMAL(28,6)) AS sx,
@@ -5052,7 +5053,7 @@ object ExtensionQueries {
          |      1)::BIGINT AS n_shards
          |  FROM b)
          |SELECT source, total_bytes, n_shards,
-         |  ROUND(total_bytes::DOUBLE / (n_shards * $shardTargetBytes), 6)
+         |  FLOOR((total_bytes::DOUBLE / (n_shards * $shardTargetBytes)) * 1.0e6 + 0.5) / 1.0e6
          |    AS mean_fill
          |FROM p ORDER BY source""".stripMargin,
     // first-from/first-at-or-after-to per user; p50 RAW (exact halves),
@@ -5070,7 +5071,7 @@ object ExtensionQueries {
         |  FROM c)
         |SELECT cohort, count(*)::BIGINT AS n_users,
         |  count(lag)::BIGINT AS n_converted,
-        |  ROUND(count(lag)::DOUBLE / count(*), 6) AS conv_rate,
+        |  FLOOR((count(lag)::DOUBLE / count(*)) * 1.0e6 + 0.5) / 1.0e6 AS conv_rate,
         |  quantile_cont(lag, 0.5) AS p50_lag_us,
         |  ROUND(quantile_cont(lag, 0.9), 0)::BIGINT AS p90_lag_us
         |FROM l GROUP BY cohort ORDER BY cohort""".stripMargin,
@@ -5091,7 +5092,7 @@ object ExtensionQueries {
          |  FROM sc LEFT JOIN v ON sc.term = v.term)
          |SELECT source, sum(c)::BIGINT AS n_tokens,
          |  sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::BIGINT AS oov_tokens,
-         |  ROUND(sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+         |  FLOOR((sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::DOUBLE / sum(c)) * 1.0e6 + 0.5) / 1.0e6
          |    AS oov_rate,
          |  count(*)::BIGINT AS n_types,
          |  sum(oov)::BIGINT AS oov_types
@@ -5114,7 +5115,7 @@ object ExtensionQueries {
          |  FROM bk)
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(s)::BIGINT AS selected_n,
-         |  ROUND(sum(s)::DOUBLE / count(*), 6) AS pass_rate
+         |  FLOOR((sum(s)::DOUBLE / count(*)) * 1.0e6 + 0.5) / 1.0e6 AS pass_rate
          |FROM sel GROUP BY source ORDER BY source""".stripMargin,
     // rides the SHARED bf top-k CTE (the x11/x117 sharing contract);
     // purity is an integer-sum ratio, one round-6 division
@@ -5128,7 +5129,7 @@ object ExtensionQueries {
          |  FROM p GROUP BY q_id)
          |SELECT lbl::BIGINT AS label, count(*)::BIGINT AS n_queries,
          |  sum(k)::BIGINT AS n_pairs, sum(m)::BIGINT AS matched,
-         |  ROUND(sum(m)::DOUBLE / sum(k), 6) AS purity
+         |  FLOOR((sum(m)::DOUBLE / sum(k)) * 1.0e6 + 0.5) / 1.0e6 AS purity
          |FROM pq GROUP BY lbl ORDER BY label""".stripMargin,
     // majority pick replays min_by((-c, dep)) as ROW_NUMBER(c DESC, dep);
     // null dependents are a sentinel VALUE, so they count as violations
@@ -5143,7 +5144,7 @@ object ExtensionQueries {
         |  FROM dc)
         |SELECT agg.source, n AS n_rows, d AS distinct_dep,
         |  mj.dep AS major_dep,
-        |  ROUND(mj.c::DOUBLE / n, 6) AS major_share,
+        |  FLOOR((mj.c::DOUBLE / n) * 1.0e6 + 0.5) / 1.0e6 AS major_share,
         |  d = 1 AS is_fd
         |FROM agg JOIN mj ON agg.source = mj.source AND mj.r = 1
         |ORDER BY agg.source""".stripMargin,
@@ -5162,7 +5163,7 @@ object ExtensionQueries {
         |  FROM hc)
         |SELECT agg.event_type, n AS n_events, d AS distinct_hours,
         |  pk.peak_hour,
-        |  ROUND(pk.peak_c::DOUBLE / n, 4) AS peak_share,
+        |  FLOOR((pk.peak_c::DOUBLE / n) * 1.0e4 + 0.5) / 1.0e4 AS peak_share,
         |  ROUND(ln(n) - s::DOUBLE / n, 4) + 0.0 AS hour_entropy
         |FROM agg JOIN pk ON agg.event_type = pk.event_type AND pk.r = 1
         |ORDER BY agg.event_type""".stripMargin,
@@ -5231,9 +5232,9 @@ object ExtensionQueries {
         |  FROM t GROUP BY rate),
         |f AS (SELECT p50 AS f50, p90 AS f90, p99 AS f99 FROM st WHERE rate = 1000)
         |SELECT rate::BIGINT AS rate, n_rows, p50, p90, p99,
-        |  CASE WHEN f50 <> 0.0 THEN ROUND(abs(p50 - f50) / f50, 6) END AS err50,
-        |  CASE WHEN f90 <> 0.0 THEN ROUND(abs(p90 - f90) / f90, 6) END AS err90,
-        |  CASE WHEN f99 <> 0.0 THEN ROUND(abs(p99 - f99) / f99, 6) END AS err99
+        |  CASE WHEN f50 <> 0.0 THEN FLOOR((abs(p50 - f50) / f50) * 1.0e6 + 0.5) / 1.0e6 END AS err50,
+        |  CASE WHEN f90 <> 0.0 THEN FLOOR((abs(p90 - f90) / f90) * 1.0e6 + 0.5) / 1.0e6 END AS err90,
+        |  CASE WHEN f99 <> 0.0 THEN FLOOR((abs(p99 - f99) / f99) * 1.0e6 + 0.5) / 1.0e6 END AS err99
         |FROM st CROSS JOIN f ORDER BY rate""".stripMargin,
     // the x134 lexicon-count/argmax chain applied per token CHUNK; the
     // modal pick replays min_by((-n, pred)) as ROW_NUMBER(n DESC, pred)
@@ -5259,8 +5260,8 @@ object ExtensionQueries {
          |  FROM pl)
          |SELECT doc_id, tot::BIGINT AS n_chunks, pred AS major_lang,
          |  n AS major_chunks,
-         |  ROUND(1.0 - n::DOUBLE / tot, 4) AS mixed_frac,
-         |  ROUND(1.0 - n::DOUBLE / tot, 4) >= $codeSwitchThr AS flagged
+         |  FLOOR((1.0 - n::DOUBLE / tot) * 1.0e4 + 0.5) / 1.0e4 AS mixed_frac,
+         |  FLOOR((1.0 - n::DOUBLE / tot) * 1.0e4 + 0.5) / 1.0e4 >= $codeSwitchThr AS flagged
          |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin
     },
     // fingerprint string ordered by the COMBINED "type:share" entry (the
@@ -5273,8 +5274,8 @@ object ExtensionQueries {
         |tot AS (SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
         |  FROM tc GROUP BY user_id),
         |pr AS (SELECT tc.user_id, min(tot.n) AS n, min(tot.d) AS d,
-        |    md5(string_agg(event_type || ':' || ROUND(c::DOUBLE / tot.n, 1), ','
-        |      ORDER BY event_type || ':' || ROUND(c::DOUBLE / tot.n, 1))) AS profile
+        |    md5(string_agg(event_type || ':' || FLOOR((c::DOUBLE / tot.n) * 1.0e1 + 0.5) / 1.0e1, ','
+        |      ORDER BY event_type || ':' || FLOOR((c::DOUBLE / tot.n) * 1.0e1 + 0.5) / 1.0e1)) AS profile
         |  FROM tc JOIN tot ON tc.user_id = tot.user_id
         |  GROUP BY tc.user_id)
         |SELECT profile, count(*)::BIGINT AS n_keys,
