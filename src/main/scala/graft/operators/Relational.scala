@@ -279,7 +279,7 @@ object Relational {
     require(window >= 1, "window must be >= 1 row")
     val w = Window.partitionBy(col(key)).orderBy(col(order))
       .rowsBetween(-(window - 1), Window.currentRow)
-    df.withColumn(as, round(avg(col(value)).over(w), 4))
+    df.withColumn(as, detRound(avg(col(value)).over(w), 4))
   }
 
   /** Exponentially-weighted trailing average over a gap-filled integer

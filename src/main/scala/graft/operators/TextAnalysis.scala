@@ -145,7 +145,7 @@ object TextAnalysis {
     docs.select(col("lang"), size(tokens(col("text"))).cast("double").as("n"))
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n")), 4).as("mean_tokens"),
+        detRound(avg(col("n")), 4).as("mean_tokens"),
         round(median, 4).as("median_tokens"),
         round(p95, 4).as("p95_tokens"))
 

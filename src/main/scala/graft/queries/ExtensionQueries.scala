@@ -2239,8 +2239,8 @@ object ExtensionQueries {
     s"""$shingleCte,
        |shh AS (SELECT doc_id,
        |  ('0x' || substring(md5(s), 1, 15))::BIGINT % ${Dedup.minhashP} AS h FROM sh),
-       |sig AS (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
-       |bands AS (
+       |sig AS MATERIALIZED (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |  $lshBandRows)""".stripMargin
 
   private def simhashVotes(bits: Int): String = (0 until bits).map { j =>
@@ -2436,10 +2436,10 @@ object ExtensionQueries {
     * the CC family (x21/x47/x82/x86/x92) and the PageRank chain (x90). */
   private lazy val pairEdgeCtes: String =
     s"""$lshCtes,
-       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
        |          UNION ALL SELECT b_id, a_id FROM pairs)""".stripMargin
 
   private lazy val ccCompCtes: String =
@@ -2471,7 +2471,7 @@ object ExtensionQueries {
          |        JOIN ${p}deg dg ON e.src = dg.src
          |        GROUP BY e.dst) g CROSS JOIN ${p}pb pb)""".stripMargin
     }.mkString(",\n")
-    s"""${p}deg AS (SELECT src, count(*)::BIGINT AS deg FROM ${p}edges GROUP BY src),
+    s"""${p}deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM ${p}edges GROUP BY src),
        |${p}nn AS (SELECT count(*)::DOUBLE AS n FROM ${p}deg),
        |${p}pb AS (SELECT (FLOOR((${1 - prDamping} / n) * 1.0e10 + 0.5) / 1.0e10)::DECIMAL(18,10) AS base FROM ${p}nn),
        |${p}r0 AS (SELECT d.src AS id, (FLOOR((1.0 / nn.n) * 1.0e10 + 0.5) / 1.0e10)::DECIMAL(18,10) AS pr
@@ -2494,7 +2494,7 @@ object ExtensionQueries {
        |       FROM ttok CROSS JOIN UNNEST(range(1, len(ts))) r(i)
        |       WHERE len(ts) >= 2 AND ts[i] <> ts[i+1]
        |       GROUP BY 1, 2 HAVING count(*) >= $trMinCount),
-       |tedges AS (SELECT a AS src, b AS dst FROM tp
+       |tedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM tp
        |           UNION ALL SELECT b, a FROM tp),
        |${prChainCtes(trIters, "t")}""".stripMargin
 
@@ -3473,7 +3473,7 @@ object ExtensionQueries {
         |FROM agg ORDER BY doc_id""".stripMargin,
     "x23_corpus_stats" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
-        |  ROUND(avg(n), 4) AS mean_tokens,
+        |  FLOOR((avg(n)) * 1.0e4 + 0.5) / 1.0e4 AS mean_tokens,
         |  ROUND(quantile_cont(n, 0.5), 4) AS median_tokens,
         |  ROUND(quantile_cont(n, 0.95), 4) AS p95_tokens
         |FROM (SELECT lang,
@@ -3726,8 +3726,8 @@ object ExtensionQueries {
     "x40_moving_avg" ->
       s"""WITH $resampleCtes
          |SELECT user_id, bucket, n_events,
-         |  ROUND(AVG(n_events) OVER (PARTITION BY user_id ORDER BY bucket
-         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         |  FLOOR((AVG(n_events) OVER (PARTITION BY user_id ORDER BY bucket
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1.0e4 + 0.5) / 1.0e4 AS ma7
          |FROM r ORDER BY user_id, bucket""".stripMargin,
     "x25_seq_pack" ->
       s"""WITH $packCte

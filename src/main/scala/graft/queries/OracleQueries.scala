@@ -102,7 +102,12 @@ object OracleQueries {
         min("l_quantity").as("mn"),
         max("l_quantity").as("mx"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
-        round(avg("l_discount"), 4).as("ad"))
+        // exact decimal sum -> double -> IEEE divide -> detRound: the same
+        // op sequence the oracle spells, so the average cannot diverge at
+        // a half boundary (Spark's avg(decimal) is decimal-HALF_UP, the
+        // oracle's AVG(decimal) is a double — different rounders)
+        graft.functions.NumericFunctions.detRound(
+          sum(col("l_discount")).cast("double") / count(lit(1)), 4).as("ad"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** OQ08 — ROLLUP grouping sets (SP derivation rollups).
@@ -291,7 +296,7 @@ object OracleQueries {
         | COUNT(DISTINCT l_partkey) AS dp, MIN(l_quantity) AS mn,
         | MAX(l_quantity) AS mx,
         | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
-        | ROUND(AVG(l_discount), 4) AS ad
+        | FLOOR((SUM(l_discount)::DOUBLE / COUNT(*)) * 1.0e4 + 0.5) / 1.0e4 AS ad
         | FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
         | GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
