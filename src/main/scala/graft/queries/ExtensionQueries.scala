@@ -2158,7 +2158,7 @@ object ExtensionQueries {
   private def jaccardExactCtes(candExtra: String = ""): String =
     s"""sid AS (SELECT s, row_number() OVER (ORDER BY s) AS id
        |  FROM (SELECT DISTINCT s FROM sh)),
-       |shi AS (SELECT sh.doc_id, sid.id FROM sh JOIN sid USING (s)),
+       |shi AS MATERIALIZED (SELECT sh.doc_id, sid.id FROM sh JOIN sid USING (s)),
        |rsid AS (SELECT id FROM shi GROUP BY id HAVING count(*) <= $jaccardMaxDf),
        |prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    count(*)::BIGINT AS i,
@@ -2167,8 +2167,8 @@ object ExtensionQueries {
        |  LEFT JOIN rsid rs ON rs.id = a.id
        |  $candExtra
        |  GROUP BY 1, 2),
-       |inter AS (SELECT a_id, b_id, i FROM prs WHERE has_rare = 1),
-       |card AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id)""".stripMargin
+       |inter AS MATERIALIZED (SELECT a_id, b_id, i FROM prs WHERE has_rare = 1),
+       |card AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id)""".stripMargin
 
   /** ascii-safe token hash, identical to TextFunctions.tokenHash. */
   private def tokenHashSql(t: String): String =
