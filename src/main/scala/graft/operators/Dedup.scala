@@ -609,7 +609,8 @@ object Dedup {
       .select(col("stratum_a"), col("stratum_b"), col("__ma"), col("__mb"),
         slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k).as("__u"))
       .select(col("stratum_a"), col("stratum_b"),
-        round(size(array_intersect(array_intersect(col("__u"), col("__ma")), col("__mb")))
+        // detRound: small-integer quotient — exact-half class
+        detRound(size(array_intersect(array_intersect(col("__u"), col("__ma")), col("__mb")))
           .cast("double") / size(col("__u")), 4).as("j_est"))
   }
 
@@ -620,7 +621,8 @@ object Dedup {
     sketch.select(col("stratum"),
       size(col("mins")).cast("long").as("n_sketch"),
       when(size(col("mins")) < k, size(col("mins")).cast("double"))
-        .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+        // detRound: (k−1)·2^60/U is a rational quotient of exact values
+        .otherwise(detRound(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
           element_at(col("mins"), k).cast("double"), 4)).as("est_distinct"))
 
   /** SimHash fingerprint (`bits` wide, default 16): per token, bit j is the
@@ -1393,7 +1395,9 @@ object Dedup {
     deg.join(triPerNode, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
-        round(when(col("degree") >= 2,
+        // detRound: 2·tri/(deg·(deg-1)) is a rational quotient of exact
+        // integers — it can land on an exact 4-decimal half
+        detRound(when(col("degree") >= 2,
             coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
               (col("degree").cast("double") * (col("degree") - 1).cast("double")))
           .otherwise(0.0), 4).as("clustering"))

@@ -1522,7 +1522,10 @@ object Relational {
       (col("__nn") + lit(0.5) * col("__k"))
     joined.crossJoin(broadcast(tot))
       .select(col("__b").cast("long").as("bucket"),
-        round(p, 6).as("p_old"), round(q, 6).as("p_new"),
+        // detRound: the smoothed shares are rational quotients of exact
+        // counts; psi_term keeps engine round (its argument passes
+        // through ln, so it cannot land on an exact half)
+        detRound(p, 6).as("p_old"), detRound(q, 6).as("p_new"),
         round((p - q) * log(p / q), 6).as("psi_term"))
   }
 

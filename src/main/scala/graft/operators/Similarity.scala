@@ -608,7 +608,9 @@ object Similarity {
     base.join(mu, "label")
       .select(col("label"), col("n_vecs"),
         when(col("n_vecs") < 2, lit(null).cast("double"))
-          .otherwise(round(
+          // detRound: both moments are exact decimals, so the scaled
+          // difference is a rational quotient — knife-edge class
+          .otherwise(detRound(
             lit(2.0) * col("n_vecs") / (col("n_vecs") - lit(1L)) *
               (col("__s2").cast("double") / col("n_vecs") - col("__m").cast("double")),
             6)).as("diversity"))

@@ -1007,7 +1007,8 @@ object TextAnalysis {
     counts.crossJoin(broadcast(total))
       .withColumn("kl_term",
         round(share * log(share / element_at(typedLit(target), col("stratum"))), 6))
-      .withColumn("share", round(share, 6))
+      // detRound on share (rational n/N); kl_term keeps engine round (ln)
+      .withColumn("share", detRound(share, 6))
       .select(col("stratum"), col("n"), col("share"), col("kl_term"))
   }
 
@@ -1103,8 +1104,8 @@ object TextAnalysis {
     * projection. Unmapped strata surface null (the [[tokenBudgetPlan]]
     * gating — never a fabricated take-everything). exp() on doubles is
     * the x99/x100 sigmoid precedent. Output: stratum, tokens,
-    * target_share, epochs (ROUND 6), planned_tokens,
-    * effective_tokens (ROUND 2), efficiency (ROUND 6). */
+    * target_share, epochs (detRound 6), planned_tokens,
+    * effective_tokens (detRound 2), efficiency (detRound 6). */
   def epochPlan(docs: DataFrame, stratum: Column, tokens: Column,
                 target: Map[String, Double], budget: Long,
                 rStar: Double = 15.4): DataFrame = {
@@ -1125,9 +1126,9 @@ object TextAnalysis {
       .withColumn("planned_tokens",
         when(tgt.isNotNull, floor(alloc).cast("long")))
       .withColumn("effective_tokens",
-        when(tgt.isNotNull, round(effective, 2)))
+        when(tgt.isNotNull, detRound(effective, 2)))
       .withColumn("efficiency",
-        when(tgt.isNotNull, round(effective / alloc, 6)))
+        when(tgt.isNotNull, detRound(effective / alloc, 6)))
       .select(col("stratum"), col("tokens"), col("target_share"),
         col("epochs"), col("planned_tokens"), col("effective_tokens"),
         col("efficiency"))
@@ -1768,8 +1769,11 @@ object TextAnalysis {
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     fit.filter(col(nAs) >= 2)
       .select(col(group), col(nAs),
-        (round(slope, 4) + 0.0).as("slope"),
-        (round((sy - slope * sx) / n, 4) + 0.0).as("intercept"))
+        // detRound: slope/intercept are rational quotients of the exact
+        // decimal sums — knife-edge class (the inner ln() sums keep
+        // engine ROUND: a dyadic double can't equal a non-dyadic half)
+        (detRound(slope, 4) + 0.0).as("slope"),
+        (detRound((sy - slope * sx) / n, 4) + 0.0).as("intercept"))
   }
 
   /** Per-source Heaps'-law fit — [[zipfSlope]]'s companion fingerprint on
@@ -1863,8 +1867,8 @@ object TextAnalysis {
     * a narrow comparison pass ([[Relational.quantileBuckets]] — no
     * rangepartitioning, window-free). Docs with fewer than 3 tokens
     * have no repetition signal and are absent (nothing to ensemble).
-    * Output: doc_id, q_bucket, e_bucket, r_bucket, ensemble (ROUND 4),
-    * selected. */
+    * Output: doc_id, q_bucket, e_bucket, r_bucket, ensemble
+    * (detRound 4), selected. */
   def qualityEnsemble(docs: DataFrame, buckets: Int = 10,
                       minEnsemble: Double = 6.0): DataFrame = {
     val sig = graft.Persist.cut(
@@ -1876,7 +1880,9 @@ object TextAnalysis {
         Relational.quantileBuckets(sig, "quality_score", buckets, "q_bucket"),
         "entropy", buckets, "e_bucket"),
       "rep_ratio", buckets, "r_bucket")
-    val ens = round((col("q_bucket") + col("e_bucket")
+    // detRound: bucket-sum/3 is a rational quotient of small integers —
+    // it lands on an exact third (x.3333…5 prints are the knife edge)
+    val ens = detRound((col("q_bucket") + col("e_bucket")
       + lit((buckets + 1).toLong) - col("r_bucket")).cast("double") / 3.0, 4)
     b.select(col("doc_id"), col("q_bucket"), col("e_bucket"), col("r_bucket"),
       ens.as("ensemble"), (ens >= lit(minEnsemble)).as("selected"))

@@ -2086,7 +2086,8 @@ object ExtensionQueries {
     * the `bk` CTE, with `source` carried), shared by the per-doc x148
     * and the per-source x168 rollup so the two cannot drift. */
   private lazy val ensembleValExpr: String =
-    s"ROUND((q_bucket + e_bucket + ${ensembleBuckets + 1} - r_bucket) / 3.0, 4)"
+    NumericFunctions.detRoundSql(
+      s"(q_bucket + e_bucket + ${ensembleBuckets + 1} - r_bucket) / 3.0", 4)
   private lazy val ensembleCtes: String = {
     val probs = (1 until ensembleBuckets).map(_.toDouble / ensembleBuckets)
     def qs(v: String, p: String) = probs.zipWithIndex.map { case (pr, i) =>
@@ -2636,8 +2637,9 @@ object ExtensionQueries {
        |s2 AS (SELECT $group, $nAs, $nAs::DOUBLE AS n, sx, sy, sxx, sxy
        |       FROM sm WHERE $nAs >= 2)
        |SELECT $group, $nAs,
-       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
-       |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+       |  ${NumericFunctions.detRoundSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} + 0.0 AS slope,
+       |  ${NumericFunctions.detRoundSql(
+             "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 4)}
        |    + 0.0 AS intercept
        |FROM s2 ORDER BY $group""".stripMargin
 
@@ -2839,8 +2841,9 @@ object ExtensionQueries {
          |    a.mins AS ma, b.mins AS mb
          |  FROM sk a JOIN sk b ON a.stratum < b.stratum)
          |SELECT stratum_a, stratum_b,
-         |  ROUND(len(list_filter(ul, x -> list_contains(ma, x) AND list_contains(mb, x)))::DOUBLE
-         |    / len(ul), 4) AS j_est
+         |  ${NumericFunctions.detRoundSql(
+              """len(list_filter(ul, x -> list_contains(ma, x) AND list_contains(mb, x)))::DOUBLE
+         |    / len(ul)""".stripMargin, 4)} AS j_est
          |FROM pairs ORDER BY stratum_a, stratum_b""".stripMargin,
     // byte windows: offsets are pure integer arithmetic; md5 of the
     // VARCHAR slice == md5 of the binary slice on the ASCII fixture
@@ -2887,7 +2890,8 @@ object ExtensionQueries {
          |  FROM rk WHERE rn <= $kmvK GROUP BY stratum)
          |SELECT stratum, n_sketch,
          |  CASE WHEN n_sketch < $kmvK THEN n_sketch::DOUBLE
-         |    ELSE ROUND(${kmvK - 1}::DOUBLE * 1152921504606846976.0 / uk::DOUBLE, 4) END
+         |    ELSE ${NumericFunctions.detRoundSql(
+                s"${kmvK - 1}::DOUBLE * 1152921504606846976.0 / uk::DOUBLE", 4)} END
          |    AS est_distinct
          |FROM sk ORDER BY stratum""".stripMargin,
     // moment identity: mean pairwise sq distance = 2n/(n−1)(m2 − |μ|²);
@@ -2907,8 +2911,9 @@ object ExtensionQueries {
          |  FROM dv JOIN base USING (label) GROUP BY dv.label)
          |SELECT base.label, base.n_vecs,
          |  CASE WHEN base.n_vecs < 2 THEN NULL
-         |    ELSE ROUND(2.0 * base.n_vecs / (base.n_vecs - 1)
-         |      * (base.s2::DOUBLE / base.n_vecs - m.mm::DOUBLE), 6) END AS diversity
+         |    ELSE ${NumericFunctions.detRoundSql(
+                """2.0 * base.n_vecs / (base.n_vecs - 1)
+         |      * (base.s2::DOUBLE / base.n_vecs - m.mm::DOUBLE)""".stripMargin, 6)} END AS diversity
          |FROM base JOIN m USING (label)
          |ORDER BY label""".stripMargin,
     // distinct (user, week) first; offsets are exact integer day diffs
@@ -3161,7 +3166,7 @@ object ExtensionQueries {
       s"""WITH c AS (SELECT source AS stratum, count(*)::BIGINT AS n
          |  FROM documents GROUP BY source),
          |t AS (SELECT count(*)::DOUBLE AS tot FROM documents)
-         |SELECT stratum, n, ROUND(n / tot, 6) AS share,
+         |SELECT stratum, n, ${NumericFunctions.detRoundSql("n / tot", 6)} AS share,
          |  (ROUND((n / tot) * ln((n / tot) / (CASE stratum $arms END)), 6) + 0.0) AS kl_term
          |FROM c CROSS JOIN t ORDER BY stratum""".stripMargin
     },
@@ -3304,9 +3309,9 @@ object ExtensionQueries {
          |  len(list_filter(toks, x -> ${lexiconFilter(TextAnalysis.lexicons.head._2)}))::DOUBLE AS st
          | FROM t)
          |SELECT doc_id, n_tokens,
-         | ROUND(nc / n_tokens, 4) AS mean_tok_len,
-         | ROUND(dg / nc, 4) AS digit_ratio,
-         | ROUND(st / n_tokens, 4) AS stopword_ratio,
+         | ${NumericFunctions.detRoundSql("nc / n_tokens", 4)} AS mean_tok_len,
+         | ${NumericFunctions.detRoundSql("dg / nc", 4)} AS digit_ratio,
+         | ${NumericFunctions.detRoundSql("st / n_tokens", 4)} AS stopword_ratio,
          | FLOOR((least(n_tokens / 100.0, 1.0) * (1.0 - dg / nc)) * 1.0e4 + 0.5) / 1.0e4 AS quality_score
          |FROM c ORDER BY doc_id""".stripMargin,
     "x05_fingerprints" ->
@@ -3420,8 +3425,9 @@ object ExtensionQueries {
          |qt AS (SELECT doc_id, text,
          |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |q AS (SELECT doc_id,
-         |  ROUND(least(len(toks)::BIGINT / 100.0, 1.0) *
-         |    (1.0 - len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE), 4)
+         |  ${NumericFunctions.detRoundSql(
+              """least(len(toks)::BIGINT / 100.0, 1.0) *
+         |    (1.0 - len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE)""".stripMargin, 4)}
          |    AS quality_score FROM qt),
          |lbl AS (SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS lbl
          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
@@ -3588,8 +3594,8 @@ object ExtensionQueries {
          |      FROM sp LEFT JOIN oc USING (b) LEFT JOIN nc USING (b)),
          |tt AS (SELECT sum(co)::DOUBLE AS no, sum(cn)::DOUBLE AS nn FROM j)
          |SELECT b::BIGINT AS bucket,
-         |  ROUND((co::DOUBLE + 0.5) / (no + $sm), 6) AS p_old,
-         |  ROUND((cn::DOUBLE + 0.5) / (nn + $sm), 6) AS p_new,
+         |  ${NumericFunctions.detRoundSql(s"(co::DOUBLE + 0.5) / (no + $sm)", 6)} AS p_old,
+         |  ${NumericFunctions.detRoundSql(s"(cn::DOUBLE + 0.5) / (nn + $sm)", 6)} AS p_new,
          |  (ROUND(((co::DOUBLE + 0.5) / (no + $sm) - (cn::DOUBLE + 0.5) / (nn + $sm))
          |    * ln(((co::DOUBLE + 0.5) / (no + $sm)) / ((cn::DOUBLE + 0.5) / (nn + $sm))),
          |    6) + 0.0) AS psi_term
@@ -4219,10 +4225,11 @@ object ExtensionQueries {
          |  GROUP BY id)
          |SELECT deg.id AS doc_id, degree,
          |  coalesce(triangles, 0)::BIGINT AS triangles,
-         |  ROUND(CASE WHEN degree >= 2
+         |  ${NumericFunctions.detRoundSql(
+              """CASE WHEN degree >= 2
          |    THEN coalesce(triangles, 0)::DOUBLE * 2.0 /
          |         (degree::DOUBLE * (degree - 1)::DOUBLE)
-         |    ELSE 0.0 END, 4) AS clustering
+         |    ELSE 0.0 END""".stripMargin, 4)} AS clustering
          |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
          |ORDER BY doc_id""".stripMargin,
     // x115: LAG over the x107 (ts, event_id) per-user order; exact BIGINT
@@ -4721,9 +4728,9 @@ object ExtensionQueries {
          |  CASE WHEN target_share IS NULL THEN NULL
          |    ELSE floor(alloc)::BIGINT END AS planned_tokens,
          |  CASE WHEN target_share IS NULL THEN NULL
-         |    ELSE ROUND(eff, 2) END AS effective_tokens,
+         |    ELSE ${NumericFunctions.detRoundSql("eff", 2)} END AS effective_tokens,
          |  CASE WHEN target_share IS NULL THEN NULL
-         |    ELSE ROUND(eff / alloc, 6) END AS efficiency
+         |    ELSE ${NumericFunctions.detRoundSql("eff / alloc", 6)} END AS efficiency
          |FROM f ORDER BY stratum""".stripMargin
     },
     // the x25 packing CTE joined to the x21 recursive closure — the
