@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumericFunctions
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, SemiStructured, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions
@@ -1473,6 +1473,35 @@ object ExtensionQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** x169: JSON key inventory over the events `props` payload — which
+    * keys exist, at what presence share, with how many distinct values
+    * (the de-facto-schema read of a semi-structured column; OQ16 is the
+    * single-path extraction this report governs). */
+  def x169(s: SparkSession, dir: String): DataFrame =
+    SemiStructured.jsonKeyProfile(Tables(s, dir, "events"), col("props"))
+      .orderBy("key")
+
+  /** x170: JSON parse health — null vs malformed payload counts, the
+    * one-row gate in front of every `props` extraction. */
+  def x170(s: SparkSession, dir: String): DataFrame =
+    SemiStructured.jsonHealth(Tables(s, dir, "events"), col("props"))
+
+  /** x171: JSON key presence drift per day — WHEN a key appeared or
+    * vanished (producer release forensics the corpus-level x169 share
+    * averages away). */
+  def x171(s: SparkSession, dir: String): DataFrame =
+    SemiStructured.jsonKeyDrift(Tables(s, dir, "events"), col("props"),
+        col("ts"), "day")
+      .orderBy("bucket", "key")
+
+  /** x172: extracted-field numeric summary per event type — the
+    * is-my-extraction-still-live monitor on OQ16's exact path. */
+  def x172(s: SparkSession, dir: String): DataFrame =
+    SemiStructured.jsonFieldStats(Tables(s, dir, "events"), col("props"),
+        "$.k", col("event_type"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
   /** x168: ensemble pass rate per source — x148's gate rolled to the
     * mixture-planning grain: which feeds survive the multi-signal gate
     * and at what rate (the number the x108/x127 budgets should be fed,
@@ -1952,6 +1981,10 @@ object ExtensionQueries {
     "x166_hash_uniformity" -> (x166 _),
     "x167_pack_colocation" -> (x167 _),
     "x168_ensemble_by_source" -> (x168 _),
+    "x169_json_keys"    -> (x169 _),
+    "x170_json_health"  -> (x170 _),
+    "x171_json_drift"   -> (x171 _),
+    "x172_json_field_stats" -> (x172 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4806,6 +4839,56 @@ object ExtensionQueries {
          |    AS pii_doc_rate,
          |  sum(e)::BIGINT AS n_emails, sum(nn)::BIGINT AS n_numbers
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // keys unnested from the payload's own key set; distinct values via
+    // dynamic-path extraction (plain identifier keys — the fixture's)
+    "x169_json_keys" ->
+      s"""WITH n AS (SELECT count(*)::DOUBLE AS tot FROM events),
+         |k AS (SELECT unnest(json_keys(props)) AS key, props
+         |  FROM events WHERE props IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n_present,
+         |    count(DISTINCT json_extract_string(props, '$$.' || key))::BIGINT
+         |      AS n_distinct_values
+         |  FROM k GROUP BY key)
+         |SELECT key, n_present,
+         |  ${NumericFunctions.detRoundSql("n_present / tot", 6)} AS presence_share,
+         |  n_distinct_values
+         |FROM g CROSS JOIN n ORDER BY key""".stripMargin,
+    // malformed = non-null text that is not a JSON OBJECT (matches the
+    // Spark side's from_json-to-map null on arrays/scalars/garbage)
+    "x170_json_health" ->
+      s"""WITH a AS (SELECT count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  sum(CASE WHEN props IS NOT NULL AND
+         |        (NOT json_valid(props) OR json_type(props) <> 'OBJECT')
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_malformed
+         |  FROM events)
+         |SELECT n_rows, n_null, n_malformed,
+         |  ${NumericFunctions.detRoundSql("n_malformed::DOUBLE / n_rows", 6)}
+         |    AS malformed_rate
+         |FROM a""".stripMargin,
+    // per-bucket totals join the per-(bucket, key) presence counts
+    "x171_json_drift" ->
+      s"""WITH t AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+         |k AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+         |    unnest(json_keys(props)) AS key FROM events),
+         |g AS (SELECT bucket, key, count(*)::BIGINT AS n_present
+         |  FROM k GROUP BY bucket, key)
+         |SELECT g.bucket, g.key, n_present,
+         |  ${NumericFunctions.detRoundSql("n_present::DOUBLE / t.n", 6)}
+         |    AS bucket_share
+         |FROM g JOIN t USING (bucket) ORDER BY bucket, key""".stripMargin,
+    // exact long sum over exact count; missing extraction stays NULL
+    "x172_json_field_stats" ->
+      s"""WITH c AS (SELECT event_type,
+         |    json_extract_string(props, '$$.k')::BIGINT AS v FROM events)
+         |SELECT event_type, count(*)::BIGINT AS n,
+         |  count(v)::BIGINT AS n_with_field,
+         |  min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+         |  CASE WHEN count(v) > 0
+         |    THEN ${NumericFunctions.detRoundSql("sum(v)::DOUBLE / count(v)", 4)}
+         |  END AS mean_v
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // one aggregate pass reshaped long (the stack analogue)
     "x163_null_profile" -> {
       val aggs = nullProfileCols.map(c =>
