@@ -780,6 +780,17 @@ object Dedup {
         docs("doc_id") === col("__drop"), "left_anti")
     }
 
+  /** Public window onto the shared CC core for OTHER operator families
+    * (e.g. [[Linkage.erClusters]]' name-domain graph): converged
+    * min-label membership for every node appearing in `pairs`
+    * (`a_id`/`b_id` columns), or None on an edgeless graph. Semantics —
+    * including the finer-partition guarantee under a non-converged
+    * `maxIters` cap — are [[componentLabels]]'. Output: ((id, lbl)
+    * frame, converged). */
+  def componentMembership(pairs: DataFrame, maxIters: Int = 10)
+      : Option[(DataFrame, Boolean)] =
+    componentLabels(pairs, maxIters)
+
   /** Near-dup cluster-size histogram — the dedup-graph HEALTH read: how
     * many components of each size the candidate graph has. A healthy
     * corpus is dominated by 2-3-doc components; a fat tail (one 10⁵-doc

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumericFunctions
-import graft.operators.{Dedup, Multimodal, Relational, SemiStructured, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Linkage, Multimodal, Relational, SemiStructured, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions
@@ -1502,6 +1502,42 @@ object ExtensionQueries {
       .withColumnRenamed("grp", "event_type")
       .orderBy("event_type")
 
+  /** x173: fuzzy entity-resolution candidate pairs — blocked levenshtein
+    * linkage over the part-name domain (block = head noun, dist ≤ 2):
+    * the typo'd-SKU / re-keyed-vendor report on the entity axis that
+    * x01/x08 cover on the document axis. Names dedup BEFORE the
+    * quadratic step; `n_pairs` is the implied entity-pair mass. */
+  def x173(s: SparkSession, dir: String): DataFrame =
+    Linkage.fuzzyNamePairs(Tables(s, dir, "part"),
+        col("p_name"), col("p_partkey"), maxDist = 2)
+      .orderBy("name_a", "name_b")
+
+  /** x174: ER cluster canonicalization — connected components over
+    * x173's name graph, each name mapped to its cluster's canonical
+    * (min-name-id) representative with the distinct-name width and
+    * entity-row mass a merge would collapse. */
+  def x174(s: SparkSession, dir: String): DataFrame =
+    Linkage.erClusters(Tables(s, dir, "part"),
+        col("p_name"), col("p_partkey"), maxDist = 2)
+      .orderBy("name")
+
+  /** x175: linkage agreement by distance — the precision proxy that
+    * picks the merge threshold: per edit distance (1-3), the share of
+    * implied entity pairs agreeing on the should-be-invariant brand.
+    * Exact contingency-count arithmetic; no entity cross product. */
+  def x175(s: SparkSession, dir: String): DataFrame =
+    Linkage.linkageAgreement(Tables(s, dir, "part"),
+        col("p_name"), col("p_partkey"), col("p_brand"), maxDist = 3)
+      .orderBy("dist")
+
+  /** x176: blocking-key health — per-block distinct names, row mass,
+    * and the candidate-pair count each block contributes; the
+    * pre-flight read that governs the hot-block cap. */
+  def x176(s: SparkSession, dir: String): DataFrame =
+    Linkage.blockProfile(Tables(s, dir, "part"),
+        col("p_name"), col("p_partkey"))
+      .orderBy("block")
+
   /** x168: ensemble pass rate per source — x148's gate rolled to the
     * mixture-planning grain: which feeds survive the multi-signal gate
     * and at what rate (the number the x108/x127 budgets should be fed,
@@ -1985,6 +2021,10 @@ object ExtensionQueries {
     "x170_json_health"  -> (x170 _),
     "x171_json_drift"   -> (x171 _),
     "x172_json_field_stats" -> (x172 _),
+    "x173_fuzzy_match"  -> (x173 _),
+    "x174_er_clusters"  -> (x174 _),
+    "x175_link_agreement" -> (x175 _),
+    "x176_block_profile" -> (x176 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -4889,6 +4929,75 @@ object ExtensionQueries {
          |    THEN ${NumericFunctions.detRoundSql("sum(v)::DOUBLE / count(v)", 4)}
          |  END AS mean_v
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // name domain deduped first; block = last token; identical names
+    // excluded (dist >= 1) — exact duplicates are x01's axis
+    "x173_fuzzy_match" ->
+      s"""WITH nm AS (SELECT p_name AS name, count(*)::BIGINT AS n_rows,
+         |    regexp_extract(p_name, '(\\S+)$$', 1) AS block
+         |  FROM part GROUP BY p_name)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  levenshtein(a.name, b.name)::BIGINT AS dist,
+         |  a.n_rows AS n_a, b.n_rows AS n_b,
+         |  (a.n_rows * b.n_rows)::BIGINT AS n_pairs
+         |FROM nm a JOIN nm b ON a.block = b.block AND a.name < b.name
+         |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+         |ORDER BY name_a, name_b""".stripMargin,
+    // reachability closure over the (tiny, deduped) name graph; label =
+    // min reachable name_id; canonical = the name carrying that id
+    "x174_er_clusters" ->
+      s"""WITH RECURSIVE nm AS (SELECT p_name AS name,
+         |    count(*)::BIGINT AS n_rows, min(p_partkey)::BIGINT AS name_id,
+         |    regexp_extract(p_name, '(\\S+)$$', 1) AS block
+         |  FROM part GROUP BY p_name),
+         |e AS (SELECT a.name_id AS src, b.name_id AS dst
+         |  FROM nm a JOIN nm b ON a.block = b.block AND a.name <> b.name
+         |  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2),
+         |reach AS (SELECT name_id AS id, name_id AS r FROM nm
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |lbl AS (SELECT id, min(r)::BIGINT AS lbl FROM reach GROUP BY id),
+         |cl AS (SELECT lbl.lbl, count(*)::BIGINT AS cluster_names,
+         |    sum(nm.n_rows)::BIGINT AS cluster_rows
+         |  FROM lbl JOIN nm ON nm.name_id = lbl.id GROUP BY lbl.lbl)
+         |SELECT nm.name, cn.name AS canonical, cl.cluster_names,
+         |  cl.cluster_rows, nm.n_rows
+         |FROM nm JOIN lbl ON lbl.id = nm.name_id
+         |JOIN cl ON cl.lbl = lbl.lbl
+         |JOIN nm cn ON cn.name_id = lbl.lbl
+         |ORDER BY nm.name""".stripMargin,
+    // agreement mass from per-(name, brand) contingency counts — the
+    // entity cross product is never materialized on either engine
+    "x175_link_agreement" ->
+      s"""WITH nm AS (SELECT p_name AS name, count(*)::BIGINT AS n_rows,
+         |    regexp_extract(p_name, '(\\S+)$$', 1) AS block
+         |  FROM part GROUP BY p_name),
+         |pr AS (SELECT a.name AS name_a, b.name AS name_b,
+         |    levenshtein(a.name, b.name)::BIGINT AS dist,
+         |    (a.n_rows * b.n_rows)::BIGINT AS n_pairs
+         |  FROM nm a JOIN nm b ON a.block = b.block AND a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3),
+         |ba AS (SELECT p_name AS name, p_brand AS v, count(*)::BIGINT AS n
+         |  FROM part GROUP BY 1, 2),
+         |ag AS (SELECT pr.name_a, pr.name_b, sum(a.n * b.n)::BIGINT AS agree
+         |  FROM pr
+         |  JOIN ba a ON a.name = pr.name_a
+         |  JOIN ba b ON b.name = pr.name_b AND b.v = a.v
+         |  GROUP BY 1, 2)
+         |SELECT dist, count(*)::BIGINT AS n_name_pairs,
+         |  sum(n_pairs)::BIGINT AS n_entity_pairs,
+         |  sum(coalesce(agree, 0))::BIGINT AS n_agree,
+         |  ${NumericFunctions.detRoundSql(
+             "sum(coalesce(agree, 0))::DOUBLE / sum(n_pairs)", 6)} AS agree_rate
+         |FROM pr LEFT JOIN ag USING (name_a, name_b)
+         |GROUP BY dist ORDER BY dist""".stripMargin,
+    // c*(c-1)/2 in integer arithmetic
+    "x176_block_profile" ->
+      s"""WITH nm AS (SELECT p_name AS name, count(*)::BIGINT AS n,
+         |    regexp_extract(p_name, '(\\S+)$$', 1) AS block
+         |  FROM part GROUP BY p_name)
+         |SELECT block, count(*)::BIGINT AS n_names, sum(n)::BIGINT AS n_rows,
+         |  (count(*) * (count(*) - 1) // 2)::BIGINT AS n_candidates
+         |FROM nm GROUP BY block ORDER BY block""".stripMargin,
     // one aggregate pass reshaped long (the stack analogue)
     "x163_null_profile" -> {
       val aggs = nullProfileCols.map(c =>
