@@ -314,6 +314,84 @@ object ExtensionQueries {
       .orderBy("h", "event_type")
   }
 
+  /** w06: Structured Streaming stateful DEDUP end-to-end —
+    * `dropDuplicatesWithinWatermark` is the second stateful-engine surface
+    * the contract pins for real (w05 covers windowed aggregation). The
+    * events fixture feeds three ordered batches through the engine:
+    *   - batch 0 "base": EVERY event row — all ids are fresh, all emit;
+    *     state holds one entry per id expiring at ts + 2 h. Because the
+    *     base batch contains the global max(ts), the watermark that the
+    *     dual-watermark lag (SPARK-40925) makes visible to batch 2 is
+    *     unambiguously `m - 2 h` regardless of which update tick it rode.
+    *   - batch 1 "advancer": just the max-ts row(s), re-sent verbatim —
+    *     pure duplicates (suppressed), present only so the batch-0
+    *     watermark becomes the batch-2 filter/eviction watermark.
+    *   - batch 2 "replay": every `event_id % 10 = 0` row re-sent with ts
+    *     shifted +3 h (same id = retry), plus the same rows under
+    *     `id + 1e9` (fresh ids = new arrivals with old-ish timestamps).
+    * WatermarkProbeSpec pins the three boundary rules the oracle replays:
+    * late filter drops iff `ts < wm` STRICTLY (== survives); state
+    * eviction is STRICT `expiry < wm` (== suppresses); an evicted id
+    * RE-EMITS with the retry's ts. So with wm = m - 2 h: a replayed dup
+    * re-emits iff its original ts ∈ [m-5h, m-4h) (kept by the filter AND
+    * its state already evicted); a fresh id emits iff ts + 3 h >= m - 2 h.
+    * Output folds the append stream to per-id emission counts bucketed by
+    * (kind, emissions) — the `emissions = 2` bucket existing at all is
+    * the re-emission semantics, and the fresh-id count is the late-drop
+    * rule measured on real data.
+    *
+    * Scale: the memory sink is the oracle surface (verify scale); state
+    * is one (id, expiry) entry per key and watermark-bounded — the
+    * production analogue is the retry-idempotent AvailableNow runners. */
+  def w06(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val e = Tables(s, dir, "events").select("event_id", "ts")
+    val root = Files.createTempDirectory("graft_w06")
+    val streamDir = root.resolve("stream"); Files.createDirectories(streamDir)
+    def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val f = p.getFileName.toString
+        f.startsWith("part-") && f.endsWith(".parquet")
+      }.findFirst.get
+      val dst = streamDir.resolve(name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    land(e, "00_base.parquet", 1000000L)
+    val mx = e.agg(max(col("ts")).as("mxts"))
+    land(e.join(broadcast(mx), col("ts") === col("mxts"))
+      .select("event_id", "ts"), "01_advance.parquet", 2000000L)
+    val rep = e.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), (col("ts") + expr("INTERVAL 3 HOURS")).as("ts"))
+    land(rep.unionAll(
+      rep.select((col("event_id") + lit(1000000000L)).as("event_id"), col("ts"))),
+      "02_replay.parquet", 3000000L)
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val sink = "w06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("emissions"))
+      .groupBy(
+        when(col("event_id") >= 1000000000L, lit("fresh")).otherwise(lit("base"))
+          .as("kind"),
+        col("emissions"))
+      .agg(count(lit(1)).as("n_ids"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("kind", "emissions")
+  }
+
   /** w04: the COMPLETE stored-procedure chain Q1→Q18 end-to-end — the
     * reference's actual deliverable (DOC:129, the delivery_order_work
     * table) hash-pinned as ONE query instead of per-proc specs. Inputs
@@ -2132,6 +2210,7 @@ object ExtensionQueries {
     "w03_asof_join"     -> (w03 _),
     "w04_sp_chain"      -> (w04 _),
     "w05_stream_watermark" -> (w05 _),
+    "w06_stream_dedup"  -> (w06 _),
   )
 
   // ---- DuckDB oracle side --------------------------------------------
@@ -4011,6 +4090,35 @@ object ExtensionQueries {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
         |GROUP BY h, event_type
         |ORDER BY h, event_type""".stripMargin,
+    // the probe-pinned dropDuplicatesWithinWatermark rules in SQL: with
+    // the base batch holding max(ts) = m, batch 2's filter/eviction
+    // watermark is m - 2 h; a +3h-shifted replay of id re-emits iff it
+    // survives the strict late filter (orig ts + 3 h >= m - 2 h) AND its
+    // state already expired strictly (orig ts + 2 h < m - 2 h); a fresh
+    // id (+1e9) emits iff it survives the filter; everything in the base
+    // batch emits exactly once (ids are unique; the advancer batch is
+    // pure suppressed duplicates)
+    "w06_stream_dedup" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |rep AS (SELECT event_id, ts FROM events WHERE event_id % 10 = 0),
+        |emis AS (
+        |  SELECT event_id FROM events
+        |  UNION ALL
+        |  SELECT event_id FROM rep, mx
+        |  WHERE ts + INTERVAL 3 HOUR >= m - INTERVAL 2 HOUR
+        |    AND ts + INTERVAL 2 HOUR < m - INTERVAL 2 HOUR
+        |  UNION ALL
+        |  SELECT event_id + 1000000000 AS event_id FROM rep, mx
+        |  WHERE ts + INTERVAL 3 HOUR >= m - INTERVAL 2 HOUR),
+        |per_id AS (
+        |  SELECT event_id, count(*)::BIGINT AS emissions
+        |  FROM emis GROUP BY event_id)
+        |SELECT CASE WHEN event_id >= 1000000000 THEN 'fresh' ELSE 'base' END
+        |    AS kind,
+        |  emissions, count(*)::BIGINT AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM per_id GROUP BY kind, emissions
+        |ORDER BY kind, emissions""".stripMargin,
     // the full Q1→Q18 chain as one CTE pipeline: each CTE is one proc's
     // semantics (m=Q1, q4/q6/q7/q11/q16=their joins, vr+vis=the fused
     // Q14+Q15 double row_number); the final SELECT is Q3's seed plus every

@@ -75,6 +75,63 @@ class WatermarkProbeSpec extends SparkSpec {
     ), s"watermark boundary semantics moved: $out")
   }
 
+  test("probe: dropDuplicatesWithinWatermark suppression / eviction / late boundaries") {
+    val root = Files.createTempDirectory("wm_dedup")
+    val streamDir = root.resolve("stream"); Files.createDirectories(streamDir)
+    def land(rows: Seq[(Long, Long)], name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("id", "ms").select(col("id"), timestamp_millis(col("ms")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val f = p.getFileName.toString
+        f.startsWith("part-") && f.endsWith(".parquet")
+      }.findFirst.get
+      val dst = streamDir.resolve(name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val H = 3600L * 1000
+    // Same 3-batch discipline probe 1 pinned: batch N's late filter AND
+    // the state visible to batch N reflect the watermark computed from
+    // batches <= N-2, so drops/evictions need on-time + advancer + replay.
+    // batch 0 (on-time): ids 1 (1h00), 5 (6h00), 2 (9h59) all emit.
+    // State expiries (ts + 2h): id1 3h00, id5 8h00, id2 11h59.
+    land(Seq((1L, 1 * H), (5L, 6 * H), (2L, 9 * H + 59 * 60000)),
+      "00_a.parquet", 1000000L)
+    // batch 1 (advancer): id9 @ 10h00 emits; watermark after batch 1
+    // = 10h00 - 2h = 8h00 sharp.
+    land(Seq((9L, 10 * H)), "01_m.parquet", 2000000L)
+    // batch 2 (replay), filtered/evicted against wm = 8h00:
+    //   id1 @ 9h00 — state EVICTED (expiry 3h00 < 8h00)      => RE-EMIT
+    //   id2 @ 9h30 — state alive (expiry 11h59)              => suppressed
+    //   id3 @ 1h30 — NEW id, but ts < 8h00                   => late DROP?
+    //   id4 @ 9h45 — new                                     => emit
+    //   id5 @ 9h50 — expiry 8h00 == watermark: boundary      => suppressed
+    //                if eviction is STRICT `expiry < wm`
+    //   id6 @ 8h00 — NEW id, ts == watermark exactly        => boundary
+    //                (late filter is strict `ts < wm` drop, so == keeps)
+    land(Seq((1L, 9 * H), (2L, 9 * H + 30 * 60000), (3L, 1 * H + 30 * 60000),
+      (4L, 9 * H + 45 * 60000), (5L, 9 * H + 50 * 60000), (6L, 8 * H)),
+      "02_b.parquet", 3000000L)
+    val stream = spark.readStream.schema("id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val dd = stream.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dd.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("wm_dedup").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(out == Set(
+      (1L, 1 * H), (5L, 6 * H), (2L, 9 * H + 59 * 60000), // b0
+      (9L, 10 * H),          // b1 advancer
+      (1L, 9 * H),           // evicted id re-emits with the retry's ts
+      (4L, 9 * H + 45 * 60000), // genuinely new id
+      (6L, 8 * H)            // boundary KEPT: ts == watermark survives
+    ), s"dropDuplicatesWithinWatermark boundary semantics moved: $out")
+  }
+
   test("sessionizer drops sub-watermark late events end-to-end (x14 semantics + watermark)") {
     val root = Files.createTempDirectory("wm_sess")
     val streamDir = root.resolve("stream"); Files.createDirectories(streamDir)
