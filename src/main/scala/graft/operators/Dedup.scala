@@ -1107,6 +1107,42 @@ object Dedup {
       .select(col("vec_id"), col("cluster"), col("b_id").isNull.as("kept"))
   }
 
+  /** SEMANTIC cross-split leakage — the embedding-space completion of
+    * the contamination axis (exact substrings, shingle n-grams, and
+    * bloom membership read literal reuse; a paraphrased eval answer
+    * evades all three but not its embedding). Over
+    * [[embeddingNearDupPairs]]' cluster-blocked candidate graph, keep
+    * only the pairs that CROSS the train/eval boundary and fold them to
+    * the per-eval-id forensics row every benchmark owner asks for:
+    * which held-out items have a semantic twin in the training corpus,
+    * how many, and how close. `isEval` is any deterministic predicate
+    * over the embedding frame's columns (the split rule), so the same
+    * report audits hash splits, time splits, or a frozen benchmark
+    * table unioned in.
+    *
+    * Scale shape: the pair stage inherits the blocked discipline
+    * (fixed broadcast codebook, within-cluster pairs only, oversized
+    * clusters md5-sub-blocked); the split join ships (vec_id, bool)
+    * longs against the pair frame's two id columns; the fold is a
+    * bounded per-eval-id aggregate. `max(sim)` maximizes the ROUND-4
+    * sims the pair stage already emits, so ties are value-identical
+    * cross-engine. Output: eval_id, n_train_neardups, max_sim — rows
+    * only for CONTAMINATED eval items (clean is absence). */
+  def semanticLeakage(emb: DataFrame, centroidPred: Column,
+                      threshold: Double, isEval: Column,
+                      maxClusterSize: Int = 4096): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, centroidPred, threshold, maxClusterSize)
+    val flags = emb.select(col("vec_id"), isEval.as("__ev"))
+    pairs
+      .join(flags.select(col("vec_id").as("a_id"), col("__ev").as("__ea")), "a_id")
+      .join(flags.select(col("vec_id").as("b_id"), col("__ev").as("__eb")), "b_id")
+      .filter(col("__ea") =!= col("__eb"))
+      .select(when(col("__ea"), col("a_id")).otherwise(col("b_id")).as("eval_id"),
+        col("sim"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_neardups"), max(col("sim")).as("max_sim"))
+  }
+
   /** [[embeddingNearDupPairs]] over a PRECOMPUTED assignment frame
     * (vec_id, embedding, cluster) — the shared core that lets
     * [[semDedup]] reuse one assign pass for both the verdict join and

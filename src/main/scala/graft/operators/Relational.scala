@@ -1161,6 +1161,46 @@ object Relational {
         NumericFunctions.detRound(cov / sqrt(varX * varY), 4) + lit(0.0)).as("r"))
   }
 
+  /** SEASONALITY read — lag-k autocorrelation of the per-key bucket
+    * counts on the [[resampleCounts]] spine: r(lag 7) ≈ 1 on a daily
+    * spine is the weekly cycle, r(lag 1) ≈ 0 on a feed that should be
+    * smooth is a flapping collector. The x145 hour-profile shows the
+    * SHAPE of a cycle assumed known; this DETECTS which period a key
+    * actually has, which is what epoch planning (x139) and anomaly
+    * alarms (x42) should be conditioned on before assuming
+    * day-over-day comparability. Pairs (n_t, n_{t+k}) come from the
+    * gap-filled dense spine — skipping empty buckets would splice
+    * non-adjacent days together and fabricate correlation — and each
+    * lag's r is the exact-moment Pearson of [[corrBy]] (ONE shared
+    * definition with x154/x158, decimal partials, detRound 4).
+    *
+    * Scale shape: the spine is activity-span/unit per key (the
+    * resample lever); each of the `maxLag` self-joins is equi-keyed on
+    * (key, bucket) — bounded-group, no window — and ships (key, two
+    * longs); the moment fold is |keys|·maxLag rows of state. maxLag is
+    * a CONSTANT (≤ a few dozen): the union is plan-width, not
+    * data-width. Output: key, lag, n_pairs, r (NULL on zero-variance
+    * series, the corrBy contract). */
+  def seasonality(events: DataFrame, key: String, ts: String,
+                  maxLag: Int, unit: String = "day"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag must lie in [1, 64]")
+    require(Seq("hour", "day", "week").contains(unit),
+      s"unit must be hour|day|week, got $unit")
+    val spine = graft.Persist.cut(resampleCounts(events, key, ts, unit))
+    val pairs = (1 to maxLag).map { k =>
+      val future = spine.select(col(key),
+        (col("bucket") - expr(s"interval $k $unit")).as("bucket"),
+        col("n_events").as("__y"))
+      spine.join(future, Seq(key, "bucket"))
+        .select(col(key), lit(k.toLong).as("lag"),
+          col("n_events").as("__x"), col("__y"))
+    }.reduce(_ unionAll _)
+    corrBy(pairs, struct(col(key), col("lag")), col("__x"), col("__y"))
+      .select(col("grp").getField(key).as(key),
+        col("grp").getField("lag").as("lag"),
+        col("n").as("n_pairs"), col("r"))
+  }
+
   /** Shard-layout PLANNER — the physical-layout arithmetic behind
     * [[graft.sinks.TableSink.compact]]'s sizing, surfaced as a report:
     * per stratum (source / partition key), total payload bytes, the

@@ -1847,6 +1847,47 @@ object TextAnalysis {
           .as("share"))
   }
 
+  /** Cohen's KAPPA over [[langConfusion]]'s matrix — the one-number
+    * chance-corrected agreement between the stored language label and
+    * the content classifier. Raw accuracy (x134's diagonal share) reads
+    * high on any skewed corpus because the majority class agrees with
+    * itself by luck; kappa subtracts that chance floor, which is the
+    * number a curation team actually thresholds before trusting stored
+    * metadata for mixture planning. Computed EXACTLY in integer
+    * arithmetic before the single final round: po = trace/n,
+    * pe = Σ_k row_k·col_k / n², and kappa folds to the one quotient
+    * (n·trace − Σrc) / (n² − Σrc) of exact longs — detRound(6) on each,
+    * per the rational-quotient discipline. The degenerate
+    * all-mass-in-one-cell matrix (pe = 1) yields NULL kappa, never a
+    * divide-by-zero.
+    *
+    * Scale shape: rides [[langConfusion]]'s persisted ≤|langs|² matrix;
+    * everything after is arithmetic over ≤|langs| marginal rows folded
+    * into ONE output row via broadcast scalars. n·trace and Σ row·col
+    * are ≤ n², inside long range until n > 3e9 docs — and the matrix
+    * count would overflow first. Output: n_docs, agree, po, pe, kappa. */
+  def langAgreementKappa(docs: DataFrame): DataFrame = {
+    val m = graft.Persist.cut(
+      langId(docs).groupBy(col("lang_label"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")))
+    val rows = m.groupBy(col("lang_label").as("k")).agg(sum(col("n")).as("__rn"))
+    val cols = m.groupBy(col("pred_lang").as("k")).agg(sum(col("n")).as("__cn"))
+    val src = rows.join(cols, "k")
+      .agg(coalesce(sum(col("__rn") * col("__cn")), lit(0L)).as("__src"))
+    val tr = m.filter(col("lang_label") === col("pred_lang"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("agree"))
+    val nn = col("n_docs") * col("n_docs")
+    m.agg(sum(col("n")).as("n_docs"))
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(src))
+      .select(col("n_docs"), col("agree"),
+        detRound(col("agree").cast("double") / col("n_docs").cast("double"), 6)
+          .as("po"),
+        detRound(col("__src").cast("double") / nn.cast("double"), 6).as("pe"),
+        when(nn =!= col("__src"),
+          detRound((col("n_docs") * col("agree") - col("__src")).cast("double") /
+            (nn - col("__src")).cast("double"), 6)).as("kappa"))
+  }
+
   /** Quality ENSEMBLE — three orthogonal curation signals fused on the
     * RANK axis instead of the value axis: quality score ([[quality]]),
     * token entropy ([[tokenEntropy]]), and repetition ratio

@@ -1616,6 +1616,37 @@ object ExtensionQueries {
         col("p_name"), col("p_partkey"))
       .orderBy("block")
 
+  /** x177: semantic cross-split leakage — the embedding-space
+    * completion of the contamination axis (x26/x36/x58 read literal
+    * n-gram reuse; a paraphrase evades them but not its embedding):
+    * per held-out vector (vec_id % 10 >= 8, the 20% hash split), the
+    * count and max cosine of its train-side near-duplicates from the
+    * x13/x106 cluster-blocked pair graph. */
+  def x177(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticLeakage(emb(s, dir),
+        centroidPred = col("vec_id") < nearDupCentroids,
+        threshold = nearDupThreshold,
+        isEval = col("vec_id") % 10 >= 8,
+        maxClusterSize = nearDupMaxCluster)
+      .orderBy("eval_id")
+
+  /** x178: chance-corrected label agreement — Cohen's kappa over
+    * x134's stored-label × classifier confusion matrix, the one number
+    * that says whether stored language metadata can be trusted for
+    * mixture planning (raw diagonal share reads high on any skewed
+    * corpus; kappa subtracts the chance floor). */
+  def x178(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langAgreementKappa(docs(s, dir))
+
+  /** x179: feed seasonality — lag-1..7 autocorrelation of per-type
+    * daily event counts on the gap-filled spine; detects WHICH period a
+    * feed actually has (x145 assumes the cycle, x42's alarm should be
+    * conditioned on it). */
+  def x179(s: SparkSession, dir: String): DataFrame =
+    Relational.seasonality(Tables(s, dir, "events"), "event_type", "ts",
+        maxLag = 7, unit = "day")
+      .orderBy("event_type", "lag")
+
   /** x168: ensemble pass rate per source — x148's gate rolled to the
     * mixture-planning grain: which feeds survive the multi-signal gate
     * and at what rate (the number the x108/x127 budgets should be fed,
@@ -2103,6 +2134,9 @@ object ExtensionQueries {
     "x174_er_clusters"  -> (x174 _),
     "x175_link_agreement" -> (x175 _),
     "x176_block_profile" -> (x176 _),
+    "x177_semantic_leaks" -> (x177 _),
+    "x178_label_kappa"  -> (x178 _),
+    "x179_seasonality"  -> (x179 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -5106,6 +5140,88 @@ object ExtensionQueries {
          |SELECT block, count(*)::BIGINT AS n_names, sum(n)::BIGINT AS n_rows,
          |  (count(*) * (count(*) - 1) // 2)::BIGINT AS n_candidates
          |FROM nm GROUP BY block ORDER BY block""".stripMargin,
+    // x177: the x106 cluster-blocked pair chain verbatim, restricted to
+    // pairs CROSSING the vec_id % 10 >= 8 hash split, folded per eval id
+    "x177_semantic_leaks" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $nearDupCentroids),
+         |cs AS (SELECT e.vec_id, c.c_id, ${cosSql("e.embedding", "c.ce")} AS sim
+         |       FROM embeddings e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cluster FROM
+         |  (SELECT vec_id, c_id AS cluster,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM cs)
+         |  WHERE rn = 1),
+         |sizes AS (SELECT cluster, count(*) AS csz FROM assign GROUP BY cluster),
+         |blocked AS (SELECT a.vec_id, a.cluster,
+         |    ('0x' || substring(md5(a.vec_id::VARCHAR), 1, 15))::BIGINT
+         |      % ((s.csz + ${nearDupMaxCluster - 1}) // $nearDupMaxCluster) AS blk
+         |  FROM assign a JOIN sizes s USING (cluster)),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM blocked a JOIN blocked b
+         |    ON a.cluster = b.cluster AND a.blk = b.blk AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |cx AS (SELECT CASE WHEN a_id % 10 >= 8 THEN a_id ELSE b_id END AS eval_id, sim
+         |  FROM pairs
+         |  WHERE sim >= $nearDupThreshold AND (a_id % 10 >= 8) <> (b_id % 10 >= 8))
+         |SELECT eval_id, count(*)::BIGINT AS n_train_neardups, max(sim) AS max_sim
+         |FROM cx GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+    // x178: x134's confusion CTEs folded to Cohen's kappa — po, pe, and
+    // kappa each ONE exact-long quotient under detRound; the pe = 1
+    // degenerate matrix yields NULL kappa on both engines
+    "x178_label_kappa" ->
+      s"""WITH t AS (SELECT doc_id, lang AS lang_label,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |c AS (SELECT doc_id, lang_label,
+         |  $langCounts FROM t),
+         |m AS (SELECT *, greatest(${TextAnalysis.lexicons.map(l => s"cnt_${l._1}").mkString(", ")}) AS mx FROM c),
+         |cm AS (SELECT lang_label, $langArgmax AS pred_lang, count(*)::BIGINT AS n
+         |       FROM m GROUP BY 1, 2),
+         |rk AS (SELECT lang_label AS k, sum(n)::BIGINT AS rn FROM cm GROUP BY 1),
+         |ck AS (SELECT pred_lang AS k, sum(n)::BIGINT AS cn FROM cm GROUP BY 1),
+         |sr AS (SELECT COALESCE(sum(rn * cn), 0)::BIGINT AS src FROM rk JOIN ck USING (k)),
+         |tr AS (SELECT COALESCE(sum(CASE WHEN lang_label = pred_lang THEN n END), 0)::BIGINT AS agree FROM cm),
+         |tot AS (SELECT sum(n)::BIGINT AS n_docs FROM cm)
+         |SELECT n_docs, agree,
+         |  ${NumericFunctions.detRoundSql("agree::DOUBLE / n_docs::DOUBLE", 6)} AS po,
+         |  ${NumericFunctions.detRoundSql("src::DOUBLE / (n_docs * n_docs)::DOUBLE", 6)} AS pe,
+         |  CASE WHEN n_docs * n_docs <> src THEN
+         |    ${NumericFunctions.detRoundSql(
+               "(n_docs * agree - src)::DOUBLE / (n_docs * n_docs - src)::DOUBLE", 6)}
+         |  END AS kappa
+         |FROM tot, tr, sr""".stripMargin,
+    // x179: the x155 dense day spine self-joined at lags 1-7, folded
+    // through the x154/x158 exact-moment Pearson discipline
+    "x179_seasonality" ->
+      s"""WITH b AS (SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+         |    count(*)::BIGINT AS n FROM events WHERE event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |s AS (SELECT event_type,
+         |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+         |  FROM b GROUP BY event_type),
+         |r AS (SELECT s.event_type, s.bucket, COALESCE(b.n, 0)::BIGINT AS n_events
+         |  FROM s LEFT JOIN b USING (event_type, bucket)),
+         |lg AS (SELECT unnest(generate_series(1, 7))::BIGINT AS l),
+         |p AS (SELECT r1.event_type, lg.l, r1.n_events::DOUBLE AS x, r2.n_events::DOUBLE AS y
+         |  FROM r r1 CROSS JOIN lg JOIN r r2
+         |    ON r2.event_type = r1.event_type
+         |   AND r2.bucket = r1.bucket + to_days(lg.l::INT)),
+         |mo AS (SELECT event_type, l, count(*)::BIGINT AS n,
+         |    sum(ROUND(x, 6)::DECIMAL(28,6)) AS sx,
+         |    sum(ROUND(y, 6)::DECIMAL(28,6)) AS sy,
+         |    sum(ROUND(x * x, 6)::DECIMAL(28,6)) AS sxx,
+         |    sum(ROUND(y * y, 6)::DECIMAL(28,6)) AS syy,
+         |    sum(ROUND(x * y, 6)::DECIMAL(28,6)) AS sxy
+         |  FROM p GROUP BY 1, 2),
+         |v AS (SELECT event_type, l, n,
+         |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+         |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+         |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cv
+         |  FROM mo)
+         |SELECT event_type, l AS "lag", n AS n_pairs,
+         |  CASE WHEN vx > 0.0 AND vy > 0.0
+         |    THEN ${NumericFunctions.detRoundSql("cv / sqrt(vx * vy)", 4)} + 0.0 END AS r
+         |FROM v ORDER BY event_type, "lag"""".stripMargin,
     // one aggregate pass reshaped long (the stack analogue)
     "x163_null_profile" -> {
       val aggs = nullProfileCols.map(c =>
