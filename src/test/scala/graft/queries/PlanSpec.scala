@@ -696,4 +696,39 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial_"), p)
     }
   }
+
+  test("x169-x172: JSON profiling is ONE parse feeding window-free aggregates") {
+    for (q <- Seq(ExtensionQueries.x169 _, ExtensionQueries.x170 _,
+                  ExtensionQueries.x171 _, ExtensionQueries.x172 _)) {
+      val p = plan(q)
+      assert("Window".r.findAllIn(p).isEmpty && !p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_"), p)
+    }
+    // the one-row health gate never joins
+    val p170 = plan(ExtensionQueries.x170)
+    assert(!p170.contains("Join"), p170)
+  }
+
+  test("x173/x176: linkage blocks equi-join on the block key — never a name cross product") {
+    for (q <- Seq(ExtensionQueries.x173 _, ExtensionQueries.x176 _)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("x177/x178/x179: the round-13 closers keep the audited shapes") {
+    // x177: the codebook assign is the ONLY nested-loop (a broadcast of
+    // 16 centroids); the pair stage equi-joins on (cluster, blk)
+    val p177 = plan(ExtensionQueries.x177)
+    assert(!p177.contains("CartesianProduct"), p177)
+    assert(p177.contains("BroadcastHashJoin") || p177.contains("BroadcastNestedLoopJoin"), p177)
+    // x178: scalar folds attach as 1-row broadcasts; no window anywhere
+    val p178 = plan(ExtensionQueries.x178)
+    assert("Window".r.findAllIn(p178).isEmpty && !p178.contains("CartesianProduct"), p178)
+    // x179: every lag join is equi-keyed on (type, bucket); the moment
+    // fold is partial-aggregated; zero Window nodes
+    val p179 = plan(ExtensionQueries.x179)
+    assert("Window".r.findAllIn(p179).isEmpty && !p179.contains("CartesianProduct"), p179)
+    assert(p179.contains("partial_"), p179)
+  }
 }
