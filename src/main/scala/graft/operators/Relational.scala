@@ -1201,6 +1201,89 @@ object Relational {
         col("n").as("n_pairs"), col("r"))
   }
 
+  /** Exact two-sample KS drift — per group, the Kolmogorov-Smirnov
+    * statistic of its `value` distribution against the POOLED corpus:
+    * sup_v |F_g(v) − F_all(v)|, computed EXACTLY (no binning). The
+    * binned PSI (x102) needs a bucket policy and goes blind inside a
+    * bucket; KS is the bin-free complement — the number that flags a
+    * source whose length distribution quietly shifted even when every
+    * PSI bucket still holds its mass. Both step functions share jump
+    * points ⊂ the pooled distinct values, and between jumps both are
+    * constant, so the sup IS the max over distinct values — evaluated
+    * on a DENSE (group × value) spine (a group missing a value still
+    * has an ECDF there; skipping it would under-read the gap).
+    *
+    * Exactness: per (g, v) the difference is |cum_g·n_all −
+    * pool_cum·n_g| / (n_g·n_all); the denominator is CONSTANT per
+    * group, so the max is taken over exact DECIMAL(38,0) integer
+    * numerators and ONE division per group passes through double
+    * (detRound 6) — order- and partition-independent.
+    *
+    * Scale shape: the count pass is a (group, value) aggregate
+    * (map-side partials); the spine is |distinct values| × |groups|
+    * with the group list BROADCAST; the cumulative window is
+    * PARTITIONED BY GROUP over the value-domain-bounded spine (doc
+    * lengths, scores — never row count); the pooled ECDF is a per-value
+    * SUM of the group cums (no global window anywhere). Output: grp,
+    * n, ks. */
+  def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val c = graft.Persist.cut(
+      df.groupBy(group.as("grp"), value.as("v")).agg(count(lit(1)).as("__c")))
+    val dense = c.select(col("v")).distinct()
+      .crossJoin(broadcast(c.select(col("grp")).distinct()))
+      .join(c, Seq("grp", "v"), "left_outer")
+      .select(col("grp"), col("v"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = graft.Persist.cut(
+      dense.select(col("grp"), col("v"), sum(col("__c")).over(w).as("__cum")))
+    val ng = cum.groupBy(col("grp")).agg(max(col("__cum")).as("__ng"))
+    val nAll = ng.agg(sum(col("__ng")).as("__nall"))
+    val pool = cum.groupBy(col("v")).agg(sum(col("__cum")).as("__pool"))
+    cum.join(pool, "v").join(broadcast(ng), "grp").crossJoin(broadcast(nAll))
+      .select(col("grp"), col("__ng"),
+        abs(col("__cum").cast("decimal(38,0)") * col("__nall") -
+          col("__pool").cast("decimal(38,0)") * col("__ng")).as("__num"),
+        (col("__ng").cast("decimal(38,0)") * col("__nall")).as("__den"))
+      .groupBy(col("grp"))
+      .agg(max(col("__ng")).as("n"),
+        detRound(max(col("__num")).cast("double") /
+          max(col("__den")).cast("double"), 6).as("ks"))
+  }
+
+  /** Corpus-mass CONCENTRATION — the Gini coefficient of per-group
+    * weight totals: 0 = every source contributes equally, → 1 = one
+    * source IS the corpus. The x79 KL and x59 shares read the mixture
+    * against a target; Gini is the target-free inequality number a
+    * mixture plan quotes first ("93% of bytes come from 2 of 40
+    * feeds"). Exact integer arithmetic end-to-end: with groups ranked
+    * ascending by (mass, name) — a strict total order, so ties are
+    * deterministic — G = (2·Σ rank·mass − (n+1)·Σmass) / (n·Σmass);
+    * ONE long-arithmetic quotient under detRound 6.
+    *
+    * Scale shape: one group aggregate collapses the corpus to
+    * |groups| rows; the rank is a count-of-peers-below BROADCAST
+    * self-join on that aggregated frame (|groups|² pairs of longs —
+    * sources, not rows), never a window over data. Output: n_groups,
+    * total_mass, gini. */
+  def concentrationGini(df: DataFrame, group: Column, weight: Column): DataFrame = {
+    val m = graft.Persist.cut(
+      df.groupBy(group.as("grp")).agg(sum(weight).cast("long").as("mass")))
+    val rk = m.as("a").join(broadcast(m.select(col("grp").as("bg"), col("mass").as("bm"))),
+        col("bm") < col("mass") ||
+          (col("bm") === col("mass") && col("bg") <= col("grp")))
+      .groupBy(col("grp"), col("mass")).agg(count(lit(1)).as("__rank"))
+    rk.agg(count(lit(1)).as("n_groups"), sum(col("mass")).as("total_mass"),
+        sum(col("__rank") * col("mass")).as("__rm"))
+      .select(col("n_groups"), col("total_mass"),
+        when(col("total_mass") > 0L,
+          detRound((lit(2L) * col("__rm") - (col("n_groups") + lit(1L)) * col("total_mass"))
+            .cast("double") /
+            (col("n_groups") * col("total_mass")).cast("double"), 6))
+          .as("gini"))
+  }
+
   /** Shard-layout PLANNER — the physical-layout arithmetic behind
     * [[graft.sinks.TableSink.compact]]'s sizing, surfaced as a report:
     * per stratum (source / partition key), total payload bytes, the

@@ -1647,6 +1647,21 @@ object ExtensionQueries {
         maxLag = 7, unit = "day")
       .orderBy("event_type", "lag")
 
+  /** x180: exact KS drift per source — the bin-free complement of
+    * x102's binned PSI: sup |F_source − F_pooled| over the length
+    * distribution, exact integer ECDF arithmetic on the dense
+    * (source × length) spine. */
+  def x180(s: SparkSession, dir: String): DataFrame =
+    Relational.ksDrift(docs(s, dir), col("source"), col("n_chars"))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** x181: corpus-mass concentration — the Gini coefficient of
+    * per-source byte mass, the target-free inequality number a mixture
+    * plan quotes before any KL-vs-target read (x79). */
+  def x181(s: SparkSession, dir: String): DataFrame =
+    Relational.concentrationGini(docs(s, dir), col("source"), col("n_chars"))
+
   /** x168: ensemble pass rate per source — x148's gate rolled to the
     * mixture-planning grain: which feeds survive the multi-signal gate
     * and at what rate (the number the x108/x127 budgets should be fed,
@@ -2137,6 +2152,8 @@ object ExtensionQueries {
     "x177_semantic_leaks" -> (x177 _),
     "x178_label_kappa"  -> (x178 _),
     "x179_seasonality"  -> (x179 _),
+    "x180_ks_drift"     -> (x180 _),
+    "x181_mass_gini"    -> (x181 _),
     "x140_profile_twins" -> (x140 _),
     "x94_boilerplate"   -> (x94 _),
     "x95_dsir_select"   -> (x95 _),
@@ -5222,6 +5239,45 @@ object ExtensionQueries {
          |  CASE WHEN vx > 0.0 AND vy > 0.0
          |    THEN ${NumericFunctions.detRoundSql("cv / sqrt(vx * vy)", 4)} + 0.0 END AS r
          |FROM v ORDER BY event_type, "lag"""".stripMargin,
+    // x180: exact two-sample KS against the pooled ECDF — dense
+    // (source × length) spine, per-group cumulative window, pooled cum
+    // as the per-value SUM of group cums; max over exact DECIMAL
+    // numerators, ONE division per group under detRound
+    "x180_ks_drift" ->
+      s"""WITH c AS (SELECT source AS grp, n_chars AS v, count(*)::BIGINT AS c
+         |  FROM documents GROUP BY 1, 2),
+         |sp AS (SELECT v, grp FROM (SELECT DISTINCT v FROM c)
+         |  CROSS JOIN (SELECT DISTINCT grp FROM c)),
+         |d AS (SELECT sp.grp, sp.v, COALESCE(c.c, 0)::BIGINT AS c
+         |  FROM sp LEFT JOIN c USING (grp, v)),
+         |cum AS (SELECT grp, v,
+         |    sum(c) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM d),
+         |ng AS (SELECT grp, max(cum)::BIGINT AS ng FROM cum GROUP BY grp),
+         |na AS (SELECT sum(ng)::BIGINT AS nall FROM ng),
+         |pool AS (SELECT v, sum(cum)::BIGINT AS pool FROM cum GROUP BY v)
+         |SELECT grp AS source, max(ng)::BIGINT AS n,
+         |  ${NumericFunctions.detRoundSql(
+             "max(abs(cum::DECIMAL(38,0) * nall - pool::DECIMAL(38,0) * ng))::DOUBLE" +
+             " / max(ng::DECIMAL(38,0) * nall)::DOUBLE", 6)} AS ks
+         |FROM cum JOIN pool USING (v) JOIN ng USING (grp) CROSS JOIN na
+         |GROUP BY grp ORDER BY source""".stripMargin,
+    // x181: Gini over per-source byte mass — count-of-peers-below rank
+    // (strict (mass, name) total order), one exact-long quotient
+    "x181_mass_gini" ->
+      s"""WITH m AS (SELECT source AS grp, sum(n_chars)::BIGINT AS mass
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT a.grp, a.mass, count(*)::BIGINT AS rnk
+         |  FROM m a JOIN m b
+         |    ON b.mass < a.mass OR (b.mass = a.mass AND b.grp <= a.grp)
+         |  GROUP BY a.grp, a.mass)
+         |SELECT count(*)::BIGINT AS n_groups, sum(mass)::BIGINT AS total_mass,
+         |  CASE WHEN sum(mass) > 0 THEN
+         |    ${NumericFunctions.detRoundSql(
+               "(2 * sum(rnk * mass) - (count(*) + 1) * sum(mass))::DOUBLE" +
+               " / (count(*) * sum(mass))::DOUBLE", 6)}
+         |  END AS gini
+         |FROM r""".stripMargin,
     // one aggregate pass reshaped long (the stack analogue)
     "x163_null_profile" -> {
       val aggs = nullProfileCols.map(c =>

@@ -85,6 +85,33 @@ class Round12OpsSpec extends SparkSpec {
     assert(out == Seq(("k", 1L, 8L, -1.0), ("k", 2L, 7L, 1.0)))
   }
 
+  test("ksDrift: hand-computed sup|F_g - F_all| on disjoint supports; 0 on identical ones") {
+    // A={1,2}, B={3,4}: pooled F = (.25,.5,.75,1); F_A=(.5,1,1,1),
+    // F_B=(0,0,.5,1) -> KS 0.5 each (at v=2 resp. v=2's gap)
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("src", "len")
+    val out = Relational.ksDrift(df, col("src"), col("len"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("A", 2L, 0.5), ("B", 2L, 0.5)))
+    // two groups with IDENTICAL distributions: each equals the pool
+    val same = Seq(("X", 1L), ("X", 2L), ("Y", 1L), ("Y", 2L))
+      .toDF("src", "len")
+    val out2 = Relational.ksDrift(same, col("src"), col("len"))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(out2 == Seq(0.0, 0.0))
+  }
+
+  test("concentrationGini: 0 on equal masses, exact 0.4 on a 1:9 split") {
+    val eq = Seq(("a", 10L), ("b", 10L)).toDF("src", "w")
+    val g1 = Relational.concentrationGini(eq, col("src"), col("w")).collect().head
+    assert(g1.getLong(0) == 2L && g1.getLong(1) == 20L && g1.getDouble(2) == 0.0)
+    // masses 1 and 9: G = (2*(1*1 + 9*2) - 3*10) / (2*10) = 8/20 = 0.4
+    val sk = Seq(("a", 1L), ("b", 9L)).toDF("src", "w")
+    assert(Relational.concentrationGini(sk, col("src"), col("w"))
+      .collect().head.getDouble(2) == 0.4)
+  }
+
   test("seasonality: empty buckets join as zeros (the spine is load-bearing)") {
     // days 0,2,4 have 2 events, days 1,3 none: counts 2,0,2,0,2 —
     // lag-1 r = -1 exactly only BECAUSE the empty days exist as zeros
