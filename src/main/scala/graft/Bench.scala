@@ -28,6 +28,7 @@ object Bench {
       .config(graft.sources.Tables.nanosAsLongKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.wireCheckpointDir(spark)
     // environment header FIRST (the summary line must stay last): makes a
     // contended/misconfigured box visible in the graded artifact
     val rt = Runtime.getRuntime
@@ -82,7 +83,16 @@ object Bench {
         release()
         name -> (if (times.contains(-1.0)) -1.0 else median(times))
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // JSON-escape query names (same discipline as Verify's oracle_sql
+    // dump): a future name carrying a quote/backslash/control char must
+    // not silently produce an artifact diff_bench.py cannot parse
+    def jkey(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jkey(k) + ":" + v }
       .mkString("{", ",", "}")
     // failures carry the -1 sentinel per query but must not SUBTRACT from
     // the graded total
@@ -108,7 +118,7 @@ object Bench {
       val perqPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQ",
         "bench_perq.json")
       val perq = results.map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) -1L else Math.round(v * 1000))
+        jkey(k) + ":" + (if (v < 0) -1L else Math.round(v * 1000))
       }.mkString(",\n  ")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(perqPath),
         s"""{"unit":"ms","sf":"$sfDir","runs":$runs,"queries":{\n  $perq\n}}\n""")

@@ -88,14 +88,20 @@ object GraftFunctions {
     FunctionIdentifier("graft_cdc_cuts"),
     new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
     (children: Seq[Expression]) => {
-      require(children.size == 3,
-        "graft_cdc_cuts(content, window, mask) takes exactly 3 arguments")
+      require(children.size == 3 || children.size == 4,
+        "graft_cdc_cuts(content, window, mask[, gear]) takes 3 or 4 arguments")
       def intArg(e: Expression, name: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case _ => throw new IllegalArgumentException(
           s"graft_cdc_cuts: $name must be an INT literal")
       }
-      CdcCuts(children.head, intArg(children(1), "window"), intArg(children(2), "mask"))
+      val gear = if (children.size < 4) false else children(3) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+        case _ => throw new IllegalArgumentException(
+          "graft_cdc_cuts: gear must be a BOOLEAN literal")
+      }
+      CdcCuts(children.head, intArg(children(1), "window"),
+        intArg(children(2), "mask"), gear)
     })
 
   /** Idempotent imperative registration into `spark`'s function registry. */
@@ -145,11 +151,16 @@ object GraftFunctions {
   }
 
   /** Column-level CDC cut array: ascending `[0, c1, c2, …]` offsets for
-    * the (window, mask) fingerprint over a binary payload. */
-  def cdcCuts(df: DataFrame, content: Column, window: Int, mask: Int): Column = {
+    * the (window, mask) fingerprint over a binary payload. `gear = true`
+    * selects the production Gear rolling hash (see
+    * [[graft.functions.expr.CdcCuts]]); default is the oracle-parity md5
+    * window. */
+  def cdcCuts(df: DataFrame, content: Column, window: Int, mask: Int,
+              gear: Boolean = false): Column = {
     register(df.sparkSession)
     call_function("graft_cdc_cuts", content,
       org.apache.spark.sql.functions.lit(window),
-      org.apache.spark.sql.functions.lit(mask))
+      org.apache.spark.sql.functions.lit(mask),
+      org.apache.spark.sql.functions.lit(gear))
   }
 }

@@ -151,6 +151,27 @@ object Main {
     report
   }
 
+  /** O2 + O1: the DAG's ingest entry end-to-end
+    * (Composer/DAG_cloudrun_dataflow_sp.py:25-32 trigger → :323-362
+    * chain) — fire the orchestrator's authenticated trigger, then the
+    * paged extract into `rawDir`, then the full pipeline over what
+    * landed. The trigger runs FIRST and an exhausted-retries failure
+    * aborts the run before any fetch — in the reference DAG a failed
+    * trigger task fails the run and nothing downstream executes.
+    * Production passes
+    * `Some(() => Extract.authenticatedTrigger(endpoint, audience, tokenFor))`;
+    * `None` keeps the direct path for environments with no trigger
+    * service (the [[run]]-only shape every prior round shipped). */
+  def ingest(spark: SparkSession, fetch: graft.sources.Extract.FetchPage,
+             from: java.time.LocalDate, to: java.time.LocalDate,
+             rawDir: String, outDir: String,
+             trigger: Option[() => String] = None,
+             masterHistoryDir: Option[String] = None): RunReport = {
+    trigger.foreach(t => t())
+    graft.sources.Extract.run(fetch, from, to, rawDir)
+    run(spark, rawDir, outDir, masterHistoryDir)
+  }
+
   /** Shared AvailableNow parquet-sink runner: one incremental pass of
     * `df` into `outDir/name` with its own checkpoint, blocking until the
     * pass completes. */
@@ -1170,11 +1191,7 @@ object Main {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // cluster submits set spark.graft.persist.mode=reliable, which needs
-    // a fault-tolerant checkpoint root (conf/cluster-smoke.conf); wire it
-    // here so one --properties-file configures the whole persistence story
-    spark.sparkContext.getConf.getOption("spark.graft.checkpoint.dir")
-      .foreach(spark.sparkContext.setCheckpointDir)
+    Sessions.wireCheckpointDir(spark)
     val r = run(spark, inDir, outDir)
     println(s"[main] $r")
     spark.stop()

@@ -40,6 +40,18 @@ object PipelineFixture {
     }
   }
 
+  /** The same deterministic order records as [[write]], returned as raw
+    * JSON strings instead of landed day-files — the shape a [[graft
+    * .sources.Extract.FetchPage]] stub pages out, so the ingest e2e
+    * (trigger → extract → pipeline) runs on the identical fixture
+    * distribution the bench pipeline uses. */
+  def orderRecords(orders: Int, day: java.time.LocalDate =
+                     java.time.LocalDate.of(2024, 1, 15),
+                   seed: Long = 42L): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to orders).map(id => record(id, day, rnd))
+  }
+
   private val structures =
     graft.flatten.OrderFlatten.enrichedStructureIds ++ Seq(99901L, 99902L)
 

@@ -25,6 +25,19 @@ object Sessions {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true")
 
+  /** Wire the reliable-persist checkpoint root into the session.
+    * Cluster submits set `spark.graft.checkpoint.dir` alongside
+    * `spark.graft.persist.mode=reliable` (conf/cluster-smoke.conf);
+    * under that mode Persist.cut calls `df.checkpoint()`, which crashes
+    * without a checkpoint directory. ALL THREE contract mains call this
+    * (Verify and Bench run the same Persist-using operators Main does),
+    * so one `--properties-file` configures the whole persistence story
+    * regardless of which main is submitted. No-op when the key is
+    * absent (the local[n] default). */
+  def wireCheckpointDir(spark: SparkSession): Unit =
+    spark.sparkContext.getConf.getOption("spark.graft.checkpoint.dir")
+      .foreach(spark.sparkContext.setCheckpointDir)
+
   /** local[cpus] builder with the shared baseline: shuffle partitions =
     * thread count (local[n] has no cluster to fan to; AQE coalesces
     * below it), UTC (all oracle arithmetic is UTC), UI off, AQE trio

@@ -15,6 +15,7 @@ object Verify {
       .config(graft.sources.Tables.nanosAsLongKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.wireCheckpointDir(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -96,8 +96,11 @@ object Linkage {
     * canonical (singleton clusters). On a non-converged `maxIters` cap
     * the labels partition FINER than truth (see Dedup's CC core): names
     * may stay unmerged, never over-merge — the safe direction for a
-    * merge suggestion report. Output: name, canonical, cluster_names,
-    * cluster_rows, n_rows. */
+    * merge suggestion report, but SURFACED rather than silent (the
+    * `spark.graft.cc.onNonConverged` warn/error discipline shared with
+    * [[Dedup.splitByComponent]]) because an exact-closure verification
+    * would otherwise read starvation as a mystery mismatch. Output:
+    * name, canonical, cluster_names, cluster_rows, n_rows. */
   def erClusters(df: DataFrame, name: Column, key: Column,
                  maxDist: Int = 2, maxBlock: Int = Int.MaxValue,
                  maxIters: Int = 10): DataFrame = {
@@ -111,7 +114,23 @@ object Linkage {
     val labeled = Dedup.componentMembership(pairs, maxIters) match {
       case None => names.select(col("name"), col("name_id"),
         col("n_rows"), col("name_id").as("lbl"))
-      case Some((labels, _)) =>
+      case Some((labels, converged)) =>
+        // a starved maxIters yields FINER-than-truth clusters (safe for a
+        // merge report, but an exact-closure verification — the x174
+        // oracle — reads it as an undiagnosed mismatch), so the flag is
+        // SURFACED under the shared CC discipline: `spark.graft.cc
+        // .onNonConverged` = warn (default) | error, mirroring
+        // Dedup.splitByComponent
+        if (!converged) {
+          val msg = s"erClusters: component labels did NOT converge within " +
+            s"maxIters=$maxIters — clusters partition finer than the true " +
+            "closure (names stay unmerged; an exact-closure oracle will " +
+            "mismatch). Raise maxIters."
+          df.sparkSession.conf.get("spark.graft.cc.onNonConverged", "warn") match {
+            case "error" => throw new IllegalStateException(msg)
+            case _ => org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+          }
+        }
         names.join(labels.withColumnRenamed("id", "name_id"),
             Seq("name_id"), "left_outer")
           .select(col("name"), col("name_id"), col("n_rows"),

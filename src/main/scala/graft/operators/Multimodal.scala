@@ -180,11 +180,16 @@ object Multimodal {
     * `maxChunk` force-splits pathological cut droughts POST-HOC (a pure
     * per-segment computation, so it stays expression-level; a minimum
     * size would suppress cuts SEQUENTIALLY and is deliberately out of
-    * scope). The fingerprint is the top-60-bits-of-md5 discipline over
-    * the window bytes, computed by the codegen'd
+    * scope). The default fingerprint is the top-60-bits-of-md5
+    * discipline over the window bytes, computed by the codegen'd
     * [[graft.functions.expr.CdcCuts]] expression — one local pass per
     * payload returning the output-sized cut array, cut-for-cut identical
     * to the SQL formulation the oracle replays (parity spec-pinned).
+    * `gear = true` swaps in the PRODUCTION fingerprint — the Gear
+    * rolling hash (O(n) total vs O(n·window) digest bytes; resync
+    * fuzz-pinned in spec) — for deployments where cross-engine oracle
+    * replay is not the constraint; everything downstream of the cut
+    * array is fingerprint-agnostic.
     *
     * Scale shape: NO per-byte rows and NO window shuffle — cuts arrive
     * as an array (~n_bytes/mask entries), segments are a narrow
@@ -194,13 +199,13 @@ object Multimodal {
     * sentinel cut at 0. Output: doc_id, off_bytes (0-based),
     * chunk_bytes, h. */
   def cdcChunks(bin: DataFrame, window: Int = 8, mask: Int = 64,
-                maxChunk: Int = 256): DataFrame = {
+                maxChunk: Int = 256, gear: Boolean = false): DataFrame = {
     require(window >= 1 && mask >= 2 && maxChunk >= 1, "degenerate CDC parameters")
     val base = bin.filter(col("meta.n_bytes") > 0)
       .select(col("doc_id"), col("content"), col("meta.n_bytes").as("__nb"))
     base
       .withColumn("__cuts",
-        graft.GraftFunctions.cdcCuts(base, col("content"), window, mask))
+        graft.GraftFunctions.cdcCuts(base, col("content"), window, mask, gear))
       // segment ends: the cut list shifted left by one, nb closing the last
       .withColumn("__ends", concat(
         slice(col("__cuts"), lit(2), size(col("__cuts")) - 1), array(col("__nb"))))

@@ -1224,11 +1224,37 @@ object Relational {
     * with the group list BROADCAST; the cumulative window is
     * PARTITIONED BY GROUP over the value-domain-bounded spine (doc
     * lengths, scores — never row count); the pooled ECDF is a per-value
-    * SUM of the group cums (no global window anywhere). Output: grp,
-    * n, ks. */
-  def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame = {
+    * SUM of the group cums (no global window anywhere).
+    *
+    * The value-domain bound is ENFORCED, not just documented:
+    * `maxDistinct` (default 100k) caps the spine's value axis, and a
+    * continuous double column pointed here without thought fails loud
+    * with the fix in the message instead of building a corpus-sized
+    * spine. `quantize = Some(width)` is the sanctioned path for such
+    * columns — values bucket to `floor(v / width) · width` BEFORE the
+    * ECDF (the KS of the quantized distributions, exact at the chosen
+    * resolution — the standard continuous-KS-at-scale trade). Defaults
+    * (no quantization, 100k cap) leave every existing caller — and the
+    * x180 oracle — bit-identical. Output: grp, n, ks. */
+  def ksDrift(df: DataFrame, group: Column, value: Column,
+              maxDistinct: Long = 100000L,
+              quantize: Option[Double] = None): DataFrame = {
+    require(maxDistinct >= 1, "maxDistinct must be positive")
+    quantize.foreach(w => require(w > 0, "quantize width must be positive"))
+    val v0 = quantize match {
+      case Some(w) => floor(value.cast("double") / lit(w)) * lit(w)
+      case None => value
+    }
     val c = graft.Persist.cut(
-      df.groupBy(group.as("grp"), value.as("v")).agg(count(lit(1)).as("__c")))
+      df.groupBy(group.as("grp"), v0.as("v")).agg(count(lit(1)).as("__c")))
+    // the guard reads the already-materialized count frame — one tiny
+    // 1-row job, never a second corpus scan
+    val nv = c.select(col("v")).distinct().count()
+    require(nv <= maxDistinct,
+      s"ksDrift: value domain has $nv distinct values > maxDistinct=" +
+        s"$maxDistinct — the dense spine is |distinct| x |groups|. " +
+        "Quantize first (quantize = Some(width)) or raise maxDistinct " +
+        "knowingly for a genuinely bounded domain.")
     val dense = c.select(col("v")).distinct()
       .crossJoin(broadcast(c.select(col("grp")).distinct()))
       .join(c, Seq("grp", "v"), "left_outer")

@@ -278,22 +278,12 @@ object ExtensionQueries {
     * production path is the parquet/AvailableNow runners in Main). State
     * is watermark-bounded, counts-only rows. */
   def w05(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, StandardCopyOption}
     val e = Tables(s, dir, "events").select("event_id", "ts", "event_type", "value")
-    val root = Files.createTempDirectory("graft_w05")
-    val streamDir = root.resolve("stream"); Files.createDirectories(streamDir)
-    def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = root.resolve(name + "_tmp")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter { p =>
-        val f = p.getFileName.toString
-        f.startsWith("part-") && f.endsWith(".parquet")
-      }.findFirst.get
-      val dst = streamDir.resolve(name)
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
+    val root = java.nio.file.Files.createTempDirectory("graft_w05")
+    val streamDir = root.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def land(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      landStreamFile(df, root, streamDir, name, mtimeMs)
     // mtimes far apart: FileStreamSource orders by (mtime, path), and the
     // three-batch split IS the semantics under test
     land(e.filter(col("event_id") % 10 >= 2), "00_ontime.parquet", 1000000L)
@@ -310,8 +300,62 @@ object ExtensionQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink).select(col("h"), col("event_type"), col("c"))
-      .orderBy("h", "event_type")
+    detachStreamResult(s, sink, root,
+      s.table(sink).select(col("h"), col("event_type"), col("c"))
+        .orderBy("h", "event_type"))
+  }
+
+  /** Land `df` as ONE parquet file named `name` under `streamDir` with a
+    * pinned mtime (FileStreamSource orders by (mtime, path) — the batch
+    * split IS the semantics w05/w06 test). The `Files.list` stream is
+    * CLOSED (it holds the directory handle until then) and the writer's
+    * tmp dir is deleted after the move — Bench re-executes each query
+    * 4× per session, so leaked handles/dirs would accumulate for the
+    * session lifetime. */
+  private def landStreamFile(df: DataFrame, root: java.nio.file.Path,
+                             streamDir: java.nio.file.Path, name: String,
+                             mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = root.resolve(name + "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter { p =>
+        val f = p.getFileName.toString
+        f.startsWith("part-") && f.endsWith(".parquet")
+      }.findFirst.get
+      finally listing.close()
+    val dst = streamDir.resolve(name)
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    deleteRecursively(tmp)
+  }
+
+  /** Detach a SMALL streaming-oracle result from its memory sink so the
+    * sink table and the fixture dirs can be dropped BEFORE the caller
+    * consumes the frame: the fold is collected (strictly smaller than
+    * the memory sink already holding every emitted row on the driver)
+    * and re-created as a local DataFrame, then the UUID-named sink view
+    * and the temp root are removed — per-execution, not per-session. */
+  private def detachStreamResult(s: SparkSession, sink: String,
+                                 root: java.nio.file.Path,
+                                 folded: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(folded.collect(): _*)
+    val out = s.createDataFrame(rows, folded.schema)
+    s.catalog.dropTempView(sink)
+    deleteRecursively(root)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
   }
 
   /** w06: Structured Streaming stateful DEDUP end-to-end —
@@ -344,22 +388,12 @@ object ExtensionQueries {
     * is one (id, expiry) entry per key and watermark-bounded — the
     * production analogue is the retry-idempotent AvailableNow runners. */
   def w06(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, StandardCopyOption}
     val e = Tables(s, dir, "events").select("event_id", "ts")
-    val root = Files.createTempDirectory("graft_w06")
-    val streamDir = root.resolve("stream"); Files.createDirectories(streamDir)
-    def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = root.resolve(name + "_tmp")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter { p =>
-        val f = p.getFileName.toString
-        f.startsWith("part-") && f.endsWith(".parquet")
-      }.findFirst.get
-      val dst = streamDir.resolve(name)
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
+    val root = java.nio.file.Files.createTempDirectory("graft_w06")
+    val streamDir = root.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def land(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      landStreamFile(df, root, streamDir, name, mtimeMs)
     land(e, "00_base.parquet", 1000000L)
     val mx = e.agg(max(col("ts")).as("mxts"))
     land(e.join(broadcast(mx), col("ts") === col("mxts"))
@@ -381,15 +415,16 @@ object ExtensionQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("emissions"))
-      .groupBy(
-        when(col("event_id") >= 1000000000L, lit("fresh")).otherwise(lit("base"))
-          .as("kind"),
-        col("emissions"))
-      .agg(count(lit(1)).as("n_ids"),
-        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
-      .orderBy("kind", "emissions")
+    detachStreamResult(s, sink, root,
+      s.table(sink)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("emissions"))
+        .groupBy(
+          when(col("event_id") >= 1000000000L, lit("fresh")).otherwise(lit("base"))
+            .as("kind"),
+          col("emissions"))
+        .agg(count(lit(1)).as("n_ids"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("kind", "emissions"))
   }
 
   /** w04: the COMPLETE stored-procedure chain Q1→Q18 end-to-end — the

@@ -19,8 +19,11 @@ import graft.operators.Relational
   * fuses the whole chain into a handful of stages (SURVEY §4.2 #5) and the
   * only shuffles left are the genuine aggregations/windows.
   *
-  * At 100 TB the work/master frames would be bucketed by delivery_order_id
-  * so every joinUpdate co-locates; at fixture scale AQE handles it.
+  * At 100 TB the work/master frames live bucketed by delivery_order_id
+  * ([[graft.sinks.TableSink.writeBucketed]]) so every joinUpdate
+  * co-locates — PlanSpec pins the exchange-free physical plan over
+  * bucketed tables with broadcast disabled; at fixture scale AQE
+  * handles it.
   */
 object WorkGraph {
 

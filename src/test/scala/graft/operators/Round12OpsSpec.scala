@@ -102,6 +102,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(out2 == Seq(0.0, 0.0))
   }
 
+  test("ksDrift: spine cardinality guard rejects high-cardinality domains; quantize is the sanctioned path") {
+    // 200 distinct continuous-ish values > maxDistinct=100 -> loud refusal
+    // naming the fix, BEFORE any dense-spine work
+    val wide = (1 to 200).map(i => (if (i % 2 == 0) "A" else "B", i / 7.0))
+      .toDF("src", "score")
+    val e = intercept[IllegalArgumentException] {
+      Relational.ksDrift(wide, col("src"), col("score"), maxDistinct = 100L)
+    }
+    assert(e.getMessage.contains("distinct values") &&
+      e.getMessage.contains("quantize"))
+    // quantize = Some(5.0) buckets the same column under the cap and the
+    // result equals ksDrift over the pre-bucketed values (the definition
+    // of the quantized KS)
+    val q = Relational.ksDrift(wide, col("src"), col("score"),
+        maxDistinct = 100L, quantize = Some(5.0))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pre = Relational.ksDrift(
+        wide.select(col("src"), (floor(col("score") / 5.0) * 5.0).as("score")),
+        col("src"), col("score"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(q == pre)
+  }
+
   test("concentrationGini: 0 on equal masses, exact 0.4 on a 1:9 split") {
     val eq = Seq(("a", 10L), ("b", 10L)).toDF("src", "w")
     val g1 = Relational.concentrationGini(eq, col("src"), col("w")).collect().head

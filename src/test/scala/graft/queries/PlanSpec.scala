@@ -731,4 +731,49 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p179).isEmpty && !p179.contains("CartesianProduct"), p179)
     assert(p179.contains("partial_"), p179)
   }
+
+  test("S9 bucketed layout: a Q-chain joinUpdate is EXCHANGE-FREE over bucketed work/master tables") {
+    import org.apache.spark.sql.functions._
+    // WorkGraph's header claim made real: at 100 TB the work/master
+    // frames live bucketed on delivery_order_id (TableSink.writeBucketed)
+    // and every joinUpdate co-locates — this pin proves the physical plan
+    // carries ZERO exchanges even with the broadcast escape hatch closed
+    // (the shape a 100 TB master can't take)
+    val n = 1000L
+    val master = spark.range(n).select(
+      concat(lit("ORD-"), col("id")).as("delivery_order_id"),
+      array(struct(lit("SKU1").as("sku"), (col("id") % 5 + 1).as("qty")))
+        .as("items_json"))
+    val work = spark.range(n).select(
+      concat(lit("ORD-"), col("id")).as("delivery_order_id"),
+      (col("id") % 7).as("status"))
+    graft.sinks.TableSink.writeBucketed(master, "bkt_master", "delivery_order_id", 4)
+    graft.sinks.TableSink.writeBucketed(work, "bkt_work", "delivery_order_id", 4)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      // Q12's joinUpdate (the chain's generic UPDATE shape) over the
+      // bucketed tables: a sort-merge join with NO exchange on either side
+      val joined = graft.transform.WorkGraph.updateWorkTotal(
+        spark.table("bkt_work"), spark.table("bkt_master"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Exchange"), s"bucketed joinUpdate shuffled:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      // and a delivery_order_id-keyed aggregate (the Q7 rollup shape)
+      // rides the same layout shuffle-free
+      val agg = spark.table("bkt_master")
+        .groupBy("delivery_order_id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val pa = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!pa.contains("Exchange"), s"bucketed aggregate shuffled:\n$pa")
+    } finally {
+      spark.conf.set(thresholdKey, prior)
+      spark.sql("DROP TABLE IF EXISTS bkt_master")
+      spark.sql("DROP TABLE IF EXISTS bkt_work")
+    }
+  }
 }

@@ -98,6 +98,49 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch) // inner interval join: stream == batch exactly
   }
 
+  test("RocksDB state store: the stateful engine surfaces run identically under the production provider") {
+    // the 100 TB state discipline (conf/cluster-smoke.conf pins this
+    // provider for cluster submits): state lives off-heap in RocksDB
+    // instead of the executor heap, so w05/w06-shaped state — one
+    // (key, window/expiry) entry per live key — is bounded by disk, not
+    // by JVM memory. Results must be IDENTICAL; only the store moves.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // w05's engine surface: watermarked tumbling aggregate
+      val q1 = EventStream.hourlyCounts(EventStream.readEvents(spark, eventsPath))
+        .writeStream.format("memory").queryName("hourly_rocks")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination(180000)
+      val streamed = spark.table("hourly_rocks")
+        .select("h", "event_type", "c", "s").orderBy("h", "event_type").collect()
+      val batch = Tables(spark, sf(), "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+        .orderBy("h", "event_type").collect()
+      assert(streamed.length > 0 && streamed.toSeq == batch.toSeq)
+      // w06's engine surface: dropDuplicatesWithinWatermark keyed state
+      val dupPath = Files.createTempDirectory("graft_dup_rocks").toString
+      val once = Tables(spark, sf(), "events")
+      once.unionByName(once).write.mode("overwrite").parquet(dupPath)
+      val q2 = EventStream.dedupEvents(EventStream.readEvents(spark, dupPath))
+        .writeStream.format("memory").queryName("deduped_rocks")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(180000)
+      val ids = spark.table("deduped_rocks").select("event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length, "duplicate event_id survived")
+      assert(ids.length.toLong == once.select("event_id").distinct().count())
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionizer emits watermark-finalized sessions") {
     import spark.implicits._
     val events = EventStream.readEvents(spark, eventsPath)

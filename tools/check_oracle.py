@@ -36,6 +36,7 @@ are safe to run concurrently.
 """
 import json
 import os
+import shutil
 import sys
 import tempfile
 
@@ -69,10 +70,19 @@ def _flag(name, env, default):
 
 
 def main(sf_dir, out_dir):
+    # spill dir removed on exit (concurrent batch replays — the stated use
+    # case — must not accumulate check_oracle_spill_* on the shared disk)
+    spill = tempfile.mkdtemp(prefix="check_oracle_spill_")
+    try:
+        return _run(sf_dir, out_dir, spill)
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
+
+
+def _run(sf_dir, out_dir, spill):
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{_flag('memory-limit', 'CHECK_ORACLE_MEMORY', '8GB')}'")
     con.execute(f"SET threads={int(_flag('threads', 'CHECK_ORACLE_THREADS', '4'))}")
-    spill = tempfile.mkdtemp(prefix="check_oracle_spill_")
     con.execute(f"SET temp_directory='{spill}'")
     con.execute(f"SET max_temp_directory_size='{_flag('temp-size', 'CHECK_ORACLE_TEMP', '16GB')}'")
     for t in TABLES:
