@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Blocking-cap audit main — the measurement harness behind SURVEY §8's
+  * recall-vs-cap and cap-curve tables. Two modes, one JSON line per
+  * measurement on stdout (env header first, same discipline as [[Bench]]):
+  *
+  *   runMain graft.BlockingAudit recall 64,256,1024 0.002
+  *     Computes the UNCAPPED exact-Jaccard truth (threshold 0.8) once on
+  *     SPARK_GRAFT_SF_DIR's documents table, then pair-recall of the
+  *     df-capped [[Dedup.ngramJaccardPairs]] chain at each absolute cap,
+  *     each corpus-relative fraction, and the x15 LSH blocking chain
+  *     ([[Dedup.lshCandidatePairs]], contract parameters) — recall there
+  *     is over CANDIDATES, the quantity banding can lose (the exact
+  *     verify stage after it loses nothing).
+  *
+  *   runMain graft.BlockingAudit curve abs:256|frac:0.002
+  *     Times the x10-shaped query (n=3, threshold 0.8) under the given
+  *     cap spec: untimed warm-up then SPARK_GRAFT_BENCH_RUNS (default 3)
+  *     timed noop-write passes, reports the median — the per-point
+  *     runner for the knee-flattening ladder.
+  *
+  * Not part of the graded contract (Verify/Bench): audits run off-round
+  * on the big local fixtures (sf0.3/sf1.0/sf3.0) where the uncapped
+  * truth is still feasible, and their artifacts land in logs/.
+  */
+object BlockingAudit {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: recall <caps>[ <fractions>] | curve <abs:N|frac:F>")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val threshold = 0.8
+    val spark = Sessions.local(cpus)
+      .config(graft.sources.Tables.nanosAsLongKey, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Sessions.wireCheckpointDir(spark)
+    val rt = Runtime.getRuntime
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    println(s"""{"metric":"env","jvm":"${System.getProperty("java.version")}",""" +
+      s""""heap_max_gb":${rt.maxMemory() / 1e9},"cpus":${rt.availableProcessors()},""" +
+      s""""load_avg":${os.getSystemLoadAverage},"spark_threads":"$cpus","runs":$runs,"sf":"$sfDir"}""")
+    val docs = Tables(spark, sfDir, "documents")
+
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    args(0) match {
+      case "recall" =>
+        val caps = args(1).split(",").map(_.trim.toInt).toSeq
+        val fractions =
+          if (args.length > 2) args(2).split(",").map(_.trim.toDouble).toSeq
+          else Seq.empty[Double]
+        val nDocs = docs.count()
+        // the uncapped truth: every pair >= threshold (blocking with an
+        // infinite cap finds every pair sharing ANY shingle, a superset
+        // of every pair with J > 0) — materialized once, reused per cap
+        val t0 = System.nanoTime()
+        val truth = Persist.cut(
+          Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
+            maxDf = Int.MaxValue))
+        val truthPairs = truth.count()
+        val truthSecs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"metric":"recall_truth","threshold":$threshold,"n_docs":$nDocs,""" +
+          s""""truth_pairs":$truthPairs,"secs":$truthSecs}""")
+        def report(spec: String, capValue: Long, found: DataFrame): Unit = {
+          val t1 = System.nanoTime()
+          val foundPairs = found.count()
+          val r = Dedup.pairRecall(found, truth).collect()(0)
+          val secs = (System.nanoTime() - t1) / 1e9
+          println(s"""{"metric":"blocking_recall","spec":"$spec","cap":$capValue,""" +
+            s""""threshold":$threshold,"truth_pairs":${r.getLong(0)},""" +
+            s""""found_pairs":$foundPairs,"matched_pairs":${r.getLong(1)},""" +
+            s""""recall":${r.getDouble(2)},"secs":$secs}""")
+          release()
+        }
+        caps.foreach { c =>
+          report(s"abs:$c", c.toLong,
+            Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold, maxDf = c))
+        }
+        fractions.foreach { f =>
+          report(s"frac:$f", math.max(1L, math.ceil(f * nDocs).toLong),
+            Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
+              maxDf = Int.MaxValue, maxDfFraction = Some(f)))
+        }
+        // the x15 chain's blocking stage at contract parameters:
+        // candidate-level recall (banding misses, unlike the df cap,
+        // are probabilistic — 1-(1-J^r)^b)
+        report("lsh:k=12,b=4", -1L,
+          Dedup.lshCandidatePairs(docs, n = 3, k = 12, bands = 4))
+
+      case "curve" =>
+        val spec = args(1)
+        def query(): DataFrame = spec.split(":") match {
+          case Array("abs", v) =>
+            Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold, maxDf = v.toInt)
+          case Array("frac", v) =>
+            Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
+              maxDf = Int.MaxValue, maxDfFraction = Some(v.toDouble))
+          case _ => sys.error(s"bad cap spec: $spec (want abs:N or frac:F)")
+        }
+        val pairs = query().count() // warm-up, untimed; also the result size
+        val times = (1 to runs).map { _ =>
+          release()
+          val t1 = System.nanoTime()
+          query().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t1) / 1e9
+        }
+        println(s"""{"metric":"cap_curve","spec":"$spec","threshold":$threshold,""" +
+          s""""pairs":$pairs,"secs":${median(times)},"runs":$runs,"sf":"$sfDir"}""")
+
+      case other => sys.error(s"unknown mode: $other")
+    }
+    spark.stop()
+  }
+}

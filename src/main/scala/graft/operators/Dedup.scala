@@ -1255,7 +1255,8 @@ object Dedup {
     * subsumed by another" (truncations beyond [[prefixDuplicates]]' exact
     * prefix shape, excerpt farms, quote-heavy aggregators).
     *
-    * Same blocking + exactness discipline as [[ngramJaccardPairs]]:
+    * Same blocking + exactness discipline as [[ngramJaccardPairs]]
+    * (including the corpus-relative `maxDfFraction` form of the cap):
     * candidates must share a RARE (df <= maxDf) shingle; the blocking
     * join yields the shared-rare count per pair; per-doc stats arrive in
     * one aggregate; and the hot-shingle correction makes the final
@@ -1267,19 +1268,21 @@ object Dedup {
     * Output: (src_id, dst_id, containment round 4), containment >=
     * threshold. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                       maxDf: Int = 1000): DataFrame = {
+                       maxDf: Int = 1000,
+                       maxDfFraction: Option[Double] = None): DataFrame = {
     val sh = graft.Persist.cut(shingleSet(docs, n))
+    val cap = resolveDfCap(sh, maxDf, maxDfFraction)
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfc, "s")
-    val rare = tagged.filter(col("df") <= maxDf).select(col("doc_id"), col("s"))
+    val rare = tagged.filter(col("df") <= cap).select(col("doc_id"), col("s"))
     val iRare = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("i_rare"))
     val docStats = tagged.groupBy(col("doc_id")).agg(
       count(lit(1)).as("c"),
-      count(when(col("df") > maxDf, 1)).as("hc"),
-      collect_set(when(col("df") > maxDf, col("s"))).as("hset"))
+      count(when(col("df") > cap, 1)).as("hc"),
+      collect_set(when(col("df") > cap, col("s"))).as("hset"))
     // same broadcast knob as the Jaccard verify stage (one row per doc)
     val bcast = docs.sparkSession.conf
       .get("spark.graft.jaccard.broadcastStats", "true").toBoolean
@@ -1317,10 +1320,38 @@ object Dedup {
     * shingle set (array_intersect/size), so the cap cannot distort scores —
     * it can only miss pairs whose overlap consists solely of
     * hotter-than-maxDf shingles, which at threshold>=0.8 requires
-    * pathologically templated text (the standard blocking trade-off). */
+    * pathologically templated text (the standard blocking trade-off).
+    *
+    * `maxDfFraction` is the corpus-RELATIVE form of the cap: an absolute
+    * `maxDf` pins the quadratic knee to one corpus size (template
+    * shingles have df ∝ N, so the maximum pre-cap candidate volume lands
+    * wherever template-df crosses the constant — measured at sf1.0 on
+    * the round-10 curve). `Some(f)` derives the cap as ceil(f · nDocs)
+    * instead, so a shingle held by a fixed FRACTION of the corpus is
+    * either always blocked or always kept as the corpus grows — blocking
+    * cost stays ~linear in N (rare shingles have O(1) df) and the knee
+    * disappears. Choose f below the smallest template fraction and above
+    * expected dup-cluster-size/N. Overrides `maxDf` when set; `None`
+    * (the oracle default) keeps the absolute cap bit-identically. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = 1000): DataFrame =
-    jaccardPairsFromSets(shingleSet(docs, n), threshold, maxDf)
+                        maxDf: Int = 1000,
+                        maxDfFraction: Option[Double] = None): DataFrame =
+    jaccardPairsFromSets(shingleSet(docs, n), threshold, maxDf, maxDfFraction)
+
+  /** Resolve the blocking df cap over a MATERIALIZED element-set frame:
+    * the absolute `maxDf` by default; `maxDfFraction = Some(f)` derives
+    * ceil(f · nDocs) from one distinct-count job on the (already cut)
+    * frame — see [[ngramJaccardPairs]] for why corpus-relative is the
+    * production shape. */
+  private def resolveDfCap(sets: DataFrame, maxDf: Int,
+                           maxDfFraction: Option[Double]): Long =
+    maxDfFraction match {
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0, s"maxDfFraction must be in (0,1], got $f")
+        math.max(1L, math.ceil(f *
+          sets.select(col("doc_id")).distinct().count()).toLong)
+      case None => maxDf.toLong
+    }
 
   /** [[ngramJaccardPairs]]' blocking + exact-verify core over ANY
     * (doc_id, s) element-set frame — one definition of the rare-element
@@ -1329,17 +1360,19 @@ object Dedup {
     * chunk hashes — x137) shares the audited shape. Rows must be
     * DISTINCT per (doc_id, s) — the [[shingleSet]] contract. */
   def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
-                           maxDf: Int): DataFrame = {
+                           maxDf: Int,
+                           maxDfFraction: Option[Double] = None): DataFrame = {
     // the element set feeds the df count and the df-tagged postings:
     // materialize once instead of re-running the upstream shuffle
     val sh = graft.Persist.cut(sets.select(col("doc_id"), col("s")))
+    val cap = resolveDfCap(sh, maxDf, maxDfFraction)
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // the df-tag join feeds both the blocking postings and the per-doc
     // stats; left LAZY deliberately — each consumer pushes its own df
-    // filter/projection into the join (rare gets a df<=maxDf-pruned build
+    // filter/projection into the join (rare gets a df<=cap-pruned build
     // side), which beats materializing the full tagged postings once
     val tagged = sh.join(dfc, "s")
-    val rare = tagged.filter(col("df") <= maxDf).select(col("doc_id"), col("s"))
+    val rare = tagged.filter(col("df") <= cap).select(col("doc_id"), col("s"))
     // the blocking join YIELDS the shared-rare-shingle count per pair —
     // aggregating it is both the candidate set and most of the exact
     // intersection, with no per-pair set materialization
@@ -1350,12 +1383,12 @@ object Dedup {
     // per-doc stats in ONE doc_id aggregate: total cardinality, hot count,
     // and the hot-only shingle array for the exactness correction
     // (collect_set drops the nulls the `when` emits for rare shingles;
-    // hot sets are bounded: few shingles exceed maxDf by definition of a
-    // heavy-tail df distribution)
+    // hot sets are bounded: few shingles exceed the cap by definition of
+    // a heavy-tail df distribution)
     val docStats = tagged.groupBy(col("doc_id")).agg(
       count(lit(1)).as("c"),
-      count(when(col("df") > maxDf, 1)).as("hc"),
-      collect_set(when(col("df") > maxDf, col("s"))).as("hset"))
+      count(when(col("df") > cap, 1)).as("hc"),
+      collect_set(when(col("df") > cap, col("s"))).as("hset"))
     // EXACT upper-bound pruning before computing the hot-set intersection:
     //   J <= min(|A|,|B|) / max(|A|,|B|)          (size-ratio bound)
     //   i <= i_rare + min(hotA, hotB)  =>  J <= iMax/(|A|+|B|-iMax)
@@ -1391,6 +1424,25 @@ object Dedup {
         detRound(col("i") / (col("na") + col("nb") - col("i")), 3).as("j"))
       .filter(col("j") >= threshold)
   }
+
+  /** Pair-recall of a candidate/result pair frame against a truth pair
+    * frame — THE number the blocking caps trade away (runtime inversion
+    * past the df-cap knee is bought by dropping hot shingles from
+    * blocking; this measures what that drop costs). Both inputs are
+    * (a_id, b_id) frames with a_id < b_id and distinct pairs (the
+    * [[ngramJaccardPairs]]/[[lshCandidatePairs]] contract). One row:
+    * (truth_pairs, matched_pairs, recall); recall of an EMPTY truth is
+    * 1.0 by convention (nothing to find, nothing missed). Left join on
+    * the pair key then count — never a collect; truth-sized shuffle. */
+  def pairRecall(found: DataFrame, truth: DataFrame): DataFrame =
+    truth.select(col("a_id"), col("b_id"))
+      .join(found.select(col("a_id"), col("b_id"), lit(1).as("__hit")),
+        Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("truth_pairs"), count(col("__hit")).as("matched_pairs"))
+      .select(col("truth_pairs"), col("matched_pairs"),
+        when(col("truth_pairs") === 0, lit(1.0))
+          .otherwise(col("matched_pairs").cast("double") / col("truth_pairs"))
+          .as("recall"))
 
   /** Structure report over a candidate-pair graph (edges `a_id < b_id`,
     * distinct — the [[lshCandidatePairs]] contract): per-node degree,
