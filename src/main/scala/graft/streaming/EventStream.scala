@@ -26,11 +26,18 @@ object EventStream {
   final case class SessionState(start: Long, last: Long, n: Long, acc: Double)
 
   /** File-source stream over the events lake (schema fixed — streaming
-    * sources must never infer). */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
+    * sources must never infer). `maxFilesPerTrigger` bounds each
+    * micro-batch's file intake — the production backfill knob (a restart
+    * over a month of backlog must not take the whole backlog as one
+    * giant batch) and the lever that makes mid-feed kill/recovery
+    * testable deterministically. */
+  def readEvents(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(path)
+    maxFilesPerTrigger.foreach(m => r.option("maxFilesPerTrigger", m))
+    r.parquet(path)
+  }
 
   /** Deduplicated event feed: drops re-delivered events (at-least-once
     * sources redeliver on retry/failover) by event_id — the streaming
@@ -76,10 +83,15 @@ object EventStream {
         col("v_id"), col("v_ts"), col("value"))
   }
 
-  /** Watermarked hourly tumbling aggregate — streaming OQ15. */
-  def hourlyCounts(events: DataFrame): DataFrame =
+  /** Watermarked hourly tumbling aggregate — streaming OQ15. The
+    * `watermark` sizes the late-event horizon (and so the append-mode
+    * window-finalization lag and the state bound) — the default covers
+    * a live feed; a backfill/replay over historical days needs the
+    * horizon to cover the replayed span or re-fed old events drop as
+    * late. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
       .select(col("w.start").as("h"), col("event_type"), col("c"), col("s"))
