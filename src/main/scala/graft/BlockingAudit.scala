@@ -69,11 +69,16 @@ object BlockingAudit {
         val nDocs = docs.count()
         // the uncapped truth: every pair >= threshold (blocking with an
         // infinite cap finds every pair sharing ANY shingle, a superset
-        // of every pair with J > 0) — materialized once, reused per cap
+        // of every pair with J > 0) — landed in a tmp parquet, not a
+        // cache: release() between caps clears ALL persistent blocks and
+        // a localCheckpoint'd truth cannot be recomputed after that
         val t0 = System.nanoTime()
-        val truth = Persist.cut(
-          Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
-            maxDf = Int.MaxValue))
+        val truthDir = java.nio.file.Files
+          .createTempDirectory("graft_recall_truth").toString
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
+            maxDf = Int.MaxValue)
+          .write.mode("overwrite").parquet(truthDir)
+        val truth = spark.read.parquet(truthDir)
         val truthPairs = truth.count()
         val truthSecs = (System.nanoTime() - t0) / 1e9
         println(s"""{"metric":"recall_truth","threshold":$threshold,"n_docs":$nDocs,""" +

@@ -128,6 +128,28 @@ object Main {
     sink(work, "delivery_order_work")
     sink(visits, "delivery_order_visit_order")
 
+    // S9 production layout, behind a flag (default off — the oracle
+    // contract and the sidecar read the parquet sinks above): ALSO land
+    // work + merged master as delivery_order_id-bucketed catalog tables
+    // (TableSink.writeBucketed), so the NEXT day's Q-chain joins and
+    // keyed aggregates over them run exchange-free — the "only the daily
+    // delta shuffles" claim, wired end-to-end instead of only plan-pinned
+    // (PlanSpec). The frames are RE-READ from the parquet just written,
+    // not re-derived: one scan + the one-time bucket shuffle, never a
+    // second Q-chain/merge recompute. Bucket count must stay FIXED across
+    // days (co-location requires equal bucket counts); size it once for
+    // the mature master, not today's delta.
+    if (spark.conf.get("spark.graft.sink.bucketed", "false").toBoolean) {
+      val buckets = spark.conf.get("spark.graft.sink.bucketed.buckets", "32").toInt
+      val prefix = spark.conf.get("spark.graft.sink.bucketed.prefix", "graft_daily")
+      graft.sinks.TableSink.writeBucketed(
+        spark.read.parquet(s"$outDir/delivery_order_work"),
+        s"${prefix}_work", "delivery_order_id", buckets)
+      graft.sinks.TableSink.writeBucketed(
+        spark.read.parquet(s"$outDir/delivery_order_master"),
+        s"${prefix}_master", "delivery_order_id", buckets)
+    }
+
     // Report counts come from the PARQUET JUST WRITTEN (footer metadata,
     // no recompute) — counting the lineage frames would re-run the dedupe
     // shuffle and all four explodes a second time purely for the sidecar.

@@ -177,6 +177,58 @@ class PipelineSpec extends SparkSpec {
     assert(by("ORD-4").getAs[String]("code") == "C-404")    // insert branch
   }
 
+  test("S9 bucketed flag: the daily pipeline lands work/master bucketed; next-day Q-chain replay is exchange-free") {
+    // the production-layout switch wired end-to-end: with
+    // spark.graft.sink.bucketed=true the pipeline ALSO persists work +
+    // merged master via TableSink.writeBucketed (default off — the
+    // oracle surface is the parquet sinks, asserted identical here), and
+    // tomorrow's Q-chain reads them shuffle-free even with the broadcast
+    // hatch closed — PlanSpec's synthetic pin, now on the REAL pipeline
+    // outputs
+    val out = Files.createTempDirectory("graft_bkt_out").toString
+    spark.conf.set("spark.graft.sink.bucketed", "true")
+    spark.conf.set("spark.graft.sink.bucketed.buckets", "4")
+    spark.conf.set("spark.graft.sink.bucketed.prefix", "e2e_bkt")
+    try Main.run(spark, fixtures, out)
+    finally {
+      spark.conf.unset("spark.graft.sink.bucketed")
+      spark.conf.unset("spark.graft.sink.bucketed.buckets")
+      spark.conf.unset("spark.graft.sink.bucketed.prefix")
+    }
+    try {
+      val workT = spark.table("e2e_bkt_work")
+      val masterT = spark.table("e2e_bkt_master")
+      // parity with the oracle-surface parquet sinks (same rows, same ids)
+      val pq = spark.read.parquet(s"$out/delivery_order_work")
+      assert(workT.count() == pq.count() && workT.count() > 0)
+      assert(workT.select("delivery_order_id").collect().map(_.getString(0)).sorted
+        .sameElements(pq.select("delivery_order_id").collect().map(_.getString(0)).sorted))
+      assert(masterT.count() ==
+        spark.read.parquet(s"$out/delivery_order_master").count())
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prior = spark.conf.get(thresholdKey)
+      spark.conf.set(thresholdKey, "-1")
+      try {
+        // Q19's joinUpdate (master <- work backfill) over the layout
+        val backfill = WorkGraph.masterVisitBackfill(masterT, workT)
+        backfill.collect()
+        val p = backfill.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!p.contains("Exchange"), s"bucketed Q19 replay shuffled:\n$p")
+        assert(p.contains("SortMergeJoin"), p)
+        // and the Q7 rollup shape rides the same layout shuffle-free
+        val agg = masterT.groupBy("delivery_order_id").agg(count(lit(1)).as("n"))
+        agg.collect()
+        val pa = agg.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!pa.contains("Exchange"), s"bucketed aggregate shuffled:\n$pa")
+      } finally spark.conf.set(thresholdKey, prior)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS e2e_bkt_work")
+      spark.sql("DROP TABLE IF EXISTS e2e_bkt_master")
+    }
+  }
+
   test("Q2 in-place: disk-mode history snapshot survives overwriting its own path") {
     // day 1 lands the master in `out`; day 2 merges INTO THE SAME PATH it
     // reads history from — the production in-place daily run. Under
