@@ -10,14 +10,16 @@ import graft.sources.Tables
   * recall-vs-cap and cap-curve tables. Two modes, one JSON line per
   * measurement on stdout (env header first, same discipline as [[Bench]]):
   *
-  *   runMain graft.BlockingAudit recall 64,256,1024 0.002
+  *   runMain graft.BlockingAudit recall 64,256,1024 0.002 [0.002,...]
   *     Computes the UNCAPPED exact-Jaccard truth (threshold 0.8) once on
   *     SPARK_GRAFT_SF_DIR's documents table, then pair-recall of the
   *     df-capped [[Dedup.ngramJaccardPairs]] chain at each absolute cap,
   *     each corpus-relative fraction, and the x15 LSH blocking chain
   *     ([[Dedup.lshCandidatePairs]], contract parameters) — recall there
   *     is over CANDIDATES, the quantity banding can lose (the exact
-  *     verify stage after it loses nothing).
+  *     verify stage after it loses nothing). The optional 4th arg adds
+  *     LSH rows under corpus-relative hot-bucket caps
+  *     (`maxBucketFraction`).
   *
   *   runMain graft.BlockingAudit curve abs:256|frac:0.002
   *     Times the x10-shaped query (n=3, threshold 0.8) under the given
@@ -62,10 +64,15 @@ object BlockingAudit {
 
     args(0) match {
       case "recall" =>
-        val caps = args(1).split(",").map(_.trim.toInt).toSeq
-        val fractions =
-          if (args.length > 2) args(2).split(",").map(_.trim.toDouble).toSeq
-          else Seq.empty[Double]
+        // "-" in a position = skip that family (the truth is the
+        // expensive stage; don't force a df sweep to audit the LSH rows)
+        def parse[T](i: Int, f: String => T): Seq[T] =
+          if (args.length > i)
+            args(i).split(",").map(_.trim).toSeq
+              .filter(s => s.nonEmpty && s != "-").map(f)
+          else Seq.empty
+        val caps = parse(1, _.toInt)
+        val fractions = parse(2, _.toDouble)
         val nDocs = docs.count()
         // the uncapped truth: every pair >= threshold (blocking with an
         // infinite cap finds every pair sharing ANY shingle, a superset
@@ -108,6 +115,14 @@ object BlockingAudit {
         // are probabilistic — 1-(1-J^r)^b)
         report("lsh:k=12,b=4", -1L,
           Dedup.lshCandidatePairs(docs, n = 3, k = 12, bands = 4))
+        // optional 4th arg: corpus-relative LSH bucket caps — the
+        // maxBucketFraction twin of the df audit above
+        parse(3, _.toDouble).foreach { f =>
+          report(s"lsh:k=12,b=4,bfrac:$f",
+            math.max(1L, math.ceil(f * nDocs).toLong),
+            Dedup.lshCandidatePairs(docs, n = 3, k = 12, bands = 4,
+              maxBucketFraction = Some(f)))
+        }
 
       case "curve" =>
         val spec = args(1)

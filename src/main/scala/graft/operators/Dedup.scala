@@ -163,20 +163,30 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** `maxBucketFraction` is the corpus-relative form of `maxBucket`,
+    * mirroring [[ngramJaccardPairs]]' `maxDfFraction` one level up: an
+    * absolute bucket cap pins the drop threshold to one corpus size
+    * (template-family buckets grow ∝ N), while `Some(f)` derives the
+    * cap as ceil(f · nDocs) from one count over the already-materialized
+    * signature frame — a cluster holding a fixed FRACTION of the corpus
+    * is treated the same at every scale. Overrides `maxBucket` when
+    * set; `None` (the oracle default) is bit-identical. */
   def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = Int.MaxValue,
+                        maxBucketFraction: Option[Double] = None): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     // signatures feed all `bands` branches of the union: materialize once
     // (localCheckpoint truncates lineage so the shingle explode + groupBy
     // don't re-run per band; production would persist to reliable storage)
     val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
+    val cap = resolveBucketCap(sig, maxBucket, maxBucketFraction)
     val allBandRows = bandRows(sig, k, bands)
     val bucketed =
-      if (maxBucket == Int.MaxValue) allBandRows
+      if (cap == Long.MaxValue) allBandRows
       else {
         val keep = allBandRows.groupBy(col("band"), col("bh"))
           .agg(count(lit(1)).as("__bc"))
-          .filter(col("__bc") <= maxBucket).select(col("band"), col("bh"))
+          .filter(col("__bc") <= cap).select(col("band"), col("bh"))
         allBandRows.join(keep, Seq("band", "bh"))
       }
     val a = bucketed.as("a")
@@ -702,15 +712,18 @@ object Dedup {
     * those clusters are exact-dup work (the x118 cascade runs byte-exact
     * dedup FIRST, precisely so the near-dup stage never sees them), and
     * buckets over the cap are dropped wholesale. Off by default: the
-    * x17/x20/x69 fixture oracles are uncapped.
+    * x17/x20/x69 fixture oracles are uncapped. `maxBucketFraction` is
+    * the corpus-relative form (see [[lshCandidatePairs]]).
     * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxHamming. */
   def pigeonholePairs(fp0: DataFrame, bits: Int, maxHamming: Int,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
+                      maxBucket: Int = Int.MaxValue,
+                      maxBucketFraction: Option[Double] = None): DataFrame = {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"bits=$bits must split into ${blocks} equal segments")
     val w = bits / blocks
     // fingerprints feed all `blocks` banding branches: materialize once
     val fp = graft.Persist.cut(fp0)
+    val cap = resolveBucketCap(fp, maxBucket, maxBucketFraction)
     val allBanded = (0 until blocks).map { i =>
       fp.select(col("id"), col("fingerprint"), lit(i).as("band"),
         // mask in LONG: (1 << 32) wraps to 1 in Int, which would collapse
@@ -718,11 +731,11 @@ object Dedup {
         shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1L << w) - 1)).as("key"))
     }.reduce(_ unionByName _)
     val banded =
-      if (maxBucket == Int.MaxValue) allBanded
+      if (cap == Long.MaxValue) allBanded
       else {
         val keep = allBanded.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("__bc"))
-          .filter(col("__bc") <= maxBucket).select(col("band"), col("key"))
+          .filter(col("__bc") <= cap).select(col("band"), col("key"))
         allBanded.join(keep, Seq("band", "key"))
       }
     banded.as("a")
@@ -1351,6 +1364,22 @@ object Dedup {
         math.max(1L, math.ceil(f *
           sets.select(col("doc_id")).distinct().count()).toLong)
       case None => maxDf.toLong
+    }
+
+  /** Resolve a hot-bucket cap over a MATERIALIZED one-row-per-document
+    * frame (signatures/fingerprints): the absolute `maxBucket` by
+    * default (`Int.MaxValue` maps to "no cap"); `Some(f)` derives
+    * ceil(f · nDocs) from one count job — [[lshCandidatePairs]] /
+    * [[pigeonholePairs]]' corpus-relative form, twin of
+    * [[resolveDfCap]]. */
+  private def resolveBucketCap(rows: DataFrame, maxBucket: Int,
+                               maxBucketFraction: Option[Double]): Long =
+    maxBucketFraction match {
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0, s"maxBucketFraction must be in (0,1], got $f")
+        math.max(1L, math.ceil(f * rows.count()).toLong)
+      case None =>
+        if (maxBucket == Int.MaxValue) Long.MaxValue else maxBucket.toLong
     }
 
   /** [[ngramJaccardPairs]]' blocking + exact-verify core over ANY

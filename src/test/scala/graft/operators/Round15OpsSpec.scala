@@ -83,6 +83,48 @@ class Round15OpsSpec extends SparkSpec {
     assert(cands(1500, frac = Some(0.1)) == engineered)
   }
 
+  test("maxBucketFraction resolves to ceil(f * nDocs) — row-identical to the equivalent absolute cap, both cap sites") {
+    // a 60-doc byte-identical mega-cluster (every band bucket holds all
+    // 60) + 200 unique docs + 10 engineered 2-doc near-dup clusters: at
+    // f = 0.05 the derived cap (14) drops the mega-buckets and keeps the
+    // 2-doc buckets, exactly like the equivalent absolute cap
+    val docsFix = (
+      (0 until 60).map(i => (i.toLong,
+        "breaking news subscribe to our newsletter terms apply")) ++
+      (0 until 200).map(i => (100L + i,
+        s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")) ++
+      (0 until 20).map(i => (10000L + i,
+        s"p${i / 2}a p${i / 2}b p${i / 2}c p${i / 2}d p${i / 2}e"))
+    ).toDF("doc_id", "text").repartition(8)
+    val n = docsFix.count()
+    val f = 0.05
+    def lpairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFrac = lpairs(Dedup.lshCandidatePairs(docsFix, n = 3, k = 12,
+      bands = 4, maxBucketFraction = Some(f)))
+    val viaAbs = lpairs(Dedup.lshCandidatePairs(docsFix, n = 3, k = 12,
+      bands = 4, maxBucket = math.ceil(f * n).toInt))
+    assert(viaFrac == viaAbs && viaFrac.nonEmpty)
+    // the cap bit: mega-cluster pairs gone, engineered pairs kept
+    val uncapped = lpairs(Dedup.lshCandidatePairs(docsFix, n = 3, k = 12, bands = 4))
+    assert(viaFrac.size < uncapped.size / 3)
+    assert((0 until 10).forall(i =>
+      viaFrac.contains((10000L + 2 * i, 10000L + 2 * i + 1))))
+    // the pigeonhole site shares the resolver
+    val fps = Dedup.simhash(docsFix, bits = 16)
+      .select(col("doc_id").as("id"), col("fingerprint"))
+    val pFrac = Dedup.pigeonholePairs(fps, bits = 16, maxHamming = 3,
+        maxBucketFraction = Some(f))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pAbs = Dedup.pigeonholePairs(fps, bits = 16, maxHamming = 3,
+        maxBucket = math.ceil(f * n).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pFrac == pAbs)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(docsFix, maxBucketFraction = Some(2.0)).count()
+    }
+  }
+
   test("pairRecall: exact on known sets, 1.0 on empty truth, never collects") {
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("a_id", "b_id")
     val found = Seq((1L, 2L), (3L, 4L), (5L, 6L), (9L, 10L)).toDF("a_id", "b_id")
