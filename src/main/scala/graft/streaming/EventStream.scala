@@ -98,11 +98,14 @@ object EventStream {
 
   /** Gap-based sessionization with explicit state:
     * flatMapGroupsWithState keyed by user, event-time timeout = gap.
-    * Emits a session when the gap elapses (or watermark passes). */
-  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    * Emits a session when the gap elapses (or watermark passes).
+    * `watermark` sizes the late-event horizon like [[hourlyCounts]]'s —
+    * a historical replay needs it to cover the replayed span. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -157,4 +157,20 @@ class Round15OpsSpec extends SparkSpec {
     val extra = capped.join(truth, Seq("a_id", "b_id"), "left_anti").count()
     assert(extra == 0, s"$extra capped pairs absent from the uncapped truth")
   }
+
+  test("recall floor for the LSH chain: contract-parameter candidates cover >= 0.9 of the >= 0.8 truth") {
+    // the x15 chain's blocking stage, audited like the df cap above —
+    // banding misses are probabilistic (1-(1-J^r)^b, >= 0.996 at J=0.8
+    // for r=3, b=4), and the measured recall is 1.000 at sf0.3/1.0/3.0
+    // (logs/recall_r11_*.jsonl); the spec floor guards the driver fixture
+    val docs = Tables(spark, sf(), "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8,
+      maxDf = Int.MaxValue)
+    val cands = Dedup.lshCandidatePairs(docs, n = 3, k = 12, bands = 4)
+    val r = Dedup.pairRecall(cands, truth).collect()(0)
+    info(f"LSH candidate recall@0.8 on ${sf()}: ${r.getDouble(2)}%.4f " +
+      s"(${r.getLong(1)}/${r.getLong(0)})")
+    assert(r.getLong(0) > 0 && r.getDouble(2) >= 0.9,
+      s"LSH blocking recall collapsed: ${r.getDouble(2)}")
+  }
 }

@@ -104,6 +104,76 @@ class CrashRecoverySpec extends SparkSpec {
     }
   }
 
+  test("custom state shape: sessionizer kill mid-feed + restart — flatMapGroupsWithState state recovers, events conserved under both providers") {
+    // the riskiest state surface: a USER-DEFINED case-class state
+    // (SessionState) serialized by the state store and restored across a
+    // restart. Session BOUNDARIES can legitimately depend on micro-batch
+    // grouping (the straggler-merge rule), so the restart assertion is
+    // the batching-independent conservation law instead: once a
+    // horizon-crossing sentinel flushes every open session, the emitted
+    // sessions PARTITION each user's events — per-user Σ n_events equals
+    // the input event count exactly (nothing lost at the kill, nothing
+    // re-emitted by the restart) and every session is well-formed.
+    import spark.implicits._
+    val gapSeconds = 1800L
+    for ((provider, tag) <- Seq(None -> "heap", Some(rocksdb) -> "rocks")) {
+      withProvider(provider) {
+        val src = Files.createTempDirectory(s"graft_cr_ssrc_$tag").toString
+        val sink = Files.createTempDirectory(s"graft_cr_ssink_$tag").toString
+        val ckpt = Files.createTempDirectory(s"graft_cr_sckpt_$tag").toString
+        events.repartition(6).write.mode("append").parquet(src)
+        def start(): StreamingQuery = EventStream.sessionize(
+            EventStream.readEvents(spark, src, maxFilesPerTrigger = Some(1))
+              .select("event_id", "ts", "user_id", "event_type", "value")
+              .as[EventStream.Event],
+            gapSeconds = gapSeconds,
+            watermark = "90 days") // replay horizon covers the fixture span
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        val midFeed = killAfter(start(), batches = 2)
+        info(s"[$tag] killed mid-feed: $midFeed")
+        val q2 = start()
+        assert(q2.awaitTermination(180000), "restarted query did not drain")
+        // flush every open session: sentinel far enough past max(ts) that
+        // the final watermark (sentinel - 90d) passes every timeout
+        val maxTs = events.agg(max("ts")).collect()(0).getTimestamp(0)
+        val sentinelTs = new java.sql.Timestamp(
+          maxTs.getTime + (90L * 24 * 3600 + gapSeconds + 3600) * 1000L)
+        Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, null: String))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(src)
+        val q3 = start()
+        assert(q3.awaitTermination(180000), "flush query did not drain")
+        val sessions = spark.read.parquet(sink)
+          .filter(col("user_id") =!= -1L).collect()
+        assert(sessions.nonEmpty, s"[$tag] nothing flushed")
+        sessions.foreach { r =>
+          assert(!r.getTimestamp(2).before(r.getTimestamp(1)),
+            s"[$tag] session end < start")
+          assert(r.getLong(3) >= 1)
+        }
+        // conservation across the kill: the 90-day horizon drops nothing
+        // as late, so flushed sessions PARTITION each user's events —
+        // exact per-user equality, for EVERY user
+        val perUser = spark.read.parquet(sink)
+          .filter(col("user_id") =!= -1L)
+          .groupBy("user_id").agg(sum("n_events").as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val inputPerUser = events.groupBy("user_id")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(perUser.keySet == inputPerUser.keySet,
+          s"[$tag] users lost or invented across the restart")
+        inputPerUser.foreach { case (u, n) =>
+          assert(perUser(u) == n,
+            s"[$tag] user $u not conserved across the restart: ${perUser(u)} vs $n")
+        }
+      }
+    }
+  }
+
   test("w05 shape: kill mid-feed + restart — windowed aggregate state survives; flushed sink equals batch under both providers") {
     for ((provider, tag) <- Seq(None -> "heap", Some(rocksdb) -> "rocks")) {
       withProvider(provider) {
