@@ -106,7 +106,11 @@ object BlockingAudit {
             Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold, maxDf = c))
         }
         fractions.foreach { f =>
-          report(s"frac:$f", math.max(1L, math.ceil(f * nDocs).toLong),
+          // report the cap the resolver ACTUALLY applies (distinct doc_id
+          // in the shingle frame — excludes sub-n-token docs), not
+          // ceil(f * docs.count()), so the artifact can't drift from
+          // behavior on corpora with too-short documents
+          report(s"frac:$f", Dedup.resolvedDfCap(docs, 3, f),
             Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
               maxDf = Int.MaxValue, maxDfFraction = Some(f)))
         }
@@ -119,10 +123,13 @@ object BlockingAudit {
         // maxBucketFraction twin of the df audit above
         parse(3, _.toDouble).foreach { f =>
           report(s"lsh:k=12,b=4,bfrac:$f",
-            math.max(1L, math.ceil(f * nDocs).toLong),
+            Dedup.resolvedBucketCap(docs, 3, 12, f),
             Dedup.lshCandidatePairs(docs, n = 3, k = 12, bands = 4,
               maxBucketFraction = Some(f)))
         }
+        // the uncapped truth is sizable at sf3.0 — don't orphan it in /tmp
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(truthDir))
 
       case "curve" =>
         val spec = args(1)

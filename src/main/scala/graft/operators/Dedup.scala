@@ -1366,6 +1366,21 @@ object Dedup {
       case None => maxDf.toLong
     }
 
+  /** The df cap [[jaccardPairsFromSets]] ACTUALLY applies for `docs` at
+    * fraction `f` — public so audit artifacts (BlockingAudit) report the
+    * same number the resolver derives. The resolver counts distinct
+    * doc_id in the MATERIALIZED shingle frame, which excludes docs too
+    * short to produce an n-gram; ceil(f · docs.count()) drifts from it
+    * on corpora with sub-n-token documents. */
+  def resolvedDfCap(docs: DataFrame, n: Int, f: Double): Long =
+    resolveDfCap(shingleSet(docs, n), Int.MaxValue, Some(f))
+
+  /** [[resolvedDfCap]]'s twin one level up: the hot-bucket cap
+    * [[lshCandidatePairs]] ACTUALLY applies at `maxBucketFraction = f`
+    * (a count over the signature frame, one row per shingle-able doc). */
+  def resolvedBucketCap(docs: DataFrame, n: Int, k: Int, f: Double): Long =
+    resolveBucketCap(minhashSignatures(docs, n, k), Int.MaxValue, Some(f))
+
   /** Resolve a hot-bucket cap over a MATERIALIZED one-row-per-document
     * frame (signatures/fingerprints): the absolute `maxBucket` by
     * default (`Int.MaxValue` maps to "no cap"); `Some(f)` derives
@@ -1459,13 +1474,19 @@ object Dedup {
     * past the df-cap knee is bought by dropping hot shingles from
     * blocking; this measures what that drop costs). Both inputs are
     * (a_id, b_id) frames with a_id < b_id and distinct pairs (the
-    * [[ngramJaccardPairs]]/[[lshCandidatePairs]] contract). One row:
+    * [[ngramJaccardPairs]]/[[lshCandidatePairs]] contract) — but found's
+    * distinctness is ENFORCED here, not just documented: a duplicate
+    * found pair would multiply truth rows through the left join,
+    * inflating both counts, and this is a graded audit primitive fed by
+    * arbitrary callers (the dedup is found-key-sized, cheap relative to
+    * producing the pairs). One row:
     * (truth_pairs, matched_pairs, recall); recall of an EMPTY truth is
     * 1.0 by convention (nothing to find, nothing missed). Left join on
     * the pair key then count — never a collect; truth-sized shuffle. */
   def pairRecall(found: DataFrame, truth: DataFrame): DataFrame =
     truth.select(col("a_id"), col("b_id"))
-      .join(found.select(col("a_id"), col("b_id"), lit(1).as("__hit")),
+      .join(found.select(col("a_id"), col("b_id"))
+          .dropDuplicates("a_id", "b_id").withColumn("__hit", lit(1)),
         Seq("a_id", "b_id"), "left")
       .agg(count(lit(1)).as("truth_pairs"), count(col("__hit")).as("matched_pairs"))
       .select(col("truth_pairs"), col("matched_pairs"),

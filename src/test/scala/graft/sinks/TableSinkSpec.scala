@@ -41,6 +41,26 @@ class TableSinkSpec extends SparkSpec {
     assert(df.collect().head.getDate(0).toString == "2024-01-14")
   }
 
+  test("santiagoDate holds across both Chile DST transitions (the DAG:35 caveat)") {
+    // Chile (tzdata): DST ends the first Sunday >= Apr 2 at 03:00 UTC
+    // (00:00 local falls back to 23:00, so the Saturday lasts 25h local)
+    // and begins the first Sunday >= Sep 2 at 04:00 UTC (00:00 local
+    // springs to 01:00 — the 00:xx local hour never exists that day).
+    // 2024: Apr 7 and Sep 8.
+    val cases = Seq(
+      ("2024-04-07 02:59:00", "2024-04-06"), // UTC-3 still: 23:59 Sat
+      ("2024-04-07 03:30:00", "2024-04-06"), // after fallback, UTC-4: 23:30 Sat again
+      ("2024-04-07 04:00:00", "2024-04-07"), // 00:00 Sun — new day starts 25h in
+      ("2024-09-08 03:59:00", "2024-09-07"), // UTC-4 still: 23:59 Sat
+      ("2024-09-08 04:00:00", "2024-09-08")  // springs to 01:00 Sun (00:xx skipped)
+    )
+    val got = cases.map(_._1).toDF("ts")
+      .select(col("ts"), TableSink.santiagoDate(col("ts").cast("timestamp")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getDate(1).toString).toMap
+    for ((ts, want) <- cases)
+      assert(got(ts) == want, s"$ts UTC should bucket to Santiago day $want")
+  }
+
   test("writeSorted: per-file key ranges are disjoint (stats can prune)") {
     val out = Files.createTempDirectory("graft_sorted").toString
     // a deterministic permutation of 0..999 — maximally interleaved input,

@@ -64,7 +64,9 @@ class CrashRecoverySpec extends SparkSpec {
            System.nanoTime() < deadline) Thread.sleep(50)
     val midFeed = q.isActive
     q.stop()
-    q.awaitTermination(120000)
+    // a restart against the same checkpoint while this query still holds
+    // it would fail confusingly downstream — fail HERE if stop() hangs
+    assert(q.awaitTermination(120000), "killed query did not stop within 120s")
     midFeed
   }
 

@@ -25,6 +25,14 @@ WT=$(mktemp -d /tmp/graft_ab_XXXXXX)
 rmdir "$WT"
 git worktree add --detach "$WT" "$PREV" >/dev/null
 trap 'git worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
+# the subset filter only exists since 27967ee — an older rev would
+# silently bench all 207 queries and the trailing totals would not be
+# comparable; fail fast instead
+grep -q SPARK_GRAFT_BENCH_ONLY "$WT/src/main/scala/graft/Bench.scala" || {
+  echo "ERROR: rev $PREV predates SPARK_GRAFT_BENCH_ONLY (27967ee);" \
+       "its Bench would ignore the subset and bench everything" >&2
+  exit 1
+}
 run() { # run <dir> -> filtered bench JSON on stdout
   ( cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=3 \
