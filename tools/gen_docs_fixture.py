@@ -1,17 +1,29 @@
 #!/usr/bin/env python3
 """Documents-only fixture generator for the cap-engagement curve.
 
-Reproduces tools/gen_testdata.py's documents recipe (vocab text 8..110
-words, 0.2% exact duplicates) at an arbitrary scale factor WITHOUT
-generating the full star schema — the doc-pair chains (x10/x67/x128/
-x17/x20/x43) read only documents.parquet. Standalone rng (seed 47):
+Default mode reproduces tools/gen_testdata.py's documents recipe (vocab
+text 8..110 words, 0.2% exact duplicates) at an arbitrary scale factor
+WITHOUT generating the full star schema — the doc-pair chains (x10/x67/
+x128/x17/x20/x43) read only documents.parquet. Standalone rng (seed 47):
 shape parity with the driver fixtures is all the curve needs; see
-SURVEY.md "The cap-engagement curve" and
-logs/bench_r10_curve_sf3.0.jsonl.
+SURVEY.md "The cap-engagement curve" and logs/bench_r10_curve_sf3.0.jsonl.
 
-Usage: gen_docs_fixture.py <sf> <out_dir>
+`heaps` mode is the round-12 realistic-text twin: the 30-word bounded
+vocabulary is ADVERSARIAL past ~sf1.0 (every 3-shingle saturates to
+df ∝ N, no rare tail — SURVEY §8's honesty note), so scale conclusions
+drawn from it don't transfer to real corpora. Real text obeys Heaps'
+law (type inventory V(T) ≈ K·T^β, β ≈ 0.4-0.6) with Zipf-distributed
+type frequencies; iid sampling from a Zipf(s) distribution over a
+T^β-sized inventory reproduces both (Heaps β ≈ 1/s for the observed
+curve). Same doc count, length law, exact-dup structure, and seed as
+the default mode — ONLY the text generator changes, so recall/cap
+numbers are comparable across the two corpora.
+
+Usage: gen_docs_fixture.py <sf> <out_dir> [heaps]
        e.g. 3.0 /root/repo/testdata_sf3.0_docs
+            1.0 /root/repo/testdata_sf1.0_heaps heaps
 """
+import os
 import sys
 
 import numpy as np
@@ -20,6 +32,7 @@ import pyarrow.parquet as pq
 
 SF = float(sys.argv[1])
 OUT = sys.argv[2]
+MODE = sys.argv[3] if len(sys.argv) > 3 else "bounded"
 R = np.random.default_rng(47)
 
 VOCAB = ("query row stream part scan slow agg key window table merge join "
@@ -27,13 +40,35 @@ VOCAB = ("query row stream part scan slow agg key window table merge join "
          "order a vector spark fast customer").split()
 LANGS = ["en", "de", "zh", "fr", "es"]
 
-import os
+# Heaps/Zipf parameters (heaps mode): V = ceil(K_HEAPS * T^BETA) types,
+# frequencies ∝ rank^-ZIPF_S. At sf1.0 (T ≈ 2.95M tokens) V ≈ 17k types;
+# the rank tail gives every doc a few corpus-rare shingles — the
+# structure maxDfFraction blocking exploits on real text.
+BETA = 0.5
+K_HEAPS = 10.0
+ZIPF_S = 1.07
+
 os.makedirs(OUT, exist_ok=True)
 
 n_doc = int(50_000 * SF)
 lens = R.integers(8, 111, n_doc)
-texts = [" ".join(VOCAB[j] for j in R.integers(0, 30, lens[i]))
-         for i in range(n_doc)]
+if MODE == "bounded":
+    texts = [" ".join(VOCAB[j] for j in R.integers(0, 30, lens[i]))
+             for i in range(n_doc)]
+elif MODE == "heaps":
+    T = int(lens.sum())
+    V = max(1000, int(np.ceil(K_HEAPS * T ** BETA)))
+    p = np.arange(1, V + 1, dtype=np.float64) ** -ZIPF_S
+    p /= p.sum()
+    toks = R.choice(V, T, p=p)
+    words = np.array([f"w{i}" for i in range(V)])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(words[toks[offs[i]:offs[i + 1]]])
+             for i in range(n_doc)]
+    print(f"heaps: T={T} tokens, V={V} types, "
+          f"observed_types={len(np.unique(toks))}")
+else:
+    sys.exit(f"unknown mode: {MODE} (want 'bounded' or 'heaps')")
 for i in range(0, n_doc, 500):  # exact-dup structure for the dedup family
     if i + 1 < n_doc:
         texts[i + 1] = texts[i]
@@ -44,4 +79,4 @@ pq.write_table(pa.table({
     "source": [f"src{i}" for i in R.integers(0, 20, n_doc)],
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
     f"{OUT}/documents.parquet")
-print("done", n_doc, OUT)
+print("done", MODE, n_doc, OUT)
