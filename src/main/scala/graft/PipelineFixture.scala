@@ -19,13 +19,19 @@ import java.nio.file.{Files, Path}
   */
 object PipelineFixture {
 
-  def write(root: Path, orders: Int, days: Int = 1, seed: Long = 42L): Unit = {
+  def write(root: Path, orders: Int, days: Int = 1, seed: Long = 42L,
+            idBase: Int = 0,
+            startDay: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 15)): Unit = {
     require(orders > 0 && days > 0, "orders and days must be positive")
     val rnd = new scala.util.Random(seed)
     val perDay = (orders + days - 1) / days
-    var id = 0
+    // `idBase` offsets the order-id range (defaults keep every existing
+    // fixture byte-identical): the backfill harness gives consecutive
+    // days OVERLAPPING ranges so Q2's upsert exercises both branches —
+    // re-delivered ids update, unmatched history survives
+    var id = idBase
     for (d <- 0 until days) {
-      val day = java.time.LocalDate.of(2024, 1, 15).plusDays(d.toLong)
+      val day = startDay.plusDays(d.toLong)
       val sb = new StringBuilder("[")
       val n = math.min(perDay, orders - d * perDay)
       for (i <- 0 until n) {
@@ -47,9 +53,9 @@ object PipelineFixture {
     * distribution the bench pipeline uses. */
   def orderRecords(orders: Int, day: java.time.LocalDate =
                      java.time.LocalDate.of(2024, 1, 15),
-                   seed: Long = 42L): Seq[String] = {
+                   seed: Long = 42L, idBase: Int = 0): Seq[String] = {
     val rnd = new scala.util.Random(seed)
-    (1 to orders).map(id => record(id, day, rnd))
+    (idBase + 1 to idBase + orders).map(id => record(id, day, rnd))
   }
 
   private val structures =
