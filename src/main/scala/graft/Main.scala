@@ -393,6 +393,20 @@ object Main {
       .start()
       .awaitTermination()
 
+  /** [[runStreamingIndexAssign]] against the PERSISTED codebook — the
+    * production wiring: the codebook comes from
+    * [[graft.operators.Similarity.snapshotCodebook]]'s A/B-rotated
+    * SnapshotStore instead of an inline [[graft.operators.Similarity
+    * .centroidsOf]] derivation, so every incremental pass (and any
+    * concurrent searcher) reads the same versioned snapshot, and a
+    * codebook refresh can land mid-stream without ever being read
+    * half-written. Assignment identity vs the inline derivation is
+    * spec-pinned (PipelineSpec). */
+  def runStreamingIndexAssignFromStore(spark: SparkSession, embDir: String,
+                                       outRoot: String, codebookRoot: String): Unit =
+    runStreamingIndexAssign(spark, embDir, outRoot,
+      graft.operators.Similarity.loadCodebook(spark, codebookRoot))
+
   /** Streaming MERGE into a master snapshot — the streaming twin of the
     * daily history upsert (Q2): each micro-batch of update rows merges
     * into the current snapshot under "latest per key wins" (`order`

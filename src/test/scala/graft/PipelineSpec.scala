@@ -494,6 +494,39 @@ class PipelineSpec extends SparkSpec {
     assert(landed() == batch)
   }
 
+  test("persisted codebook: store-backed assign + search are identical to the inline derivation") {
+    import graft.sources.Tables
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf("sf0.01"), "embeddings")
+    val cbRoot = Files.createTempDirectory("graft_cb_root").toString
+    // x12's codebook contract (first 32 vec_ids), persisted through the
+    // A/B rotation instead of re-derived per call
+    Similarity.snapshotCodebook(emb, col("vec_id") < 32, cbRoot)
+    val stored = Similarity.loadCodebook(spark, cbRoot)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val inlineAssign = pairs(Similarity.ivfAssignTo(
+      emb, Similarity.centroidsOf(emb, col("vec_id") < 32)))
+    assert(pairs(Similarity.ivfAssignTo(emb, stored)) == inlineAssign,
+      "store-backed assignment diverged from the inline codebook")
+    // x12's search path, bit-identical against the stored codebook
+    def topk(cb: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKWith(emb, cb, col("vec_id") % 100 === 0, k = 10, probes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(topk(stored) == topk(Similarity.centroidsOf(emb, col("vec_id") < 32)))
+    // the streaming runner's store-backed variant lands the same index
+    val src = Files.createTempDirectory("graft_cbidx_in").toString
+    val root = Files.createTempDirectory("graft_cbidx_out").toString
+    emb.write.mode("append").parquet(src)
+    Main.runStreamingIndexAssignFromStore(spark, src, root, cbRoot)
+    val landed = pairs(spark.read.parquet(s"$root/index"))
+    assert(landed == inlineAssign, "store-backed streaming index diverged")
+    // a codebook REFRESH rotates sides; the reader follows the pointer
+    Similarity.snapshotCodebook(emb, col("vec_id") < 16, cbRoot)
+    assert(Similarity.loadCodebook(spark, cbRoot).count() == 16)
+  }
+
   test("O2 streaming: incremental curation pass decides exactly like the batch gate") {
     import graft.sources.Tables
     val src = Files.createTempDirectory("graft_cur_in").toString
