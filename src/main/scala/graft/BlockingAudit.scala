@@ -139,7 +139,13 @@ object BlockingAudit {
           case Array("frac", v) =>
             Dedup.ngramJaccardPairs(docs, n = 3, threshold = threshold,
               maxDf = Int.MaxValue, maxDfFraction = Some(v.toDouble))
-          case _ => sys.error(s"bad cap spec: $spec (want abs:N or frac:F)")
+          // "lsh:12/4" times the x15 blocking chain (k/bands) — the
+          // runtime-only ladder point for SFs where the uncapped truth
+          // is no longer feasible
+          case Array("lsh", kb) =>
+            val Array(k, b) = kb.split("/").map(_.toInt)
+            Dedup.lshCandidatePairs(docs, n = 3, k = k, bands = b)
+          case _ => sys.error(s"bad cap spec: $spec (want abs:N, frac:F or lsh:K/B)")
         }
         val pairs = query().count() // warm-up, untimed; also the result size
         val times = (1 to runs).map { _ =>
