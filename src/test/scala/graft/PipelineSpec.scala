@@ -494,6 +494,39 @@ class PipelineSpec extends SparkSpec {
     assert(landed() == batch)
   }
 
+  test("N-day backfill shape: overlapping-id days merge under the upsert law") {
+    // the BackfillBench fixture contract in miniature (3 days, 300
+    // orders, 20% day-over-day id overlap via the new idBase/startDay
+    // params): re-delivered ids carry the later day's row wholesale,
+    // never-re-delivered history carries through UNCHANGED across two
+    // further merges — the suite-level pin of what
+    // tools/check_backfill.py replays in DuckDB at the 30-day scale
+    val root = Files.createTempDirectory("graft_bfspec").toString
+    val start = java.time.LocalDate.of(2024, 3, 1)
+    val orders = 300; val newPerDay = orders - orders / 5
+    var prev: Option[String] = None
+    for (d <- 0 until 3) {
+      val in = Files.createTempDirectory(s"graft_bfspec_in_$d")
+      PipelineFixture.write(in, orders, days = 1, seed = 142L + d,
+        idBase = d * newPerDay, startDay = start.plusDays(d.toLong))
+      Main.run(spark, in.toString, s"$root/day_$d", masterHistoryDir = prev)
+      prev = Some(s"$root/day_$d/delivery_order_master")
+    }
+    def master(d: Int) = spark.read.parquet(s"$root/day_$d/delivery_order_master")
+    val idNum = expr("cast(split(delivery_order_id, '-')[1] as int)")
+    val fin = master(2)
+    assert(fin.count() == orders + 2 * newPerDay) // 300 + 240 + 240
+    assert(fin.select("delivery_order_id").distinct().count() == fin.count())
+    def rows(df: org.apache.spark.sql.DataFrame, lo: Int, hi: Int) =
+      df.filter(idNum.between(lo, hi)).collect().map(_.toString).sorted.toSeq
+    // ids 241..300 were delivered on day 0 AND day 1: the final row is
+    // day 1's version, wholesale
+    assert(rows(fin, 241, 300) == rows(master(1), 241, 300))
+    // ids 1..240 were delivered ONLY on day 0: their rows survive two
+    // later merges byte-for-byte
+    assert(rows(fin, 1, 240) == rows(master(0), 1, 240))
+  }
+
   test("persisted codebook: store-backed assign + search are identical to the inline derivation") {
     import graft.sources.Tables
     import graft.operators.Similarity
