@@ -26,7 +26,12 @@ import java.nio.file.Files
   * later merges — and diffs the replay against the day-N master exactly.
   *
   * Usage: runMain graft.BackfillBench [days=30] [ordersPerDay=6000]
-  *                                    [mode=run|snapshot] [outRoot=tmp]
+  *                                    [mode=run|snapshot|delta] [outRoot=tmp]
+  * `delta` loops [[Main.runDailyDelta]]: the partition-level merge into
+  * `outRoot/master_delta` (only today's affected partitions rewrite) —
+  * the write-shape that removes the `run` mode's measured
+  * 22.5 µs/history-row/day; verify with
+  * `check_backfill.py <outRoot> <outRoot>/master_delta`.
   * One JSON line per day on stdout (env header first, summary last) —
   * the same artifact discipline as [[Bench]]. Not part of the graded
   * contract; artifacts land in logs/.
@@ -39,7 +44,7 @@ object BackfillBench {
     val outRoot = if (args.length > 3) args(3)
                   else Files.createTempDirectory("graft_backfill").toString
     require(days > 0 && orders > 0, "days and orders must be positive")
-    require(mode == "run" || mode == "snapshot", s"bad mode: $mode")
+    require(Set("run", "snapshot", "delta").contains(mode), s"bad mode: $mode")
     val overlap = orders / 5
     val newPerDay = orders - overlap
 
@@ -76,11 +81,17 @@ object BackfillBench {
       val t0 = System.nanoTime()
       val report = mode match {
         case "snapshot" => Main.runDailySnapshot(spark, inDir.toString, outDir, masterRoot)
+        case "delta" => Main.runDailyDelta(spark, inDir.toString, outDir,
+          s"$outRoot/master_delta")
         case _ => Main.run(spark, inDir.toString, outDir, masterHistoryDir = prevMaster)
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      // row count from the parquet just written — footer metadata, no recompute
-      val masterRows = spark.read.parquet(s"$outDir/delivery_order_master").count()
+      // row count from the parquet just written — footer metadata, no
+      // recompute; in delta mode the merged master lives in ONE
+      // persistent dir (the per-day outDir master is the day's own rows)
+      val masterRows = spark.read.parquet(
+        if (mode == "delta") s"$outRoot/master_delta"
+        else s"$outDir/delivery_order_master").count()
       println(s"""{"metric":"backfill_day","day":$d,"date":"$day",""" +
         s""""orders":${report.orders},"master_rows":$masterRows,"secs":$secs}""")
       prevMaster = Some(s"$outDir/delivery_order_master")

@@ -36,6 +36,67 @@ object TableSink {
       .format(format)
       .save(path)
 
+  /** Partition-level delta upsert into a day-partitioned master — the
+    * delta-only write path the 90-day backfill audit showed plain
+    * parquet needs: the chained full-history merge rewrites EVERY
+    * partition every day (measured 22.5 µs per history row per day),
+    * while a day's upsert only ever CHANGES the partitions holding
+    * today's rows and the old rows today re-delivers. This rewrites
+    * exactly those:
+    *
+    *   1. affected dates = `day`'s own dates ∪ the dates of history
+    *      rows whose key today updates (one column-pruned (key, date)
+    *      scan of the master + a broadcast join against today's keys —
+    *      the only O(history) READ left, and it reads two columns, not
+    *      rows; a key-bucketed layout or table-format index removes
+    *      even that);
+    *   2. keep = affected partitions' rows minus updated keys
+    *      (partition-pruned scan — `PartitionFilters`, not a full pass);
+    *   3. dynamic-partition-overwrite of keep ∪ day — untouched
+    *      partitions' files are never rewritten;
+    *   4. affected partitions that end up EMPTY (every row they held
+    *      was re-delivered under a new date) are deleted explicitly —
+    *      dynamic overwrite only replaces partitions present in the
+    *      output, so without this step their stale files would survive.
+    *
+    * Upsert law is identical to [[graft.operators.Relational.upsert]]:
+    * update rows win wholesale, unmatched history survives
+    * (spec-pinned equal to the chained full merge, PipelineSpec).
+    * Like every plain-parquet overwrite here, the swap is NOT
+    * transactional — production wants the SnapshotStore A/B rotation or
+    * a transactional table format around it; this is the WRITE-VOLUME
+    * shape, measured by BackfillBench's delta mode. */
+  def upsertDayPartitions(dayRows: DataFrame, masterDir: String,
+                          key: String, dateCol: String): Unit = {
+    val spark = dayRows.sparkSession
+    // materialized: the write below overwrites partitions the plan reads
+    val day = graft.Persist.cut(dayRows)
+    val masterPath = new org.apache.hadoop.fs.Path(masterDir)
+    val fs = masterPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // first day: no master yet (missing dir, or an existing-but-empty one)
+    if (!fs.exists(masterPath) || fs.listStatus(masterPath).isEmpty) {
+      day.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(masterDir)
+      return
+    }
+    val hist = spark.read.parquet(masterDir)
+    val ids = day.select(col(key)).distinct()
+    val affDates = hist.join(broadcast(ids), key).select(col(dateCol))
+      .unionByName(day.select(col(dateCol)))
+      .distinct().collect().map(_.get(0)) // bounded: one row per affected DAY
+    val keep = hist.filter(col(dateCol).isin(affDates: _*))
+      .join(broadcast(ids), Seq(key), "left_anti")
+    val out = graft.Persist.cut(keep.unionByName(day))
+    out.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol).parquet(masterDir)
+    // step 4: drop affected partitions the output no longer carries
+    val outDates = out.select(col(dateCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    affDates.filterNot(outDates).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$masterDir/$dateCol=$d"), true)
+    }
+  }
+
   /** Derive the Santiago-zone ingest date from a timestamp column —
     * the reference's day bucketing (app.py:125,138; SURVEY §7.4). */
   def santiagoDate(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -527,6 +527,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows(fin, 1, 240) == rows(master(0), 1, 240))
   }
 
+  test("runDailyDelta: the partition-level delta master equals the chained full-history merge") {
+    // same 3 overlapping fixture days through BOTH write shapes: the
+    // O(history)-rewrite chain (run + masterHistoryDir) and the
+    // delta-only partition merge (runDailyDelta) — identical final
+    // masters, row for row
+    val start = java.time.LocalDate.of(2024, 5, 6)
+    val orders = 200; val newPerDay = orders - orders / 5
+    val rootA = Files.createTempDirectory("graft_dchain").toString
+    val rootB = Files.createTempDirectory("graft_ddelta").toString
+    val deltaDir = s"$rootB/master_delta"
+    var prev: Option[String] = None
+    for (d <- 0 until 3) {
+      val in = Files.createTempDirectory(s"graft_ddelta_in_$d")
+      PipelineFixture.write(in, orders, days = 1, seed = 542L + d,
+        idBase = d * newPerDay, startDay = start.plusDays(d.toLong))
+      Main.run(spark, in.toString, s"$rootA/day_$d", masterHistoryDir = prev)
+      prev = Some(s"$rootA/day_$d/delivery_order_master")
+      Main.runDailyDelta(spark, in.toString, s"$rootB/day_$d", deltaDir)
+    }
+    def rows(p: String) = {
+      val df = spark.read.parquet(p)
+      df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toString).sorted.toSeq
+    }
+    assert(rows(deltaDir) == rows(s"$rootA/day_2/delivery_order_master"))
+  }
+
   test("persisted codebook: store-backed assign + search are identical to the inline derivation") {
     import graft.sources.Tables
     import graft.operators.Similarity

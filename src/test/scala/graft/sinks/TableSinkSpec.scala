@@ -61,6 +61,35 @@ class TableSinkSpec extends SparkSpec {
       assert(got(ts) == want, s"$ts UTC should bucket to Santiago day $want")
   }
 
+  test("upsertDayPartitions: untouched partitions keep their files; emptied partitions are deleted") {
+    import spark.implicits._
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    val root = Files.createTempDirectory("graft_delta").toString
+    TableSink.upsertDayPartitions(
+      Seq((1L, "a", dt("2024-01-01")), (2L, "b", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    TableSink.upsertDayPartitions(
+      Seq((3L, "c", dt("2024-01-02"))).toDF("id", "v", "d"), root, "id", "d")
+    val p1 = new java.io.File(s"$root/d=2024-01-01")
+    val before = p1.listFiles.map(f => f.getName -> f.lastModified).toMap
+    // day 3: re-delivers id 3 under a new date (its old partition
+    // empties) + a new id 4; partition 2024-01-01 is NOT affected
+    TableSink.upsertDayPartitions(
+      Seq((3L, "c2", dt("2024-01-03")), (4L, "e", dt("2024-01-03"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    val got = spark.read.parquet(root).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[java.sql.Date]("d").toString)).sorted.toSeq
+    assert(got == Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c2", "2024-01-03"), (4L, "e", "2024-01-03")))
+    // the emptied partition's stale files must be GONE (dynamic
+    // overwrite alone would have left them)
+    assert(!new java.io.File(s"$root/d=2024-01-02").exists())
+    // the untouched partition's files were never rewritten
+    val after = p1.listFiles.map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "unaffected partition was rewritten")
+  }
+
   test("writeSorted: per-file key ranges are disjoint (stats can prune)") {
     val out = Files.createTempDirectory("graft_sorted").toString
     // a deterministic permutation of 0..999 — maximally interleaved input,

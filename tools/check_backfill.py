@@ -11,7 +11,11 @@ day last delivered each id comes from the per-day work tables (exactly
 one row per that day's orders) — and diffs the replay against the final
 master exactly, all columns.
 
-Usage: check_backfill.py <outRoot>
+Usage: check_backfill.py <outRoot> [finalMasterDir]
+`finalMasterDir` points at an explicit merged master (BackfillBench's
+delta mode keeps it in <outRoot>/master_delta; the per-day masters are
+then day-only, which the replay law handles identically). Default:
+the last day_NN's delivery_order_master (run/snapshot modes).
 Exits 0 on an exact match, 1 otherwise.
 """
 import glob
@@ -44,9 +48,19 @@ cols = [r[0] for r in con.execute(
     "SELECT column_name FROM (DESCRIBE masters) WHERE column_name NOT IN ('__day','filename')"
 ).fetchall()]
 collist = ", ".join(f'"{c}"' for c in cols)
-nfinal, = con.execute(
-    f"SELECT count(*) FROM masters WHERE __day = (SELECT max(__day) FROM masters)"
-).fetchone()
+if len(sys.argv) > 2:  # explicit merged master (delta mode)
+    con.execute(f"""
+      CREATE VIEW finalm AS
+      SELECT {collist}
+      FROM read_parquet('{sys.argv[2]}/*/*.parquet', hive_partitioning=1)
+    """)
+else:  # run/snapshot modes: the last day's master IS the merged master
+    con.execute(f"""
+      CREATE VIEW finalm AS
+      SELECT {collist} FROM masters
+      WHERE __day = (SELECT max(__day) FROM masters)
+    """)
+nfinal, = con.execute("SELECT count(*) FROM finalm").fetchone()
 nexp, = con.execute("""
   WITH lastday AS (SELECT delivery_order_id, max(__day) AS d FROM work GROUP BY 1)
   SELECT count(*) FROM lastday
@@ -57,11 +71,9 @@ diff = con.execute(f"""
   WITH lastday AS (SELECT delivery_order_id AS id, max(__day) AS d
                    FROM work GROUP BY 1),
   expected AS (SELECT {collist} FROM masters m
-               JOIN lastday l ON m.delivery_order_id = l.id AND m.__day = l.d),
-  final AS (SELECT {collist} FROM masters
-            WHERE __day = (SELECT max(__day) FROM masters))
-  SELECT (SELECT count(*) FROM (SELECT * FROM expected EXCEPT ALL SELECT * FROM final)),
-         (SELECT count(*) FROM (SELECT * FROM final EXCEPT ALL SELECT * FROM expected))
+               JOIN lastday l ON m.delivery_order_id = l.id AND m.__day = l.d)
+  SELECT (SELECT count(*) FROM (SELECT * FROM expected EXCEPT ALL SELECT * FROM finalm)),
+         (SELECT count(*) FROM (SELECT * FROM finalm EXCEPT ALL SELECT * FROM expected))
 """).fetchone()
 if nfinal == nexp and diff == (0, 0):
     print(f"== backfill upsert replay PASS ({last}: {nfinal} rows, "
