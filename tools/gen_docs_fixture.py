@@ -17,7 +17,12 @@ type frequencies; iid sampling from a Zipf(s) distribution over a
 T^β-sized inventory reproduces both (Heaps β ≈ 1/s for the observed
 curve). Same doc count, length law, exact-dup structure, and seed as
 the default mode — ONLY the text generator changes, so recall/cap
-numbers are comparable across the two corpora.
+numbers are comparable across the two corpora. The post-text columns
+(lang/source) draw from a DEDICATED rng (seed 48) in both modes: the
+two text generators consume the shared stream differently (one
+R.choice vs per-doc R.integers), so any draw made from R after text
+generation would silently diverge between modes at the same sf/seed
+(round-12 ADVICE finding).
 
 Usage: gen_docs_fixture.py <sf> <out_dir> [heaps]
        e.g. 3.0 /root/repo/testdata_sf3.0_docs
@@ -33,7 +38,8 @@ import pyarrow.parquet as pq
 SF = float(sys.argv[1])
 OUT = sys.argv[2]
 MODE = sys.argv[3] if len(sys.argv) > 3 else "bounded"
-R = np.random.default_rng(47)
+R = np.random.default_rng(47)   # lengths + text: the shape-parity stream
+R2 = np.random.default_rng(48)  # post-text columns: mode-independent
 
 VOCAB = ("query row stream part scan slow agg key window table merge join "
          "the line small group batch data sort value hash filter big column "
@@ -75,8 +81,8 @@ for i in range(0, n_doc, 500):  # exact-dup structure for the dedup family
 pq.write_table(pa.table({
     "doc_id": pa.array(range(n_doc), pa.int64()),
     "text": texts,
-    "lang": [LANGS[i] for i in R.integers(0, 5, n_doc)],
-    "source": [f"src{i}" for i in R.integers(0, 20, n_doc)],
+    "lang": [LANGS[i] for i in R2.integers(0, 5, n_doc)],
+    "source": [f"src{i}" for i in R2.integers(0, 20, n_doc)],
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
     f"{OUT}/documents.parquet")
 print("done", MODE, n_doc, OUT)
