@@ -303,6 +303,41 @@ object Main {
     report
   }
 
+  /** [[runDailyDelta]] over the S9 bucketed layout: the persistent
+    * master is a day-partitioned, delivery_order_id-bucketed catalog
+    * TABLE, so the delta's affected-dates probe and keep-side anti-join
+    * run exchange-free (PlanSpec pin) and the probe's read is pruned by
+    * the day-key range against the in-bucket sort order — the
+    * composition of [[graft.sinks.TableSink.writeBucketed]] with the
+    * partition-level delta that the round-12 verdict called for.
+    * Bucket count must stay FIXED across days (co-location requires
+    * equal counts). */
+  def runDailyDeltaBucketed(spark: SparkSession, inDir: String, outDir: String,
+                            table: String, buckets: Int = 8): RunReport = {
+    val report = run(spark, inDir, outDir, masterHistoryDir = None)
+    graft.sinks.TableSink.upsertDayPartitionsBucketed(
+      spark.read.parquet(s"$outDir/delivery_order_master"), table,
+      key = "delivery_order_id", dateCol = "ingest_date", buckets = buckets)
+    report
+  }
+
+  /** [[runDailyDelta]] made TRANSACTIONAL: the persistent master lives
+    * in a [[graft.sinks.PartitionStore]] (per-partition A/B rotation,
+    * one atomic manifest commit), so a crash at ANY point in the day's
+    * merge leaves readers on the previous complete master — closing the
+    * plain layout's documented overwrite-then-delete window while
+    * keeping the delta-only write volume (untouched partitions: zero
+    * I/O). Spec-pinned equal to the chained full-history merge
+    * (PipelineSpec); measured by BackfillBench's `delta_store` mode. */
+  def runDailyDeltaStore(spark: SparkSession, inDir: String, outDir: String,
+                         masterRoot: String): RunReport = {
+    val report = run(spark, inDir, outDir, masterHistoryDir = None)
+    graft.sinks.PartitionStore.upsert(
+      spark.read.parquet(s"$outDir/delivery_order_master"), masterRoot,
+      key = "delivery_order_id", dateCol = "ingest_date")
+    report
+  }
+
   def runDailySnapshot(spark: SparkSession, inDir: String, outDir: String,
                        masterRoot: String): RunReport = {
     val history = graft.sinks.SnapshotStore.currentSide(spark, masterRoot)

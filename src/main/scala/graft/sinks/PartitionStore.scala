@@ -1,0 +1,178 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-level A/B rotation with ONE atomic manifest commit — the
+  * transactional twin of [[TableSink.upsertDayPartitions]]. That
+  * function's header documents its gap: a plain dynamic-partition
+  * overwrite is a non-transactional swap, so a crash between the
+  * overwrite and the emptied-partition delete leaves stale partitions
+  * readable. [[SnapshotStore]] already solves atomicity for a WHOLE
+  * table (write idle side, flip `_current`), but paying a full-snapshot
+  * rewrite per day is exactly the O(history) write volume the delta
+  * upsert exists to avoid. This store composes the two ideas:
+  *
+  *   - every day-partition gets its OWN A/B pair
+  *     (`root/<date>/A`, `root/<date>/B`),
+  *   - ONE `_manifest` file maps each live partition to its live side,
+  *   - a delta upsert stages the affected partitions onto their IDLE
+  *     sides (untouched partitions: zero I/O, not even a directory
+  *     listing), then commits by atomically renaming a new manifest
+  *     over the old one (`FileContext.rename` OVERWRITE — atomic on
+  *     HDFS and local FS, the same primitive [[SnapshotStore]] uses).
+  *
+  * Crash at ANY point before the manifest rename: readers resolve the
+  * OLD manifest against live sides the stage never touched — the
+  * half-written new state is invisible (orphaned idle-side files are
+  * overwritten by the next upsert of that partition). Crash after: the
+  * new state is complete by construction. Emptied partitions (every row
+  * re-delivered under a new date) simply DROP out of the manifest in
+  * the same commit — no delete-after-overwrite window at all, the race
+  * the plain layout cannot close.
+  *
+  * The upsert law is identical to [[graft.operators.Relational.upsert]]
+  * / [[TableSink.upsertDayPartitions]]: update rows win wholesale,
+  * unmatched history survives (spec-pinned equal to the chained
+  * full-history merge). NULL `dateCol` values are first-class: they
+  * live under the `__HIVE_DEFAULT_PARTITION__` directory name (the
+  * same sentinel Spark's partitioned writes use) and obey the law like
+  * any other partition.
+  *
+  * Reader contract (same as [[SnapshotStore]]): a reader holds the
+  * manifest current when it planned, so it survives ONE concurrent
+  * upsert of any partition it reads (which targets the other side) but
+  * not two — long-running readers must finish within a rotation
+  * period, or the deployment keeps N > 2 sides / a retention window.
+  * Single writer assumed, as everywhere in the plain-parquet layer.
+  *
+  * The data files KEEP the `dateCol` column (the stage write partitions
+  * by a throwaway twin column), so readers need no partition-value
+  * inference over the nonstandard `<date>/<side>` layout. */
+object PartitionStore {
+
+  /** Directory name for a partition value — Spark's own convention,
+    * including the null sentinel. */
+  def dirName(v: Any): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString
+
+  private val ManifestName = "_manifest"
+
+  private def fc(spark: SparkSession, root: String): FileContext =
+    FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The live manifest (partition-dir name → side), if one exists. */
+  def manifest(spark: SparkSession, root: String): Option[Map[String, String]] = {
+    val f = fc(spark, root)
+    val p = new Path(s"$root/$ManifestName")
+    if (!f.util.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        require(i > 0, s"corrupt manifest line: $line")
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap)
+    }
+  }
+
+  /** The live store as one DataFrame — the manifest's partitions, each
+    * read from its live side. None when no manifest exists or the store
+    * is empty. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    manifest(spark, root).filter(_.nonEmpty).map { m =>
+      spark.read.parquet(m.toSeq.map { case (d, s) => s"$root/$d/$s" }: _*)
+    }
+
+  /** A staged-but-uncommitted upsert: the affected partitions' new
+    * contents are on their idle sides; nothing is visible to readers
+    * until [[commit]] atomically swaps the manifest. Abandoning a
+    * staged upsert needs no cleanup — a retried stage overwrites the
+    * same idle sides. */
+  final case class Staged(spark: SparkSession, root: String,
+                          newManifest: Map[String, String]) {
+    def commit(): Unit = {
+      val f = fc(spark, root)
+      val tmp = new Path(s"$root/$ManifestName.tmp")
+      val dst = new Path(s"$root/$ManifestName")
+      val out = f.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      val body = newManifest.toSeq.sorted.map { case (d, s) => s"$d\t$s" }
+        .mkString("", "\n", "\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      f.rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Stage a day's partition-level delta upsert (see object doc for the
+    * law). All Spark jobs — the affected-dates probe and the staged
+    * write — run here, reading only LIVE sides and writing only the
+    * stage directory and idle sides; the returned [[Staged.commit]] is
+    * pure metadata. */
+  def stageUpsert(dayRows: DataFrame, root: String,
+                  key: String, dateCol: String): Staged = {
+    val spark = dayRows.sparkSession
+    // materialized defensively: callers may derive the day frame from
+    // this store's own live side (the chained-backfill shape)
+    val day = graft.Persist.cut(dayRows)
+    val cur = manifest(spark, root).getOrElse(Map.empty)
+    val hist = if (cur.isEmpty) None
+               else Some(spark.read.parquet(
+                 cur.toSeq.map { case (d, s) => s"$root/$d/$s" }: _*))
+    val ids = day.select(col(key)).distinct()
+    // affected = dates of history rows whose key re-delivers today ∪
+    // today's own dates (one column-pruned probe of the live store)
+    val affRaw: Array[Any] = (hist match {
+      case Some(h) => h.join(broadcast(ids), Seq(key)).select(col(dateCol))
+        .unionByName(day.select(col(dateCol)))
+      case None => day.select(col(dateCol))
+    }).distinct().collect().map(_.get(0))
+    val affNonNull = affRaw.filter(_ != null)
+    val hasNull = affRaw.length != affNonNull.length
+    def inAffected(c: Column): Column = {
+      val base = if (affNonNull.nonEmpty) c.isin(affNonNull: _*) else lit(false)
+      if (hasNull) base || c.isNull else base
+    }
+    val keep = hist.map(_.filter(inAffected(col(dateCol)))
+      .join(broadcast(ids), Seq(key), "left_anti"))
+    val out = keep.map(_.unionByName(day)).getOrElse(day)
+    // stage: partition by a throwaway twin so dateCol STAYS in the data
+    // files (readers never parse the <date>/<side> layout)
+    val stage = s"$root/_stage"
+    out.withColumn("__pdate", col(dateCol))
+      .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedDirs = fs.listStatus(new Path(stage))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__pdate="))
+    var next = cur
+    stagedDirs.foreach { sd =>
+      val d = sd.stripPrefix("__pdate=")
+      val idle = if (next.get(d).contains("A")) "B" else "A"
+      val dst = new Path(s"$root/$d/$idle")
+      fs.delete(dst, true) // garbage from an abandoned earlier stage
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(s"$stage/$sd"), dst))
+        throw new java.io.IOException(s"stage move failed for $d")
+      next = next.updated(d, idle)
+    }
+    // affected partitions the output no longer carries were EMPTIED:
+    // they leave the manifest in the same commit — no stale-readable
+    // window, unlike the plain layout's delete-after-overwrite
+    val stagedNames = stagedDirs.map(_.stripPrefix("__pdate=")).toSet
+    affRaw.map(dirName).filterNot(stagedNames).foreach { d => next = next - d }
+    fs.delete(new Path(stage), true)
+    Staged(spark, root, next)
+  }
+
+  /** Stage + commit in one call — the daily-loop entry point
+    * ([[graft.Main.runDailyDeltaStore]], BackfillBench `delta_store`). */
+  def upsert(dayRows: DataFrame, root: String,
+             key: String, dateCol: String): Unit =
+    stageUpsert(dayRows, root, key, dateCol).commit()
+}

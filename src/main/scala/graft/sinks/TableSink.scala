@@ -80,10 +80,20 @@ object TableSink {
     }
     val hist = spark.read.parquet(masterDir)
     val ids = day.select(col(key)).distinct()
-    val affDates = hist.join(broadcast(ids), key).select(col(dateCol))
+    val affRaw = hist.join(broadcast(ids), key).select(col(dateCol))
       .unionByName(day.select(col(dateCol)))
       .distinct().collect().map(_.get(0)) // bounded: one row per affected DAY
-    val keep = hist.filter(col(dateCol).isin(affDates: _*))
+    // NULL dates are first-class: isin(null) never matches (three-valued
+    // logic), so a null-date partition would silently escape the rewrite
+    // and a re-delivered key's old row would survive as a duplicate (the
+    // round-12 advice finding). Spark's partitioned writes spell the null
+    // partition __HIVE_DEFAULT_PARTITION__; step 4 must too.
+    val affNonNull = affRaw.filter(_ != null)
+    def inAffected(c: org.apache.spark.sql.Column) = {
+      val base = if (affNonNull.nonEmpty) c.isin(affNonNull: _*) else lit(false)
+      if (affNonNull.length != affRaw.length) base || c.isNull else base
+    }
+    val keep = hist.filter(inAffected(col(dateCol)))
       .join(broadcast(ids), Seq(key), "left_anti")
     val out = graft.Persist.cut(keep.unionByName(day))
     out.write.mode(SaveMode.Overwrite)
@@ -92,9 +102,102 @@ object TableSink {
     // step 4: drop affected partitions the output no longer carries
     val outDates = out.select(col(dateCol)).distinct().collect()
       .map(_.get(0)).toSet
-    affDates.filterNot(outDates).foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$masterDir/$dateCol=$d"), true)
+    def dirOf(d: Any) =
+      if (d == null) "__HIVE_DEFAULT_PARTITION__" else d.toString
+    affRaw.filterNot(outDates).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$masterDir/$dateCol=${dirOf(d)}"), true)
     }
+  }
+
+  /** [[upsertDayPartitions]] over the S9 BUCKETED layout — the
+    * composition the round-12 verdict called for: the master lives as a
+    * day-partitioned, `key`-bucketed+sorted catalog table
+    * ([[writeBucketed]]'s layout plus day partitions) and the day's
+    * rows land first in a small bucketed staging table
+    * (`<table>__day`), so the two O(history)-side joins of the delta —
+    * the affected-dates probe and the keep-side anti-join — are
+    * sort-merge joins with ZERO exchange (plan-pinned by PlanSpec with
+    * the broadcast escape hatch closed: the shape a 100 TB master
+    * forces). The probe additionally carries a day-key RANGE pregate
+    * (min/max of today's keys — a correct superset of the equi-join's
+    * match set in the same ordering): with in-bucket `sortBy(key)`
+    * files, parquet row-group min/max stats prune the probe's READ to
+    * the key range today actually touches, so under a rolling-window
+    * key pattern the probe cost stays ~flat as history grows
+    * (BackfillBench `bucketed` mode) where the plain variant's probe
+    * scans every history (key, date) daily.
+    *
+    * Affected partitions swap via a dynamic-partition-overwrite INSERT
+    * (only partitions present in the output rewrite — the session conf
+    * is set/restored here because `insertInto` ignores the writer-level
+    * option); emptied partitions drop via ALTER TABLE DROP PARTITION
+    * (metadata + data, managed table). Upsert law identical to the
+    * plain variant; same non-transactional caveat — [[PartitionStore]]
+    * is the transactional answer. `dateCol` must be NON-NULL
+    * throughout: checked on the day frame (typed DDL partition values
+    * have no null spelling), inductive for the table; the plain and
+    * [[PartitionStore]] variants handle null dates first-class. */
+  def upsertDayPartitionsBucketed(dayRows: DataFrame, table: String,
+                                  key: String, dateCol: String,
+                                  buckets: Int): Unit = {
+    val spark = dayRows.sparkSession
+    val day = graft.Persist.cut(dayRows)
+    require(day.filter(col(dateCol).isNull).isEmpty,
+      s"$dateCol must be non-null for the bucketed delta (see scaladoc)")
+    if (!spark.catalog.tableExists(table)) {
+      day.write.mode(SaveMode.Overwrite)
+        .partitionBy(dateCol).bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+      return
+    }
+    val dayTable = s"${table}__day"
+    day.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(dayTable)
+    val (probe, keepOf) = bucketedDeltaPlan(spark, table, dayTable, key, dateCol)
+    val dayT = spark.table(dayTable)
+    val affDates = probe.unionByName(dayT.select(col(dateCol)))
+      .distinct().collect().map(_.get(0)) // bounded: one row per affected DAY
+    val keep = keepOf(col(dateCol).isin(affDates: _*))
+    val histCols = spark.table(table).columns.map(col)
+    // materialized: the insert below overwrites partitions the plan reads
+    val out = graft.Persist.cut(
+      keep.select(histCols: _*).unionByName(dayT.select(histCols: _*)))
+    val owmKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(owmKey)
+    spark.conf.set(owmKey, "dynamic")
+    try out.write.mode(SaveMode.Overwrite).insertInto(table)
+    finally prior match {
+      case Some(v) => spark.conf.set(owmKey, v)
+      case None => spark.conf.unset(owmKey)
+    }
+    val outDates = out.select(col(dateCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    affDates.filterNot(outDates).foreach { d =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($dateCol='$d')")
+    }
+  }
+
+  /** The bucketed delta's two O(history)-side frames — the
+    * affected-dates probe (day-key range pregate + bucketed equi-join,
+    * column-pruned to (key, dateCol)) and the keep-side anti-join
+    * builder — factored out so [[upsertDayPartitionsBucketed]] and
+    * PlanSpec's exchange-free pin run the SAME plans. */
+  def bucketedDeltaPlan(spark: org.apache.spark.sql.SparkSession,
+                        table: String, dayTable: String,
+                        key: String, dateCol: String)
+      : (DataFrame, org.apache.spark.sql.Column => DataFrame) = {
+    val hist = spark.table(table)
+    val ids = spark.table(dayTable).select(col(key)).distinct()
+    val mm = spark.table(dayTable).agg(min(col(key)), max(col(key))).head()
+    val pregate =
+      if (mm.isNullAt(0)) lit(false) // empty day: probe matches nothing
+      else col(key).between(lit(mm.get(0)), lit(mm.get(1)))
+    val probe = hist.select(col(key), col(dateCol)).filter(pregate)
+      .join(ids, Seq(key)).select(col(dateCol))
+    val keepOf = (inAffected: org.apache.spark.sql.Column) =>
+      hist.filter(inAffected).join(ids, Seq(key), "left_anti")
+    (probe, keepOf)
   }
 
   /** Derive the Santiago-zone ingest date from a timestamp column —

@@ -554,6 +554,45 @@ class PipelineSpec extends SparkSpec {
     assert(rows(deltaDir) == rows(s"$rootA/day_2/delivery_order_master"))
   }
 
+  test("runDailyDeltaStore + runDailyDeltaBucketed equal the chained full-history merge") {
+    // the r13 daily shapes — the transactional PartitionStore delta and
+    // the bucketed-catalog delta — through the same 3 overlapping
+    // fixture days as the chained O(history) merge: identical final
+    // masters, row for row
+    val start = java.time.LocalDate.of(2024, 7, 1)
+    val orders = 200; val newPerDay = orders - orders / 5
+    val rootA = Files.createTempDirectory("graft_d3chain").toString
+    val rootB = Files.createTempDirectory("graft_d3store").toString
+    val rootC = Files.createTempDirectory("graft_d3bkt").toString
+    val storeRoot = s"$rootB/master_store"
+    val table = "graft_pipe_bkt_master"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__day")
+    try {
+      var prev: Option[String] = None
+      for (d <- 0 until 3) {
+        val in = Files.createTempDirectory(s"graft_d3_in_$d")
+        PipelineFixture.write(in, orders, days = 1, seed = 713L + d,
+          idBase = d * newPerDay, startDay = start.plusDays(d.toLong))
+        Main.run(spark, in.toString, s"$rootA/day_$d", masterHistoryDir = prev)
+        prev = Some(s"$rootA/day_$d/delivery_order_master")
+        Main.runDailyDeltaStore(spark, in.toString, s"$rootB/day_$d", storeRoot)
+        Main.runDailyDeltaBucketed(spark, in.toString, s"$rootC/day_$d", table, 4)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(df.columns.sorted.map(col): _*).collect()
+          .map(_.toString).sorted.toSeq
+      val chained = rows(spark.read.parquet(s"$rootA/day_2/delivery_order_master"))
+      assert(rows(graft.sinks.PartitionStore.read(spark, storeRoot).get) == chained,
+        "PartitionStore delta diverged from the chained merge")
+      assert(rows(spark.table(table)) == chained,
+        "bucketed-catalog delta diverged from the chained merge")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__day")
+    }
+  }
+
   test("persisted codebook: store-backed assign + search are identical to the inline derivation") {
     import graft.sources.Tables
     import graft.operators.Similarity

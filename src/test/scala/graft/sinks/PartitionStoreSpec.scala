@@ -1,0 +1,99 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class PartitionStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dt(s: String) = java.sql.Date.valueOf(s)
+
+  private def content(root: String): Seq[(Long, String, String)] =
+    PartitionStore.read(spark, root).get.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        Option(r.getAs[java.sql.Date]("d")).map(_.toString).orNull))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("upsert law over rotating partitions: updates win wholesale, unmatched history survives, emptied partitions leave the manifest") {
+    val root = Files.createTempDirectory("graft_pstore").toString
+    PartitionStore.upsert(
+      Seq((1L, "a", dt("2024-01-01")), (2L, "b", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    PartitionStore.upsert(
+      Seq((3L, "c", dt("2024-01-02"))).toDF("id", "v", "d"), root, "id", "d")
+    val p1 = new java.io.File(s"$root/2024-01-01/A")
+    val before = p1.listFiles.map(f => f.getName -> f.lastModified).toMap
+    // day 3 re-delivers id 3 under a new date (its old partition
+    // empties) + a new id 4; 2024-01-01 is NOT affected
+    PartitionStore.upsert(
+      Seq((3L, "c2", dt("2024-01-03")), (4L, "e", dt("2024-01-03"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    assert(content(root) == Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c2", "2024-01-03"), (4L, "e", "2024-01-03")))
+    val m = PartitionStore.manifest(spark, root).get
+    assert(m.keySet == Set("2024-01-01", "2024-01-03"),
+      s"emptied partition must drop out of the manifest: $m")
+    // the untouched partition's live side was never rewritten
+    val after = p1.listFiles.map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "unaffected partition was rewritten")
+  }
+
+  test("NULL dateCol rows are first-class partitions and obey the upsert law") {
+    val root = Files.createTempDirectory("graft_pstore_null").toString
+    PartitionStore.upsert(
+      Seq((1L, "a", null: java.sql.Date), (2L, "b", dt("2024-01-01")))
+        .toDF("id", "v", "d"), root, "id", "d")
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set("__HIVE_DEFAULT_PARTITION__", "2024-01-01"))
+    assert(content(root) == Seq((1L, "a", null), (2L, "b", "2024-01-01")))
+    // re-deliver key 1 under a real date: its old NULL-partition row
+    // must be REPLACED, not duplicated (the isin(null) hazard of the
+    // round-12 advice), and the emptied null partition leaves the
+    // manifest
+    PartitionStore.upsert(
+      Seq((1L, "a2", dt("2024-01-02"))).toDF("id", "v", "d"), root, "id", "d")
+    assert(content(root) == Seq((1L, "a2", "2024-01-02"), (2L, "b", "2024-01-01")))
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set("2024-01-01", "2024-01-02"))
+  }
+
+  test("crash window: a staged-but-uncommitted upsert is invisible; commit flips atomically; an abandoned stage retries cleanly") {
+    val root = Files.createTempDirectory("graft_pstore_crash").toString
+    PartitionStore.upsert(
+      Seq((1L, "a", dt("2024-01-01")), (2L, "b", dt("2024-01-02")))
+        .toDF("id", "v", "d"), root, "id", "d")
+    val old = content(root)
+    val day = Seq((2L, "b2", dt("2024-01-03")), (5L, "f", dt("2024-01-03")))
+      .toDF("id", "v", "d")
+    // "kill between overwrite and delete": stage runs EVERY data write
+    // (idle sides populated, 2024-01-02 would empty) but the process
+    // dies before commit — readers must see the old state, exactly
+    val staged = PartitionStore.stageUpsert(day, root, "id", "d")
+    assert(content(root) == old, "uncommitted stage leaked into readers")
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set("2024-01-01", "2024-01-02"))
+    // the retried run re-stages over the orphaned idle sides, then
+    // commits — one atomic rename later the new state is complete
+    val staged2 = PartitionStore.stageUpsert(day, root, "id", "d")
+    assert(staged2.newManifest == staged.newManifest)
+    staged2.commit()
+    assert(content(root) == Seq((1L, "a", "2024-01-01"),
+      (2L, "b2", "2024-01-03"), (5L, "f", "2024-01-03")))
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set("2024-01-01", "2024-01-03"))
+  }
+
+  test("consecutive upserts of one partition alternate its sides (the reader-survives-one-swap contract)") {
+    val root = Files.createTempDirectory("graft_pstore_ab").toString
+    def side() = PartitionStore.manifest(spark, root).get("2024-01-01")
+    PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    val s1 = side()
+    PartitionStore.upsert(Seq((1L, "a2", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    val s2 = side()
+    assert(s1 != s2, "rewrite landed on the live side")
+    assert(content(root) == Seq((1L, "a2", "2024-01-01")))
+  }
+}
