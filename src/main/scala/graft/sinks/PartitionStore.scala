@@ -109,6 +109,30 @@ object PartitionStore {
     }
   }
 
+  /** The affected-dates probe: dates of live-store rows whose key the
+    * day re-delivers. Column-pruned to (key, dateCol) and PREGATED by
+    * the day's key RANGE (min/max — a correct superset of the
+    * equi-join's match set under the same ordering, pushed down to the
+    * parquet reader): because [[stageUpsert]] writes every partition
+    * KEY-SORTED, row-group min/max stats satisfy the pushed range
+    * filter and the probe READS only the key range today touches —
+    * the store's only O(history) access, made ~flat under a
+    * rolling-window key pattern (the same trick, same plan pin
+    * discipline as [[TableSink.bucketedDeltaPlan]], here on the
+    * transactional layout). Exposed for the PlanSpec-style pushdown
+    * pin in PartitionStoreSpec. */
+  def affectedDatesProbe(hist: DataFrame, day: DataFrame,
+                         key: String, dateCol: String): DataFrame = {
+    val ids = day.select(col(key)).distinct()
+    val mm = day.agg(org.apache.spark.sql.functions.min(col(key)),
+      org.apache.spark.sql.functions.max(col(key))).head()
+    val pregate =
+      if (mm.isNullAt(0)) lit(false) // empty day: probe matches nothing
+      else col(key).between(lit(mm.get(0)), lit(mm.get(1)))
+    hist.select(col(key), col(dateCol)).filter(pregate)
+      .join(broadcast(ids), Seq(key)).select(col(dateCol))
+  }
+
   /** Stage a day's partition-level delta upsert (see object doc for the
     * law). All Spark jobs — the affected-dates probe and the staged
     * write — run here, reading only LIVE sides and writing only the
@@ -121,14 +145,14 @@ object PartitionStore {
     // this store's own live side (the chained-backfill shape)
     val day = graft.Persist.cut(dayRows)
     val cur = manifest(spark, root).getOrElse(Map.empty)
-    val hist = if (cur.isEmpty) None
-               else Some(spark.read.parquet(
-                 cur.toSeq.map { case (d, s) => s"$root/$d/$s" }: _*))
+    def readSides(m: Map[String, String]) =
+      spark.read.parquet(m.toSeq.map { case (d, s) => s"$root/$d/$s" }: _*)
+    val hist = if (cur.isEmpty) None else Some(readSides(cur))
     val ids = day.select(col(key)).distinct()
     // affected = dates of history rows whose key re-delivers today ∪
-    // today's own dates (one column-pruned probe of the live store)
+    // today's own dates (the pregated, column-pruned probe)
     val affRaw: Array[Any] = (hist match {
-      case Some(h) => h.join(broadcast(ids), Seq(key)).select(col(dateCol))
+      case Some(h) => affectedDatesProbe(h, day, key, dateCol)
         .unionByName(day.select(col(dateCol)))
       case None => day.select(col(dateCol))
     }).distinct().collect().map(_.get(0))
@@ -138,13 +162,25 @@ object PartitionStore {
       val base = if (affNonNull.nonEmpty) c.isin(affNonNull: _*) else lit(false)
       if (hasNull) base || c.isNull else base
     }
-    val keep = hist.map(_.filter(inAffected(col(dateCol)))
-      .join(broadcast(ids), Seq(key), "left_anti"))
+    // keep side reads ONLY the affected partitions' live sides — path
+    // pruning by manifest, not a filter over every live file
+    val affDirNames = affRaw.map(dirName).toSet
+    val affLive = cur.filter { case (d, _) => affDirNames(d) }
+    val keep = if (affLive.isEmpty) None
+               else Some(readSides(affLive)
+                 .filter(inAffected(col(dateCol))) // belt: stray rows in a dir
+                 .join(broadcast(ids), Seq(key), "left_anti"))
     val out = keep.map(_.unionByName(day)).getOrElse(day)
     // stage: partition by a throwaway twin so dateCol STAYS in the data
-    // files (readers never parse the <date>/<side> layout)
+    // files (readers never parse the <date>/<side> layout). Each
+    // partition is clustered into one KEY-SORTED file so future probes'
+    // pushed key-range filter skips whole row groups (day-sized files
+    // here; a deployment with multi-GB partitions would
+    // repartitionByRange on (partition, key) for several sorted files)
     val stage = s"$root/_stage"
     out.withColumn("__pdate", col(dateCol))
+      .repartition(col("__pdate"))
+      .sortWithinPartitions(col("__pdate"), col(key))
       .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagedDirs = fs.listStatus(new Path(stage))

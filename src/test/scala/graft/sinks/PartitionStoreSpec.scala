@@ -84,6 +84,36 @@ class PartitionStoreSpec extends SparkSpec {
       Set("2024-01-01", "2024-01-03"))
   }
 
+  test("affected-dates probe: column-pruned (key, date) scan with the day-key range pregate pushed to parquet") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_pstore_probe").toString
+    // two live partitions, keys 0..199 — written key-sorted by stageUpsert
+    PartitionStore.upsert(
+      spark.range(200).select(col("id"),
+        concat(lit("v"), col("id")).as("v"),
+        when(col("id") < 100, lit(java.sql.Date.valueOf("2024-01-01")))
+          .otherwise(lit(java.sql.Date.valueOf("2024-01-02"))).as("d")),
+      root, "id", "d")
+    val day = spark.range(150, 260).select(col("id"),
+      lit("new").as("v"), lit(java.sql.Date.valueOf("2024-01-03")).as("d"))
+    val hist = PartitionStore.read(spark, root).get
+    val probe = PartitionStore.affectedDatesProbe(hist, day, "id", "d")
+    // correctness: only the partition holding re-delivered keys shows up
+    assert(probe.distinct().collect().map(_.getDate(0).toString).toSeq ==
+      Seq("2024-01-02"))
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the probe reads TWO columns and carries the day-key range down to
+    // the parquet reader — with the store's key-sorted partition files,
+    // row-group stats satisfy the range and the read skips history
+    // outside today's key window (the transactional twin of
+    // TableSink.bucketedDeltaPlan's pin)
+    assert(plan.contains("ReadSchema: struct<id:bigint,d:date>"), plan)
+    assert(plan.contains("GreaterThanOrEqual(id,150)") &&
+      plan.contains("LessThanOrEqual(id,259)"),
+      s"day-key range pregate not pushed to the scan:\n$plan")
+  }
+
   test("consecutive upserts of one partition alternate its sides (the reader-survives-one-swap contract)") {
     val root = Files.createTempDirectory("graft_pstore_ab").toString
     def side() = PartitionStore.manifest(spark, root).get("2024-01-01")
