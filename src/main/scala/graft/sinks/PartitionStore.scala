@@ -172,14 +172,18 @@ object PartitionStore {
                  .join(broadcast(ids), Seq(key), "left_anti"))
     val out = keep.map(_.unionByName(day)).getOrElse(day)
     // stage: partition by a throwaway twin so dateCol STAYS in the data
-    // files (readers never parse the <date>/<side> layout). Each
-    // partition is clustered into one KEY-SORTED file so future probes'
-    // pushed key-range filter skips whole row groups (day-sized files
-    // here; a deployment with multi-GB partitions would
-    // repartitionByRange on (partition, key) for several sorted files)
+    // files (readers never parse the <date>/<side> layout). The LOCAL
+    // sort (no exchange — a shuffle here measured +1.5-3.5 s/day at the
+    // 6k/20k shapes for no pruning gain) keeps every written file
+    // KEY-SORTED, so its row-group min/max on the key stay tight and
+    // future probes' pushed range filter skips them; day-derived files
+    // are additionally range-tight BY CONSTRUCTION under a rolling key
+    // pattern, and keep-side files inherit sortedness from the sorted
+    // files they were filtered from. Adversarially scattered keys would
+    // need a periodic sorted compaction to restore tightness — the
+    // [[SnapshotStore.compact]] shape, per partition.
     val stage = s"$root/_stage"
     out.withColumn("__pdate", col(dateCol))
-      .repartition(col("__pdate"))
       .sortWithinPartitions(col("__pdate"), col(key))
       .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
