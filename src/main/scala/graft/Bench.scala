@@ -109,14 +109,16 @@ object Bench {
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
     // ... and because that tail truncation leaves ~70% of the contract
     // invisible to round-over-round diffs, the FULL per-query table also
-    // lands as an in-repo artifact (ms, integers — sub-ms deltas are
-    // noise): bench_perq.json, committed each round, so any two rounds
-    // can be diffed query-by-query regardless of what the driver capture
-    // kept. Skipped for filtered runs — a partial table must never
-    // overwrite a full one.
+    // lands as an on-disk artifact (ms, integers — sub-ms deltas are
+    // noise). The DEFAULT path is gitignored (logs/bench_perq_latest
+    // .json) so an externally-driven bench run can never dirty the repo
+    // root — the round-13 ledger violation class, closed structurally;
+    // the builder's committed per-round tables set SPARK_GRAFT_BENCH_PERQ
+    // to logs/bench_perq_r<N>head.json explicitly. Skipped for filtered
+    // runs — a partial table must never overwrite a full one.
     if (only.isEmpty) {
       val perqPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQ",
-        "bench_perq.json")
+        "logs/bench_perq_latest.json")
       val perq = results.map { case (k, v) =>
         jkey(k) + ":" + (if (v < 0) -1L else Math.round(v * 1000))
       }.mkString(",\n  ")
