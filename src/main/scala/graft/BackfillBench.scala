@@ -54,8 +54,8 @@ object BackfillBench {
     val outRoot = if (args.length > 3) args(3)
                   else Files.createTempDirectory("graft_backfill").toString
     require(days > 0 && orders > 0, "days and orders must be positive")
-    require(Set("run", "snapshot", "delta", "delta_store", "bucketed")
-      .contains(mode), s"bad mode: $mode")
+    require(Set("run", "snapshot", "delta", "delta_store", "bucketed",
+      "bucketed_store").contains(mode), s"bad mode: $mode")
     val overlap = orders / 5
     val newPerDay = orders - overlap
 
@@ -100,6 +100,9 @@ object BackfillBench {
           outDir, s"$outRoot/master_store")
         case "bucketed" => Main.runDailyDeltaBucketed(spark, inDir.toString,
           outDir, "graft_backfill_master")
+        case "bucketed_store" => Main.runDailyDeltaBucketedStore(spark,
+          inDir.toString, outDir, s"$outRoot/master_bstore",
+          "graft_backfill_bstore")
         case _ => Main.run(spark, inDir.toString, outDir, masterHistoryDir = prevMaster)
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -111,6 +114,9 @@ object BackfillBench {
         case "delta_store" => graft.sinks.PartitionStore
           .read(spark, s"$outRoot/master_store").map(_.count()).getOrElse(0L)
         case "bucketed" => spark.table("graft_backfill_master").count()
+        case "bucketed_store" => graft.sinks.BucketedStore.read(spark,
+          s"$outRoot/master_bstore", "graft_backfill_bstore")
+          .map(_.count()).getOrElse(0L)
         case _ => spark.read.parquet(s"$outDir/delivery_order_master").count()
       }
       println(s"""{"metric":"backfill_day","day":$d,"date":"$day",""" +
@@ -138,6 +144,11 @@ object BackfillBench {
       graft.sinks.PartitionStore.read(spark, s"$outRoot/master_store")
         .foreach(df => graft.sinks.TableSink.writeDayPartitioned(
           df, "ingest_date", s"$outRoot/master_store_export"))
+    if (mode == "bucketed_store")
+      graft.sinks.BucketedStore.read(spark, s"$outRoot/master_bstore",
+          "graft_backfill_bstore")
+        .foreach(df => graft.sinks.TableSink.writeDayPartitioned(
+          df, "ingest_date", s"$outRoot/master_bstore_export"))
     spark.stop()
   }
 }

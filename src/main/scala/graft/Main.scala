@@ -338,6 +338,23 @@ object Main {
     report
   }
 
+  /** The composition of [[runDailyDeltaBucketed]] and
+    * [[runDailyDeltaStore]]: the persistent master is a
+    * [[graft.sinks.BucketedStore]] — exchange-free probe/anti-join on
+    * the bucketed layout AND one atomic manifest commit per day, so a
+    * crash anywhere in the merge leaves readers on the previous
+    * complete master (the round-13 verdict's "one path with both"
+    * task). Measured by BackfillBench's `bucketed_store` mode. */
+  def runDailyDeltaBucketedStore(spark: SparkSession, inDir: String,
+                                 outDir: String, masterRoot: String,
+                                 table: String, buckets: Int = 8): RunReport = {
+    val report = run(spark, inDir, outDir, masterHistoryDir = None)
+    graft.sinks.BucketedStore.upsert(
+      spark.read.parquet(s"$outDir/delivery_order_master"), masterRoot, table,
+      key = "delivery_order_id", dateCol = "ingest_date", buckets = buckets)
+    report
+  }
+
   def runDailySnapshot(spark: SparkSession, inDir: String, outDir: String,
                        masterRoot: String): RunReport = {
     val history = graft.sinks.SnapshotStore.currentSide(spark, masterRoot)

@@ -183,6 +183,10 @@ object StreamStateBench {
       println(s"""{"metric":"stream_restart","shape":"${r.shape}",""" +
         s""""delta_rows":$inputRows,"restart_wall_secs":$wall,""" +
         s""""restart_batch_secs":$batchSecs,"state_entries_after":$entries}""")
+      // the per-shape checkpoint is done after its restart measurement —
+      // leaked graft_ssb_ckpt_* dirs are tens of MB of RocksDB state at
+      // the 4M+ shapes and accumulate across runs (round-13 advice)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r.ckpt))
       spark.catalog.clearCache()
       System.gc()
     }

@@ -95,18 +95,25 @@ object TableSink {
     }
     val keep = hist.filter(inAffected(col(dateCol)))
       .join(broadcast(ids), Seq(key), "left_anti")
+    // Persist.cut because the write below overwrites partitions the plan
+    // reads. CLUSTER CAVEAT: the default cut is localCheckpoint, whose
+    // blocks are non-reliable — losing an executor mid-overwrite
+    // recomputes from lineage, which now reads the half-overwritten
+    // master (invisible on local[n]). Production runs set
+    // spark.graft.persist.mode=reliable (df.checkpoint to the wired
+    // checkpoint dir) or use [[PartitionStore]], whose staged sides
+    // never overlap what the plan reads.
     val out = graft.Persist.cut(keep.unionByName(day))
     out.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(dateCol).parquet(masterDir)
-    // step 4: drop affected partitions the output no longer carries
+    // step 4: drop affected partitions the output no longer carries —
+    // dir names spelled exactly as Spark's partitioned write escapes them
     val outDates = out.select(col(dateCol)).distinct().collect()
       .map(_.get(0)).toSet
-    def dirOf(d: Any) =
-      if (d == null) "__HIVE_DEFAULT_PARTITION__" else d.toString
     affRaw.filterNot(outDates).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$masterDir/$dateCol=${dirOf(d)}"), true)
+        s"$masterDir/$dateCol=${PartitionStore.dirName(d)}"), true)
     }
   }
 
@@ -160,7 +167,12 @@ object TableSink {
       .distinct().collect().map(_.get(0)) // bounded: one row per affected DAY
     val keep = keepOf(col(dateCol).isin(affDates: _*))
     val histCols = spark.table(table).columns.map(col)
-    // materialized: the insert below overwrites partitions the plan reads
+    // materialized: the insert below overwrites partitions the plan
+    // reads. Same cluster caveat as the plain variant: the default cut
+    // is a non-reliable localCheckpoint, so an executor lost mid-insert
+    // recomputes from lineage over the half-overwritten table — set
+    // spark.graft.persist.mode=reliable on a real cluster, or use
+    // [[BucketedStore]], which stages onto sides the plan never reads.
     val out = graft.Persist.cut(
       keep.select(histCols: _*).unionByName(dayT.select(histCols: _*)))
     val owmKey = "spark.sql.sources.partitionOverwriteMode"
@@ -173,8 +185,15 @@ object TableSink {
     }
     val outDates = out.select(col(dateCol)).distinct().collect()
       .map(_.get(0)).toSet
+    // partition value quoted as a SQL string literal (backslash +
+    // single-quote escaped): the signature accepts any dateCol type, and
+    // an unescaped quote in a string-typed value would break the DDL —
+    // the round-13 advice finding
+    def sqlLit(d: Any) =
+      "'" + d.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
     affDates.filterNot(outDates).foreach { d =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($dateCol='$d')")
+      spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($dateCol=${sqlLit(d)})")
     }
   }
 

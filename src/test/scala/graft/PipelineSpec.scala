@@ -554,9 +554,10 @@ class PipelineSpec extends SparkSpec {
     assert(rows(deltaDir) == rows(s"$rootA/day_2/delivery_order_master"))
   }
 
-  test("runDailyDeltaStore + runDailyDeltaBucketed equal the chained full-history merge") {
-    // the r13 daily shapes — the transactional PartitionStore delta and
-    // the bucketed-catalog delta — through the same 3 overlapping
+  test("runDailyDeltaStore + runDailyDeltaBucketed + runDailyDeltaBucketedStore equal the chained full-history merge") {
+    // the r13/r14 daily shapes — the transactional PartitionStore delta,
+    // the bucketed-catalog delta, and their r14 composition (the
+    // transactional BucketedStore) — through the same 3 overlapping
     // fixture days as the chained O(history) merge: identical final
     // masters, row for row
     val start = java.time.LocalDate.of(2024, 7, 1)
@@ -564,10 +565,15 @@ class PipelineSpec extends SparkSpec {
     val rootA = Files.createTempDirectory("graft_d3chain").toString
     val rootB = Files.createTempDirectory("graft_d3store").toString
     val rootC = Files.createTempDirectory("graft_d3bkt").toString
+    val rootD = Files.createTempDirectory("graft_d3bstore").toString
     val storeRoot = s"$rootB/master_store"
+    val bstoreRoot = s"$rootD/master_bstore"
     val table = "graft_pipe_bkt_master"
+    val btable = "graft_pipe_bstore_master"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}__day")
+    Seq("__a", "__b", "__day").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS $btable$x"))
     try {
       var prev: Option[String] = None
       for (d <- 0 until 3) {
@@ -578,6 +584,8 @@ class PipelineSpec extends SparkSpec {
         prev = Some(s"$rootA/day_$d/delivery_order_master")
         Main.runDailyDeltaStore(spark, in.toString, s"$rootB/day_$d", storeRoot)
         Main.runDailyDeltaBucketed(spark, in.toString, s"$rootC/day_$d", table, 4)
+        Main.runDailyDeltaBucketedStore(spark, in.toString, s"$rootD/day_$d",
+          bstoreRoot, btable, 4)
       }
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select(df.columns.sorted.map(col): _*).collect()
@@ -587,9 +595,14 @@ class PipelineSpec extends SparkSpec {
         "PartitionStore delta diverged from the chained merge")
       assert(rows(spark.table(table)) == chained,
         "bucketed-catalog delta diverged from the chained merge")
+      assert(rows(graft.sinks.BucketedStore.read(spark, bstoreRoot, btable).get)
+        == chained,
+        "transactional BucketedStore diverged from the chained merge")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}__day")
+      Seq("__a", "__b", "__day").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $btable$x"))
     }
   }
 

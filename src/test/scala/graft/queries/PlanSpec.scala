@@ -835,4 +835,64 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_dmaster__day")
     }
   }
+
+  test("BucketedStore: transactional layout keeps the exchange-free probe/anti-join AND the pushed day-key range — on its own sidePlans") {
+    import org.apache.spark.sql.functions._
+    // the r13-verdict composition pin: ONE path with both the atomic
+    // manifest commit (BucketedStoreSpec's crash window) and the
+    // bucketed exchange-free plans — asserted here on the very frames
+    // stageUpsert runs, broadcast hatch closed
+    val n = 2000L
+    val master = spark.range(n).select(
+      concat(lit("ORD-"), format_string("%07d", col("id"))).as("delivery_order_id"),
+      (col("id") % 7).as("status"),
+      when(col("id") % 2 === 0, lit("2024-01-01"))
+        .otherwise(lit("2024-01-02")).as("ingest_date"))
+    val day = spark.range(1800, 2200).select(
+      concat(lit("ORD-"), format_string("%07d", col("id"))).as("delivery_order_id"),
+      (col("id") % 7).as("status"),
+      lit("2024-01-03").as("ingest_date"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bstore_plan").toString
+    Seq("__a", "__b", "__day").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS bkt_smaster$s"))
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      graft.sinks.BucketedStore.upsert(
+        master, root, "bkt_smaster", "delivery_order_id", "ingest_date", buckets = 4)
+      graft.sinks.BucketedStore.upsert(
+        day, root, "bkt_smaster", "delivery_order_id", "ingest_date", buckets = 4)
+      // law smoke over the plan pin's fixture: updates won, history survived
+      assert(graft.sinks.BucketedStore.read(spark, root, "bkt_smaster")
+        .get.count() == 2200)
+      val live = graft.sinks.PartitionStore.manifest(spark, root).get
+        .groupBy(_._2).map { case (s, es) => s -> es.keys.toSeq.map(lit(_): org.apache.spark.sql.Column) }
+      val plans = graft.sinks.BucketedStore.sidePlans(
+        spark, "bkt_smaster", "delivery_order_id", "ingest_date", live)
+      assert(plans.nonEmpty)
+      plans.foreach { case (side, probe, keepOf) =>
+        probe.collect()
+        val pp = probe.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!pp.contains("Exchange"), s"store probe (side $side) shuffled:\n$pp")
+        assert(pp.contains("SortMergeJoin"), pp)
+        assert(pp.contains("ReadSchema: struct<delivery_order_id:string"), pp)
+        assert(pp.contains("GreaterThanOrEqual(delivery_order_id") &&
+          pp.contains("LessThanOrEqual(delivery_order_id"),
+          s"day-key range pregate not pushed to the scan (side $side):\n$pp")
+        val keep = keepOf(col("ingest_date")
+          .isin("2024-01-01", "2024-01-02", "2024-01-03"))
+        keep.collect()
+        val kp = keep.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!kp.contains("Exchange"), s"store keep-side (side $side) shuffled:\n$kp")
+        assert(kp.contains("SortMergeJoin"), kp)
+      }
+    } finally {
+      spark.conf.set(thresholdKey, prior)
+      Seq("__a", "__b", "__day").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS bkt_smaster$s"))
+    }
+  }
 }

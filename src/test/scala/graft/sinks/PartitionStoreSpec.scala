@@ -126,4 +126,97 @@ class PartitionStoreSpec extends SparkSpec {
     assert(s1 != s2, "rewrite landed on the live side")
     assert(content(root) == Seq((1L, "a2", "2024-01-01")))
   }
+
+  test("partition values needing path-escaping round-trip the law (manifest keys match Spark's escaped dir names)") {
+    val root = Files.createTempDirectory("graft_pstore_esc").toString
+    // '%' and ':' are in Spark's escape set: a raw toString dir name
+    // would miss the live partition on the keep side and duplicate the
+    // re-delivered key (the round-13 advice finding)
+    val d1 = "2024%01:x"
+    PartitionStore.upsert(
+      Seq((1L, "a", d1), (2L, "b", d1)).toDF("id", "v", "d"), root, "id", "d")
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(d1)
+    assert(esc != d1, s"fixture must need escaping, got $esc")
+    assert(PartitionStore.manifest(spark, root).get.keySet == Set(esc))
+    // re-deliver key 1 under a clean date: the escaped live partition
+    // must be found, rewritten without id 1, and key 1 must NOT duplicate
+    PartitionStore.upsert(
+      Seq((1L, "a2", "2024-01-02")).toDF("id", "v", "d"), root, "id", "d")
+    val rows = PartitionStore.read(spark, root).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a2", "2024-01-02"), (2L, "b", d1)))
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set(esc, "2024-01-02"))
+  }
+
+  test("sides=3 retention: a reader's plan survives TWO concurrent upserts of its partition") {
+    val root = Files.createTempDirectory("graft_pstore_ret").toString
+    PartitionStore.upsert(Seq((1L, "v1", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d", sides = 3)
+    // reader plans here: the frame's file listing is resolved against
+    // the v1 side and must stay readable through two rotations
+    val reader = PartitionStore.read(spark, root).get
+    PartitionStore.upsert(Seq((1L, "v2", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d", sides = 3)
+    PartitionStore.upsert(Seq((1L, "v3", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d", sides = 3)
+    assert(reader.collect().map(_.getString(1)).toSeq == Seq("v1"),
+      "reader lost its side within the retention window")
+    assert(content(root) == Seq((1L, "v3", "2024-01-01")))
+    // the THIRD upsert reuses the reader's side (cycle length 3) — the
+    // documented edge of the retention window
+    PartitionStore.upsert(Seq((1L, "v4", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d", sides = 3)
+    val m = PartitionStore.manifest(spark, root).get
+    assert(m("2024-01-01") == "A", s"cycle should be back to A: $m")
+  }
+
+  test("manifest survives the local-FS overwrite-rename window via the .tmp fallback") {
+    val root = Files.createTempDirectory("graft_pstore_tmpfb").toString
+    PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    val m = new java.io.File(s"$root/_manifest")
+    val tmp = new java.io.File(s"$root/_manifest.tmp")
+    // simulate the crash between the local FS's delete and rename: only
+    // the fully-written tmp remains
+    assert(m.renameTo(tmp))
+    assert(PartitionStore.manifest(spark, root).get.keySet == Set("2024-01-01"),
+      "reader must fall back to the complete _manifest.tmp")
+    assert(content(root) == Seq((1L, "a", "2024-01-01")))
+  }
+
+  test("compact: law-neutral, and every partition's files become key-sorted with DISJOINT ranges (row-group stats prune again)") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_pstore_compact").toString
+    // adversarially scattered stage: keys hash-scattered across 8 tasks,
+    // so each staged file spans ~the whole key domain
+    val day = spark.range(2000).select(col("id"),
+        concat(lit("v"), col("id")).as("v"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("d"))
+      .repartition(8, col("v"))
+    PartitionStore.upsert(day, root, "id", "d")
+    def fileRanges(): Seq[(Long, Long)] = {
+      val side = PartitionStore.manifest(spark, root).get("2024-01-01")
+      new java.io.File(s"$root/2024-01-01/$side").listFiles
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val ids = spark.read.parquet(f.toString).select("id")
+            .collect().map(_.getLong(0))
+          assert(ids.sameElements(ids.sorted), s"file not key-sorted: $f")
+          (ids.min, ids.max)
+        }
+    }
+    val before = fileRanges()
+    assert(before.size > 1 && before.count { case (lo, hi) => lo < 500 && hi >= 1500 } > 1,
+      s"scatter fixture should produce overlapping wide files: $before")
+    val old = content(root)
+    PartitionStore.compact(spark, root, "id", "d", targetBytes = 16 * 1024)
+    assert(content(root) == old, "compaction changed the law")
+    val after = fileRanges().sortBy(_._1)
+    assert(after.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"compacted files must hold disjoint key ranges: $after")
+  }
 }
