@@ -78,6 +78,8 @@ object PartitionStore {
   /** Side names in rotation order: A, B, C, … (`sides ≤ 26` is plenty —
     * each extra side is a full extra copy of every partition's data). */
   def sideName(i: Int): String = ('A' + i).toChar.toString
+  private def resolveSides(spark: SparkSession, sides: Int): Int =
+    if (sides > 0) sides else spark.conf.get(sidesKey, "2").toInt
   private def sideIndex(name: String): Int = name.head - 'A'
 
   private val ManifestName = "_manifest"
@@ -174,8 +176,14 @@ object PartitionStore {
     * write — run here, reading only LIVE sides and writing only the
     * stage directory and idle sides; the returned [[Staged.commit]] is
     * pure metadata. */
+  /** The deployment-level retention knob: sides per partition (2 = A/B,
+    * the default; N lets a reader survive N-1 concurrent rotations).
+    * Callers that don't pass `sides` explicitly inherit this. */
+  val sidesKey = "spark.graft.store.sides"
+
+  /** `sides = 0` (the default) resolves the session conf [[sidesKey]]. */
   def stageUpsert(dayRows: DataFrame, root: String,
-                  key: String, dateCol: String, sides: Int = 2): Staged = {
+                  key: String, dateCol: String, sides: Int = 0): Staged = {
     val spark = dayRows.sparkSession
     // materialized defensively: callers may derive the day frame from
     // this store's own live side (the chained-backfill shape)
@@ -222,7 +230,8 @@ object PartitionStore {
     out.withColumn("__pdate", col(dateCol))
       .sortWithinPartitions(col("__pdate"), col(key))
       .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
-    val (next0, stagedNames) = moveStaged(spark, root, stage, cur, sides)
+    val (next0, stagedNames) = moveStaged(spark, root, stage, cur,
+      resolveSides(spark, sides))
     // affected partitions the output no longer carries were EMPTIED:
     // they leave the manifest in the same commit — no stale-readable
     // window, unlike the plain layout's delete-after-overwrite
@@ -263,7 +272,7 @@ object PartitionStore {
   /** Stage + commit in one call — the daily-loop entry point
     * ([[graft.Main.runDailyDeltaStore]], BackfillBench `delta_store`). */
   def upsert(dayRows: DataFrame, root: String,
-             key: String, dateCol: String, sides: Int = 2): Unit =
+             key: String, dateCol: String, sides: Int = 0): Unit =
     stageUpsert(dayRows, root, key, dateCol, sides).commit()
 
   /** Per-partition SORTED compaction — the maintenance pass that
@@ -287,7 +296,7 @@ object PartitionStore {
     * by scattered upserts, restored post-compaction. */
   def compact(spark: SparkSession, root: String, key: String,
               dateCol: String, targetBytes: Long = 128L << 20,
-              sides: Int = 2): Unit = {
+              sides: Int = 0): Unit = {
     require(targetBytes > 0, "targetBytes must be positive")
     val cur = manifest(spark, root).getOrElse(Map.empty)
     if (cur.isEmpty) return
@@ -302,7 +311,8 @@ object PartitionStore {
       .repartitionByRange(files, col("__pdate"), col(key))
       .sortWithinPartitions(col("__pdate"), col(key))
       .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
-    val (next, _) = moveStaged(spark, root, stage, cur, sides)
+    val (next, _) = moveStaged(spark, root, stage, cur,
+      resolveSides(spark, sides))
     Staged(spark, root, next).commit()
   }
 }

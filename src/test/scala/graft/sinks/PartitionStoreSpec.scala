@@ -173,6 +173,19 @@ class PartitionStoreSpec extends SparkSpec {
     assert(m("2024-01-01") == "A", s"cycle should be back to A: $m")
   }
 
+  test("spark.graft.store.sides conf drives the rotation when no explicit sides arg is passed") {
+    val root = Files.createTempDirectory("graft_pstore_conf").toString
+    spark.conf.set(PartitionStore.sidesKey, "3")
+    try {
+      def side() = PartitionStore.manifest(spark, root).get("2024-01-01")
+      for (v <- Seq("v1", "v2", "v3"))
+        PartitionStore.upsert(Seq((1L, v, dt("2024-01-01"))).toDF("id", "v", "d"),
+          root, "id", "d") // no sides arg: the conf decides
+      assert(side() == "C", "conf-driven 3-side cycle should be at C after 3 upserts")
+      assert(content(root) == Seq((1L, "v3", "2024-01-01")))
+    } finally spark.conf.unset(PartitionStore.sidesKey)
+  }
+
   test("manifest survives the local-FS overwrite-rename window via the .tmp fallback") {
     val root = Files.createTempDirectory("graft_pstore_tmpfb").toString
     PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),

@@ -24,9 +24,21 @@ R.choice vs per-doc R.integers), so any draw made from R after text
 generation would silently diverge between modes at the same sf/seed
 (round-12 ADVICE finding).
 
-Usage: gen_docs_fixture.py <sf> <out_dir> [heaps]
+`emb` mode (round 14) writes embeddings.parquet ONLY — the similarity
+twin of the planted-documents oracle: same schema/dim/value-law as
+gen_testdata.py's embeddings (n_vec = 20k*sf, 64-dim N(0, 0.13),
+labels 0..9) plus PLANTED near-neighbor pairs: for i % 200 == 0,
+vec[i+1] = vec[i] + N(0, 0.05*0.13) — planted cosine ~0.9987 (the
+SemDeDup-style near-dup tier), making vec i the true nearest
+neighbor of vec i+1 with near-certainty in 64 dims, so ANN recall at
+SFs where the brute-force truth is expensive reduces to "did the
+index return the twin". Dedicated rng (seed 49): emb mode shares no
+stream with the text modes.
+
+Usage: gen_docs_fixture.py <sf> <out_dir> [heaps|emb]
        e.g. 3.0 /root/repo/testdata_sf3.0_docs
             1.0 /root/repo/testdata_sf1.0_heaps heaps
+            10.0 /root/repo/testdata_sf10.0_emb emb
 """
 import os
 import sys
@@ -55,6 +67,27 @@ K_HEAPS = 10.0
 ZIPF_S = 1.07
 
 os.makedirs(OUT, exist_ok=True)
+
+if MODE == "emb":
+    R3 = np.random.default_rng(49)
+    n_vec = int(20_000 * SF)
+    emb = np.round(R3.normal(0, 0.13, (n_vec, 64)), 8).astype(np.float32)
+    planted = np.arange(0, n_vec - 1, 200)
+    emb[planted + 1] = np.round(
+        emb[planted] + R3.normal(0, 0.05 * 0.13, (len(planted), 64)),
+        8).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n_vec), pa.int64()),
+        "embedding": pa.array([e.tolist() for e in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array(R3.integers(0, 10, n_vec), pa.int32())}),
+        f"{OUT}/embeddings.parquet")
+    cos = (emb[planted] * emb[planted + 1]).sum(1) / (
+        np.linalg.norm(emb[planted], axis=1) *
+        np.linalg.norm(emb[planted + 1], axis=1))
+    print(f"done emb n_vec={n_vec} planted={len(planted)} "
+          f"cos[min/mean]={cos.min():.5f}/{cos.mean():.5f} {OUT}")
+    sys.exit(0)
 
 n_doc = int(50_000 * SF)
 lens = R.integers(8, 111, n_doc)
