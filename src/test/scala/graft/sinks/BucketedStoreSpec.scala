@@ -97,6 +97,26 @@ class BucketedStoreSpec extends SparkSpec {
     } finally drop(t)
   }
 
+  test("consecutive upserts of one partition alternate its side TABLES (the reader-survives-one-swap contract)") {
+    val root = Files.createTempDirectory("graft_bstore_ab").toString
+    val t = "bstore_ab"
+    drop(t)
+    try {
+      def side() = PartitionStore.manifest(spark, root).get("2024-04-01")
+      BucketedStore.upsert(Seq((1L, "a", "2024-04-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2)
+      val s1 = side()
+      // a reader plans against the live side here
+      val reader = BucketedStore.read(spark, root, t).get
+      BucketedStore.upsert(Seq((1L, "a2", "2024-04-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2)
+      assert(side() != s1, "rewrite landed on the live side table")
+      assert(reader.collect().map(_.getString(1)).toSeq == Seq("a"),
+        "reader lost its side across one rotation")
+      assert(content(root, t) == Seq((1L, "a2", "2024-04-01")))
+    } finally drop(t)
+  }
+
   test("DATE-typed dateCol round-trips through manifest keys and partition-pruned reads") {
     val root = Files.createTempDirectory("graft_bstore_date").toString
     val t = "bstore_date"
