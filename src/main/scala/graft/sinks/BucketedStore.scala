@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{DateType, StringType, StructType}
   * but swaps partitions via a non-atomic INSERT OVERWRITE + DROP
   * PARTITION. This store has BOTH:
   *
-  *   - the master lives as TWO catalog side tables (`<table>__a`,
-  *     `<table>__b`), each day-partitioned by `dateCol` and
+  *   - the master lives as N catalog side tables (`<table>__a`,
+  *     `<table>__b`, … — N = 2 by default, the `spark.graft.store
+  *     .sides` retention knob or the `sides` arg raises it, cyclic
+  *     rotation as in [[PartitionStore]]), each day-partitioned by
+  *     `dateCol` and
   *     bucketed+sorted by `key` with the same bucket count, plus ONE
   *     `_manifest` file (same format, same atomic-rename commit, same
   *     local-FS `.tmp` fallback as [[PartitionStore]]) mapping each
@@ -50,13 +53,29 @@ import org.apache.spark.sql.types.{DateType, StringType, StructType}
   * [[TableSink.upsertDayPartitions]]: update rows win wholesale,
   * unmatched history survives (spec-pinned equal to the chained
   * full-history merge). Bucket count must stay fixed across days.
-  * Single writer assumed; readers survive one concurrent rotation of
-  * any partition they read, as in [[PartitionStore]]'s default. */
+  * Single writer assumed; readers survive `sides - 1` concurrent
+  * rotations of any partition they read, as in [[PartitionStore]]. */
 object BucketedStore {
 
   def sideTable(table: String, side: String): String =
     s"${table}__${side.toLowerCase}"
   private def dayTable(table: String): String = s"${table}__day"
+
+  /** Cyclic side rotation, shared semantics with
+    * [[PartitionStore]] (A→B→…→A over `sides` names): the side table
+    * overwritten is the one staged `sides - 1` rotations ago, so a
+    * reader survives `sides - 1` concurrent upserts of its partitions
+    * and GC is inherent. `sides = 0` resolves the same session conf
+    * ([[PartitionStore.sidesKey]], `spark.graft.store.sides`). */
+  private def resolveSides(spark: SparkSession, sides: Int): Int = {
+    val n = if (sides > 0) sides
+            else spark.conf.get(PartitionStore.sidesKey, "2").toInt
+    require(n >= 2 && n <= 26, s"sides must be in [2, 26]: $n")
+    n
+  }
+  private def nextSide(cur: Option[String], sides: Int): String =
+    PartitionStore.sideName(
+      (cur.map(_.head - 'A').getOrElse(-1) + 1) % sides)
 
   private def typedLit(schema: StructType, dateCol: String, s: String): Column =
     schema(dateCol).dataType match {
@@ -122,9 +141,10 @@ object BucketedStore {
     * upsert needs no cleanup — a retried stage overwrites the same idle
     * partitions. */
   def stageUpsert(dayRows: DataFrame, root: String, table: String,
-                  key: String, dateCol: String,
-                  buckets: Int): PartitionStore.Staged = {
+                  key: String, dateCol: String, buckets: Int,
+                  sides: Int = 0): PartitionStore.Staged = {
     val spark = dayRows.sparkSession
+    val nSides = resolveSides(spark, sides)
     // one materialization for the null check + staging write (economy,
     // and determinism if the caller's frame is non-deterministic)
     val day = graft.Persist.cut(dayRows)
@@ -136,14 +156,21 @@ object BucketedStore {
       df.write.mode(SaveMode.Overwrite)
         .partitionBy(dateCol).bucketBy(buckets, key).sortBy(key)
     if (cur.isEmpty) {
-      // first day (or a retry of a crashed first day): both sides are
-      // created — A with the day, B empty with the same layout
+      // first day (or a retry of a crashed first day): every side table
+      // is created — A with the day, the rest empty with the same layout
       bucketedWriter(day).saveAsTable(sideTable(table, "A"))
-      bucketedWriter(day.limit(0)).saveAsTable(sideTable(table, "B"))
+      (1 until nSides).foreach(i => bucketedWriter(day.limit(0))
+        .saveAsTable(sideTable(table, PartitionStore.sideName(i))))
       val dates = spark.table(sideTable(table, "A"))
         .select(col(dateCol)).distinct().collect().map(_.get(0).toString)
       return PartitionStore.Staged(spark, root, dates.map(_ -> "A").toMap)
     }
+    // a GROWN sides setting (2 → 3) meets side tables created before the
+    // growth: create the missing idle tables empty, same layout
+    (0 until nSides).map(PartitionStore.sideName)
+      .filterNot(sn => spark.catalog.tableExists(sideTable(table, sn)))
+      .foreach(sn => bucketedWriter(day.limit(0))
+        .saveAsTable(sideTable(table, sn)))
     val dayTbl = dayTable(table)
     day.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(dayTbl)
@@ -175,11 +202,11 @@ object BucketedStore {
     val outDates: Array[Any] = out.select(col(dateCol)).distinct()
       .collect().map(_.get(0))
     def targetSide(dateStr: String): String =
-      if (cur.get(dateStr).contains("A")) "B" else "A"
+      nextSide(cur.get(dateStr), nSides)
     val owmKey = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(owmKey)
     spark.conf.set(owmKey, "dynamic")
-    try Seq("A", "B").foreach { side =>
+    try (0 until nSides).map(PartitionStore.sideName).foreach { side =>
       val ds = outDates.filter(d => targetSide(d.toString) == side)
       if (ds.nonEmpty)
         out.filter(col(dateCol).isin(ds.map(d =>
@@ -202,6 +229,7 @@ object BucketedStore {
     * ([[graft.Main.runDailyDeltaBucketedStore]], BackfillBench
     * `bucketed_store`). */
   def upsert(dayRows: DataFrame, root: String, table: String,
-             key: String, dateCol: String, buckets: Int): Unit =
-    stageUpsert(dayRows, root, table, key, dateCol, buckets).commit()
+             key: String, dateCol: String, buckets: Int,
+             sides: Int = 0): Unit =
+    stageUpsert(dayRows, root, table, key, dateCol, buckets, sides).commit()
 }

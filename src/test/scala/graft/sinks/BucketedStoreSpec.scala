@@ -13,7 +13,7 @@ class BucketedStoreSpec extends SparkSpec {
         r.getAs[Any]("d").toString))
       .sortBy(t => (t._1, t._2)).toSeq
 
-  private def drop(table: String): Unit = Seq("__a", "__b", "__day")
+  private def drop(table: String): Unit = Seq("__a", "__b", "__c", "__day")
     .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $table$s"))
 
   test("upsert law over rotating partitions: updates win wholesale, unmatched history survives, emptied partitions leave the manifest, untouched partitions aren't rewritten") {
@@ -114,6 +114,46 @@ class BucketedStoreSpec extends SparkSpec {
       assert(reader.collect().map(_.getString(1)).toSeq == Seq("a"),
         "reader lost its side across one rotation")
       assert(content(root, t) == Seq((1L, "a2", "2024-04-01")))
+    } finally drop(t)
+  }
+
+  test("sides=3: a reader's plan survives TWO concurrent upserts; a grown sides setting creates the missing side table on demand") {
+    val root = Files.createTempDirectory("graft_bstore_ret").toString
+    val t = "bstore_ret"
+    drop(t)
+    try {
+      // store born with the default 2 sides, then the knob grows to 3:
+      // the C table must appear on demand and the cycle must lengthen
+      BucketedStore.upsert(Seq((1L, "v1", "2024-05-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2)
+      val reader = BucketedStore.read(spark, root, t).get
+      BucketedStore.upsert(Seq((1L, "v2", "2024-05-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2, sides = 3)
+      BucketedStore.upsert(Seq((1L, "v3", "2024-05-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2, sides = 3)
+      assert(spark.catalog.tableExists(s"${t}__c"),
+        "grown sides must create the missing side table")
+      assert(PartitionStore.manifest(spark, root).get("2024-05-01") == "C")
+      assert(reader.collect().map(_.getString(1)).toSeq == Seq("v1"),
+        "reader lost its side within the 3-side retention window")
+      assert(content(root, t) == Seq((1L, "v3", "2024-05-01")))
+    } finally drop(t)
+  }
+
+  test("an EMPTY day is a committed no-op: same manifest, same content") {
+    val root = Files.createTempDirectory("graft_bstore_empty").toString
+    val t = "bstore_empty"
+    drop(t)
+    try {
+      BucketedStore.upsert(Seq((1L, "a", "2024-06-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2)
+      val m1 = PartitionStore.manifest(spark, root).get
+      val before = content(root, t)
+      BucketedStore.upsert(
+        Seq.empty[(Long, String, String)].toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2)
+      assert(PartitionStore.manifest(spark, root).get == m1)
+      assert(content(root, t) == before)
     } finally drop(t)
   }
 

@@ -200,6 +200,19 @@ class PartitionStoreSpec extends SparkSpec {
     assert(content(root) == Seq((1L, "a", "2024-01-01")))
   }
 
+  test("compact: a NULL-date partition rides the same pass — law-neutral, manifest keeps the sentinel key") {
+    val root = Files.createTempDirectory("graft_pstore_cnull").toString
+    PartitionStore.upsert(
+      Seq((1L, "a", null: java.sql.Date), (2L, "b", dt("2024-01-01")),
+        (3L, "c", null: java.sql.Date)).toDF("id", "v", "d"),
+      root, "id", "d")
+    val old = content(root)
+    PartitionStore.compact(spark, root, "id", "d", targetBytes = 16 * 1024)
+    assert(content(root) == old, "null-date compaction changed the law")
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set("__HIVE_DEFAULT_PARTITION__", "2024-01-01"))
+  }
+
   test("compact: law-neutral, and every partition's files become key-sorted with DISJOINT ranges (row-group stats prune again)") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_pstore_compact").toString
