@@ -66,6 +66,11 @@ object AnnAudit {
     // QUERY is the twin, its true neighbor is q_id - 1
     val queryPred = pmod(col("vec_id"), lit(200)) === 1
     val nq = emb.filter(queryPred).count()
+    // a fixture below ~202 vectors has ZERO planted queries — every
+    // recall below would be 0/0 and the JSONL lines would carry bare
+    // NaN (invalid JSON); fail loudly instead (round-14 advice)
+    require(nq > 0, s"fixture too small for planted queries (n_vecs=$n): " +
+      "regenerate with gen_testdata.py at sf >= 0.01 (emb mode)")
     println(s"""{"metric":"fixture","n_vecs":$n,"planted_queries":$nq}""")
 
     def twinRecall(topk: org.apache.spark.sql.DataFrame): Double =

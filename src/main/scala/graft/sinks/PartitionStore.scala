@@ -33,7 +33,26 @@ import org.apache.spark.sql.functions._
   * new state is complete by construction. Emptied partitions (every row
   * re-delivered under a new date) simply DROP out of the manifest in
   * the same commit — no delete-after-overwrite window at all, the race
-  * the plain layout cannot close.
+  * the plain layout cannot close. Their on-disk side dirs linger
+  * unreferenced until [[vacuum]] reclaims them (each emptying records a
+  * TOMBSTONE line carrying the commit epoch, so vacuum can honor the
+  * reader-retention window — see below).
+  *
+  * Manifest format v2 (v1 = bare `dir\tside` lines, still read):
+  * {{{
+  *   #graft⇥v=2⇥epoch=12⇥sides=3[⇥dateCol=d⇥key=id⇥buckets=8]
+  *   <partition-dir>⇥<side>          (one per live partition)
+  *   #tomb⇥<partition-dir>⇥<epoch>   (one per emptied-not-yet-vacuumed)
+  * }}}
+  * The header makes the store SELF-DESCRIBING: `sides` is the layout's
+  * own retention setting (round-14 advice — a later caller defaulting
+  * to 2 on a sides=3 store would silently shorten the rotation cycle
+  * and break the reader window), `epoch` counts commits (the tombstone
+  * clock), and [[BucketedStore]] adds its layout params. Resolution
+  * precedence everywhere: explicit arg > persisted manifest value >
+  * session conf ([[sidesKey]]) > default 2 — the conf seeds NEW stores;
+  * changing an EXISTING store's cycle requires the explicit arg (a
+  * deliberate grow/shrink, persisted on that commit).
   *
   * The upsert law is identical to [[graft.operators.Relational.upsert]]
   * / [[TableSink.upsertDayPartitions]]: update rows win wholesale,
@@ -52,10 +71,15 @@ import org.apache.spark.sql.functions._
   * (A→B→…→A), so a stage only ever overwrites the side written
   * `sides - 1` rotations ago — a reader's plan stays resolvable
   * through `sides - 1` concurrent upserts of its partitions. GC is
-  * inherent in the cycle (the oldest side IS the staging target);
-  * shrinking `sides` later strands at most the orphaned extra side
-  * dirs, which the manifest never references. Single writer assumed,
-  * as everywhere in the plain-parquet layer.
+  * inherent in the cycle for LIVE partitions (the oldest side IS the
+  * staging target); [[vacuum]] extends it to emptied partitions,
+  * reclaiming a tombstoned dir only once `sides - 1` commits have
+  * passed since the emptying — the same window, with commits standing
+  * in for the rotations an emptied partition no longer gets. Shrinking
+  * `sides` later strands at most the orphaned extra side dirs, which
+  * the manifest never references (vacuum leaves live dates' dirs
+  * alone). Single writer assumed, as everywhere in the plain-parquet
+  * layer.
   *
   * The data files KEEP the `dateCol` column (the stage write partitions
   * by a throwaway twin column), so readers need no partition-value
@@ -69,7 +93,8 @@ object PartitionStore {
     * raw `toString` here would miss special characters (timestamp
     * colons, '%' in strings), skip the affected live partition on the
     * keep side, and let a stale row survive as a duplicate key — the
-    * round-13 advice finding. */
+    * round-13 advice finding. (Escaping also means an entry line can
+    * never begin with the `#` that marks v2 metadata lines.) */
   def dirName(v: Any): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -78,8 +103,13 @@ object PartitionStore {
   /** Side names in rotation order: A, B, C, … (`sides ≤ 26` is plenty —
     * each extra side is a full extra copy of every partition's data). */
   def sideName(i: Int): String = ('A' + i).toChar.toString
-  private def resolveSides(spark: SparkSession, sides: Int): Int =
-    if (sides > 0) sides else spark.conf.get(sidesKey, "2").toInt
+  private[sinks] def resolveSides(spark: SparkSession, sides: Int,
+                                  persisted: Option[Int]): Int = {
+    val n = if (sides > 0) sides
+            else persisted.getOrElse(spark.conf.get(sidesKey, "2").toInt)
+    require(n >= 2 && n <= 26, s"sides must be in [2, 26]: $n")
+    n
+  }
   private def sideIndex(name: String): Int = name.head - 'A'
 
   private val ManifestName = "_manifest"
@@ -88,27 +118,67 @@ object PartitionStore {
     FileContext.getFileContext(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  /** The live manifest (partition-dir name → side), if one exists.
+  /** Everything a manifest carries: live entries (partition-dir name →
+    * side), the v2 header metadata, and the emptied-partition
+    * tombstones (partition-dir name → emptying commit epoch). A v1
+    * manifest parses with empty `meta`/`tombs`; every commit rewrites
+    * v2. */
+  final case class ManifestState(entries: Map[String, String],
+                                 meta: Map[String, String],
+                                 tombs: Map[String, Long]) {
+    /** Commit counter — the tombstone clock. v1 manifests read as 0. */
+    def epoch: Long = meta.get("epoch").map(_.toLong).getOrElse(0L)
+    /** The persisted retention setting, if this store has committed
+      * one (v2). */
+    def sides: Option[Int] = meta.get("sides").map(_.toInt)
+  }
+  private[sinks] val emptyState =
+    ManifestState(Map.empty, Map.empty, Map.empty)
+
+  private def parseManifest(text: String): ManifestState = {
+    var meta = Map.empty[String, String]
+    var tombs = Map.empty[String, Long]
+    var entries = Map.empty[String, String]
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach {
+      case l if l == "#graft" || l.startsWith("#graft\t") =>
+        meta = l.split("\t").iterator.drop(1).map { tok =>
+          val i = tok.indexOf('=')
+          require(i > 0, s"corrupt manifest header token: $tok")
+          tok.substring(0, i) -> tok.substring(i + 1)
+        }.toMap
+      case l if l.startsWith("#tomb\t") =>
+        val parts = l.split("\t")
+        require(parts.length == 3, s"corrupt tombstone line: $l")
+        tombs += parts(1) -> parts(2).toLong
+      case l =>
+        val i = l.lastIndexOf('\t')
+        require(i > 0, s"corrupt manifest line: $l")
+        entries += l.substring(0, i) -> l.substring(i + 1)
+    }
+    ManifestState(entries, meta, tombs)
+  }
+
+  /** The live manifest state, if one exists.
     *
     * Falls back to `_manifest.tmp` when `_manifest` is absent but the
     * tmp is present: on HDFS the commit rename is atomic, but a LOCAL
     * filesystem's overwrite-rename is delete-then-rename, so a crash in
-    * that window leaves only the tmp — which [[Staged.commit]] had
-    * already written and closed COMPLETELY before the rename began, so
-    * it IS the new manifest (a crash mid-tmp-write instead leaves
-    * `_manifest` in place and the fallback unused). This keeps the
-    * "readers always see a complete master" guarantee on both
-    * filesystems (the round-13 advice finding on the local-FS window). */
-  def manifest(spark: SparkSession, root: String): Option[Map[String, String]] = {
+    * that window leaves only the tmp. Under [[Staged.commit]]'s
+    * protocol the tmp is NEVER partially written — it only ever comes
+    * into existence by renaming a fully-written-and-closed unique file
+    * over it — so whenever the fallback fires, the tmp IS the complete
+    * new manifest (the round-14 advice closed the old protocol's gap,
+    * where commit truncated the tmp in place and a crash mid-write with
+    * no `_manifest` present — first commit, or the post-crash fallback
+    * state itself — left a PARTIAL tmp readable as a valid subset
+    * manifest). This keeps the "readers always see a complete master"
+    * guarantee on both filesystems. */
+  def manifestState(spark: SparkSession, root: String): Option[ManifestState] = {
     val f = fc(spark, root)
-    def readAt(p: Path): Map[String, String] = {
+    def readAt(p: Path): ManifestState = {
       val in = f.open(p)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('\t')
-        require(i > 0, s"corrupt manifest line: $line")
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap
+      parseManifest(text)
     }
     val p = new Path(s"$root/$ManifestName")
     val tmp = new Path(s"$root/$ManifestName.tmp")
@@ -116,6 +186,11 @@ object PartitionStore {
     else if (f.util.exists(tmp)) Some(readAt(tmp))
     else None
   }
+
+  /** The live manifest entries (partition-dir name → side), if a
+    * manifest exists — the narrow view most callers need. */
+  def manifest(spark: SparkSession, root: String): Option[Map[String, String]] =
+    manifestState(spark, root).map(_.entries)
 
   /** The live store as one DataFrame — the manifest's partitions, each
     * read from its live side. None when no manifest exists or the store
@@ -129,20 +204,51 @@ object PartitionStore {
     * contents are on their idle sides; nothing is visible to readers
     * until [[commit]] atomically swaps the manifest. Abandoning a
     * staged upsert needs no cleanup — a retried stage overwrites the
-    * same idle sides. */
+    * same idle sides.
+    *
+    * Commit protocol (local-FS crash-safe, round-14 advice): the new
+    * manifest body is written to a UNIQUE `_manifest.new.<uuid>` name
+    * no reader ever consults, closed, renamed over `_manifest.tmp`,
+    * then `_manifest.tmp` renamed over `_manifest`. At every crash
+    * point either `_manifest` (old or new) or a COMPLETE `.tmp` is
+    * readable; a partial file can only exist at the unique name, which
+    * the next commit sweeps. If a previous commit crashed inside the
+    * final rename's local-FS delete-then-rename window (manifest
+    * absent, complete tmp present), commit first PROMOTES the tmp to
+    * `_manifest` with a plain rename so the truncate-the-only-copy
+    * hazard cannot arise. */
   final case class Staged(spark: SparkSession, root: String,
-                          newManifest: Map[String, String]) {
+                          newManifest: Map[String, String],
+                          meta: Map[String, String] = Map.empty,
+                          tombs: Map[String, Long] = Map.empty) {
     def commit(): Unit = {
       val f = fc(spark, root)
-      val tmp = new Path(s"$root/$ManifestName.tmp")
       val dst = new Path(s"$root/$ManifestName")
-      val out = f.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      val tmp = new Path(s"$root/$ManifestName.tmp")
+      val rootPath = new Path(root)
+      // sweep unique-name strays from crashed commits (never readable)
+      if (f.util.exists(rootPath))
+        f.util.listStatus(rootPath)
+          .filter(_.getPath.getName.startsWith(s"$ManifestName.new."))
+          .foreach(s => f.delete(s.getPath, false))
+      // promote a fallback-state tmp (complete by protocol) left by a
+      // crash in a previous commit's delete-then-rename window: plain
+      // rename, dst absent, atomic on both filesystems
+      if (!f.util.exists(dst) && f.util.exists(tmp))
+        f.rename(tmp, dst)
+      val uniq = new Path(
+        s"$root/$ManifestName.new.${java.util.UUID.randomUUID}")
+      val out = f.create(uniq,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
         Options.CreateOpts.createParent())
-      val body = newManifest.toSeq.sorted.map { case (d, s) => s"$d\t$s" }
+      val header = "#graft" + (meta + ("v" -> "2")).toSeq.sorted
+        .map { case (k, v) => s"\t$k=$v" }.mkString
+      val body = (header +:
+        (newManifest.toSeq.sorted.map { case (d, s) => s"$d\t$s" } ++
+          tombs.toSeq.sorted.map { case (d, e) => s"#tomb\t$d\t$e" }))
         .mkString("", "\n", "\n")
       try out.write(body.getBytes("UTF-8")) finally out.close()
+      f.rename(uniq, tmp, Options.Rename.OVERWRITE)
       f.rename(tmp, dst, Options.Rename.OVERWRITE)
     }
   }
@@ -178,17 +284,24 @@ object PartitionStore {
     * pure metadata. */
   /** The deployment-level retention knob: sides per partition (2 = A/B,
     * the default; N lets a reader survive N-1 concurrent rotations).
-    * Callers that don't pass `sides` explicitly inherit this. */
+    * Seeds NEW stores and v1-era stores only — a v2 store persists its
+    * own `sides` in the manifest and ignores this conf (round-14
+    * advice: a different job's default must not shorten an existing
+    * store's rotation cycle); pass the explicit `sides` arg to
+    * grow/shrink an existing store. */
   val sidesKey = "spark.graft.store.sides"
 
-  /** `sides = 0` (the default) resolves the session conf [[sidesKey]]. */
+  /** `sides = 0` (the default) resolves the persisted manifest setting,
+    * then the session conf [[sidesKey]]. */
   def stageUpsert(dayRows: DataFrame, root: String,
                   key: String, dateCol: String, sides: Int = 0): Staged = {
     val spark = dayRows.sparkSession
     // materialized defensively: callers may derive the day frame from
     // this store's own live side (the chained-backfill shape)
     val day = graft.Persist.cut(dayRows)
-    val cur = manifest(spark, root).getOrElse(Map.empty)
+    val st = manifestState(spark, root).getOrElse(emptyState)
+    val cur = st.entries
+    val nSides = resolveSides(spark, sides, st.sides)
     def readSides(m: Map[String, String]) =
       spark.read.parquet(m.toSeq.map { case (d, s) => s"$root/$d/$s" }: _*)
     val hist = if (cur.isEmpty) None else Some(readSides(cur))
@@ -230,14 +343,20 @@ object PartitionStore {
     out.withColumn("__pdate", col(dateCol))
       .sortWithinPartitions(col("__pdate"), col(key))
       .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
-    val (next0, stagedNames) = moveStaged(spark, root, stage, cur,
-      resolveSides(spark, sides))
+    val (next0, stagedNames) = moveStaged(spark, root, stage, cur, nSides)
     // affected partitions the output no longer carries were EMPTIED:
     // they leave the manifest in the same commit — no stale-readable
-    // window, unlike the plain layout's delete-after-overwrite
+    // window, unlike the plain layout's delete-after-overwrite — and
+    // gain a tombstone so vacuum can reclaim their dirs once the
+    // reader window has passed
     var next = next0
-    affRaw.map(dirName).filterNot(stagedNames).foreach { d => next = next - d }
-    Staged(spark, root, next)
+    val emptied = affRaw.map(dirName).filterNot(stagedNames).filter(cur.contains)
+    emptied.foreach { d => next = next - d }
+    val newEpoch = st.epoch + 1
+    Staged(spark, root, next,
+      meta = st.meta ++ Map("sides" -> nSides.toString,
+        "epoch" -> newEpoch.toString),
+      tombs = (st.tombs -- stagedNames) ++ emptied.map(_ -> newEpoch))
   }
 
   /** Move every `__pdate=<dir>` under `stage` onto its partition's next
@@ -298,8 +417,10 @@ object PartitionStore {
               dateCol: String, targetBytes: Long = 128L << 20,
               sides: Int = 0): Unit = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val cur = manifest(spark, root).getOrElse(Map.empty)
+    val st = manifestState(spark, root).getOrElse(emptyState)
+    val cur = st.entries
     if (cur.isEmpty) return
+    val nSides = resolveSides(spark, sides, st.sides)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = cur.toSeq.map { case (d, s) =>
       fs.getContentSummary(new Path(s"$root/$d/$s")).getLength }.sum
@@ -311,8 +432,46 @@ object PartitionStore {
       .repartitionByRange(files, col("__pdate"), col(key))
       .sortWithinPartitions(col("__pdate"), col(key))
       .write.mode("overwrite").partitionBy("__pdate").parquet(stage)
-    val (next, _) = moveStaged(spark, root, stage, cur,
-      resolveSides(spark, sides))
-    Staged(spark, root, next).commit()
+    val (next, _) = moveStaged(spark, root, stage, cur, nSides)
+    Staged(spark, root, next,
+      meta = st.meta ++ Map("sides" -> nSides.toString,
+        "epoch" -> (st.epoch + 1).toString),
+      tombs = st.tombs).commit()
+  }
+
+  /** Reclaim what the rotation cycle alone never touches: the side dirs
+    * of EMPTIED partitions (dates that left the manifest and never
+    * recurred — their data is invisible to readers-by-manifest but
+    * occupies disk forever, the round-14 verdict's GC gap) and
+    * untracked dirs (pre-v2 residue, abandoned first-stage garbage).
+    *
+    * Retention-safe by the tombstone clock: an emptied partition's
+    * dirs are dropped only once `sides - 1` COMMITS have passed since
+    * the emptying commit — the same window the rotation grants a live
+    * partition's reader, with commits standing in for the rotations an
+    * emptied partition no longer gets (a reader whose manifest predates
+    * the emptying is by then `sides` commits stale, outside the
+    * documented window). Live dates' dirs — ALL their sides, the
+    * rotation history a lagging reader may hold — are never touched.
+    * Returns (dirs dropped, tombstones cleared); commits the pruned
+    * tombstone set under the SAME epoch (vacuum is not a rotation — it
+    * must not age its own survivors). */
+  def vacuum(spark: SparkSession, root: String): (Int, Int) = {
+    val st = manifestState(spark, root).getOrElse(return (0, 0))
+    val n = resolveSides(spark, 0, st.sides)
+    val reclaim = st.tombs.filter { case (_, e) => st.epoch - e >= n - 1 }.keySet
+    val keep = st.entries.keySet ++ st.tombs.keySet -- reclaim
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `_`-prefixed names are the store's own machinery (_manifest*,
+    // _stage) — except the null-partition sentinel, a data dir like any
+    // other
+    val dropped = fs.listStatus(new Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(d => (d == "__HIVE_DEFAULT_PARTITION__" || !d.startsWith("_")) &&
+        !keep(d))
+    dropped.foreach(d => fs.delete(new Path(s"$root/$d"), true))
+    if (reclaim.nonEmpty)
+      Staged(spark, root, st.entries, st.meta, st.tombs -- reclaim).commit()
+    (dropped.length, reclaim.size)
   }
 }

@@ -183,4 +183,98 @@ class BucketedStoreSpec extends SparkSpec {
       assert(ex.getMessage.contains("non-null"))
     } finally drop(t)
   }
+
+  test("manifest v2 is self-describing: layout params persist, contradicting args are rejected, and a defaulting caller inherits the persisted sides cycle") {
+    val root = Files.createTempDirectory("graft_bstore_meta").toString
+    val t = "bstore_meta"
+    drop(t)
+    try {
+      BucketedStore.upsert(Seq((1L, "v1", "2024-07-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 4, sides = 3)
+      val st = PartitionStore.manifestState(spark, root).get
+      assert(st.meta("dateCol") == "d" && st.meta("key") == "id" &&
+        st.meta("buckets") == "4" && st.sides.contains(3),
+        s"layout params must persist in the manifest header: ${st.meta}")
+      // a caller repeating the layout wrong is rejected BEFORE any write
+      // (a silent buckets mismatch would break co-bucketing; a wrong
+      // key/dateCol would corrupt the law)
+      val day2 = Seq((1L, "v2", "2024-07-01")).toDF("id", "v", "d")
+      Seq(
+        () => BucketedStore.upsert(day2, root, t, "id", "d", buckets = 8),
+        () => BucketedStore.upsert(day2, root, t, "v", "d", buckets = 4),
+        () => BucketedStore.upsert(day2, root, t, "id", "v", buckets = 4)
+      ).foreach { call =>
+        val ex = intercept[IllegalArgumentException](call())
+        assert(ex.getMessage.contains("layout mismatch"), ex.getMessage)
+      }
+      // a later caller defaulting sides=0 with the conf UNSET must
+      // inherit the persisted 3-cycle, not shorten it to the default 2
+      // (the round-14 advice retention break)
+      BucketedStore.upsert(day2, root, t, "id", "d", buckets = 4)
+      BucketedStore.upsert(Seq((1L, "v3", "2024-07-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 4)
+      assert(PartitionStore.manifest(spark, root).get("2024-07-01") == "C",
+        "defaulting caller must rotate on the persisted 3-cycle")
+      assert(content(root, t) == Seq((1L, "v3", "2024-07-01")))
+    } finally drop(t)
+  }
+
+  test("vacuum reclaims an emptied date's invisible side-table rows only after the sides-1 commit window; live dates' rotation copies survive") {
+    val root = Files.createTempDirectory("graft_bstore_vac").toString
+    val t = "bstore_vac"
+    drop(t)
+    def raw(): Long = spark.table(s"${t}__a")
+      .unionByName(spark.table(s"${t}__b")).count()
+    try {
+      BucketedStore.upsert(
+        Seq((1L, "a", "2024-08-01"), (2L, "b", "2024-08-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // epoch 1
+      val reader = BucketedStore.read(spark, root, t).get // plans at epoch 1
+      BucketedStore.upsert(
+        Seq((1L, "a2", "2024-08-02"), (2L, "b2", "2024-08-02")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // epoch 2: 08-01 emptied + tombstoned
+      assert(raw() == 4 && content(root, t).size == 2,
+        "expected the emptied date's rows to linger invisibly pre-vacuum")
+      // window not yet passed (0 commits since emptying < sides-1 = 1):
+      // vacuum is a no-op and the epoch-1 reader still resolves
+      assert(BucketedStore.vacuum(spark, root, t) == (0, 0))
+      assert(raw() == 4)
+      assert(reader.collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"),
+        "a reader within the retention window must survive vacuum")
+      BucketedStore.upsert(Seq((3L, "c", "2024-08-03")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // epoch 3: window passed for 08-01
+      val (dropped, cleared) = BucketedStore.vacuum(spark, root, t)
+      assert(dropped == 1 && cleared == 1, s"($dropped, $cleared)")
+      assert(raw() == 3, "emptied date's partition must be gone from the side table")
+      assert(content(root, t) == Seq((1L, "a2", "2024-08-02"),
+        (2L, "b2", "2024-08-02"), (3L, "c", "2024-08-03")))
+      assert(PartitionStore.manifestState(spark, root).get.tombs.isEmpty)
+    } finally drop(t)
+  }
+
+  test("vacuum drops a side table stranded by an explicit sides shrink, never a live one") {
+    val root = Files.createTempDirectory("graft_bstore_shrink").toString
+    val t = "bstore_shrink"
+    drop(t)
+    try {
+      val d = "2024-09-01"
+      BucketedStore.upsert(Seq((1L, "v1", d)).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2, sides = 3) // A
+      BucketedStore.upsert(Seq((1L, "v2", d)).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // B (persisted 3-cycle)
+      BucketedStore.upsert(Seq((1L, "v3", d)).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // C
+      // explicit shrink to 2: the date rotates off C; __c is stranded
+      BucketedStore.upsert(Seq((1L, "v4", d)).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2, sides = 2)
+      assert(PartitionStore.manifestState(spark, root).get.sides.contains(2))
+      assert(spark.catalog.tableExists(s"${t}__c"))
+      BucketedStore.vacuum(spark, root, t)
+      assert(!spark.catalog.tableExists(s"${t}__c"),
+        "shrink-stranded side table must drop")
+      assert(spark.catalog.tableExists(s"${t}__a") &&
+        spark.catalog.tableExists(s"${t}__b"))
+      assert(content(root, t) == Seq((1L, "v4", d)))
+    } finally drop(t)
+  }
 }

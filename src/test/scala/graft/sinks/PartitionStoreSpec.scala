@@ -200,6 +200,100 @@ class PartitionStoreSpec extends SparkSpec {
     assert(content(root) == Seq((1L, "a", "2024-01-01")))
   }
 
+  test("commit from the fallback state PROMOTES the tmp and sweeps unique-name strays — the truncate-the-only-copy window is closed") {
+    val root = Files.createTempDirectory("graft_pstore_promote").toString
+    PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    // simulate a crash inside the final rename's local-FS
+    // delete-then-rename window (only the complete tmp remains) plus a
+    // stray partial unique file from the same crashed commit
+    val m = new java.io.File(s"$root/_manifest")
+    assert(m.renameTo(new java.io.File(s"$root/_manifest.tmp")))
+    val stray = new java.io.File(s"$root/_manifest.new.deadbeef")
+    java.nio.file.Files.writeString(stray.toPath, "2024-01-99\t") // partial
+    // the next commit must not truncate the only manifest copy: it
+    // promotes tmp -> _manifest first, then writes via a fresh unique
+    // name — the old state stays readable at every instant
+    PartitionStore.upsert(Seq((2L, "b", dt("2024-01-02"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    assert(new java.io.File(s"$root/_manifest").isFile)
+    assert(!stray.exists, "crashed-commit stray must be swept")
+    assert(PartitionStore.manifest(spark, root).get.keySet ==
+      Set("2024-01-01", "2024-01-02"),
+      "day-1 state must survive a commit issued from the fallback state")
+    assert(content(root) == Seq((1L, "a", "2024-01-01"),
+      (2L, "b", "2024-01-02")))
+  }
+
+  test("sides persists in the manifest: a later caller defaulting to 2 keeps the store's 3-cycle") {
+    val root = Files.createTempDirectory("graft_pstore_psides").toString
+    def side() = PartitionStore.manifest(spark, root).get("2024-01-01")
+    // born with an explicit sides=3; conf stays UNSET throughout
+    PartitionStore.upsert(Seq((1L, "v1", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d", sides = 3)
+    assert(PartitionStore.manifestState(spark, root).get.sides.contains(3))
+    // defaulting callers (sides = 0, no conf) must inherit the 3-cycle —
+    // the round-14 advice retention break was exactly this rotation
+    // falling back to 2 and overwriting the side one rotation old
+    PartitionStore.upsert(Seq((1L, "v2", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    assert(side() == "B")
+    PartitionStore.upsert(Seq((1L, "v3", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    assert(side() == "C", "defaulting caller must rotate on the persisted 3-cycle")
+    assert(content(root) == Seq((1L, "v3", "2024-01-01")))
+  }
+
+  test("a v1 manifest (no header) reads compatibly and upgrades to v2 on the next commit") {
+    val root = Files.createTempDirectory("graft_pstore_v1").toString
+    PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    // rewrite the manifest as v1: entry lines only
+    val mPath = java.nio.file.Paths.get(s"$root/_manifest")
+    val v1 = java.nio.file.Files.readString(mPath).split("\n")
+      .filterNot(_.startsWith("#")).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(mPath, v1)
+    val st = PartitionStore.manifestState(spark, root).get
+    assert(st.meta.isEmpty && st.tombs.isEmpty &&
+      st.entries.keySet == Set("2024-01-01"))
+    PartitionStore.upsert(Seq((2L, "b", dt("2024-01-02"))).toDF("id", "v", "d"),
+      root, "id", "d")
+    val st2 = PartitionStore.manifestState(spark, root).get
+    assert(st2.epoch == 1L && st2.sides.contains(2),
+      s"v2 upgrade must carry epoch + sides: ${st2.meta}")
+    assert(content(root) == Seq((1L, "a", "2024-01-01"),
+      (2L, "b", "2024-01-02")))
+  }
+
+  test("vacuum reclaims emptied-partition dirs only after the sides-1 commit window, drops untracked dirs, keeps live dates' rotation copies") {
+    val root = Files.createTempDirectory("graft_pstore_vac").toString
+    PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 1
+    PartitionStore.upsert(Seq((1L, "a2", dt("2024-01-02"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 2: 2024-01-01 emptied + tombstoned
+    PartitionStore.upsert(Seq((1L, "a3", dt("2024-01-02"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 3: 01-02 rotates A->B (stale A copy = window)
+    val junk = new java.io.File(s"$root/zzz_untracked/x")
+    junk.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(junk.toPath, "garbage")
+    val (dropped, cleared) = PartitionStore.vacuum(spark, root)
+    assert(dropped == 2 && cleared == 1, s"($dropped, $cleared)")
+    assert(!new java.io.File(s"$root/2024-01-01").exists,
+      "emptied dir past the window must be reclaimed")
+    assert(!junk.getParentFile.exists, "untracked dir must be reclaimed")
+    assert(new java.io.File(s"$root/2024-01-02/A").isDirectory &&
+      new java.io.File(s"$root/2024-01-02/B").isDirectory,
+      "a live date's rotation copies are a lagging reader's window — kept")
+    assert(PartitionStore.manifestState(spark, root).get.tombs.isEmpty)
+    assert(content(root) == Seq((1L, "a3", "2024-01-02")))
+    // and BEFORE the window passes, vacuum keeps a young tombstone's dir:
+    PartitionStore.upsert(Seq((1L, "a4", dt("2024-01-03"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 4: 01-02 emptied + tombstoned at 4
+    assert(PartitionStore.vacuum(spark, root) == (0, 0),
+      "vacuum must not reclaim inside the reader window")
+    assert(new java.io.File(s"$root/2024-01-02").exists)
+  }
+
   test("compact: a NULL-date partition rides the same pass — law-neutral, manifest keeps the sentinel key") {
     val root = Files.createTempDirectory("graft_pstore_cnull").toString
     PartitionStore.upsert(

@@ -16,10 +16,14 @@ set -eu
 PREV=${1:?usage: bench_ab.sh <prev-rev> [sf-dir] [out-prefix]}
 SFDIR=${2:-/root/testdata/sf0.1}
 PREFIX=${3:-logs/bench_ab}
-# frozen adjudication subset: spans the pipeline core (oq), dedup/LSH/CC,
-# text, window, streaming-twin and similarity families; all 15 exist in
-# every head since the contract froze at 207
-SUBSET="oq01_filter,oq07_agg_suite,x05_fingerprints,x118_dedup_cascade,x142_sample_calib,x14_sessionize,x154_len_quality_corr,x157_detector_agreement,x21_cc_dedup,x42_anomaly,x50_dup_rate,x65_percent_rank,x71_retention,x91_bpe_merges,x92_leak_split"
+# frozen adjudication subset (re-frozen round 15 at 17 queries): spans
+# the pipeline core (oq), dedup/LSH/CC, text, window, similarity
+# families, and — the round-14 verdict gap — the two STREAMING twins
+# (w05/w06), the contract's highest round-over-round variance, now
+# inside the instrument instead of invisible to it (median-of-3
+# amortizes micro-batch startup). Totals are NOT comparable with
+# rounds <= 14's 15-query artifacts; the r15 _prev run re-baselines.
+SUBSET="oq01_filter,oq07_agg_suite,w05_stream_watermark,w06_stream_dedup,x05_fingerprints,x118_dedup_cascade,x142_sample_calib,x14_sessionize,x154_len_quality_corr,x157_detector_agreement,x21_cc_dedup,x42_anomaly,x50_dup_rate,x65_percent_rank,x71_retention,x91_bpe_merges,x92_leak_split"
 cd "$(dirname "$0")/.."
 WT=$(mktemp -d /tmp/graft_ab_XXXXXX)
 rmdir "$WT"

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Five-SF strict certification of the full contract on ONE head:
+# Six-SF strict certification of the full contract on ONE head:
 # Verify-dump each scale factor, then replay every oracle in DuckDB
 # (--strict) and log to logs/replay_<tag>_<sf>.log. SFs run
 # SEQUENTIALLY (each Verify owns the box); the DuckDB side is capped by
@@ -16,29 +16,44 @@
 #     (strict) ==" line with N > 0, and N identical across SFs.
 # Exit 0 means CERTIFIED; anything else means the cert does not stand.
 #
-# Usage: tools/replay_all_sf.sh <tag> [sf ...]   (default: all five)
+# Usage: tools/replay_all_sf.sh <tag> [sf ...]   (default: all six)
 set -u
 cd /root/repo
 TAG="${1:-r10}"
 shift || true
 SFS=("$@")
-[ ${#SFS[@]} -eq 0 ] && SFS=(sf0.001 sf0.01 sf0.1 sf0.3 sf1.0)
+[ ${#SFS[@]} -eq 0 ] && SFS=(sf0.001 sf0.01 sf0.1 sf0.3 sf1.0 sf3.0)
 HEAD_HASH=$(git rev-parse HEAD)
+# dirty = tracked modifications OR untracked non-excluded files — a
+# build containing brand-new uncommitted sources must not certify as
+# "clean" for the named head (round-14 advice: `git diff` alone ignores
+# untracked files, the exact misattribution class this stamp closes)
 DIRTY="clean"
 git diff --quiet HEAD -- . ':!logs' ':!SURVEY.md' ':!ADVICE.md' 2>/dev/null \
   || DIRTY="dirty"
+if [ -n "$(git status --porcelain -uall -- . ':!logs' ':!SURVEY.md' \
+           ':!ADVICE.md' 2>/dev/null)" ]; then DIRTY="dirty"; fi
 dir_for() {
   case "$1" in
     sf0.3) echo /root/repo/testdata_sf0.3 ;;
     sf1.0) echo /root/repo/testdata_sf1.0 ;;
+    sf3.0) echo /root/repo/testdata_sf3.0 ;;
     *)     echo "/root/testdata/$1" ;;
   esac
 }
 for sf in "${SFS[@]}"; do
   d=$(dir_for "$sf")
   out="/tmp/verify_${TAG}_${sf}"
+  # sf3.0 is 3x the largest previously certified SF: give the (still
+  # capped, still sequential) Spark driver and DuckDB replay headroom
+  # scaled to the box instead of the 8GB/16GB concurrent-replay caps
+  DMEM=""; OMEM=""; OTEMP=""
+  if [ "$sf" = "sf3.0" ]; then
+    DMEM="48g"; OMEM="24GB"; OTEMP="64GB"
+  fi
   echo "== $sf: Verify -> $out"
-  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $d $out" \
+  env SPARK_GRAFT_CPUS=32 ${DMEM:+SPARK_DRIVER_MEM=$DMEM} \
+    sbt -batch "runMain graft.Verify $d $out" \
     > "/tmp/verify_${TAG}_${sf}.sbt.log" 2>&1
   if grep -q "\[verify\].*failed" "/tmp/verify_${TAG}_${sf}.sbt.log"; then
     echo "== $sf: VERIFY-STAGE FAILURES:"
@@ -47,7 +62,8 @@ for sf in "${SFS[@]}"; do
   echo "== $sf: oracle replay"
   log="logs/replay_${TAG}_${sf}.log"
   echo "== cert head $HEAD_HASH ($DIRTY) tag $TAG sf $sf ==" > "$log"
-  python3 tools/check_oracle.py "$d" "$out" --strict >> "$log" 2>&1
+  env ${OMEM:+CHECK_ORACLE_MEMORY=$OMEM} ${OTEMP:+CHECK_ORACLE_TEMP=$OTEMP} \
+    python3 tools/check_oracle.py "$d" "$out" --strict >> "$log" 2>&1
   tail -1 "$log"
 done
 # Completeness gate: refuse success unless every requested log certifies
