@@ -277,4 +277,37 @@ class BucketedStoreSpec extends SparkSpec {
       assert(content(root, t) == Seq((1L, "v4", d)))
     } finally drop(t)
   }
+
+  test("vacuum is idempotent and crash-tolerant: an interrupted partition-drop-then-commit re-runs to the same clean state") {
+    val root = Files.createTempDirectory("graft_bstore_vaccrash").toString
+    val t = "bstore_vaccrash"
+    drop(t)
+    try {
+      BucketedStore.upsert(Seq((1L, "a", "2024-08-01")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // epoch 1: 08-01 on side A
+      BucketedStore.upsert(Seq((1L, "b", "2024-08-02")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // epoch 2: 08-01 emptied + tombstoned
+      BucketedStore.upsert(Seq((2L, "c", "2024-08-02")).toDF("id", "v", "d"),
+        root, t, "id", "d", buckets = 2) // epoch 3: window passed for 08-01
+      // crash simulation: a vacuum that died after dropping the
+      // reclaimable partition from the side table but before committing
+      // the pruned tombstone set
+      spark.sql(
+        s"ALTER TABLE ${t}__a DROP IF EXISTS PARTITION (d='2024-08-01')")
+      assert(PartitionStore.manifestState(spark, root).get.tombs.keySet ==
+        Set("2024-08-01"))
+      // readable and law-correct in the crash state
+      assert(content(root, t) == Seq((1L, "b", "2024-08-02"),
+        (2L, "c", "2024-08-02")))
+      // the re-run converges: the catalog drop is idempotent, the
+      // orphaned tombstone clears — and a live date's stale rotation
+      // copy (tracked) is NOT mistaken for residue
+      val (dropped, cleared) = BucketedStore.vacuum(spark, root, t)
+      assert(dropped == 0 && cleared == 1, s"($dropped, $cleared)")
+      assert(PartitionStore.manifestState(spark, root).get.tombs.isEmpty)
+      assert(BucketedStore.vacuum(spark, root, t) == ((0, 0)))
+      assert(content(root, t) == Seq((1L, "b", "2024-08-02"),
+        (2L, "c", "2024-08-02")))
+    } finally drop(t)
+  }
 }

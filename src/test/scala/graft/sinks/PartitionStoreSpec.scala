@@ -339,4 +339,32 @@ class PartitionStoreSpec extends SparkSpec {
       case _ => true
     }, s"compacted files must hold disjoint key ranges: $after")
   }
+
+  test("vacuum is idempotent and crash-tolerant: an interrupted delete-then-commit re-runs to the same clean state") {
+    val root = Files.createTempDirectory("graft_pstore_vaccrash").toString
+    PartitionStore.upsert(Seq((1L, "a", dt("2024-01-01"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 1
+    PartitionStore.upsert(Seq((1L, "b", dt("2024-01-02"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 2: 01-01 emptied + tombstoned
+    PartitionStore.upsert(Seq((1L, "c", dt("2024-01-02"))).toDF("id", "v", "d"),
+      root, "id", "d") // epoch 3: window passed for 01-01
+    // crash simulation: a vacuum that died AFTER deleting the
+    // reclaimable dir but BEFORE committing the pruned tombstone set —
+    // dir gone, tombstone still in the manifest
+    val dir = new java.io.File(s"$root/2024-01-01")
+    assert(dir.isDirectory)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    assert(PartitionStore.manifestState(spark, root).get.tombs.keySet ==
+      Set("2024-01-01"))
+    // the store stays readable and law-correct in the crash state
+    assert(content(root) == Seq((1L, "c", "2024-01-02")))
+    // the re-run converges: nothing left to delete (the fs drop is
+    // idempotent), the orphaned tombstone clears
+    val (dropped, cleared) = PartitionStore.vacuum(spark, root)
+    assert(dropped == 0 && cleared == 1, s"($dropped, $cleared)")
+    assert(PartitionStore.manifestState(spark, root).get.tombs.isEmpty)
+    // and a second vacuum is a strict no-op
+    assert(PartitionStore.vacuum(spark, root) == ((0, 0)))
+    assert(content(root) == Seq((1L, "c", "2024-01-02")))
+  }
 }
