@@ -129,9 +129,31 @@ object Dedup {
 
   /** MinHash signatures: doc_id, h0..h{k-1} where h_i = min over shingles
     * of the i-th affine hash of the shingle's base hash. One md5 + one
-    * conv per posting (not k md5s), then ONE groupBy(doc_id) shuffle. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 12): DataFrame = {
-    val base = shingleSet(docs, n).withColumn("h",
+    * conv per posting (not k md5s), then ONE groupBy(doc_id) shuffle.
+    *
+    * Deliberately does NOT dedupe shingles first ([[shingleSet]]'s
+    * `.distinct()`): `min` is duplicate-insensitive, so the signature is
+    * bit-identical either way, and skipping the distinct removes a whole
+    * Exchange of (doc_id, raw shingle TEXT) — the signature build's only
+    * shuffle is the groupBy, whose map-side partial aggregation reduces
+    * each scan partition to k longs per resident doc before anything
+    * crosses the network. At 100 TB that is the difference between
+    * shuffling the tokenized corpus once and shuffling k·8 bytes per
+    * (doc, partition). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 12): DataFrame =
+    minhashSignaturesFromShingles(
+      docs
+        .select(col("doc_id"), rawTokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s")),
+      k)
+
+  /** Signature build over ANY (doc_id, s) shingle-row frame (distinct or
+    * not — min doesn't care): lets composites that already hold a
+    * materialized shingle frame ([[jaccardEstimateError]]) derive
+    * signatures from it instead of re-tokenizing the corpus. */
+  private def minhashSignaturesFromShingles(rows: DataFrame, k: Int): DataFrame = {
+    val base = rows.withColumn("h",
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % minhashP)
     val mins = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % minhashP).as(s"h$i")
@@ -216,9 +238,17 @@ object Dedup {
     * the end — exact, replayed by the oracle.
     * Output: (a_id, b_id, j_est), a_id < b_id, distinct pairs. */
   def estimatedJaccardPairs(docs: DataFrame, n: Int = 3, k: Int = 12,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4): DataFrame =
+    estimatedJaccardPairsFromSigs(
+      graft.Persist.cut(minhashSignatures(docs, n, k)), k, bands)
+
+  /** [[estimatedJaccardPairs]]' core over an ALREADY-MATERIALIZED signature
+    * frame — lets composites that need both the estimate and another
+    * shingle consumer ([[jaccardEstimateError]]) build signatures from one
+    * shared shingle pass instead of re-tokenizing the corpus. */
+  private def estimatedJaccardPairsFromSigs(sig: DataFrame, k: Int,
+                                            bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val sig = graft.Persist.cut(minhashSignatures(docs, n, k))
     val br = bandRows(sig, k, bands)
     val cand = br.as("a")
       .join(br.as("b"),
@@ -953,9 +983,15 @@ object Dedup {
     val n = deg.agg(greatest(count(lit(1)).cast("double"), lit(1.0)).as("n"))
     val base = broadcast(n.select(
       detRound(lit(1 - damping) / col("n"), 10).cast("decimal(18,10)").as("__base")))
-    var ranks = graft.Persist.cut(deg.crossJoin(broadcast(n))
+    var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("id"),
-        detRound(lit(1.0) / col("n"), 10).cast("decimal(18,10)").as("pr")))
+        detRound(lit(1.0) / col("n"), 10).cast("decimal(18,10)").as("pr"))
+    // each iteration's ranks frame is consumed EXACTLY ONCE (by the next
+    // contribution join), so the chain stays a single lazy plan — one job
+    // at the action, `iters` shuffle stages, ZERO per-iteration driver
+    // round-trips (the previous per-iteration Persist.cut was 5 extra
+    // materialization jobs whose frames nothing read twice); lineage depth
+    // is fixed by `iters`, so plan growth is bounded
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("id"))
@@ -963,11 +999,10 @@ object Dedup {
         .select(col("dst"),
           detRound(lit(damping) * col("pr").cast("double") / col("deg"), 10)
             .cast("decimal(18,10)").as("__c"))
-      ranks = graft.Persist.cut(
-        contrib.groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
-          .crossJoin(base)
-          .select(col("id"),
-            (col("__base") + col("__s")).cast("decimal(18,10)").as("pr")))
+      ranks = contrib.groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
+        .crossJoin(base)
+        .select(col("id"),
+          (col("__base") + col("__s")).cast("decimal(18,10)").as("pr"))
     }
     ranks.select(col("id"), col("pr").cast("double").as("pr"))
   }
@@ -1015,12 +1050,20 @@ object Dedup {
       val propagated = labels.join(nbrMin, labels("id") === col("nid"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: labels are node ids, so re-resolve each label
-      // through the freshly-propagated table — path halving
-      val p = graft.Persist.cut(propagated)
+      // through the PREVIOUS round's (already materialized) label table —
+      // path halving with ONE materialization per round instead of two.
+      // (Jumping through the freshly-propagated table would need
+      // `propagated` cut first — a second localCheckpoint job per round,
+      // a driver round-trip that costs more than the strictly-weaker jump
+      // saves: labels only DECREASE, the fixpoint — per-component minimum
+      // — is identical, and the sum-invariant convergence test is
+      // unchanged.)
+      val jump = labels.select(col("id").as("__jid"), col("lbl").as("__jlbl"))
       val next = graft.Persist.cut(
-        p.as("a").join(p.as("b"), col("a.lbl") === col("b.id"), "left_outer")
-          .select(col("a.id").as("id"),
-            least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl")))
+        propagated.join(jump, propagated("lbl") === col("__jid"), "left_outer")
+          .select(propagated("id"),
+            least(propagated("lbl"), coalesce(col("__jlbl"), propagated("lbl")))
+              .as("lbl")))
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -1405,10 +1448,20 @@ object Dedup {
     * DISTINCT per (doc_id, s) — the [[shingleSet]] contract. */
   def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
                            maxDf: Int,
-                           maxDfFraction: Option[Double] = None): DataFrame = {
+                           maxDfFraction: Option[Double] = None): DataFrame =
     // the element set feeds the df count and the df-tagged postings:
     // materialize once instead of re-running the upstream shuffle
-    val sh = graft.Persist.cut(sets.select(col("doc_id"), col("s")))
+    jaccardPairsFromCutSets(
+      graft.Persist.cut(sets.select(col("doc_id"), col("s"))),
+      threshold, maxDf, maxDfFraction)
+
+  /** [[jaccardPairsFromSets]]' core over an ALREADY-MATERIALIZED distinct
+    * element-set frame — callers that hold a cut shingle frame feeding
+    * several consumers ([[jaccardEstimateError]]) skip the second
+    * materialization job. */
+  private def jaccardPairsFromCutSets(sh: DataFrame, threshold: Double,
+                                      maxDf: Int,
+                                      maxDfFraction: Option[Double]): DataFrame = {
     val cap = resolveDfCap(sh, maxDf, maxDfFraction)
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // the df-tag join feeds both the blocking postings and the per-doc
@@ -1443,7 +1496,7 @@ object Dedup {
     // a broadcast table — at corpus scales where it doesn't (billions of
     // docs), disable via spark.graft.jaccard.broadcastStats=false and let
     // the planner shuffle-join.
-    val bcast = sets.sparkSession.conf
+    val bcast = sh.sparkSession.conf
       .get("spark.graft.jaccard.broadcastStats", "true").toBoolean
     def stats(alias: String): DataFrame =
       if (bcast) broadcast(docStats.as(alias)) else docStats.as(alias)
@@ -1571,8 +1624,14 @@ object Dedup {
     * (all ROUND 4). */
   def jaccardEstimateError(docs: DataFrame, n: Int = 3, k: Int = 12,
                            bands: Int = 4, maxDf: Int = 1000): DataFrame = {
-    val est = estimatedJaccardPairs(docs, n, k, bands)
-    val exact = ngramJaccardPairs(docs, n, threshold = 0.0, maxDf = maxDf)
+    // ONE tokenize+shingle pass feeds BOTH chains (was: each chain re-ran
+    // its own corpus explode): the exact side needs the DISTINCT element
+    // sets, and the signature build is min-aggregation — duplicate-
+    // insensitive — so the same cut frame serves both bit-identically.
+    val sh = graft.Persist.cut(shingleSet(docs, n))
+    val est = estimatedJaccardPairsFromSigs(
+      graft.Persist.cut(minhashSignaturesFromShingles(sh, k)), k, bands)
+    val exact = jaccardPairsFromCutSets(sh, threshold = 0.0, maxDf, None)
     val d6 = (e: Column) => round(e, 6).cast("decimal(18,6)")
     est.join(exact, Seq("a_id", "b_id"))
       .select(

@@ -286,23 +286,62 @@ object ExtensionQueries {
       landStreamFile(df, root, streamDir, name, mtimeMs)
     // mtimes far apart: FileStreamSource orders by (mtime, path), and the
     // three-batch split IS the semantics under test
-    land(e.filter(col("event_id") % 10 >= 2), "00_ontime.parquet", 1000000L)
-    land(e.filter(col("event_id") % 10 === 1), "01_advance.parquet", 2000000L)
-    land(e.filter(col("event_id") % 10 === 0), "02_replay.parquet", 3000000L)
+    // the three landing writes are independent single-file jobs: submit
+    // them concurrently so the later jobs back-fill the earlier ones'
+    // task tails (guide §2.6 overlap-independent-jobs) — mtimes are
+    // pinned AFTER each write, so landing order is irrelevant
+    landConcurrently(Seq(
+      () => land(e.filter(col("event_id") % 10 >= 2), "00_ontime.parquet", 1000000L),
+      () => land(e.filter(col("event_id") % 10 === 1), "01_advance.parquet", 2000000L),
+      () => land(e.filter(col("event_id") % 10 === 0), "02_replay.parquet", 3000000L)))
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
     val sink = "w05_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.EventStream.hourlyCounts(stream)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamStatePartitions(s) {
+      val q = graft.streaming.EventStream.hourlyCounts(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     detachStreamResult(s, sink, root,
       s.table(sink).select(col("h"), col("event_type"), col("c"))
         .orderBy("h", "event_type"))
+  }
+
+  /** Run the streaming-twin engine pass with
+    * `spark.sql.shuffle.partitions` temporarily set to
+    * `spark.graft.stream.statePartitions` (default 8), restoring the
+    * session value afterwards. Rationale (optimization guide §2.2/§3):
+    * AQE does NOT coalesce STREAMING shuffles, so the session default
+    * (= cluster thread count, right for batch where AQE re-plans) buys a
+    * stateful micro-batch nothing but per-partition fixed costs — one
+    * HDFS-backed state store, its commit files and its WAL entries PER
+    * PARTITION PER BATCH for a watermark-bounded state of a few KB.
+    * Production streams size state partitions to STATE VOLUME, not
+    * cluster width (the count pins at the first checkpoint); 8 is the
+    * measured knee for the contract twins (32→8 halves the engine pass;
+    * below 8 is flat) and the knob lets a real deployment raise it.
+    * Results are partition-count-independent (exact aggregates/dedup),
+    * which the oracle re-verifies. */
+  private def withStreamStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.stream.statePartitions", "8"))
+    try f finally s.conf.set(key, prev)
+  }
+
+  /** Submit independent fixture-landing writes concurrently (each is a
+    * one-task write job; the scheduler back-fills idle cores with the
+    * next job's tasks — guide §2.6). Exceptions propagate. */
+  private def landConcurrently(lands: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(lands.map(l => Future(l()))), Duration.Inf)
   }
 
   /** Land `df` as ONE parquet file named `name` under `streamDir` with a
@@ -394,27 +433,32 @@ object ExtensionQueries {
     java.nio.file.Files.createDirectories(streamDir)
     def land(df: DataFrame, name: String, mtimeMs: Long): Unit =
       landStreamFile(df, root, streamDir, name, mtimeMs)
-    land(e, "00_base.parquet", 1000000L)
     val mx = e.agg(max(col("ts")).as("mxts"))
-    land(e.join(broadcast(mx), col("ts") === col("mxts"))
-      .select("event_id", "ts"), "01_advance.parquet", 2000000L)
     val rep = e.filter(col("event_id") % 10 === 0)
       .select(col("event_id"), (col("ts") + expr("INTERVAL 3 HOURS")).as("ts"))
-    land(rep.unionAll(
-      rep.select((col("event_id") + lit(1000000000L)).as("event_id"), col("ts"))),
-      "02_replay.parquet", 3000000L)
+    // independent landing jobs, submitted concurrently (guide §2.6); the
+    // advancer's max-ts aggregate rides its own broadcast subquery
+    landConcurrently(Seq(
+      () => land(e, "00_base.parquet", 1000000L),
+      () => land(e.join(broadcast(mx), col("ts") === col("mxts"))
+        .select("event_id", "ts"), "01_advance.parquet", 2000000L),
+      () => land(rep.unionAll(
+        rep.select((col("event_id") + lit(1000000000L)).as("event_id"), col("ts"))),
+        "02_replay.parquet", 3000000L)))
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP")
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
     val sink = "w06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamStatePartitions(s) {
+      val q = stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     detachStreamResult(s, sink, root,
       s.table(sink)
         .groupBy(col("event_id")).agg(count(lit(1)).as("emissions"))
