@@ -282,7 +282,10 @@ object Dedup {
     * found" and "below every LSH band" are the same statement here). */
   def topKNeighborDocs(docs: DataFrame, n: Int = 3, k: Int = 12,
                        bands: Int = 4, topK: Int = 5): DataFrame = {
-    val sc = estimatedJaccardPairs(docs, n, k, bands)
+    // both symmetrization branches consume the scored pairs: materialize
+    // once (bounded candidate set) or the banding join + signature joins
+    // re-run per branch — the plan-duplication twin of guide §2.4
+    val sc = graft.Persist.cut(estimatedJaccardPairs(docs, n, k, bands))
     val sym = sc.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("j_est").as("sim"))
       .unionAll(sc.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("j_est").as("sim")))
     Similarity.topKPerQuery(sym, topK).withColumnRenamed("sim", "j_est")
@@ -643,8 +646,12 @@ object Dedup {
     * arrays. Deterministic and oracle-replayable end to end.
     * Output: (stratum_a, stratum_b, j_est), stratum_a < stratum_b. */
   def kmvOverlap(sketches: DataFrame, k: Int = 64): DataFrame = {
-    val a = sketches.select(col("stratum").as("stratum_a"), col("mins").as("__ma"))
-    val b = sketches.select(col("stratum").as("stratum_b"), col("mins").as("__mb"))
+    // both sides of the stratum self-join consume the sketch frame:
+    // materialize once (|strata| rows of k longs — tiny at any corpus
+    // scale) so a lineage-borne sketch build doesn't execute twice
+    val sk = graft.Persist.cut(sketches)
+    val a = sk.select(col("stratum").as("stratum_a"), col("mins").as("__ma"))
+    val b = sk.select(col("stratum").as("stratum_b"), col("mins").as("__mb"))
     a.join(b, col("stratum_a") < col("stratum_b"))
       .select(col("stratum_a"), col("stratum_b"), col("__ma"), col("__mb"),
         slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k).as("__u"))
@@ -1344,7 +1351,12 @@ object Dedup {
       .get("spark.graft.jaccard.broadcastStats", "true").toBoolean
     def stats(alias: String): DataFrame =
       if (bcast) broadcast(docStats.as(alias)) else docStats.as(alias)
-    val scored = iRare
+    // BOTH direction branches of the union below consume `scored`:
+    // materialize it once (bounded: pairs surviving the i_max pregate) —
+    // without the cut, the df count, the rare blocking join AND the
+    // doc-stats aggregate all execute twice, once per union branch
+    // (observed as the 58-Exchange x67 plan)
+    val scored = graft.Persist.cut(iRare
       .join(stats("da"), col("a_id") === col("da.doc_id"))
       .join(stats("db"), col("b_id") === col("db.doc_id"))
       .select(col("a_id"), col("b_id"), col("i_rare"),
@@ -1357,7 +1369,7 @@ object Dedup {
         (col("i_rare") + when(size(col("ha")) > 0 && size(col("hb")) > 0,
           size(array_intersect(col("ha"), col("hb")))).otherwise(0))
           .cast("double").as("i"),
-        col("na"), col("nb"))
+        col("na"), col("nb")))
     scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
         detRound(col("i") / col("na"), 4).as("containment"))
       .unionByName(scored.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
@@ -1755,11 +1767,14 @@ object Dedup {
         nb.select(col("n_bins"), lit(0L).as("dirty_bins"),
           lit(0L).as("colocated_pairs"))
       case Some((labels, _)) =>
-        val g = packed
+        // `g` feeds two scalar aggregates (dirty bins + colocated pairs):
+        // materialize once (bounded: only (bin, cluster) groups with >= 2
+        // members) or the packed⋈labels join and groupBy run twice
+        val g = graft.Persist.cut(packed
           .join(labels.select(col("id").as("doc_id"), col("lbl")), "doc_id")
           .groupBy(col("shard"), col("bin"), col("lbl"))
           .agg(count(lit(1)).as("__k"))
-          .filter(col("__k") >= 2L)
+          .filter(col("__k") >= 2L))
         val dirty = g.select(col("shard"), col("bin")).distinct()
           .agg(count(lit(1)).as("dirty_bins"))
         val pairsN = g.agg(coalesce(

@@ -2116,8 +2116,14 @@ object ExtensionQueries {
     * the audited x01/x53/x21 operators unchanged. */
   def x118(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val s2 = Dedup.exact(d, col("doc_id"), col("text"))
-    val s3 = Dedup.exactNormalized(s2, col("doc_id"), col("text"))
+    // each stage feeds BOTH its own count row and the next stage (s3 also
+    // feeds the LSH chain + the CC anti-join): materialize the two
+    // intermediate survivor frames once or the exact-dedup window re-runs
+    // per downstream consumer (3× for s2's, 2× for s3's, observed in the
+    // before plan)
+    val s2 = graft.Persist.cut(Dedup.exact(d, col("doc_id"), col("text")))
+    val s3 = graft.Persist.cut(
+      Dedup.exactNormalized(s2, col("doc_id"), col("text")))
     val s4 = Dedup.dropNearDuplicatesCC(s3,
       Dedup.lshCandidatePairs(s3, n = 3, k = 12, bands = 4))
     def st(i: Long, name: String, df: DataFrame): DataFrame =
