@@ -23,6 +23,17 @@ object Main {
   final case class RunReport(orders: Long, corruptFiles: Long, events: Long,
                              schedules: Long, reschedules: Long, packages: Long)
 
+  /** Submit independent Spark actions concurrently and await them all
+    * (optimization guide §2.6): Spark's FIFO scheduler back-fills idle
+    * executors freed by one job's straggler tail with the next job's
+    * tasks. Exceptions propagate to the caller. */
+  private def runConcurrently(actions: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(actions.map(a => Future(a()))), Duration.Inf)
+  }
+
   /** Default polygon-lab lookup (T3): stands in for the reference's
     * external polygon service responses (app.py:56-65). Keyed off
     * OrderFlatten.enrichedStructureIds — the single source of truth for
@@ -115,18 +126,32 @@ object Main {
       case Some(hdf) => graft.operators.Relational.upsert(hdf, sinkDay, "delivery_order_id")
       case None => sinkDay
     }
-    graft.sinks.TableSink.writeDayPartitioned(
-      sinkAll, "ingest_date", s"$outDir/delivery_order_master")
     // the history snapshot is checkpoint-backed (Persist.cut), which has
     // no eager public release — its blocks are reclaimed by the
     // ContextCleaner once `history` goes out of scope (immediately for a
     // daily batch JVM; on GC for a long-lived session looping runs)
+    //
+    // Sink scheduling (optimization guide §2.6 — overlap independent
+    // jobs): the events sink runs FIRST and alone, because its action is
+    // what materializes the shared raw→flat→events caches (Persist.hot is
+    // lazy) — racing the other writers against it would compute the
+    // flatten concurrently into the same cache blocks, duplicating the
+    // exact work the caches exist to share. Every remaining sink is then
+    // an INDEPENDENT action over cached upstreams; submitting them from a
+    // thread pool lets each job's task tail back-fill the cores the
+    // previous job is vacating instead of serializing seven commit
+    // protocols end-to-end. Output and report are byte-identical: the
+    // writes were already independent, only their wall-clock overlap
+    // changes.
     sink(events, "events_info_temp")
-    sink(schedules, "schedule_events_info_temp")
-    sink(reschedules, "reschedule_events_info_temp")
-    sink(packages, "packages_temp")
-    sink(work, "delivery_order_work")
-    sink(visits, "delivery_order_visit_order")
+    runConcurrently(Seq(
+      () => graft.sinks.TableSink.writeDayPartitioned(
+        sinkAll, "ingest_date", s"$outDir/delivery_order_master"),
+      () => sink(schedules, "schedule_events_info_temp"),
+      () => sink(reschedules, "reschedule_events_info_temp"),
+      () => sink(packages, "packages_temp"),
+      () => sink(work, "delivery_order_work"),
+      () => sink(visits, "delivery_order_visit_order")))
 
     // S9 production layout, behind a flag (default off — the oracle
     // contract and the sidecar read the parquet sinks above): ALSO land

@@ -978,9 +978,16 @@ object Dedup {
   def pageRank(pairs: DataFrame, iters: Int = 5,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = graft.Persist.cut(fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    // materialize the PAIR frame before symmetrizing: both union branches
+    // consume it, and callers pass the live candidate-generation lineage —
+    // cutting only the union (as before) ran that generation twice. The
+    // symmetrized view stays lazy: a union over a materialized frame is
+    // narrow, so per-iteration consumers pay two cheap rescans, never two
+    // candidate joins.
+    val fwd = graft.Persist.cut(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = graft.Persist.cut(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // greatest(n, 1): on an edgeless graph the rank frame is empty and the
@@ -1024,9 +1031,14 @@ object Dedup {
     * treat as "keep possibly-more representatives", never fewer. */
   private def componentLabels(pairs: DataFrame,
                               maxIters: Int): Option[(DataFrame, Boolean)] = {
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = graft.Persist.cut(fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    // materialize the PAIR frame before symmetrizing (see [[pageRank]]):
+    // callers pass the live candidate-generation lineage, and the two
+    // union branches would otherwise run it twice; the symmetrized view
+    // over the cut frame is a narrow union, cheap to rescan per round
+    val fwd = graft.Persist.cut(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
     // round 1 folded into initialization: with all labels starting as own
     // ids, the first propagation is just least(id, min neighbor id) — one
     // aggregate over edges, no join

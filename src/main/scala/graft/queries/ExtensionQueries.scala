@@ -1141,7 +1141,10 @@ object ExtensionQueries {
   val ccWaveSplit = 250
 
   def x86(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(docs(s, dir), n = 3, k = 12, bands = 4)
+    // both wave filters consume the candidate frame: materialize once or
+    // the LSH banding join runs twice (once per wave)
+    val pairs = graft.Persist.cut(
+      Dedup.lshCandidatePairs(docs(s, dir), n = 3, k = 12, bands = 4))
     val w1 = pairs.filter(col("b_id") < ccWaveSplit)
     val w2 = pairs.filter(col("b_id") >= ccWaveSplit)
     val none = s.range(0).select(col("id"), col("id").as("lbl"))
