@@ -23,6 +23,17 @@ object Sessions {
   val adaptiveKnobs: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // coalesce to the ADVISORY SIZE (64 MB default), not to max
+    // parallelism: the `parallelismFirst=true` default keeps every
+    // post-shuffle stage at cluster-width partition counts however few
+    // bytes flow through it — per-partition scheduling/fetch overhead
+    // with no compute to amortize it (optimization guide §2.2 "fewer,
+    // larger reduce partitions"; Spark's own config doc recommends
+    // setting this false in production). Partition counts still scale
+    // with DATA (bytes/advisory), so the setting is size-adaptive at
+    // every SF rather than pinned to either local core count or cluster
+    // width.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.skewJoin.enabled" -> "true")
 
   /** Wire the reliable-persist checkpoint root into the session.

@@ -21,9 +21,10 @@ class SessionConfigSpec extends SparkSpec {
       "local[n] sessions size shuffle partitions to the thread count, not 200")
   }
 
-  test("the knob list itself names exactly the adaptive trio (a rename cannot silently drop one)") {
+  test("the knob list itself names exactly the adaptive set (a rename cannot silently drop one)") {
     assert(Sessions.adaptiveKnobs.map(_._1).sorted == Seq(
       "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
       "spark.sql.adaptive.enabled",
       "spark.sql.adaptive.skewJoin.enabled"))
   }
