@@ -578,9 +578,15 @@ object TextAnalysis {
     * counts/total instead of deriving them — the plan shape is
     * unchanged. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // the token frame feeds the vocabulary count AND the probe join:
+    // materialize once (narrow (doc_id, term) rows) or the corpus
+    // explode runs per consumer; the grand total is |tok| directly —
+    // summing per-term counts re-derived the same number through an
+    // extra aggregate over a recomputed vocabulary
+    val tok = graft.Persist.cut(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term")))
     val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    val total = tok.agg(count(lit(1)).cast("double").as("tot"))
     tok.join(counts, "term").crossJoin(broadcast(total))
       .select(col("doc_id"),
         round(log(col("cnt").cast("double") / col("tot")), 6)
@@ -621,16 +627,23 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.8): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, "lambda must interpolate strictly between bigram and unigram")
     val lambdaC = 1.0 - lambda
-    val tok = docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
-      .select(col("doc_id"), posexplode(col("__ts")), col("__ts"))
-      // posexplode pos is 0-based, element_at 1-based: element_at(ts, pos)
-      // IS the previous token; pos 0 (no history) stays null
-      .select(col("doc_id"), col("col").as("term"),
-        when(col("pos") >= 1, element_at(col("__ts"), col("pos"))).as("prev"))
-    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    // (doc_id, term, prev) feeds THREE consumers (unigram counts, bigram
+    // counts, the probe join): materialize the narrow rows once — the
+    // carried __ts array is projected away before the cut. The unigram
+    // table is itself read twice (term join + prev join): cut it too so
+    // the vocabulary aggregate runs once. The grand total is |tok|.
+    val tok = graft.Persist.cut(
+      docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
+        .select(col("doc_id"), posexplode(col("__ts")), col("__ts"))
+        // posexplode pos is 0-based, element_at 1-based: element_at(ts, pos)
+        // IS the previous token; pos 0 (no history) stays null
+        .select(col("doc_id"), col("col").as("term"),
+          when(col("pos") >= 1, element_at(col("__ts"), col("pos"))).as("prev")))
+    val uni = graft.Persist.cut(
+      tok.groupBy(col("term")).agg(count(lit(1)).as("cu")))
     val big = tok.filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("cb"))
-    val total = uni.agg(sum(col("cu")).cast("double").as("tot"))
+    val total = tok.agg(count(lit(1)).cast("double").as("tot"))
     val puni = col("cu").cast("double") / col("tot")
     val pbig = coalesce(col("cb"), lit(0L)).cast("double") / col("cp").cast("double")
     tok
@@ -667,11 +680,15 @@ object TextAnalysis {
     * Output: prev, term, n (pair count), pmi. */
   def pmiTopPairs(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1, "minCount and k must be positive")
-    val tok = docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
-      .select(posexplode(col("__ts")), col("__ts"))
-      .select(col("col").as("term"),
-        when(col("pos") >= 1, element_at(col("__ts"), col("pos"))).as("prev"))
-    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    // same three-consumer shape as bigramLogProb: one cut of the narrow
+    // (term, prev) rows + one cut of the twice-joined unigram table
+    val tok = graft.Persist.cut(
+      docs.select(col("doc_id"), tokens(col("text")).as("__ts"))
+        .select(posexplode(col("__ts")), col("__ts"))
+        .select(col("col").as("term"),
+          when(col("pos") >= 1, element_at(col("__ts"), col("pos"))).as("prev")))
+    val uni = graft.Persist.cut(
+      tok.groupBy(col("term")).agg(count(lit(1)).as("cu")))
     val big = tok.filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -1177,7 +1194,11 @@ object TextAnalysis {
     * Output: doc_id, term, tfidf. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds the document-frequency aggregate AND the scoring join:
+    // materialize once or the corpus explode + (doc, term) groupBy run
+    // per consumer
+    val tf = graft.Persist.cut(
+      tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -1333,14 +1354,17 @@ object TextAnalysis {
     * corpus-sized past the joins, text never shuffles.
     * Output: doc_id, score (double; quota rows). */
   def dsirSelect(docs: DataFrame, targetPred: Column, quota: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"), targetPred.as("__t"),
-      explode(tokens(col("text"))).as("term"))
+    // tok feeds three consumers (target counts, pool counts, per-doc
+    // pool counts) and vocab two (totals + weights): materialize each
+    // once — the narrow token rows and the vocabulary-sized count table
+    val tok = graft.Persist.cut(docs.select(col("doc_id"), targetPred.as("__t"),
+      explode(tokens(col("text"))).as("term")))
     val ct = tok.filter(col("__t")).groupBy(col("term")).agg(count(lit(1)).as("c_t"))
     val cp = tok.filter(!col("__t")).groupBy(col("term")).agg(count(lit(1)).as("c_p"))
-    val vocab = ct.join(cp, Seq("term"), "full_outer")
+    val vocab = graft.Persist.cut(ct.join(cp, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("c_t"), lit(0L)).as("c_t"),
-        coalesce(col("c_p"), lit(0L)).as("c_p"))
+        coalesce(col("c_p"), lit(0L)).as("c_p")))
     val tot = vocab.agg(sum(col("c_t")).cast("double").as("n_t"),
       sum(col("c_p")).cast("double").as("n_p"),
       count(lit(1)).cast("double").as("v"))

@@ -2097,8 +2097,11 @@ object ExtensionQueries {
     * are already oracle-pinned, so the report is exactly their join. */
   def x117(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val b = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10)
-      .select("q_id", "n_id")
+    // the brute baseline feeds both the per-query k count and the overlap
+    // semi-join: materialize once or the brute kNN scan runs twice
+    val b = graft.Persist.cut(
+      Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10)
+        .select("q_id", "n_id"))
     val i = Similarity.ivfTopK(e, centroidPred = col("vec_id") < ivfCentroids,
         queryPred = col("vec_id") % 100 === 0, k = 10, probes = ivfProbes)
       .select("q_id", "n_id")
