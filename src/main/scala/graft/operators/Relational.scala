@@ -1558,8 +1558,11 @@ object Relational {
     * Output: id, group, value, med, mad, is_outlier. */
   def madOutliersBy(df: DataFrame, group: String, id: String, value: String,
                     k: Double = 3.0): DataFrame = {
-    val med = df.groupBy(col(group)).agg(
-      round(expr(s"percentile($value, 0.5)"), 4).cast("decimal(18,4)").as("med"))
+    // med is broadcast under BOTH dev consumers (the MAD aggregate and
+    // the final scoring join): materialize the per-group medians once or
+    // the exact-percentile aggregate runs per consumer
+    val med = graft.Persist.cut(df.groupBy(col(group)).agg(
+      round(expr(s"percentile($value, 0.5)"), 4).cast("decimal(18,4)").as("med")))
     val dev = df.join(broadcast(med), Seq(group))
       .withColumn("__ad", abs(col(value).cast("decimal(18,4)") - col("med")))
     val mad = dev.groupBy(col(group)).agg(

@@ -1306,9 +1306,12 @@ object TextAnalysis {
   def divergenceFromCounts(counts: DataFrame): DataFrame = {
     // the input may carry several PARTIAL rows per (stratum, term) — one
     // per merged batch — so re-sum first; on an already-unique frame the
-    // child's partitioning makes this aggregate exchange-free
-    val cst = counts.groupBy(col("stratum"), col("term"))
-      .agg(sum(col("c_st")).as("c_st"))
+    // child's partitioning makes this aggregate exchange-free.
+    // Materialized once: three consumers (term totals, stratum totals,
+    // the probe join) would otherwise each re-run the upstream corpus
+    // explode + this aggregate; the frame is vocab×strata-sized.
+    val cst = graft.Persist.cut(counts.groupBy(col("stratum"), col("term"))
+      .agg(sum(col("c_st")).as("c_st")))
     val ct = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val ns = cst.groupBy(col("stratum")).agg(sum(col("c_st")).as("n_s"))
     val n = ns.agg(sum(col("n_s")).as("n"))
@@ -1639,9 +1642,11 @@ object TextAnalysis {
     * direct pass (hash-group totals → source rollup → 1-row token-total
     * broadcast). */
   def sourceHealthFromPartials(parts: DataFrame): DataFrame = {
-    val byHash = parts.groupBy(col("source"), col("h"))
+    // the hash-group digest feeds the per-hash totals AND the scorecard
+    // join: materialize once — callers pass the live corpus digest pass
+    val byHash = graft.Persist.cut(parts.groupBy(col("source"), col("h"))
       .agg(sum(col("n_docs")).as("__nd"), sum(col("tokens")).as("__tk"),
-        sum(col("qsum")).as("__qs"))
+        sum(col("qsum")).as("__qs")))
     val hTot = byHash.groupBy(col("h")).agg(sum(col("__nd")).as("__hc"))
     val per = byHash.join(hTot, "h")
       .groupBy(col("source"))
@@ -1679,9 +1684,11 @@ object TextAnalysis {
     * explode). Output: source_a, source_b (a < b), shared_groups,
     * docs_a, docs_b. */
   def crossSourceDups(docs: DataFrame, key: Column): DataFrame = {
-    val g = docs
+    // both self-join sides consume the digest frame: materialize once or
+    // the corpus hash aggregate runs twice
+    val g = graft.Persist.cut(docs
       .select(col("source"), key.as("h"))
-      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("nd"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("nd")))
     val a = g.select(col("h"), col("source").as("source_a"), col("nd").as("__na"))
     val b = g.select(col("h"), col("source").as("source_b"), col("nd").as("__nb"))
     a.join(b, "h")
@@ -2065,11 +2072,16 @@ object TextAnalysis {
     * frame — shares [[zipfCounts]] with the Zipf family so one count
     * pass can feed both reports. */
   def sourceSimilarityFromCounts(counts: DataFrame, topV: Int = 200): DataFrame = {
-    val vocab = counts.groupBy(col("term")).agg(sum(col("c")).as("__n"))
+    // callers pass the LIVE count aggregate (one corpus explode): it
+    // feeds the vocabulary cut AND the vector projection, and the vector
+    // frame feeds three consumers (norms + both self-join sides) —
+    // materialize each once. vec is ≤ topV rows per source.
+    val cn = graft.Persist.cut(counts)
+    val vocab = cn.groupBy(col("term")).agg(sum(col("c")).as("__n"))
       .orderBy(col("__n").desc, col("term")).limit(topV)
       .select(col("term"))
-    val vec = counts.join(broadcast(vocab), Seq("term"))
-      .select(col("source"), col("term"), col("c"))
+    val vec = graft.Persist.cut(cn.join(broadcast(vocab), Seq("term"))
+      .select(col("source"), col("term"), col("c")))
     val norms = vec.groupBy(col("source"))
       .agg(sum(col("c") * col("c")).as("__n2"))
     val dots = vec.as("a")
