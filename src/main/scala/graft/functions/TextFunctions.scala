@@ -37,6 +37,19 @@ object TextFunctions {
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
 
+  /** [[shingles]] guarded for short docs: empty array when size(toks) < n,
+    * so an `explode` simply emits no rows for them. Exists because the
+    * `.filter(size(ts) >= n)` guard the explode sites used gets PUSHED
+    * BELOW the token-staging projection by Catalyst, substituting ts back
+    * to split(text) — the corpus was tokenized TWICE per row (once in the
+    * pushed filter, once in the projection; codegen does not eliminate
+    * subexpressions across operators). Guarding inside the generator
+    * expression over the staged column keeps one split per row and the
+    * identical output (short docs are absent either way). */
+  def shinglesOrEmpty(toks: Column, n: Int): Column =
+    when(size(toks) >= n, shingles(toks, n))
+      .otherwise(typedLit(Seq.empty[String]))
+
   /** Deterministic cross-engine token hash: ascii(first ASCII char)*31 +
     * length. `ascii`/`length` agree between Spark and DuckDB only on ASCII
     * input (Spark returns the first UTF-8 BYTE, DuckDB the code point), so

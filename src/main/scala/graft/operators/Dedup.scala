@@ -95,8 +95,7 @@ object Dedup {
   def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), rawTokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s"))
+      .select(col("doc_id"), explode(shinglesOrEmpty(col("ts"), n)).as("s"))
       .distinct()
 
   /** [[shingleSet]] keyed by span HASH: md5 applied BELOW the distinct,
@@ -109,8 +108,7 @@ object Dedup {
   private def spanHashSet(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), rawTokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s"))
+      .select(col("doc_id"), explode(shinglesOrEmpty(col("ts"), n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
       .distinct()
 
@@ -144,8 +142,7 @@ object Dedup {
     minhashSignaturesFromShingles(
       docs
         .select(col("doc_id"), rawTokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= n)
-        .select(col("doc_id"), explode(shingles(col("ts"), n)).as("s")),
+        .select(col("doc_id"), explode(shinglesOrEmpty(col("ts"), n)).as("s")),
       k)
 
   /** Signature build over ANY (doc_id, s) shingle-row frame (distinct or
@@ -534,8 +531,8 @@ object Dedup {
   /** Every span occurrence with its 1-based start: (doc_id, i, h). NOT
     * distinct — within-doc repeats each cover their own positions. */
   private def spanOccurrences(toks: DataFrame, n: Int): DataFrame =
-    toks.filter(size(col("ts")) >= n)
-      .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
+    toks
+      .select(col("doc_id"), posexplode(shinglesOrEmpty(col("ts"), n)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
 
   /** Shared strip-and-reassemble core: drop every token position covered
@@ -609,8 +606,7 @@ object Dedup {
     require(k >= 2, "KMV needs k >= 2 (the estimator divides by the k-th minimum)")
     val sh = docs
       .select(stratum.as("stratum"), rawTokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("stratum"), explode(shingles(col("ts"), n)).as("s"))
+      .select(col("stratum"), explode(shinglesOrEmpty(col("ts"), n)).as("s"))
       .distinct()
     val u = sh.select(col("stratum"),
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("u"))
@@ -1900,8 +1896,7 @@ object Dedup {
     val pairs = graft.Persist.cut(pairs0.select(col("a_id"), col("b_id")))
     val psh = graft.Persist.cut(docs
       .select(col("doc_id"), rawTokens(col("text")).as("__ts"))
-      .filter(size(col("__ts")) >= n)
-      .select(col("doc_id"), posexplode(shingles(col("__ts"), n)))
+      .select(col("doc_id"), posexplode(shinglesOrEmpty(col("__ts"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(col("col")).as("h")))
     val tot = psh.groupBy(col("doc_id")).agg(count(lit(1)).as("__tot"))
@@ -1957,8 +1952,7 @@ object Dedup {
       .withColumn("__hit", lit(1L))
     val pos = docs
       .select(col("doc_id"), rawTokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), posexplode(shingles(col("ts"), n)))
+      .select(col("doc_id"), posexplode(shinglesOrEmpty(col("ts"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("s"))
     val runState = longestConsecutiveRun(col("__mp"))
@@ -1999,8 +1993,7 @@ object Dedup {
                      minRunTokens: Int = 6): DataFrame = {
     val pos = docs
       .select(col("doc_id"), rawTokens(col("text")).as("__ts"))
-      .filter(size(col("__ts")) >= n)
-      .select(col("doc_id"), posexplode(shingles(col("__ts"), n)))
+      .select(col("doc_id"), posexplode(shinglesOrEmpty(col("__ts"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(col("col")).as("h"))
     val runState = longestConsecutiveRun(col("__mp"))
