@@ -23,17 +23,23 @@ object Sessions {
   val adaptiveKnobs: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    // coalesce to the ADVISORY SIZE (64 MB default), not to max
-    // parallelism: the `parallelismFirst=true` default keeps every
-    // post-shuffle stage at cluster-width partition counts however few
-    // bytes flow through it — per-partition scheduling/fetch overhead
-    // with no compute to amortize it (optimization guide §2.2 "fewer,
-    // larger reduce partitions"; Spark's own config doc recommends
-    // setting this false in production). Partition counts still scale
-    // with DATA (bytes/advisory), so the setting is size-adaptive at
-    // every SF rather than pinned to either local core count or cluster
-    // width.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    // `parallelismFirst` is PARAMETERIZED (env SPARK_GRAFT_AQE_PARALLELISM
+    // _FIRST, default = Spark's own default `true`): `false` coalesces
+    // every post-shuffle stage to the 64 MB advisory size, which reads
+    // well in §2.2 byte terms but uses BYTES as a proxy for COMPUTE — in
+    // this engine's hot stages (shingle explode → md5 → aggregate) a few
+    // MB of post-shuffle rows carry seconds of per-row work, and
+    // coalescing them to 1-2 partitions serializes it. Measured on the
+    // full 207-query contract at sf0.1/local[32]: `false` cost +13%
+    // total (the worst hit, compute-dense queries like x128/x10/x98,
+    // +40-65% each; pipeline_total +96%) and bought nothing — the byte-
+    // heavy stages it exists for are already sized by
+    // `spark.sql.shuffle.partitions` at cluster scale, where partition
+    // counts exceed parallelism and the flag never binds. Keep `true`
+    // here; a payload-byte-dominated cluster deployment can flip it via
+    // the env knob or conf/cluster-smoke.conf.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
     "spark.sql.adaptive.skewJoin.enabled" -> "true")
 
   /** Wire the reliable-persist checkpoint root into the session.
@@ -54,12 +60,21 @@ object Sessions {
     * below it), UTC (all oracle arithmetic is UTC), UI off, AQE trio
     * pinned. Callers append their own extras (nanosAsLong for
     * event-fixture readers, warehouse dir for tests). */
-  def local(cpus: String): SparkSession.Builder =
-    adaptiveKnobs.foldLeft(
+  def local(cpus: String): SparkSession.Builder = {
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — ad-hoc session conf overrides for
+    // same-binary A/B experiments and deployment-specific tuning (e.g.
+    // spark.sql.join.preferSortMergeJoin=false on a cluster). Applied
+    // LAST, so an experiment can override a pinned knob without a
+    // recompile; empty/absent = exactly the pinned baseline.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    (adaptiveKnobs ++ extra).foldLeft(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     ) { case (b, (k, v)) => b.config(k, v) }
+  }
 }
