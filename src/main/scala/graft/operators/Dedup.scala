@@ -175,11 +175,16 @@ object Dedup {
     * ([[lshCandidatePairsAgainst]]), so the two cannot drift. */
   private def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    (0 until bands).map { b =>
-      val hs = (0 until r).map(j => col(s"h${b * r + j}"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", hs: _*)).as("bh"))
-    }.reduce(_ unionByName _)
+    // ONE scan of the signature frame with a posexplode over the `bands`
+    // band hashes, not a `bands`-way union (which re-scanned the frame —
+    // and at production scale the signature STORE — once per band and
+    // stacked `bands` partial stages under the bucket join; guide §2.4
+    // "remove passes"). posexplode's position IS the band index, so the
+    // rows are bit-identical to the union formulation.
+    val bhs = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*))
+    }
+    sig.select(col("doc_id"), posexplode(array(bhs: _*)).as(Seq("band", "bh")))
   }
 
   /** `maxBucketFraction` is the corpus-relative form of `maxBucket`,
@@ -604,12 +609,22 @@ object Dedup {
   def kmvSketch(docs: DataFrame, stratum: Column, n: Int = 3,
                 k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 (the estimator divides by the k-th minimum)")
-    val sh = docs
+    // NO pre-aggregation `.distinct()` (the minhashSignatures discipline):
+    // `collect_set` dedups hash VALUES inside every phase-1 group and the
+    // phase-2 merge dedups across groups, so the sketch is bit-identical
+    // while the corpus-sized Exchange of (stratum, shingle TEXT) — the
+    // operator's one full-data shuffle — disappears outright (guide §2.4).
+    // Phase 1 now runs on SCAN partitions (min-k is associative, so the
+    // grouping is partitioning-independent); the only rows that ever cross
+    // the network are ≤ k longs per (stratum, partition). The trade is one
+    // md5 per shingle OCCURRENCE instead of per distinct (stratum, s) —
+    // pure codegen'd per-row work that scales out, vs a shuffle that
+    // scales with the corpus.
+    val u = docs
       .select(stratum.as("stratum"), rawTokens(col("text")).as("ts"))
       .select(col("stratum"), explode(shinglesOrEmpty(col("ts"), n)).as("s"))
-      .distinct()
-    val u = sh.select(col("stratum"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("u"))
+      .select(col("stratum"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("u"))
     val local = u.withColumn("__p", spark_partition_id())
       .groupBy(col("stratum"), col("__p"))
       .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
@@ -757,12 +772,16 @@ object Dedup {
     // fingerprints feed all `blocks` banding branches: materialize once
     val fp = graft.Persist.cut(fp0)
     val cap = resolveBucketCap(fp, maxBucket, maxBucketFraction)
-    val allBanded = (0 until blocks).map { i =>
-      fp.select(col("id"), col("fingerprint"), lit(i).as("band"),
-        // mask in LONG: (1 << 32) wraps to 1 in Int, which would collapse
-        // every fingerprint into key=0 for maxHamming=0
-        shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1L << w) - 1)).as("key"))
-    }.reduce(_ unionByName _)
+    // ONE scan with a posexplode over the `blocks` segment keys, not a
+    // `blocks`-way union of re-scans (the bandRows discipline — §2.4);
+    // posexplode's position IS the band index, rows bit-identical.
+    val keys = (0 until blocks).map { i =>
+      // mask in LONG: (1 << 32) wraps to 1 in Int, which would collapse
+      // every fingerprint into key=0 for maxHamming=0
+      shiftright(col("fingerprint"), i * w).bitwiseAND(lit((1L << w) - 1))
+    }
+    val allBanded = fp.select(col("id"), col("fingerprint"),
+      posexplode(array(keys: _*)).as(Seq("band", "key")))
     val banded =
       if (cap == Long.MaxValue) allBanded
       else {
