@@ -1923,21 +1923,33 @@ object Dedup {
       .withColumn("third", expr("least((pos * 3) div __tot, 2)"))
       .select(col("doc_id"), col("third"), col("h"))
     val hset = psh.select(col("doc_id"), col("h")).distinct()
-    def side(ownId: String, otherId: String, p: String): DataFrame =
-      pairs.join(thirds.withColumnRenamed("doc_id", ownId), ownId)
-        .join(hset.select(col("doc_id").as(otherId), col("h"),
-          lit(1L).as("__hit")), Seq(otherId, "h"), "left_outer")
-        .groupBy(col("a_id"), col("b_id"), col("third"))
-        .agg(count(lit(1)).as(s"${p}_n"),
-          coalesce(sum(col("__hit")), lit(0L)).as(s"${p}_shared"))
-    side("a_id", "b_id", "a")
-      .join(side("b_id", "a_id", "b"), Seq("a_id", "b_id", "third"),
-        "full_outer")
-      .select(col("a_id"), col("b_id"), col("third"),
-        coalesce(col("a_n"), lit(0L)).as("a_n"),
-        coalesce(col("a_shared"), lit(0L)).as("a_shared"),
-        coalesce(col("b_n"), lit(0L)).as("b_n"),
-        coalesce(col("b_shared"), lit(0L)).as("b_shared"))
+    // BOTH sides in ONE tagged pass (was: two symmetric join chains plus a
+    // full_outer merge of their aggregates): symmetrize the pair frame
+    // (narrow union over the cut pairs) so each pair row names its own and
+    // other doc once per side, run the thirds⋈hset attachment once over the
+    // doubled rows — identical total join volume to the two single-sided
+    // passes — and fold the side split into conditional aggregates of one
+    // groupBy. Removes a whole aggregate+shuffle stage and the full_outer
+    // Exchange (guide §2.4); a third absent on one side aggregates to the
+    // same 0s the outer-join coalesce produced.
+    val sides = pairs
+      .select(col("a_id"), col("b_id"), col("a_id").as("__own"),
+        col("b_id").as("__other"), lit(1).as("__sa"))
+      .unionByName(pairs.select(col("a_id"), col("b_id"),
+        col("b_id").as("__own"), col("a_id").as("__other"),
+        lit(0).as("__sa")))
+    sides
+      .join(thirds.withColumnRenamed("doc_id", "__own"), "__own")
+      .join(hset.select(col("doc_id").as("__other"), col("h"),
+        lit(1L).as("__hit")), Seq("__other", "h"), "left_outer")
+      .groupBy(col("a_id"), col("b_id"), col("third"))
+      .agg(
+        count(when(col("__sa") === 1, 1)).as("a_n"),
+        coalesce(sum(when(col("__sa") === 1, col("__hit"))), lit(0L))
+          .as("a_shared"),
+        count(when(col("__sa") === 0, 1)).as("b_n"),
+        coalesce(sum(when(col("__sa") === 0, col("__hit"))), lit(0L))
+          .as("b_shared"))
   }
 
   /** Longest CONTIGUOUS bench-matched shingle run per document — the
