@@ -1500,14 +1500,27 @@ object Dedup {
     * materialization job. */
   private def jaccardPairsFromCutSets(sh: DataFrame, threshold: Double,
                                       maxDf: Int,
-                                      maxDfFraction: Option[Double]): DataFrame = {
+                                      maxDfFraction: Option[Double],
+                                      restrictTo: Option[DataFrame] = None): DataFrame = {
     val cap = resolveDfCap(sh, maxDf, maxDfFraction)
+    // df is GLOBAL by definition — always aggregated over the full frame,
+    // even when the pair enumeration below is restricted
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // `restrictTo = Some(ids)`: enumerate pairs (and per-doc stats) only
+    // for the given doc ids. Callers that immediately inner-join the
+    // output against a pair set over those docs ([[jaccardEstimateError]])
+    // get bit-identical survivors — i_rare is a per-pair count and the
+    // docStats row of a doc is independent of other docs — while the
+    // quadratic blocking self-join runs on the candidate minority instead
+    // of the corpus (guide §3.2: prune the big side before the join). The
+    // id list is bounded by the candidate generator's caps: broadcast.
+    val scoped = restrictTo.fold(sh)(ids =>
+      sh.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
     // the df-tag join feeds both the blocking postings and the per-doc
     // stats; left LAZY deliberately — each consumer pushes its own df
     // filter/projection into the join (rare gets a df<=cap-pruned build
     // side), which beats materializing the full tagged postings once
-    val tagged = sh.join(dfc, "s")
+    val tagged = scoped.join(dfc, "s")
     val rare = tagged.filter(col("df") <= cap).select(col("doc_id"), col("s"))
     // the blocking join YIELDS the shared-rare-shingle count per pair —
     // aggregating it is both the candidate set and most of the exact
@@ -1668,9 +1681,23 @@ object Dedup {
     // sets, and the signature build is min-aggregation — duplicate-
     // insensitive — so the same cut frame serves both bit-identically.
     val sh = graft.Persist.cut(shingleSet(docs, n))
-    val est = estimatedJaccardPairsFromSigs(
-      graft.Persist.cut(minhashSignaturesFromShingles(sh, k)), k, bands)
-    val exact = jaccardPairsFromCutSets(sh, threshold = 0.0, maxDf, None)
+    // est is cut: it feeds the report join AND (below) the candidate-doc
+    // restriction of the exact chain — bounded pair set, never text
+    val est = graft.Persist.cut(estimatedJaccardPairsFromSigs(
+      graft.Persist.cut(minhashSignaturesFromShingles(sh, k)), k, bands))
+    // the report INNER-joins est ⋈ exact on the pair key, so exact-side
+    // pairs with no banding candidate can never reach the output:
+    // restrict the rare-blocking self-join + docStats to the docs the
+    // banding surfaced (df stays GLOBAL — jaccardPairsFromCutSets keeps
+    // the df aggregate over the full frame), which leaves every surviving
+    // (pair, j) bit-identical while the quadratic exact stage runs on the
+    // candidate minority instead of the corpus (guide §3.2). Measured at
+    // sf0.1: the unrestricted exact side was the query's dominant phase.
+    val candDocs = est
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val exact = jaccardPairsFromCutSets(sh, threshold = 0.0, maxDf, None,
+      restrictTo = Some(candDocs))
     val d6 = (e: Column) => round(e, 6).cast("decimal(18,6)")
     est.join(exact, Seq("a_id", "b_id"))
       .select(

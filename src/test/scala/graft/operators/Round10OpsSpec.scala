@@ -252,6 +252,35 @@ class Round10OpsSpec extends SparkSpec {
     assert(out === Map(9L -> ((1L, 1.0, 1.0, 0.0))))
   }
 
+  test("jaccardEstimateError: candidate-doc restriction equals the unrestricted report") {
+    // The operator restricts its exact chain to docs the banding surfaced
+    // (r16 optimization); this pins the equivalence against an independent
+    // driver-side recomputation from the two UNRESTRICTED public
+    // generators on the real fixture.
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val (n, k, bands, maxDf) = (3, 12, 4, 256)
+    val est = Dedup.estimatedJaccardPairs(docs, n, k, bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.jaccardPairsFromSets(
+        Dedup.shingleSet(docs, n), threshold = 0.0, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val joined = est.keySet.intersect(exact.keySet).toSeq
+      .map(p => (est(p), exact(p)))
+    assert(joined.nonEmpty, "fixture must surface shared candidate pairs")
+    val ref = joined.groupBy { case (je, _) => math.min((je * 10.0).floor, 9.0).toLong }
+      .map { case (b, ps) =>
+        def mean(f: ((Double, Double)) => Double): Double =
+          r4(ps.map(p => d6(f(p))).reduce(_ add _).doubleValue / ps.size) + 0.0
+        b -> ((ps.size.toLong, mean(_._1), mean(_._2),
+          mean(p => math.abs(p._1 - p._2))))
+      }
+    val out = Dedup.jaccardEstimateError(docs, n, k, bands, maxDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === ref)
+  }
+
   test("dedupSweep: monotone curve, exact doc counting, (0,0) rows for dry thresholds") {
     val pairs = Seq(
       (1L, 2L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.6), (6L, 7L, 0.3)
