@@ -52,4 +52,19 @@ object Persist {
     case "reliable" => df.checkpoint()
     case _          => df.localCheckpoint()
   }
+
+  /** LAZY lineage cut: same plan truncation as [[cut]] (downstream
+    * consumers see a checkpoint scan, not the upstream lineage — the
+    * property that keeps iterative loops' plans from nesting), but
+    * materialized by the CALLER'S FIRST ACTION instead of an extra
+    * eager job here. For loop bodies where a known small action (e.g. a
+    * convergence aggregate) immediately follows the cut: one driver job
+    * per round instead of two. Callers MUST run an action on the frame
+    * before depending on cut-at-a-point-in-time semantics — unlike
+    * [[cut]], nothing is materialized on return. */
+  def cutLazy(df: DataFrame): DataFrame = mode(df) match {
+    case "disk"     => df.localCheckpoint(false, StorageLevel.DISK_ONLY)
+    case "reliable" => df.checkpoint(false)
+    case _          => df.localCheckpoint(false)
+  }
 }

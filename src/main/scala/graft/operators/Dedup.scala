@@ -1056,18 +1056,22 @@ object Dedup {
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     // round 1 folded into initialization: with all labels starting as own
     // ids, the first propagation is just least(id, min neighbor id) — one
-    // aggregate over edges, no join
-    var labels = graft.Persist.cut(
+    // aggregate over edges, no join.
+    //
+    // Label frames are cut LAZILY (Persist.cutLazy): same lineage
+    // truncation as the eager cut — each round's plan stays three joins
+    // over a checkpoint scan, and callers see a flat plan — but the
+    // convergence-sum action below is what materializes the frame, so
+    // every loop round costs ONE driver job instead of two (a plain
+    // cache was measured WORSE here: it kept the full candidate-chain
+    // lineage in every caller's logical plan and the planning cost ate
+    // the saved job). Superseded rounds are reclaimed by the
+    // ContextCleaner as before.
+    var labels = graft.Persist.cutLazy(
       edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__mn"))
         .select(col("id"), least(col("id"), col("__mn")).as("lbl")))
     // (emptiness is detected from the first label-sum below — sum() of an
     // empty frame is null — rather than a separate isEmpty action)
-    // Lifecycle note: each round's cut frame is superseded on rebind and
-    // reclaimed by the ContextCleaner once unreferenced (no public eager
-    // release for checkpoint-backed frames). The loop's frames hold ONLY
-    // (id, label) pairs — two longs per GRAPH NODE, never document text —
-    // so even maxIters live rounds are a rounding error next to the
-    // corpus the pairs came from.
     // convergence via the label-sum invariant: labels only ever DECREASE,
     // so the sum is strictly monotone until the fixpoint — one tiny
     // aggregate per round instead of a prev-vs-next join. Decimal sum:
@@ -1087,13 +1091,12 @@ object Dedup {
       // through the PREVIOUS round's (already materialized) label table —
       // path halving with ONE materialization per round instead of two.
       // (Jumping through the freshly-propagated table would need
-      // `propagated` cut first — a second localCheckpoint job per round,
-      // a driver round-trip that costs more than the strictly-weaker jump
-      // saves: labels only DECREASE, the fixpoint — per-component minimum
-      // — is identical, and the sum-invariant convergence test is
-      // unchanged.)
+      // `propagated` materialized first — an extra driver round-trip that
+      // costs more than the strictly-weaker jump saves: labels only
+      // DECREASE, the fixpoint — per-component minimum — is identical,
+      // and the sum-invariant convergence test is unchanged.)
       val jump = labels.select(col("id").as("__jid"), col("lbl").as("__jlbl"))
-      val next = graft.Persist.cut(
+      val next = graft.Persist.cutLazy(
         propagated.join(jump, propagated("lbl") === col("__jid"), "left_outer")
           .select(propagated("id"),
             least(propagated("lbl"), coalesce(col("__jlbl"), propagated("lbl")))
