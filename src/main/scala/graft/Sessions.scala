@@ -38,8 +38,12 @@ object Sessions {
     // counts exceed parallelism and the flag never binds. Keep `true`
     // here; a payload-byte-dominated cluster deployment can flip it via
     // the env knob or conf/cluster-smoke.conf.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
-      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> {
+      val v = sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
+      require(v == "true" || v == "false",
+        s"SPARK_GRAFT_AQE_PARALLELISM_FIRST must be true|false, got '$v'")
+      v
+    },
     "spark.sql.adaptive.skewJoin.enabled" -> "true")
 
   /** Wire the reliable-persist checkpoint root into the session.
@@ -66,9 +70,20 @@ object Sessions {
     // spark.sql.join.preferSortMergeJoin=false on a cluster). Applied
     // LAST, so an experiment can override a pinned knob without a
     // recompile; empty/absent = exactly the pinned baseline.
+    // fail FAST on malformed entries (empty key, or no '='): the knob
+    // exists for trusted same-binary A/B experiments, where a typo'd
+    // entry silently no-op'ing would invalidate the experiment without
+    // any signal (ADVICE r15)
     val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+        val Array(k, v) = kv.split("=", 2)
+        require(k.trim.nonEmpty,
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' has an empty key")
+        (k.trim, v)
+      }
     (adaptiveKnobs ++ extra).foldLeft(
       SparkSession.builder()
         .master(s"local[$cpus]")

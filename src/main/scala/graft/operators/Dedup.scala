@@ -615,11 +615,18 @@ object Dedup {
     // while the corpus-sized Exchange of (stratum, shingle TEXT) — the
     // operator's one full-data shuffle — disappears outright (guide §2.4).
     // Phase 1 now runs on SCAN partitions (min-k is associative, so the
-    // grouping is partitioning-independent); the only rows that ever cross
-    // the network are ≤ k longs per (stratum, partition). The trade is one
-    // md5 per shingle OCCURRENCE instead of per distinct (stratum, s) —
-    // pure codegen'd per-row work that scales out, vs a shuffle that
-    // scales with the corpus.
+    // grouping is partitioning-independent). Precisely (ADVICE r15): the
+    // slice-to-k runs in the result projection AFTER the phase-1
+    // aggregate, so the phase-1 Exchange ships each scan partition's
+    // FULL distinct-hash set per stratum (partial_collect_set buffers) —
+    // the saving vs the old formulation is dropping the corpus-sized
+    // Exchange of (stratum, shingle TEXT), not a ≤k-long shuffle. A true
+    // ≤k-per-partition bound needs a bounded min-k aggregate expression;
+    // until then phase-1 state and shuffle are bounded by per-partition
+    // distinct hashes (the topKPerQuery trade: partition sizing, not
+    // corpus size). The md5 trade: one hash per shingle OCCURRENCE
+    // instead of per distinct (stratum, s) — pure codegen'd per-row work
+    // that scales out, vs a shuffle that scales with the corpus.
     val u = docs
       .select(stratum.as("stratum"), rawTokens(col("text")).as("ts"))
       .select(col("stratum"), explode(shinglesOrEmpty(col("ts"), n)).as("s"))
@@ -1943,7 +1950,20 @@ object Dedup {
   def pairDiffThirds(docs: DataFrame, pairs0: DataFrame,
                      n: Int = 3): DataFrame = {
     val pairs = graft.Persist.cut(pairs0.select(col("a_id"), col("b_id")))
+    // the positional-shingle frame is consumed ONLY through joins keyed
+    // on the pair frame's doc ids (thirds on __own, hset on __other), so
+    // docs in no pair can never reach the output: restrict the corpus
+    // tokenize+explode to docs appearing in a pair — bounded by the
+    // candidate generator's caps, hence broadcastable — and every output
+    // row stays bit-identical (per-doc positions/totals are independent
+    // of other docs). Guide §3.2: prune the big side before the join; at
+    // sf0.1 this was the query's dominant phase (a full-corpus explode +
+    // md5 + distinct for a pair set touching a minority of docs).
+    val pairDocs = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
     val psh = graft.Persist.cut(docs
+      .join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), rawTokens(col("text")).as("__ts"))
       .select(col("doc_id"), posexplode(shinglesOrEmpty(col("__ts"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

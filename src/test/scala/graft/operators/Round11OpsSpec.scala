@@ -229,6 +229,24 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("pairDiffThirds: docs outside the pair set cannot affect the report (restriction equivalence)") {
+    // the operator restricts its positional-shingle explode to docs that
+    // appear in a pair (r16); this pins the invariant that makes the
+    // restriction bit-identical — including an extra doc that SHARES
+    // every shingle with the paired docs (a global stat leak would move
+    // the shared counts) and an unrelated one
+    val w30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val base = Seq((1L, w30), (2L, w30)).toDF("doc_id", "text")
+    val extra = Seq((3L, w30), (4L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    def rows(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.pairDiffThirds(docs, pairs, n = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rows(base.unionByName(extra)) === rows(base))
+  }
+
   // ---- anisotropy (x160) ---------------------------------------------
 
   test("anisotropy: a collapsed cone reads ~1, an even one-hot basis reads 1/d; zero vectors are excluded") {
