@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expr.{CdcCuts, CosineSimilarity, DotProduct, HexParityMask, RewriteDotProduct}
+import graft.functions.expr.{CdcCuts, CosineSimilarity, DotProduct, HexParityMask, MinKDistinct, RewriteDotProduct}
 
 /** Registration surface for the engine's custom Catalyst expressions.
   *
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.hexParityMaskDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.cdcCutsDescriptor)
+    ext.injectFunction(GraftFunctions.minKDescriptor)
     // evaluation-mode upgrade for the idiomatic HOF dot-product pattern
     // (zip_with+aggregate cannot codegen) — see RewriteDotProduct
     ext.injectOptimizerRule(_ => RewriteDotProduct)
@@ -104,6 +105,23 @@ object GraftFunctions {
         intArg(children(2), "mask"), gear)
     })
 
+  /** Bounded distinct min-k aggregate (see
+    * [[graft.functions.expr.MinKDistinct]]): `graft_min_k(x, k)` — the k
+    * smallest distinct BIGINTs of the group as an ascending array, O(k)
+    * buffer state. The analyzer wraps the returned AggregateFunction. */
+  val minKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_min_k"),
+    new ExpressionInfo(classOf[MinKDistinct].getName, "graft_min_k"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_min_k(x, k) takes exactly 2 arguments")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "graft_min_k: k must be an INT literal")
+      }
+      MinKDistinct(children.head, k)
+    })
+
   /** Idempotent imperative registration into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -116,6 +134,8 @@ object GraftFunctions {
       "graft_dot", es => dotDescriptor._3(es), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_cuts", es => cdcCutsDescriptor._3(es), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_min_k", es => minKDescriptor._3(es), "internal")
     // the imperative twin of injectOptimizerRule for sessions built
     // without the extension (idempotent like the registrations above)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
@@ -162,5 +182,14 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(window),
       org.apache.spark.sql.functions.lit(mask),
       org.apache.spark.sql.functions.lit(gear))
+  }
+
+  /** Column-level bounded distinct min-k (aggregate; use inside .agg):
+    * ascending array of the group's k smallest distinct BIGINTs —
+    * value-identical to `slice(array_sort(collect_set(x)), 1, k)` with
+    * O(k) buffer state and ≤ k longs per group on the exchange. */
+  def minK(df: DataFrame, x: Column, k: Int): Column = {
+    register(df.sparkSession)
+    call_function("graft_min_k", x, org.apache.spark.sql.functions.lit(k))
   }
 }

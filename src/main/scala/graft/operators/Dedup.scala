@@ -615,29 +615,32 @@ object Dedup {
     // while the corpus-sized Exchange of (stratum, shingle TEXT) — the
     // operator's one full-data shuffle — disappears outright (guide §2.4).
     // Phase 1 now runs on SCAN partitions (min-k is associative, so the
-    // grouping is partitioning-independent). Precisely (ADVICE r15): the
-    // slice-to-k runs in the result projection AFTER the phase-1
-    // aggregate, so the phase-1 Exchange ships each scan partition's
-    // FULL distinct-hash set per stratum (partial_collect_set buffers) —
-    // the saving vs the old formulation is dropping the corpus-sized
-    // Exchange of (stratum, shingle TEXT), not a ≤k-long shuffle. A true
-    // ≤k-per-partition bound needs a bounded min-k aggregate expression;
-    // until then phase-1 state and shuffle are bounded by per-partition
-    // distinct hashes (the topKPerQuery trade: partition sizing, not
-    // corpus size). The md5 trade: one hash per shingle OCCURRENCE
-    // instead of per distinct (stratum, s) — pure codegen'd per-row work
-    // that scales out, vs a shuffle that scales with the corpus.
+    // grouping is partitioning-independent) with the BOUNDED graft_min_k
+    // aggregate: the k-bound holds DURING accumulation, so per-group
+    // state is O(k) and the only rows that cross the network are ≤ k
+    // longs per (stratum, partition) — the bound the collect_set
+    // formulation only achieved after the merge (its partial buffers
+    // shipped each partition's full distinct-hash set, ADVICE r15). The
+    // md5 trade stands: one hash per shingle OCCURRENCE instead of per
+    // distinct (stratum, s) — pure codegen'd per-row work that scales
+    // out, vs a shuffle that scales with the corpus.
     val u = docs
       .select(stratum.as("stratum"), rawTokens(col("text")).as("ts"))
       .select(col("stratum"), explode(shinglesOrEmpty(col("ts"), n)).as("s"))
       .select(col("stratum"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("u"))
+    // graft_min_k maintains the k-bound DURING accumulation (O(k) buffer
+    // per group, ≤ k longs per group on the phase-1 exchange) — the true
+    // per-partition top-k the paragraph above says collect_set lacks;
+    // value-identical to slice(array_sort(collect_set(u)), 1, k).
+    val minKOf = (df: DataFrame, c: Column) =>
+      graft.GraftFunctions.minK(df, c, k)
     val local = u.withColumn("__p", spark_partition_id())
       .groupBy(col("stratum"), col("__p"))
-      .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
+      .agg(minKOf(u, col("u")).as("mins"))
     local.select(col("stratum"), explode(col("mins")).as("u"))
       .groupBy(col("stratum"))
-      .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
+      .agg(minKOf(u, col("u")).as("mins"))
   }
 
   /** Merge any number of [[kmvSketch]] frames (unioned) back into one
@@ -647,7 +650,7 @@ object Dedup {
   def kmvMerge(sketches: DataFrame, k: Int = 64): DataFrame =
     sketches.select(col("stratum"), explode(col("mins")).as("u"))
       .groupBy(col("stratum"))
-      .agg(slice(array_sort(collect_set(col("u"))), 1, k).as("mins"))
+      .agg(graft.GraftFunctions.minK(sketches, col("u"), k).as("mins"))
 
   /** Pairwise stratum OVERLAP from KMV sketches alone — the cross-source
     * content-overlap matrix ([[crossStratumPairs]]' question) answered
